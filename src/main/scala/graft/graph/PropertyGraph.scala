@@ -1,0 +1,99 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Immutable distributed property graph.
+  *
+  * Spark-first re-expression of the reference's in-memory immutable graph
+  * (fermor graph.clj: IGraph over Bifurcan maps, linear/forked builder):
+  * here a graph is a pair of DataFrames and is immutable by construction —
+  * every "mutation" (addVertices/addEdges/remove*) returns a new value built
+  * from a lazy Catalyst plan, so the linear/forked distinction disappears.
+  *
+  * Schema contract:
+  *  - `kinds`: per-kind vertex tables, each with an `id: long` column
+  *    (globally namespaced, see [[Vid]]) plus typed property columns.
+  *    Per-kind typed tables (instead of one wide sparse table) keep column
+  *    pruning and predicate pushdown effective at 100 TB scale.
+  *  - `edges`: `src: long`, `dst: long`, `label: string`, plus optional
+  *    typed edge-property columns (null for labels that lack them).
+  */
+final case class PropertyGraph(
+    kinds: Map[String, DataFrame],
+    edges: DataFrame) {
+
+  /** Unified (id, kind) vertex view. Narrow: two columns only. */
+  lazy val vertices: DataFrame =
+    kinds.toSeq
+      .sortBy(_._1)
+      .map { case (k, df) => df.select(col("id"), lit(k).as("kind")) }
+      .reduce(_.unionAll(_))
+
+  def kind(name: String): DataFrame = kinds(name)
+
+  def hasVertex(id: Long): Boolean =
+    !vertices.where(col("id") === id).isEmpty
+
+  def vertex(id: Long): DataFrame = vertices.where(col("id") === id)
+
+  /** Edge lookup (fermor core.clj `get-edge`). */
+  def edge(src: Long, dst: Long, label: String): DataFrame =
+    edges.where(col("src") === src && col("dst") === dst && col("label") === label)
+
+  /** fermor core.clj `add-vertices`: union new rows into a kind table. */
+  def addVertices(kindName: String, rows: DataFrame): PropertyGraph =
+    copy(kinds = kinds.updated(
+      kindName,
+      kinds.get(kindName).map(_.unionByName(rows, allowMissingColumns = true)).getOrElse(rows)))
+
+  /** fermor core.clj `add-edges`: union new edge rows. */
+  def addEdges(rows: DataFrame): PropertyGraph =
+    copy(edges = edges.unionByName(rows, allowMissingColumns = true))
+
+  /** fermor graph.clj `remove-vertex`: drop vertices and incident edges.
+    * Anti-joins, so the removal set can itself be huge (no driver collect). */
+  def removeVertices(ids: DataFrame): PropertyGraph = {
+    val idsDf = ids.select(col(ids.columns.head).as("id"))
+    PropertyGraph(
+      kinds.map { case (k, df) => k -> df.join(idsDf, Seq("id"), "left_anti") },
+      edges
+        .join(idsDf.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .join(idsDf.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti"))
+  }
+
+  /** Restrict to a subset of edge labels (fermor graph.clj edge-graph).
+    * A pure filter — pushed down to the edge source scan. */
+  def edgeSubgraph(labels: String*): PropertyGraph =
+    copy(edges = edges.where(col("label").isin(labels: _*)))
+
+  /** Reverse every edge (fermor core.clj `transpose`). Column swap only —
+    * no shuffle, no data movement. */
+  def transpose: PropertyGraph =
+    copy(edges = edges
+      .withColumnsRenamed(Map("src" -> "__t", "dst" -> "src"))
+      .withColumnRenamed("__t", "dst"))
+
+  /** Start a traversal from every vertex (fermor `all-vertices`). */
+  def allVertices: Traversal = Traversal(this, vertices.select("id"))
+
+  /** Start a traversal from one kind's vertices. */
+  def ofKind(name: String): Traversal = Traversal(this, kinds(name).select("id"))
+
+  /** Start a traversal from an arbitrary frontier. The `id` column (or, if
+    * absent, the first column, renamed) holds vertex ids; all other columns
+    * ride along as carried provenance. */
+  def from(ids: DataFrame): Traversal =
+    if (ids.columns.contains("id")) Traversal(this, ids)
+    else Traversal(this, ids.withColumnRenamed(ids.columns.head, "id"))
+
+  /** GraphX interop (plays the role of fermor's loom adapter): the unified
+    * long-id vertex/edge RDD view for iterative algorithms. */
+  def toGraphX(implicit spark: SparkSession): org.apache.spark.graphx.Graph[Long, String] = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val vs = vertices.select("id").rdd.map(r => (r.getLong(0), r.getLong(0)))
+    val es = edges.select("src", "dst", "label").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
+    Graph(vs, es)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Global vertex-id namespacing (the Spark analogue of fermor's kind-graph
+  * typed KindId, kind_graph.clj): `vid = kindTag * 10^12 + naturalKey`.
+  * Pure arithmetic — kind membership is a range predicate (pushdown-friendly,
+  * no dictionary join), and the oracle SQL can mirror it inline.
+  */
+object Vid {
+  val SPAN: Long = 1000000000000L
+  val tags: Map[String, Long] = Map(
+    "region" -> 1L, "nation" -> 2L, "customer" -> 3L, "supplier" -> 4L,
+    "part" -> 5L, "orders" -> 6L, "lineitem" -> 7L, "user" -> 8L)
+  def tag(kind: String): Long = tags(kind)
+  def vid(kind: String, key: Column): Column = lit(tag(kind) * SPAN) + key.cast("long")
+}
+
+/** Loads the driver's TPC-H-ish testdata as a [[PropertyGraph]].
+  *
+  * Edges follow FK direction (child → parent), mirroring how the reference's
+  * example graphs point from specific to general (gremlin_examples_test.clj
+  * job graph: application -appliesTo-> job). Lineitem edges carry typed
+  * properties (quantity, extendedprice) like fermor edge documents.
+  */
+object Tpch {
+  import Vid.vid
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** lineitem vid packs (orderkey, linenumber); linenumber is 1..7 so 3 bits
+    * of headroom is plenty — stays collision-free at any SF. */
+  def lineitemVid(orderkey: Column, linenumber: Column): Column =
+    lit(Vid.tag("lineitem") * Vid.SPAN) + orderkey.cast("long") * 8 + linenumber.cast("long")
+
+  def load(spark: SparkSession, dir: String): PropertyGraph = {
+    val region   = table(spark, dir, "region")
+    val nation   = table(spark, dir, "nation")
+    val customer = table(spark, dir, "customer")
+    val supplier = table(spark, dir, "supplier")
+    val part     = table(spark, dir, "part")
+    val orders   = table(spark, dir, "orders")
+    val lineitem = table(spark, dir, "lineitem")
+
+    val kinds = Map(
+      "region"   -> region.select(vid("region", col("r_regionkey")).as("id"), col("r_name")),
+      "nation"   -> nation.select(vid("nation", col("n_nationkey")).as("id"), col("n_name")),
+      "customer" -> customer.select(vid("customer", col("c_custkey")).as("id"),
+        col("c_name"), col("c_acctbal"), col("c_mktsegment"), col("c_custkey")),
+      "supplier" -> supplier.select(vid("supplier", col("s_suppkey")).as("id"),
+        col("s_name"), col("s_acctbal")),
+      "part"     -> part.select(vid("part", col("p_partkey")).as("id"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
+      "orders"   -> orders.select(vid("orders", col("o_orderkey")).as("id"),
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority")),
+      "lineitem" -> lineitem.select(lineitemVid(col("l_orderkey"), col("l_linenumber")).as("id"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"), col("l_shipdate")))
+
+    def bare(src: Column, dst: Column, lbl: String): DataFrame => DataFrame =
+      _.select(src.as("src"), dst.as("dst"), lit(lbl).as("label"),
+        lit(null).cast("double").as("quantity"), lit(null).cast("double").as("extendedprice"))
+
+    val edges = Seq(
+      bare(vid("nation", col("n_nationkey")), vid("region", col("n_regionkey")), "nation_region")(nation),
+      bare(vid("customer", col("c_custkey")), vid("nation", col("c_nationkey")), "customer_nation")(customer),
+      bare(vid("supplier", col("s_suppkey")), vid("nation", col("s_nationkey")), "supplier_nation")(supplier),
+      bare(vid("orders", col("o_orderkey")), vid("customer", col("o_custkey")), "order_customer")(orders),
+      lineitem.select(
+        lineitemVid(col("l_orderkey"), col("l_linenumber")).as("src"),
+        vid("orders", col("l_orderkey")).as("dst"), lit("lineitem_order").as("label"),
+        col("l_quantity").as("quantity"), col("l_extendedprice").as("extendedprice")),
+      lineitem.select(
+        lineitemVid(col("l_orderkey"), col("l_linenumber")).as("src"),
+        vid("part", col("l_partkey")).as("dst"), lit("lineitem_part").as("label"),
+        col("l_quantity").as("quantity"), col("l_extendedprice").as("extendedprice")),
+      lineitem.select(
+        lineitemVid(col("l_orderkey"), col("l_linenumber")).as("src"),
+        vid("supplier", col("l_suppkey")).as("dst"), lit("lineitem_supplier").as("label"),
+        col("l_quantity").as("quantity"), col("l_extendedprice").as("extendedprice"))
+    ).reduce(_.unionByName(_))
+
+    PropertyGraph(kinds, edges)
+  }
+}

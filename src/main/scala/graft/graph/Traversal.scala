@@ -1,0 +1,184 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Composable vertex traversal — the Spark-first re-expression of fermor's
+  * route DSL (fermor core.clj: out/in/both, lookahead, branch, gather, …).
+  *
+  * A traversal wraps a DataFrame whose `id` column holds the current frontier
+  * (bag semantics: one row per route element, exactly like the reference's
+  * lazy seqs which emit one element per traversed edge). Any other columns are
+  * "carried" provenance (origin tags, paths, per-hop values) and survive hops
+  * unchanged. Nothing executes until an action — composition builds one
+  * Catalyst plan, so filter pushdown / join reordering / broadcast selection
+  * all apply across an entire multi-hop traversal.
+  *
+  * Scale notes: each hop is an equi-join frontier⋈edges on src (or dst).
+  * Catalyst/AQE broadcast the smaller side automatically; the frontier stays
+  * narrow (id + carried cols only). Order is never a distributed semantic —
+  * fermor's merge-round-robin vs merge-exhaustive distinction (a lazy-seq
+  * scheduling detail, core.clj:916-975) collapses to bag union here.
+  */
+final case class Traversal(g: PropertyGraph, df: DataFrame) {
+
+  private def carried: Seq[String] = df.columns.toSeq.filterNot(_ == "id")
+
+  /** Copy the current id into a carried column (origin tracking; used by
+    * make-pairs / section / siblings-style queries). */
+  def tag(name: String): Traversal =
+    Traversal(g, df.withColumn(name, col("id")))
+
+  /** Begin path accumulation (fermor core.clj:325 `with-paths`). */
+  def withPaths: Traversal =
+    Traversal(g, df.withColumn("path", array(col("id"))))
+
+  private def edgesFor(labels: Seq[String]): DataFrame =
+    if (labels.isEmpty) g.edges else g.edges.where(col("label").isin(labels: _*))
+
+  private def hop(labels: Seq[String], forward: Boolean): Traversal = {
+    val (from, to) = if (forward) ("src", "dst") else ("dst", "src")
+    val e = edgesFor(labels).select(col(from).as("__from"), col(to).as("__to"))
+    val joined = df.join(e, df("id") === e("__from"))
+    val keep = carried.map(c => joined(c)) :+ joined("__to").as("id")
+    val out = joined.select(keep: _*)
+    val withPath =
+      if (df.columns.contains("path"))
+        out.withColumn("path", concat(col("path"), array(col("id"))))
+      else out
+    Traversal(g, withPath)
+  }
+
+  /** Follow out-edges to their head vertex (fermor core.clj `out`). */
+  def out(labels: String*): Traversal = hop(labels, forward = true)
+
+  /** Follow in-edges back to their tail vertex (fermor core.clj `in`). */
+  def in(labels: String*): Traversal = hop(labels, forward = false)
+
+  /** Both directions (fermor core.clj `both`): bag union of out and in. */
+  def both(labels: String*): Traversal =
+    Traversal(g, hop(labels, forward = true).df.unionByName(hop(labels, forward = false).df))
+
+  /** Traverse to out-edges themselves (fermor `out-e`). */
+  def outE(labels: String*): EdgeTraversal = edgeHop(labels, "out")
+
+  /** Traverse to in-edges (fermor `in-e`). */
+  def inE(labels: String*): EdgeTraversal = edgeHop(labels, "in")
+
+  /** Edges in both directions (fermor `both-e`). */
+  def bothE(labels: String*): EdgeTraversal = {
+    val o = edgeHop(labels, "out"); val i = edgeHop(labels, "in")
+    EdgeTraversal(g, o.df.unionByName(i.df), carried)
+  }
+
+  private def edgeHop(labels: Seq[String], dir: String): EdgeTraversal = {
+    val anchor = if (dir == "out") "src" else "dst"
+    val e = edgesFor(labels)
+    val renamed = e.columns.foldLeft(e)((d, c) => d.withColumnRenamed(c, "__e_" + c))
+    val joined = df.join(renamed, df("id") === renamed("__e_" + anchor))
+    val edgeCols = e.columns.toSeq.map(c => joined("__e_" + c).as(c))
+    val sel = carried.map(c => joined(c)) ++ edgeCols :+ lit(dir).as("__dir")
+    EdgeTraversal(g, joined.select(sel: _*), carried)
+  }
+
+  /** Filter by a predicate over carried/property columns
+    * (fermor `with`/`is`/`has-property` family). */
+  def where(cond: Column): Traversal = Traversal(g, df.where(cond))
+
+  /** Keep elements whose id is in / not in a fixed set (fermor with-id / not-id). */
+  def withId(ids: Long*): Traversal = where(col("id").isin(ids: _*))
+  def notId(ids: Long*): Traversal = where(!col("id").isin(ids: _*))
+
+  /** Keep only vertices of one kind (kind_graph.clj `of-kind`): a pure
+    * range filter on the namespaced id — no join needed. */
+  def ofKind(kindName: String): Traversal = {
+    val tag = Vid.tag(kindName)
+    where(col("id") >= tag * Vid.SPAN && col("id") < (tag + 1) * Vid.SPAN)
+  }
+
+  /** Join the current frontier back to a kind table to expose its typed
+    * property columns (fermor `documents`). Column-pruned: select only what
+    * downstream uses and Catalyst prunes the rest at the scan. */
+  def props(kindName: String): Traversal =
+    Traversal(g, df.join(g.kind(kindName), "id"))
+
+  /** Filter elements on a property of their kind table without keeping the
+    * property columns (fermor `has-property`). Semi-join keeps frontier narrow. */
+  def hasProperty(kindName: String, cond: Column): Traversal =
+    Traversal(g, df.join(g.kind(kindName).where(cond).select("id"), Seq("id"), "left_semi"))
+
+  /** fermor core.clj:826 `lookahead`: keep elements whose sub-traversal is
+    * non-empty. Distributed form: LEFT SEMI join against the sub-route keyed
+    * by origin — no row explosion, no count materialization. */
+  def lookahead(f: Traversal => Traversal): Traversal = {
+    val sub = f(Traversal(g, df.select(col("id"), col("id").as("__origin"))))
+    val hits = sub.df.select(col("__origin").as("id")).distinct()
+    Traversal(g, df.join(hits, Seq("id"), "left_semi"))
+  }
+
+  /** fermor core.clj:872 `neg-lookahead`: LEFT ANTI join. */
+  def negLookahead(f: Traversal => Traversal): Traversal = {
+    val sub = f(Traversal(g, df.select(col("id"), col("id").as("__origin"))))
+    val hits = sub.df.select(col("__origin").as("id")).distinct()
+    Traversal(g, df.join(hits, Seq("id"), "left_anti"))
+  }
+
+  /** fermor core.clj:834 `lookahead` with {min,max} cardinality bounds:
+    * count sub-route matches per origin (map-side partial agg), range-filter,
+    * then semi-join. */
+  def lookaheadCount(min: Option[Long], max: Option[Long])(f: Traversal => Traversal): Traversal = {
+    val sub = f(Traversal(g, df.select(col("id"), col("id").as("__origin"))))
+    val counts = sub.df.groupBy("__origin")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+    val ok = counts
+      .where(min.map(col("__n") >= _).getOrElse(lit(true)) &&
+             max.map(col("__n") <= _).getOrElse(lit(true)))
+      .select(col("__origin").as("id"))
+    Traversal(g, df.join(ok, Seq("id"), "left_semi"))
+  }
+
+  /** fermor core.clj:895 `branch` + merge: run each sub-traversal from the
+    * same frontier and bag-union the results (see class doc re round-robin). */
+  def branch(fs: (Traversal => Traversal)*): Traversal =
+    Traversal(g, fs.map(f => f(this).df).reduce(_.unionByName(_, allowMissingColumns = true)))
+
+  /** fermor `distinct-in`: de-duplicate the frontier by id (+carried keys). */
+  def distinctIds: Traversal = Traversal(g, df.dropDuplicates("id" +: carried))
+
+  /** Top-k per group ordered by `order` (fermor in-sorted / out-sorted /
+    * fast-sort-by + drop/take, made deterministic & distributed via a window). */
+  def topKPerGroup(groupCol: String, order: Column, k: Int): Traversal = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(order)
+    Traversal(g, df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn"))
+  }
+
+  def count(): Long = df.count()
+}
+
+/** Traversal positioned on edges (fermor's edge routes: out-e/in-e/both-e,
+  * out-v/in-v/other-v, label — core.clj:480-540). `__dir` records which side
+  * the route entered from so `otherV`/`sameV` are well-defined after bothE. */
+final case class EdgeTraversal(g: PropertyGraph, df: DataFrame, carriedCols: Seq[String]) {
+
+  private def toVertex(pick: Column): Traversal = {
+    val keep = carriedCols.map(df(_)) :+ pick.as("id")
+    val out = df.select(keep: _*)
+    val withPath =
+      if (carriedCols.contains("path"))
+        out.withColumn("path", concat(col("path"), array(col("id"))))
+      else out
+    Traversal(g, withPath)
+  }
+
+  /** Head vertex of the edge (fermor `in-v`). */
+  def inV: Traversal = toVertex(col("dst"))
+  /** Tail vertex of the edge (fermor `out-v`). */
+  def outV: Traversal = toVertex(col("src"))
+  /** The vertex we did NOT come from (fermor `other-v`). */
+  def otherV: Traversal = toVertex(when(col("__dir") === "out", col("dst")).otherwise(col("src")))
+  /** The vertex we came from (fermor `same-v`). */
+  def sameV: Traversal = toVertex(when(col("__dir") === "out", col("src")).otherwise(col("dst")))
+
+  def where(cond: Column): EdgeTraversal = EdgeTraversal(g, df.where(cond), carriedCols)
+}

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py <sfdir> <verify_out_dir>
+Registers each parquet table as a DuckDB view, runs every oracle_sql.json
+entry, and compares against the Spark-written parquet in <verify_out_dir>/<q>:
+column names (sorted), row count, and a hash of the value matrix after
+sorting columns by name and rows lexicographically. Floats rounded to 6dp
+before hashing (the Spark side should already round aggregates explicitly).
+"""
+import sys, json, glob, hashlib
+import duckdb
+import pandas as pd
+
+def canon(df: pd.DataFrame) -> tuple:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype.kind == 'f':
+            df[c] = df[c].round(6)
+        if str(df[c].dtype).startswith('datetime'):
+            df[c] = df[c].astype('datetime64[us]')
+    rows = sorted(tuple(str(v) for v in r) for r in df.itertuples(index=False))
+    h = hashlib.md5(repr(rows).encode()).hexdigest()
+    return tuple(df.columns), len(rows), h, rows[:3]
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for p in glob.glob(f"{sfdir}/*.parquet"):
+        name = p.split("/")[-1].replace(".parquet", "")
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    results = {}
+    for q, sql in sorted(oracle.items()):
+        try:
+            exp = con.sql(sql).df()
+        except Exception as e:
+            results[q] = f"ORACLE-ERROR {e}"
+            continue
+        try:
+            got = pd.read_parquet(f"{outdir}/{q}")
+        except Exception as e:
+            results[q] = f"SPARK-MISSING {e}"
+            continue
+        ce, ne, he, se = canon(exp)
+        cg, ng, hg, sg = canon(got)
+        if ce != cg:
+            results[q] = f"SCHEMA-MISMATCH oracle={ce} spark={cg}"
+        elif ne != ng:
+            results[q] = f"ROWCOUNT-MISMATCH oracle={ne} spark={ng}"
+        elif he != hg:
+            results[q] = f"HASH-MISMATCH n={ne} oracle_head={se} spark_head={sg}"
+        else:
+            results[q] = f"OK n={ne}"
+    width = max(len(q) for q in results) if results else 0
+    ok = sum(1 for v in results.values() if v.startswith("OK"))
+    for q, v in sorted(results.items()):
+        print(f"{q:<{width}}  {v[:400]}")
+    print(f"== {ok}/{len(results)} OK ==")
+    return 0 if ok == len(results) else 1
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
