@@ -1,0 +1,118 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Recursive traversal power-tool — the distributed re-expression of fermor's
+  * `descend`/`descents` (core.clj:978, descend.clj) and its derived helpers
+  * `all`, `deepest`, `all-paths`, `all-cycles` (core.clj:1095+).
+  *
+  * fermor descends a lazy seq depth-first with a per-element control function
+  * (emit / continue / cut / emit-and-chain…). Depth-first order is not a
+  * distributed semantic, so here descent is level-synchronous frontier
+  * expansion (BFS): each level is one equi-join against the edge table, and
+  * the control function becomes a pair of Column predicates over
+  * (id, depth, path) — `emit` (include this path-instance in the result) and
+  * `continueP` (expand further from it). Cycle-cutting = `array_contains`
+  * on the accumulated path, exactly fermor's no-cycles/prevent-cycles.
+  *
+  * Scale: the frontier carries only (id, depth, path). Levels are unioned
+  * lazily into one Catalyst plan; maxDepth bounds the join chain. For deep
+  * descents, pass `checkpointEvery` to localCheckpoint and cut lineage.
+  */
+object Descend {
+
+  /** Expand `start` (an `id` column) up to `maxDepth` hops over `labels`
+    * edges (all labels if empty), `forward` or reverse. Returns one row per
+    * visited path-instance: (id, depth, path). */
+  def run(
+      g: PropertyGraph,
+      start: DataFrame,
+      labels: Seq[String] = Nil,
+      forward: Boolean = true,
+      maxDepth: Int = 10,
+      emit: DataFrame => DataFrame = identity,
+      continueP: DataFrame => DataFrame = identity,
+      allowCycles: Boolean = false,
+      checkpointEvery: Int = 0): DataFrame = {
+
+    val e0 = if (labels.isEmpty) g.edges else g.edges.where(col("label").isin(labels: _*))
+    val (from, to) = if (forward) ("src", "dst") else ("dst", "src")
+    val e = e0.select(col(from).as("__from"), col(to).as("__to"))
+
+    val idCol = start.columns.head
+    var frontier = start
+      .select(col(idCol).cast("long").as("id"))
+      .withColumn("depth", lit(0))
+      .withColumn("path", array(col("id")))
+    var acc = emit(frontier)
+
+    var d = 1
+    while (d <= maxDepth) {
+      val cont = continueP(frontier)
+      var next = cont
+        .join(e, cont("id") === e("__from"))
+        .select(col("path"), col("__to").as("id"), (col("depth") + 1).as("depth"))
+      if (!allowCycles) next = next.where(!array_contains(col("path"), col("id")))
+      next = next.withColumn("path", concat(col("path"), array(col("id"))))
+      frontier =
+        if (checkpointEvery > 0 && d % checkpointEvery == 0) next.localCheckpoint(eager = true)
+        else next
+      acc = acc.unionByName(emit(frontier))
+      d += 1
+    }
+    acc
+  }
+
+  /** fermor `all`: every element reachable within maxDepth, cycles cut. */
+  def all(g: PropertyGraph, start: DataFrame, labels: Seq[String], forward: Boolean,
+      maxDepth: Int): DataFrame =
+    run(g, start, labels, forward, maxDepth).select("id", "depth")
+
+  /** fermor `deepest`: only elements with no further children (path-instances
+    * whose id has no outgoing hop). Anti-join against the edge tails. */
+  def deepest(g: PropertyGraph, start: DataFrame, labels: Seq[String], forward: Boolean,
+      maxDepth: Int): DataFrame = {
+    val e0 = if (labels.isEmpty) g.edges else g.edges.where(col("label").isin(labels: _*))
+    val tails = e0.select(col(if (forward) "src" else "dst").as("id")).distinct()
+    run(g, start, labels, forward, maxDepth)
+      .join(tails, Seq("id"), "left_anti")
+      .select("id", "depth")
+  }
+
+  /** fermor `all-paths-to`: every cycle-free path from start landing on a
+    * vertex satisfying `target`. */
+  def allPathsTo(g: PropertyGraph, start: DataFrame, labels: Seq[String], forward: Boolean,
+      maxDepth: Int, target: DataFrame => DataFrame): DataFrame =
+    target(run(g, start, labels, forward, maxDepth)).select("path", "depth")
+
+  /** fermor `all-cycles`: paths that return to their origin. Expansion allows
+    * revisits only of the path head; emits paths whose last hop closed the
+    * loop. */
+  def allCycles(g: PropertyGraph, start: DataFrame, labels: Seq[String], forward: Boolean,
+      maxDepth: Int): DataFrame = {
+    val e0 = if (labels.isEmpty) g.edges else g.edges.where(col("label").isin(labels: _*))
+    val (from, to) = if (forward) ("src", "dst") else ("dst", "src")
+    val e = e0.select(col(from).as("__from"), col(to).as("__to"))
+    val idCol = start.columns.head
+    var frontier = start.select(col(idCol).cast("long").as("id"))
+      .withColumn("origin", col("id"))
+      .withColumn("depth", lit(0))
+      .withColumn("path", array(col("id")))
+    var acc: DataFrame = null
+    var d = 1
+    while (d <= maxDepth) {
+      val stepped = frontier.join(e, frontier("id") === e("__from"))
+        .select(col("origin"), col("path"), col("__to").as("id"), (col("depth") + 1).as("depth"))
+      val closed = stepped.where(col("id") === col("origin"))
+        .withColumn("path", concat(col("path"), array(col("id"))))
+        .select("origin", "path", "depth")
+      acc = if (acc == null) closed else acc.unionByName(closed)
+      frontier = stepped
+        .where(!array_contains(col("path"), col("id")))
+        .withColumn("path", concat(col("path"), array(col("id"))))
+      d += 1
+    }
+    acc
+  }
+}

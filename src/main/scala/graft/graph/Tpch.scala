@@ -31,7 +31,10 @@ object Tpch {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** lineitem vid packs (orderkey, linenumber); linenumber is 1..7 so 3 bits
-    * of headroom is plenty — stays collision-free at any SF. */
+    * of headroom is plenty — stays collision-free at any SF. Note: the
+    * synthetic testdata has duplicate (orderkey, linenumber) pairs; those
+    * collapse to one vertex with parallel edges (bag semantics, exactly like
+    * fermor's multi-edges between the same vertex pair). */
   def lineitemVid(orderkey: Column, linenumber: Column): Column =
     lit(Vid.tag("lineitem") * Vid.SPAN) + orderkey.cast("long") * 8 + linenumber.cast("long")
 

@@ -148,10 +148,15 @@ final case class Traversal(g: PropertyGraph, df: DataFrame) {
 
   /** Top-k per group ordered by `order` (fermor in-sorted / out-sorted /
     * fast-sort-by + drop/take, made deterministic & distributed via a window). */
-  def topKPerGroup(groupCol: String, order: Column, k: Int): Traversal = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(order)
+  def topKPerGroup(groupCol: String, k: Int)(order: Column*): Traversal = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
     Traversal(g, df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn"))
   }
+
+  /** Escape hatch: arbitrary DataFrame transform while staying in the
+    * traversal (fermor routes interleave freely with Clojure seq fns; here
+    * the DSL interleaves freely with the DataFrame API — idiomatic Spark). */
+  def mapDf(f: DataFrame => DataFrame): Traversal = Traversal(g, f(df))
 
   def count(): Long = df.count()
 }

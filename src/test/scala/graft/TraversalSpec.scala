@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.graph.{Descend, PropertyGraph, Traversal}
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/** Traversal semantics on the reference's own example graph: the job-seekers
+  * graph from fermor gremlin_examples_test.clj (bob/stephen applications →
+  * jobs ← companies), plus a cyclic graph for descend/cycle ops. */
+class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // vertex ids: people 1-2, applications 11-14, jobs 21-24, companies 31-32
+  val bob = 1L; val stephen = 2L
+  val appBob1 = 11L; val appBob2 = 12L; val appStephen1 = 13L; val appStephen2 = 14L
+  val blueprintsJob1 = 21L; val blueprintsJob2 = 22L; val blueprintsJob3 = 23L; val rexsterJob1 = 24L
+  val blueprints = 31L; val rexster = 32L
+
+  lazy val jobGraph: PropertyGraph = {
+    val people = Seq((bob, "Bob"), (stephen, "Stephen")).toDF("id", "name")
+    val apps = Seq(appBob1, appBob2, appStephen1, appStephen2).toDF("id")
+    val jobs = Seq(blueprintsJob1, blueprintsJob2, blueprintsJob3, rexsterJob1).toDF("id")
+    val companies = Seq((blueprints, "Blueprints, Inc"), (rexster, "Rexster, LLC")).toDF("id", "name")
+    val edges = (
+      Seq((bob, appBob1), (bob, appBob2), (stephen, appStephen1), (stephen, appStephen2))
+        .map { case (s, d) => (s, d, "completes") } ++
+      Seq((appBob1, blueprintsJob1), (appBob2, blueprintsJob2),
+          (appStephen1, rexsterJob1), (appStephen2, blueprintsJob3))
+        .map { case (s, d) => (s, d, "appliesTo") } ++
+      Seq((blueprints, blueprintsJob1), (blueprints, blueprintsJob2),
+          (blueprints, blueprintsJob3), (rexster, rexsterJob1))
+        .map { case (s, d) => (s, d, "created") }
+    ).toDF("src", "dst", "label")
+    PropertyGraph(
+      Map("person" -> people, "application" -> apps, "job" -> jobs, "company" -> companies),
+      edges)
+  }
+
+  def ids(t: Traversal): Set[Long] = t.df.select("id").as[Long].collect().toSet
+
+  test("gremlin recipe: jobs Stephen applied to, with their creating company") {
+    // fermor gremlin_examples_test.clj `query`: for each job, its creator
+    // company and the applications by `person` that apply to it.
+    val t = jobGraph.from(jobGraph.kind("job"))
+      .tag("job")
+      .lookahead(_.in("appliesTo").in("completes").where(col("id") === stephen))
+    val rows = t.tag("jobv").inE("created").outV
+      .df.select(col("job"), col("id").as("company")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((blueprintsJob3, blueprints), (rexsterJob1, rexster)))
+  }
+
+  test("out follows edges forward, in follows reverse, both unions") {
+    assert(ids(jobGraph.from(Seq(bob).toDF("id")).out("completes")) === Set(appBob1, appBob2))
+    assert(ids(jobGraph.from(Seq(blueprintsJob1).toDF("id")).in("appliesTo")) === Set(appBob1))
+    assert(ids(jobGraph.from(Seq(appBob1).toDF("id")).both()) === Set(bob, blueprintsJob1))
+  }
+
+  test("bag semantics: out emits one row per edge") {
+    val t = jobGraph.from(jobGraph.kind("company")).out("created")
+    assert(t.count() === 4)
+  }
+
+  test("negLookahead keeps elements with empty sub-traversal") {
+    // jobs nobody applied to via an application completed by bob
+    val t = jobGraph.from(jobGraph.kind("job"))
+      .negLookahead(_.in("appliesTo").in("completes").where(col("id") === bob))
+    assert(ids(t) === Set(blueprintsJob3, rexsterJob1))
+  }
+
+  test("lookaheadCount bounds cardinality") {
+    // companies that created at least 3 jobs
+    val t = jobGraph.from(jobGraph.kind("company"))
+      .lookaheadCount(Some(3), None)(_.out("created"))
+    assert(ids(t) === Set(blueprints))
+  }
+
+  test("withPaths accumulates the traversal path") {
+    val paths = jobGraph.from(Seq(stephen).toDF("id")).withPaths
+      .out("completes").out("appliesTo")
+      .df.select("path").as[Seq[Long]].collect().toSet
+    assert(paths === Set(Seq(stephen, appStephen1, rexsterJob1), Seq(stephen, appStephen2, blueprintsJob3)))
+  }
+
+  test("otherV returns the far endpoint regardless of direction") {
+    val t = jobGraph.from(Seq(appStephen1).toDF("id")).bothE().otherV
+    assert(ids(t) === Set(stephen, rexsterJob1))
+  }
+
+  test("transpose reverses traversal direction") {
+    assert(ids(jobGraph.transpose.from(Seq(appBob1).toDF("id")).out("completes")) === Set(bob))
+  }
+
+  test("removeVertices drops vertices and incident edges") {
+    val g2 = jobGraph.removeVertices(Seq(bob).toDF("id"))
+    assert(g2.edges.where(col("label") === "completes").count() === 2)
+    assert(g2.kind("person").count() === 1)
+  }
+
+  // -- cyclic graph: a -> b -> c -> a, c -> d ---------------------------
+  lazy val cyclic: PropertyGraph = PropertyGraph(
+    Map("n" -> Seq(1L, 2L, 3L, 4L).toDF("id")),
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).map { case (s, d) => (s, d, "e") }
+      .toDF("src", "dst", "label"))
+
+  test("descend cuts cycles (fermor all)") {
+    val rows = Descend.all(cyclic, Seq(1L).toDF("id"), Nil, forward = true, maxDepth = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // 1(0) -> 2(1) -> 3(2) -> {1 cut, 4(3)}
+    assert(rows === Set((1L, 0), (2L, 1), (3L, 2), (4L, 3)))
+  }
+
+  test("allCycles finds the 3-cycle from its members only") {
+    val cycles = Descend.allCycles(cyclic, cyclic.kind("n"), Nil, forward = true, maxDepth = 5)
+      .select("path").as[Seq[Long]].collect().toSet
+    assert(cycles === Set(Seq(1L, 2L, 3L, 1L), Seq(2L, 3L, 1L, 2L), Seq(3L, 1L, 2L, 3L)))
+  }
+
+  test("deepest emits only childless path-ends (fermor deepest)") {
+    val rows = Descend.deepest(cyclic, Seq(1L).toDF("id"), Nil, forward = true, maxDepth = 10)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(rows === Set(4L))
+  }
+
+  override def afterAll(): Unit = { /* shared session; leave running */ }
+}
