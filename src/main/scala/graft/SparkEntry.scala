@@ -184,11 +184,81 @@ object SparkEntry {
     // ---- §2.3 degree ----------------------------------------------------
     "q_degree" -> ((s, dir) => {
       val gr = g(s, dir)
-      val deg = gr.edges.select(col("src").as("id"))
-        .unionAll(gr.edges.select(col("dst").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("degree"))
       gr.kind("customer").select("id", "c_custkey")
-        .join(deg, "id").select("c_custkey", "degree")
+        .join(graft.algos.Algos.degrees(gr.edges), "id")
+        .select("c_custkey", "degree")
+    }),
+    // ---- §2.3 iterative algorithms --------------------------------------
+    "q_cc" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val gr = g(s, dir)
+      val vs = gr.kind("customer").select("id").unionAll(gr.kind("orders").select("id"))
+      graft.algos.Algos.connectedComponents(
+        vs, gr.edges.where(col("label") === "order_customer"))
+    }),
+    "q_scc" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val gr = g(s, dir)
+      val vs = Seq("region", "nation", "customer", "supplier")
+        .map(k => gr.kind(k).select("id")).reduce(_.unionAll(_))
+      graft.algos.Algos.stronglyConnectedComponents(
+        vs, gr.edges.where(col("label").isin("customer_nation", "supplier_nation", "nation_region")))
+    }),
+    "q_sssp" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val gr = g(s, dir)
+      val asia = gr.kind("region").where(col("r_name") === "ASIA").select("id")
+      graft.algos.Algos.bfsDistances(gr.vertices.select("id"), gr.edges, asia, reverse = true)
+    }),
+    "q_pagerank" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val gr = g(s, dir)
+      val n = Tpch.table(s, dir, "nation")
+      val a = n.select(col("n_nationkey").as("k1"), col("n_regionkey").as("rk"))
+      val b = n.select(col("n_nationkey").as("k2"), col("n_regionkey").as("rk"))
+      val adj = a.join(b, "rk").where(col("k1") =!= col("k2"))
+        .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
+      graft.algos.Algos.pageRank(gr.kind("nation").select("id"), adj, iters = 20)
+        .select(col("id"), round(col("rank"), 4).as("rank"))
+    }),
+    "q_triangles" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val gr = g(s, dir)
+      val n = Tpch.table(s, dir, "nation")
+      val a = n.select(col("n_nationkey").as("k1"), col("n_regionkey").as("rk"))
+      val b = n.select(col("n_nationkey").as("k2"), col("n_regionkey").as("rk"))
+      val canon = a.join(b, "rk").where(col("k1") < col("k2"))
+        .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
+      graft.algos.Algos.triangleCount(gr.kind("nation").select("id"), canon)
+        .select(col("id"), col("triangles"))
+    }),
+    "q_topo_level" -> ((s, dir) => {
+      val gr = g(s, dir)
+      graft.algos.Algos.topoLevels(gr.vertices.select("id"), gr.edges, maxIter = 6)
+    }),
+    "q_rollup" -> ((s, dir) => {
+      val gr = g(s, dir)
+      val start = gr.kind("lineitem")
+        .groupBy("id").agg(sum(col("l_quantity").cast("long")).as("qty"))
+      graft.algos.Algos.rollup(gr, start, "qty",
+        Seq("lineitem_order", "order_customer", "customer_nation", "nation_region"))
+    }),
+    "q_dominators" -> ((s, dir) => {
+      val gr = g(s, dir)
+      val asiaKey = Tpch.table(s, dir, "region")
+        .where(col("r_name") === "ASIA").select("r_regionkey").head().getInt(0)
+      val entry = Vid.tag("region") * Vid.SPAN + asiaKey
+      graft.algos.Algos.immediateDominators(entry, gr.transpose.edges)
+    }),
+    "q_label_prop" -> ((s, dir) => { // rows-only: community detection sanity
+      implicit val sp: SparkSession = s
+      val gr = g(s, dir)
+      val n = Tpch.table(s, dir, "nation")
+      val a = n.select(col("n_nationkey").as("k1"), col("n_regionkey").as("rk"))
+      val b = n.select(col("n_nationkey").as("k2"), col("n_regionkey").as("rk"))
+      val adj = a.join(b, "rk").where(col("k1") =!= col("k2"))
+        .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
+      graft.algos.Algos.labelPropagation(gr.kind("nation").select("id"), adj, iters = 8)
     })
   )
 
@@ -303,6 +373,99 @@ object SparkEntry {
     "q_degree" ->
       """SELECT c_custkey, 1 + coalesce(n, 0) AS degree FROM customer
          LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) t
-         ON o_custkey = c_custkey"""
+         ON o_custkey = c_custkey""",
+    "q_cc" ->
+      """SELECT (6000000000000 + o_orderkey)::BIGINT AS id, (3000000000000 + o_custkey)::BIGINT AS component FROM orders
+         UNION ALL SELECT 3000000000000 + c_custkey, 3000000000000 + c_custkey FROM customer""",
+    "q_scc" ->
+      """SELECT id, id AS component FROM (
+           SELECT (1000000000000 + r_regionkey)::BIGINT AS id FROM region
+           UNION ALL SELECT 2000000000000 + n_nationkey FROM nation
+           UNION ALL SELECT 3000000000000 + c_custkey FROM customer
+           UNION ALL SELECT 4000000000000 + s_suppkey FROM supplier) t""",
+    "q_sssp" ->
+      """WITH asia AS (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+         SELECT (1000000000000 + r_regionkey)::BIGINT AS id, 0 AS dist FROM region WHERE r_name = 'ASIA'
+         UNION ALL SELECT 2000000000000 + n_nationkey, 1 FROM asia
+         UNION ALL SELECT 3000000000000 + c_custkey, 2 FROM customer WHERE c_nationkey IN (SELECT n_nationkey FROM asia)
+         UNION ALL SELECT 4000000000000 + s_suppkey, 2 FROM supplier WHERE s_nationkey IN (SELECT n_nationkey FROM asia)
+         UNION ALL SELECT 6000000000000 + o_orderkey, 3 FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE c_nationkey IN (SELECT n_nationkey FROM asia)
+         UNION ALL
+         SELECT vid, min(dist) FROM (
+           SELECT (7000000000000 + l_orderkey*8 + l_linenumber)::BIGINT AS vid, 3 AS dist FROM lineitem
+             WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey IN (SELECT n_nationkey FROM asia))
+           UNION ALL
+           SELECT (7000000000000 + l_orderkey*8 + l_linenumber)::BIGINT, 4 FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+             WHERE c_nationkey IN (SELECT n_nationkey FROM asia)) t
+         GROUP BY vid""",
+    "q_pagerank" ->
+      "SELECT (2000000000000 + n_nationkey)::BIGINT AS id, 1.0 AS rank FROM nation",
+    "q_triangles" ->
+      """WITH e AS (SELECT a.n_nationkey AS u, b.n_nationkey AS v FROM nation a
+                    JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey)
+         SELECT (2000000000000 + n_nationkey)::BIGINT AS id, coalesce(t.c, 0)::INT AS triangles
+         FROM nation LEFT JOIN (
+           SELECT e1.u AS u, count(*) AS c FROM e e1
+           JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+           JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+           GROUP BY e1.u) t ON t.u = n_nationkey""",
+    "q_topo_level" ->
+      """WITH ll AS (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem),
+            ol AS (SELECT o_orderkey, o_custkey,
+                     CASE WHEN EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey) THEN 1 ELSE 0 END AS lv
+                   FROM orders),
+            cl AS (SELECT c_custkey, c_nationkey,
+                     coalesce((SELECT max(lv) + 1 FROM ol WHERE o_custkey = c_custkey), 0) AS lv
+                   FROM customer),
+            sl AS (SELECT s_suppkey, s_nationkey,
+                     CASE WHEN EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey) THEN 1 ELSE 0 END AS lv
+                   FROM supplier),
+            pl AS (SELECT p_partkey,
+                     CASE WHEN EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey) THEN 1 ELSE 0 END AS lv
+                   FROM part),
+            nl AS (SELECT n_nationkey, n_regionkey,
+                     coalesce((SELECT max(lv) FROM (SELECT lv FROM cl WHERE c_nationkey = n_nationkey
+                                                    UNION ALL SELECT lv FROM sl WHERE s_nationkey = n_nationkey) m) + 1, 0) AS lv
+                   FROM nation),
+            rl AS (SELECT r_regionkey,
+                     coalesce((SELECT max(lv) + 1 FROM nl WHERE n_regionkey = r_regionkey), 0) AS lv
+                   FROM region)
+         SELECT (7000000000000 + l_orderkey*8 + l_linenumber)::BIGINT AS id, 0 AS level FROM ll
+         UNION ALL SELECT 6000000000000 + o_orderkey, lv FROM ol
+         UNION ALL SELECT 3000000000000 + c_custkey, lv FROM cl
+         UNION ALL SELECT 4000000000000 + s_suppkey, lv FROM sl
+         UNION ALL SELECT 5000000000000 + p_partkey, lv FROM pl
+         UNION ALL SELECT 2000000000000 + n_nationkey, lv FROM nl
+         UNION ALL SELECT 1000000000000 + r_regionkey, lv FROM rl""",
+    "q_rollup" ->
+      """SELECT (1000000000000 + n_regionkey)::BIGINT AS id, sum(l_quantity::BIGINT)::BIGINT AS qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_regionkey""",
+    "q_dominators" ->
+      """WITH asia AS (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'),
+            an AS (SELECT n_nationkey FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM asia)),
+            ac AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey IN (SELECT n_nationkey FROM an)),
+            asup AS (SELECT s_suppkey, s_nationkey FROM supplier WHERE s_nationkey IN (SELECT n_nationkey FROM an)),
+            ao AS (SELECT o_orderkey, o_custkey, c_nationkey FROM orders JOIN ac ON o_custkey = c_custkey),
+            li AS (SELECT DISTINCT (7000000000000 + l_orderkey*8 + l_linenumber)::BIGINT AS vid, l_orderkey, l_suppkey FROM lineitem),
+            sp AS (SELECT DISTINCT vid, (4000000000000 + l_suppkey)::BIGINT AS pred, (2000000000000 + s_nationkey)::BIGINT AS pn
+                   FROM li JOIN asup ON l_suppkey = s_suppkey),
+            op AS (SELECT DISTINCT vid, (6000000000000 + l.l_orderkey)::BIGINT AS pred, (2000000000000 + ao.c_nationkey)::BIGINT AS pn
+                   FROM li l JOIN ao ON l.l_orderkey = ao.o_orderkey),
+            preds AS (SELECT * FROM sp UNION SELECT * FROM op)
+         SELECT (1000000000000 + r_regionkey)::BIGINT AS id, (1000000000000 + r_regionkey)::BIGINT AS idom FROM asia
+         UNION ALL SELECT 2000000000000 + n_nationkey,
+                          (SELECT 1000000000000 + r_regionkey FROM asia) FROM an
+         UNION ALL SELECT 3000000000000 + c_custkey, 2000000000000 + c_nationkey FROM ac
+         UNION ALL SELECT 4000000000000 + s_suppkey, 2000000000000 + s_nationkey FROM asup
+         UNION ALL SELECT 6000000000000 + o_orderkey, 3000000000000 + o_custkey FROM ao
+         UNION ALL SELECT vid,
+                          CASE WHEN count(*) = 1 THEN min(pred)
+                               WHEN min(pn) = max(pn) THEN min(pn)
+                               ELSE (SELECT 1000000000000 + r_regionkey FROM asia) END
+                   FROM preds GROUP BY vid"""
   )
 }

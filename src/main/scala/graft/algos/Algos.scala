@@ -1,0 +1,224 @@
+package graft.algos
+
+import org.apache.spark.graphx.{Edge, EdgeTriplet, Graph, VertexId, PartitionStrategy}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+
+/** Graph algorithms — the Spark re-expression of fermor graph/algo.clj.
+  *
+  * Iterative whole-graph algorithms (CC, SCC, BFS, PageRank, triangles,
+  * label propagation) run on GraphX/Pregel: vertex-parallel, partitioned,
+  * and checkpoint-friendly — the right execution model for 100 TB graphs,
+  * where fermor's single-heap recursion (algo.clj walks Java arrays) cannot
+  * go. Order-dependent compiler analyses (dominators, DFS numberings —
+  * algo.clj:immediate-dominators, post-order-numbering) are inherently
+  * sequential on DFS order; like the reference we run them single-node, but
+  * behind an API that first *distributedly* extracts + filters the CFG-scale
+  * subgraph (program CFGs are ~10³-10⁶ vertices — driver-sized by nature).
+  */
+object Algos {
+
+  private def edgeRdd(edges: DataFrame): RDD[Edge[Int]] =
+    edges.select("src", "dst").rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+
+  private def buildGraph(vertices: DataFrame, edges: DataFrame): Graph[Long, Int] = {
+    val vs = vertices.select(vertices.columns.head).rdd.map(r => (r.getLong(0), r.getLong(0)))
+    Graph(vs, edgeRdd(edges))
+  }
+
+  /** Connected components (fermor algo.clj `connected-components`):
+    * GraphX Pregel min-id propagation; component id = min vertex id. */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    buildGraph(vertices, edges).connectedComponents()
+      .vertices.toDF("id", "component")
+  }
+
+  /** Strongly connected components (fermor algo.clj
+    * `strongly-connected-components`): component id = min member id. */
+  def stronglyConnectedComponents(vertices: DataFrame, edges: DataFrame, numIter: Int = 20)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    buildGraph(vertices, edges).stronglyConnectedComponents(numIter)
+      .vertices.toDF("id", "component")
+  }
+
+  /** SCCs with >1 member = the cycle skeleton (fermor `cycles` /
+    * `strongly-connected-subgraphs`). */
+  def nontrivialSccs(vertices: DataFrame, edges: DataFrame, numIter: Int = 20)(
+      implicit spark: SparkSession): DataFrame = {
+    val scc = stronglyConnectedComponents(vertices, edges, numIter)
+    val big = scc.groupBy("component").agg(count(lit(1)).as("n")).where(col("n") > 1)
+    scc.join(big.select("component"), Seq("component"), "left_semi")
+  }
+
+  /** Unweighted BFS distances from a source set (fermor algo.clj
+    * `shortest-path`, `breadth-first-nodes`). Pregel; `reverse` follows
+    * edges dst→src (e.g. down a FK hierarchy). Returns reachable (id, dist). */
+  def bfsDistances(vertices: DataFrame, edges: DataFrame, sources: DataFrame,
+      reverse: Boolean = false)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val srcSet = spark.sparkContext.broadcast(
+      sources.select(sources.columns.head).rdd.map(_.getLong(0)).collect().toSet)
+    val g0 = buildGraph(vertices, edges)
+    val g = g0.mapVertices((id, _) => if (srcSet.value(id)) 0 else Int.MaxValue)
+    val INF = Int.MaxValue
+    def send(t: EdgeTriplet[Int, Int]): Iterator[(VertexId, Int)] = {
+      val (fromAttr, toId) = if (reverse) (t.dstAttr, t.srcId) else (t.srcAttr, t.dstId)
+      val toAttr = if (reverse) t.srcAttr else t.dstAttr
+      if (fromAttr != INF && fromAttr + 1 < toAttr) Iterator((toId, fromAttr + 1)) else Iterator.empty
+    }
+    val res = org.apache.spark.graphx.Pregel(g, INF)(
+      (_, attr, msg) => math.min(attr, msg), send, math.min)
+    res.vertices.filter(_._2 != INF).toDF("id", "dist")
+  }
+
+  /** PageRank (capability class inherited from the reference's Pacer
+    * lineage): GraphX static PageRank, fixed iterations. */
+  def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int = 20)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    buildGraph(vertices, edges).staticPageRank(iters).vertices.toDF("id", "rank")
+  }
+
+  /** Per-vertex triangle counts on an undirected simple graph. Canonicalizes
+    * + departicipates duplicate edges as TriangleCount requires. */
+  def triangleCount(vertices: DataFrame, edges: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val g = buildGraph(vertices, edges)
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+    g.triangleCount().vertices.toDF("id", "triangles")
+  }
+
+  /** Community detection via label propagation. */
+  def labelPropagation(vertices: DataFrame, edges: DataFrame, iters: Int = 10)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    org.apache.spark.graphx.lib.LabelPropagation
+      .run(buildGraph(vertices, edges), iters).vertices.toDF("id", "community")
+  }
+
+  /** In/out/both degree per vertex (fermor out-edge-count / in-edge-count /
+    * both-edge-count, and the gremlin degree-centrality recipe). */
+  def degrees(edges: DataFrame, direction: String = "both"): DataFrame = {
+    val cols = direction match {
+      case "out"  => Seq("src")
+      case "in"   => Seq("dst")
+      case _      => Seq("src", "dst")
+    }
+    cols.map(c => edges.select(col(c).as("id")))
+      .reduce(_.unionAll(_))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+  }
+
+  /** Topological levels on a DAG (fermor postwalk / reverse-postwalk family):
+    * level(v) = length of the longest path from any source to v. Bounded
+    * DataFrame fixpoint — maxIter caps the join chain (DAG depth). */
+  def topoLevels(vertices: DataFrame, edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var levels = vertices.select(col(vertices.columns.head).as("id")).withColumn("level", lit(0))
+    var i = 0
+    while (i < maxIter) {
+      val bumped = levels.join(e, levels("id") === e("src"))
+        .select(col("dst").as("id"), (col("level") + 1).as("level"))
+      levels = levels.unionByName(bumped)
+        .groupBy("id").agg(max(col("level")).as("level"))
+      i += 1
+    }
+    levels
+  }
+
+  /** Roll an aggregate up a DAG level-by-level (fermor postwalk-reduce /
+    * reverse-postwalk-reduce as a distributed reduction): here exposed as a
+    * path-aggregate: sum `valueCol` of source vertices grouped by the vertex
+    * reached after following `labels` hops. */
+  def rollup(g: PropertyGraph, start: DataFrame, valueCol: String, labels: Seq[String]): DataFrame = {
+    var cur = start // columns: id, <valueCol>; parallel edges collapse per hop
+    labels.foreach { l =>
+      val e = g.edges.where(col("label") === l).select("src", "dst").dropDuplicates("src", "dst")
+      cur = cur.join(e, cur("id") === e("src"))
+        .select(col("dst").as("id"), col(valueCol))
+    }
+    cur.groupBy("id").agg(sum(col(valueCol)).as(valueCol))
+  }
+
+  /** Immediate dominators (fermor algo.clj `immediate-dominators`) via the
+    * iterative Cooper–Harvey–Kennedy algorithm on reverse-postorder.
+    * Dominance is DFS-order-sequential, so like the reference this runs
+    * single-node — on a CFG-scale subgraph extracted distributedly. Returns
+    * (id, idom); the entry maps to itself. */
+  def immediateDominators(entry: Long, edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select("src", "dst").as[(Long, Long)].collect()
+    val succ = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    // DFS from entry → reverse postorder
+    val rpoList = scala.collection.mutable.ArrayBuffer[Long]()
+    val seen = scala.collection.mutable.HashSet[Long]()
+    def dfs(v: Long): Unit = {
+      seen += v
+      succ.getOrElse(v, Array.empty[Long]).foreach(w => if (!seen(w)) dfs(w))
+      rpoList += v
+    }
+    dfs(entry)
+    val rpo = rpoList.reverse.toArray // entry first
+    val rpoNum = rpo.zipWithIndex.toMap
+    val preds = es.filter { case (s, d) => rpoNum.contains(s) && rpoNum.contains(d) }
+      .groupBy(_._2).map { case (k, v) => k -> v.map(_._1).distinct }
+    val idom = scala.collection.mutable.HashMap[Long, Long](entry -> entry)
+    def intersect(a: Long, b: Long): Long = {
+      var f1 = a; var f2 = b
+      while (f1 != f2) {
+        while (rpoNum(f1) > rpoNum(f2)) f1 = idom(f1)
+        while (rpoNum(f2) > rpoNum(f1)) f2 = idom(f2)
+      }
+      f1
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      rpo.drop(1).foreach { v =>
+        val ps = preds.getOrElse(v, Array.empty[Long]).filter(idom.contains)
+        if (ps.nonEmpty) {
+          val newIdom = ps.reduce(intersect)
+          if (!idom.get(v).contains(newIdom)) { idom(v) = newIdom; changed = true }
+        }
+      }
+    }
+    idom.toSeq.toDF("id", "idom")
+  }
+
+  /** Depth of each vertex in the dominator tree (fermor `dominator-depth`). */
+  def dominatorDepth(entry: Long, edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val idom = immediateDominators(entry, edges).as[(Long, Long)].collect().toMap
+    def depth(v: Long): Int = if (v == entry) 0 else 1 + depth(idom(v))
+    idom.keys.toSeq.map(v => (v, depth(v))).toDF("id", "depth")
+  }
+
+  /** Dominance frontiers (fermor `dominance-frontiers`), from idom by the
+    * standard Cytron walk. Returns (id, frontier_member) pairs. */
+  def dominanceFrontiers(entry: Long, edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val idomMap = immediateDominators(entry, edges).as[(Long, Long)].collect().toMap
+    val es = edges.select("src", "dst").as[(Long, Long)].collect()
+      .filter { case (s, d) => idomMap.contains(s) && idomMap.contains(d) }
+    val preds = es.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).distinct }
+    val df = scala.collection.mutable.HashMap[Long, Set[Long]]().withDefaultValue(Set.empty)
+    idomMap.keys.foreach { b =>
+      val ps = preds.getOrElse(b, Array.empty[Long])
+      if (ps.length >= 2) ps.foreach { p =>
+        var runner = p
+        while (runner != idomMap(b)) {
+          df(runner) = df(runner) + b
+          runner = idomMap(runner)
+        }
+      }
+    }
+    df.toSeq.flatMap { case (v, fs) => fs.map(f => (v, f)) }.toDF("id", "frontier")
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.algos.Algos
+
+/** Algorithm semantics on hand-built graphs with known answers — the
+  * genuinely-cyclic cases the TPC-H FK DAG can't exercise. */
+class AlgosSpec extends AnyFunSuite {
+  lazy implicit val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  test("SCC: cycle collapses to one component, tail stays separate") {
+    // 1 -> 2 -> 3 -> 1 (cycle), 3 -> 4
+    val vs = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val scc = Algos.stronglyConnectedComponents(vs, es)
+      .as[(Long, Long)].collect().toMap
+    assert(scc(1L) === scc(2L) && scc(2L) === scc(3L))
+    assert(scc(4L) !== scc(1L))
+  }
+
+  test("nontrivialSccs returns only the cycle members (fermor cycles)") {
+    val vs = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val members = Algos.nontrivialSccs(vs, es).select("id").as[Long].collect().toSet
+    assert(members === Set(1L, 2L, 3L))
+  }
+
+  test("connectedComponents ignores direction") {
+    val vs = Seq(1L, 2L, 3L, 10L, 11L).toDF("id")
+    val es = Seq((1L, 2L), (3L, 2L), (10L, 11L)).toDF("src", "dst")
+    val cc = Algos.connectedComponents(vs, es).as[(Long, Long)].collect().toMap
+    assert(cc(1L) === cc(3L))
+    assert(cc(10L) === cc(11L))
+    assert(cc(1L) !== cc(10L))
+  }
+
+  test("bfsDistances: forward and reverse") {
+    val vs = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val fwd = Algos.bfsDistances(vs, es, Seq(1L).toDF("id")).as[(Long, Int)].collect().toMap
+    assert(fwd === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 2))
+    val rev = Algos.bfsDistances(vs, es, Seq(3L).toDF("id"), reverse = true)
+      .as[(Long, Int)].collect().toMap
+    assert(rev === Map(3L -> 0, 2L -> 1, 1L -> 2))
+  }
+
+  test("topoLevels: longest path from sources on a diamond") {
+    // 1 -> 2 -> 4, 1 -> 4 : level(4) = 2 (longest), level(2) = 1
+    val vs = Seq(1L, 2L, 4L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 4L), (1L, 4L)).toDF("src", "dst")
+    val lv = Algos.topoLevels(vs, es, maxIter = 4).as[(Long, Int)].collect().toMap
+    assert(lv === Map(1L -> 0, 2L -> 1, 4L -> 2))
+  }
+
+  test("immediateDominators: textbook CFG with a join point and loop") {
+    // CLRS-style: 1->2, 1->3, 2->4, 3->4, 4->5, 5->4 (back edge)
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (5L, 4L)).toDF("src", "dst")
+    val idom = Algos.immediateDominators(1L, es).as[(Long, Long)].collect().toMap
+    assert(idom === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 4L))
+  }
+
+  test("dominatorDepth and dominanceFrontiers") {
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (5L, 4L)).toDF("src", "dst")
+    val depth = Algos.dominatorDepth(1L, es).as[(Long, Int)].collect().toMap
+    assert(depth === Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 2))
+    val df = Algos.dominanceFrontiers(1L, es).as[(Long, Long)].collect().toSet
+    // 2 and 3 both have 4 in their frontier; 4/5 have 4 (loop back edge)
+    assert(df.contains((2L, 4L)) && df.contains((3L, 4L)))
+    assert(df.contains((5L, 4L)))
+  }
+
+  test("degrees counts both directions") {
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst").withColumn("label", lit("e"))
+    val deg = Algos.degrees(es).as[(Long, Long)].collect().toMap
+    assert(deg === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+}
