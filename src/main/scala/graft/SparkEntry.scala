@@ -259,7 +259,70 @@ object SparkEntry {
       val adj = a.join(b, "rk").where(col("k1") =!= col("k2"))
         .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
       graft.algos.Algos.labelPropagation(gr.kind("nation").select("id"), adj, iters = 8)
-    })
+    }),
+    // ---- §2.4 text analysis ---------------------------------------------
+    "q_token_count" -> ((s, dir) => {
+      import graft.functions.TextOps
+      Tpch.table(s, dir, "documents").select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_ws"),
+        TextOps.wordTokenCount(col("text")).cast("long").as("n_re"))
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      import graft.functions.TextOps
+      Tpch.table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(TextOps.tokens(col("text"))).as("pred_lang"))
+    }),
+    "q_quality" -> ((s, dir) => {
+      import graft.functions.TextOps
+      Tpch.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("len"),
+          length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).cast("long").as("alpha"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+          size(filter(TextOps.tokens(col("text")), t => t.isin(lit("the"), lit("a"), lit("of")))).cast("long").as("stops"))
+        .where(col("len") > 0 && col("n_toks") > 0)
+        .select(col("doc_id"),
+          (col("alpha") * 10000).divide(col("len")).cast("long").as("alpha_bp"),
+          (col("alpha") * 100).divide(col("n_toks")).cast("long").as("tok_len_x100"),
+          (col("stops") * 10000).divide(col("n_toks")).cast("long").as("stop_bp"))
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      import graft.functions.TextOps
+      Tpch.table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    }),
+    // ---- §2.4 dedup -----------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      graft.dedup.Dedup.exact(Tpch.table(s, dir, "documents"), "doc_id", "text")),
+    "q_dedup_jaccard" -> ((s, dir) =>
+      graft.dedup.Dedup.ngramJaccardPairs(Tpch.table(s, dir, "documents"), "doc_id", "text",
+        k = 3, minBp = 5000)),
+    "q_dedup_minhash" -> ((s, dir) => // rows-only: LSH band candidates, exact-rescored
+      graft.dedup.Dedup.minhashLsh(Tpch.table(s, dir, "documents"), "doc_id", "text",
+        k = 3, numPerm = 64, bands = 16, minBp = 5000)),
+    "q_dedup_simhash" -> ((s, dir) => // rows-only: hamming<=3 via 4x16 bands
+      graft.dedup.Dedup.simhashPairs(Tpch.table(s, dir, "documents"), "doc_id", "text", maxHam = 3)),
+    // ---- §2.4 similarity search ----------------------------------------
+    "q_ann_pairs" -> ((s, dir) =>
+      graft.sim.Ann.cosinePairs(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding", tauPm = 450)),
+    "q_ann_topk" -> ((s, dir) =>
+      graft.sim.Ann.bruteTopK(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
+        querySide = _.where(col("id") < 100))),
+    "q_ann_lsh" -> ((s, dir) => // rows-only: bucketed scale path, exact rescore
+      graft.sim.Ann.lshPairs(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, tauPm = 450)),
+    // ---- §2.4 multimodal ------------------------------------------------
+    "q_multimodal" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.multimodal.Multimodal.extractMeta(
+        graft.multimodal.Multimodal.withPayload(Tpch.table(s, dir, "documents"), "doc_id", "text")).toDF()
+    }),
+    // ---- §2.5 events / streaming shadows --------------------------------
+    "q_event_window" -> ((s, dir) =>
+      graft.streaming.Sessionize.hourlyWindow(Tpch.events(s, dir))),
+    "q_sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize.batch(Tpch.events(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -466,6 +529,98 @@ object SparkEntry {
                           CASE WHEN count(*) = 1 THEN min(pred)
                                WHEN min(pn) = max(pn) THEN min(pn)
                                ELSE (SELECT 1000000000000 + r_regionkey FROM asia) END
-                   FROM preds GROUP BY vid"""
+                   FROM preds GROUP BY vid""",
+    "q_token_count" ->
+      """SELECT doc_id,
+                len(list_filter(string_split(text, ' '), x -> len(x) > 0))::BIGINT AS n_ws,
+                len(regexp_extract_all(text, '[a-z]+|[0-9]+'))::BIGINT AS n_re
+         FROM documents""",
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
+            sc AS (SELECT doc_id,
+                     len(list_filter(ts, x -> x IN ('the','a'))) AS c_en,
+                     len(list_filter(ts, x -> x IN ('table','join'))) AS c_de,
+                     len(list_filter(ts, x -> x IN ('row','column'))) AS c_es,
+                     len(list_filter(ts, x -> x IN ('filter','merge'))) AS c_fr,
+                     len(list_filter(ts, x -> x IN ('window','batch'))) AS c_zh
+                   FROM t)
+         SELECT doc_id,
+                CASE WHEN greatest(c_en,c_de,c_es,c_fr,c_zh) = 0 THEN 'und'
+                     WHEN c_en = greatest(c_en,c_de,c_es,c_fr,c_zh) THEN 'en'
+                     WHEN c_de = greatest(c_en,c_de,c_es,c_fr,c_zh) THEN 'de'
+                     WHEN c_es = greatest(c_en,c_de,c_es,c_fr,c_zh) THEN 'es'
+                     WHEN c_fr = greatest(c_en,c_de,c_es,c_fr,c_zh) THEN 'fr'
+                     ELSE 'zh' END AS pred_lang
+         FROM sc""",
+    "q_quality" ->
+      """WITH b AS (SELECT doc_id,
+                      length(text)::BIGINT AS len,
+                      length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::BIGINT AS alpha,
+                      len(list_filter(string_split(text, ' '), x -> len(x) > 0))::BIGINT AS n_toks,
+                      len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of')))::BIGINT AS stops
+                    FROM documents)
+         SELECT doc_id,
+                (alpha * 10000) // len AS alpha_bp,
+                (alpha * 100) // n_toks AS tok_len_x100,
+                (stops * 10000) // n_toks AS stop_bp
+         FROM b WHERE len > 0 AND n_toks > 0""",
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents",
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY 1",
+    "q_dedup_jaccard" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
+            sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+                   FROM toks, unnest(generate_series(1, greatest(len(ts) - 2, 0))) t(i)),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT id_a, id_b, i AS inter_n, (na.n + nb.n - i)::BIGINT AS union_n,
+                (i * 10000) // (na.n + nb.n - i) AS j_bp
+         FROM inter JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id
+         WHERE i * 10000 >= 5000 * (na.n + nb.n - i)""",
+    "q_ann_pairs" ->
+      """WITH qv AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
+                       round(unnest(embedding) * 1000)::BIGINT AS q FROM embeddings),
+            norms AS (SELECT vec_id, sum(q*q)::BIGINT AS nq FROM qv GROUP BY 1),
+            dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.q*b.q)::BIGINT AS dot
+                     FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+         SELECT id_a, id_b, dot, na.nq AS na, nb.nq AS nb
+         FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
+         WHERE dot > 0 AND 1000000 * dot * dot >= 450 * 450 * na.nq * nb.nq""",
+    "q_ann_topk" ->
+      """WITH qv AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
+                       round(unnest(embedding) * 1000)::BIGINT AS q FROM embeddings),
+            norms AS (SELECT vec_id, sum(q*q)::BIGINT AS nq FROM qv GROUP BY 1),
+            dots AS (SELECT a.vec_id AS id_q, b.vec_id AS id_n, sum(a.q*b.q)::BIGINT AS dot
+                     FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id < 100 AND a.vec_id <> b.vec_id
+                     GROUP BY 1, 2),
+            scored AS (SELECT id_q, id_n, dot, na.nq AS na, nb.nq AS nb,
+                         floor(sqrt((na.nq * nb.nq)::DOUBLE))::BIGINT AS isq
+                       FROM dots JOIN norms na ON id_q = na.vec_id JOIN norms nb ON id_n = nb.vec_id
+                       WHERE dot > 0)
+         SELECT id_q, id_n, (dot * 1000000) // isq AS score,
+                row_number() OVER (PARTITION BY id_q ORDER BY (dot * 1000000) // isq DESC, id_n ASC)::INT AS rn
+         FROM scored
+         QUALIFY rn <= 3""",
+    "q_multimodal" ->
+      """SELECT doc_id, length(text)::BIGINT AS n_bytes,
+                (length(text) % 640)::INT AS width,
+                ((length(text) * 7) % 480)::INT AS height,
+                (length(text) % 16)::INT AS n_frames
+         FROM documents""",
+    "q_event_window" ->
+      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_ts,
+                count(*) AS n_events,
+                sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+         FROM events GROUP BY 1""",
+    "q_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                                OR epoch(ts)::BIGINT - epoch(lag(ts) OVER w)::BIGINT > 1800
+                           THEN 1 ELSE 0 END AS ns
+                    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, sum(ns)::BIGINT AS n_sessions, count(*) AS n_events
+         FROM x GROUP BY 1"""
   )
 }

@@ -1,0 +1,122 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.4).
+  *
+  * Scale design: no operator here ever materializes the O(n²) pair space.
+  * Candidate generation is always an equi-join on a derived key (content
+  * hash, shared shingle, MinHash band, SimHash band), so the shuffle is
+  * keyed and AQE can split skewed buckets; exact verification runs only on
+  * the candidate set.
+  */
+object Dedup {
+
+  /** Exact dedup: md5 content groups; keep the minimum id per group. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(md5(col(textCol)).as("h"), col(idCol))
+      .groupBy("h")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** N-gram Jaccard near-dup pairs: word-k-gram shingles → candidates via
+    * shared-shingle equi-join → exact |∩|/|∪| in integer basis points.
+    * Pairs with j_bp = 10000*|∩|/|∪| (floor) >= minBp. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minBp: Int = 5000): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), explode(TextOps.shingles(TextOps.tokens(col(textCol)), k)).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n")) // shingles already distinct
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("union_n", col("na") + col("nb") - col("i"))
+      .where(col("i") * 10000 >= lit(minBp) * col("union_n"))
+      .select(col("id_a"), col("id_b"), col("i").as("inter_n"), col("union_n"),
+        (col("i") * 10000).divide(col("union_n")).cast("long").as("j_bp"))
+  }
+
+  /** MinHash signature column: array of `numPerm` minima of affine permuted
+    * 64-bit shingle hashes ((a_i*h + b_i), Long wraparound — deterministic). */
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  private def minhashSig(shingleArr: Column, numPerm: Int): Column = {
+    // 31-bit modular affine perms: products stay < 2^62, no ANSI overflow.
+    val perms = (0 until numPerm).map { i =>
+      val a = (0x9E3779B9L * (2 * i + 1)) % MersennePrime
+      val b = (0xC2B2AE3DL * (i + 1)) % MersennePrime
+      array_min(transform(shingleArr,
+        s => pmod(pmod(xxhash64(s), lit(MersennePrime)) * lit(a) + lit(b), lit(MersennePrime))))
+    }
+    array(perms: _*)
+  }
+
+  /** MinHash + LSH near-dup candidate pairs, exact-Jaccard rescored.
+    * bands×rows = numPerm; docs sharing ≥1 band bucket become candidates
+    * (band-keyed equi-join — the 100 TB path), then exact shingle Jaccard
+    * filters to >= minBp. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numPerm: Int = 64, bands: Int = 16, minBp: Int = 5000): DataFrame = {
+    val rows = numPerm / bands
+    val withSig = docs.select(col(idCol).as("id"),
+        TextOps.shingles(TextOps.tokens(col(textCol)), k).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSig(col("sh"), numPerm))
+    val banded = withSig.select(col("id"), col("sh"),
+      explode(array((0 until bands).map { bidx =>
+        struct(lit(bidx).as("band"),
+          xxhash64(concat_ws(",", (0 until rows).map(r => element_at(col("sig"), bidx * rows + r + 1)): _*)).as("bh"))
+      }: _*)).as("bk"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("union_n", size(col("sha")) + size(col("shb")) - col("i"))
+      .where(col("i") * 10000 >= lit(minBp) * col("union_n"))
+      .select("id_a", "id_b", "i", "union_n")
+  }
+
+  /** 64-bit SimHash per doc: per-token xxhash64; each output bit is the sign
+    * of the sum of ±1 contributions across tokens. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("t"))
+    val h = toks.withColumn("th", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = h.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHam. Candidates via
+    * 4×16-bit band exact-match (pigeonhole: ham<=3 ⇒ ≥1 band equal), then
+    * exact popcount rescore. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHam: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+    val banded = sh.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bits"))
+      }: _*)).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("ham", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("ham") <= maxHam)
+      .select("id_a", "id_b", "ham")
+  }
+}

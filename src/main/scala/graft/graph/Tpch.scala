@@ -30,6 +30,15 @@ object Tpch {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet stores nanosecond timestamps, which Spark's vectorized
+    * reader rejects; read them as long nanos and rebuild a (µs-truncated)
+    * timestamp column — the same truncation DuckDB applies. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
   /** lineitem vid packs (orderkey, linenumber); linenumber is 1..7 so 3 bits
     * of headroom is plenty — stays collision-free at any SF. Note: the
     * synthetic testdata has duplicate (orderkey, linenumber) pairs; those

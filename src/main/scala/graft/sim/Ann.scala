@@ -1,0 +1,102 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2.4).
+  *
+  * Exactness convention: vectors are quantized to integer milli-units
+  * (round(x*1000) as long) so dot products and norms are exact 64-bit
+  * integer arithmetic — order-independent, hash-identical across engines.
+  * Threshold tests use cross-multiplied integer comparisons
+  * (10⁸·dot² >= τ²·10⁸·|a|²·|b|²) with no floating point anywhere.
+  *
+  * Scale design: the brute-force path is the correctness baseline with a
+  * bounded (broadcastable) query side; the LSH path buckets by
+  * random-hyperplane signature so candidate generation is an equi-join on
+  * the bucket key — the shape that survives 100 TB.
+  */
+object Ann {
+
+  /** Integer milli-quantized copy of an array<float> column. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x * 1000).cast("long"))
+
+  private def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  private def withQuantNorm(vecs: DataFrame, idCol: String, embCol: String): DataFrame =
+    vecs.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+      .withColumn("nq", dotQ(col("q"), col("q")))
+
+  /** All pairs (id_a < id_b) with cosine >= tau, exactly, on quantized
+    * vectors. tauBp is cosine in basis points (4500 = 0.45). */
+  def cosinePairs(vecs: DataFrame, idCol: String, embCol: String, tauPm: Int,
+      querySide: DataFrame => DataFrame = identity): DataFrame = {
+    val qd = withQuantNorm(vecs, idCol, embCol)
+    val a = querySide(qd).select(col("id").as("id_a"), col("q").as("qa"), col("nq").as("na"))
+    val b = qd.select(col("id").as("id_b"), col("q").as("qb"), col("nq").as("nb"))
+    val t2 = lit(tauPm.toLong * tauPm) // tau² in 1e6 units; 10⁶·dot² < 2^63 for unit vecs
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dot", dotQ(col("qa"), col("qb")))
+      .where(col("dot") > 0 && lit(1000000L) * col("dot") * col("dot") >= t2 * col("na") * col("nb"))
+      .select("id_a", "id_b", "dot", "na", "nb")
+  }
+
+  /** Brute-force top-k positive-cosine neighbors for a query subset.
+    * Deterministic ranking: integer score = (dot·10⁶) div ⌊√(na·nb)⌋,
+    * ties broken by neighbor id. */
+  def bruteTopK(vecs: DataFrame, idCol: String, embCol: String, k: Int,
+      querySide: DataFrame => DataFrame): DataFrame = {
+    val qd = withQuantNorm(vecs, idCol, embCol)
+    val a = querySide(qd).select(col("id").as("id_q"), col("q").as("qa"), col("nq").as("na"))
+    val b = qd.select(col("id").as("id_n"), col("q").as("qb"), col("nq").as("nb"))
+    val scored = a.join(b, col("id_q") =!= col("id_n"))
+      .withColumn("dot", dotQ(col("qa"), col("qb")))
+      .where(col("dot") > 0)
+      .withColumn("isq", floor(sqrt(col("na").cast("double") * col("nb").cast("double"))).cast("long"))
+      .withColumn("score", (col("dot") * 1000000L).divide(col("isq")).cast("long"))
+    val w = Window.partitionBy("id_q").orderBy(col("score").desc, col("id_n").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("id_q"), col("id_n"), col("score"), col("rn"))
+  }
+
+  /** Random-hyperplane LSH signature (numBits planes). Plane weights are
+    * deterministic pseudo-random ints derived from xxhash64(plane, dim) —
+    * reproducible across runs and engines. */
+  def lshSignature(qe: Column, dim: Int, numBits: Int): Column = {
+    val bits = (0 until numBits).map { p =>
+      val proj = (0 until dim).map { i =>
+        val w = ((scala.util.hashing.MurmurHash3.productHash((p, i)) % 1001).toLong)
+        element_at(qe, i + 1) * lit(w)
+      }.reduce(_ + _)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Bucketed approximate neighbor pairs: equi-join on LSH signature bands,
+    * exact integer-cosine rescore. The scale path: shuffle is keyed by
+    * (band, bits), never all-pairs. */
+  def lshPairs(vecs: DataFrame, idCol: String, embCol: String, dim: Int,
+      tauPm: Int, numBits: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numBits / bands
+    val qd = withQuantNorm(vecs, idCol, embCol)
+      .withColumn("sig", lshSignature(col("q"), dim, numBits))
+    val banded = qd.select(col("id"), col("q"), col("nq"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * rows).bitwiseAND((1L << rows) - 1).as("bits"))
+      }: _*)).as("bk"))
+    val t2 = lit(tauPm.toLong * tauPm)
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.q").as("qa"), col("a.nq").as("na"), col("b.q").as("qb"), col("b.nq").as("nb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dot", dotQ(col("qa"), col("qb")))
+      .where(col("dot") > 0 && lit(1000000L) * col("dot") * col("dot") >= t2 * col("na") * col("nb"))
+      .select("id_a", "id_b", "dot")
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+import graft.sim.Ann
+import graft.streaming.Sessionize
+
+/** LLM-data-pipeline operators: planted near-duplicates, LSH recall against
+  * the exact baseline, stateful streaming sessionization. */
+class DataOpsSpec extends AnyFunSuite {
+  lazy implicit val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog again and again today " * 4
+  val nearDup = base.replace("lazy", "sleepy") // high word-3-gram overlap
+  val unrelated = "completely different content about spark clusters and shuffles " * 4
+
+  lazy val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val ex = Dedup.exact(docs, "doc_id", "text").where(col("n") > 1).collect()
+    assert(ex.length === 1 && ex.head.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("ngram jaccard finds the planted near-dup, not the unrelated doc") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, minBp = 5000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH detects the same near-dups via band buckets") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", k = 3, minBp = 5000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical: all bands collide
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, unrelated absent") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHam = 6)
+      .as[(Long, Long, Int)].collect().map(r => ((r._1, r._2), r._3)).toMap
+    assert(pairs(( 1L, 4L)) === 0)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("LSH ANN pairs are a subset of exact cosine pairs, with recall > 0") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val exact = Ann.cosinePairs(vecs, "vec_id", "embedding", tauPm = 450)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshPairs(vecs, "vec_id", "embedding", dim = 64, tauPm = 450)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(exact.nonEmpty && lsh.nonEmpty)
+  }
+
+  test("bruteTopK ranks by exact integer cosine with id tie-break") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val top = Ann.bruteTopK(vecs, "vec_id", "embedding", k = 2, _.where(col("id") === 1))
+      .select("id_n", "rn").as[(Long, Int)].collect().toSet
+    assert(top === Set((2L, 1), (4L, 2))) // equal scores -> id ascending
+  }
+
+  test("streaming sessionization accumulates state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val q = Sessionize.streaming(mem.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sess").outputMode("update").start()
+    def t(min: Long) = new Timestamp(min * 60000L)
+    mem.addData(Sessionize.Event(7L, t(0), 1.0), Sessionize.Event(7L, t(10), 1.0))
+    q.processAllAvailable()
+    mem.addData(Sessionize.Event(7L, t(120), 1.0)) // > 30min gap: new session
+    q.processAllAvailable()
+    val row = spark.table("sess").where(col("user_id") === 7L)
+      .orderBy(col("n_events").desc).head()
+    q.stop()
+    assert(row.getAs[Long]("n_sessions") === 2L && row.getAs[Long]("n_events") === 3L)
+  }
+
+  test("batch sessionization matches the same gap semantics") {
+    def t(min: Long) = new Timestamp(min * 60000L)
+    val ev = Seq((7L, t(0), 1L), (7L, t(10), 2L), (7L, t(120), 3L), (8L, t(0), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val rows = Sessionize.batch(ev).collect().map(r =>
+      r.getAs[Long]("user_id") -> (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+    assert(rows(7L) === ((2L, 3L)) && rows(8L) === ((1L, 1L)))
+  }
+
+  test("multimodal plumbing: deterministic stub metadata through mapPartitions") {
+    val docs = Seq((1L, "abcdef")).toDF("doc_id", "text")
+    val meta = graft.multimodal.Multimodal.extractMeta(
+      graft.multimodal.Multimodal.withPayload(docs, "doc_id", "text")).head()
+    assert(meta.n_bytes === 6L && meta.width === 6 && meta.height === 42 && meta.n_frames === 6)
+  }
+}
