@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Scratch profiler for hot operators (not part of the driver contract). */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    val docs = graph.Tpch.table(spark, dir, "documents")
+
+    time("shingle+tokenize only") {
+      docs.select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+        .select(sum(size(col("sh")))).head().getLong(0)
+    }
+    val raw = docs.select(col("doc_id").as("id"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh0")).where(size(col("sh0")) > 0)
+    val ex = raw.select(col("id"), explode(col("sh0")).as("s"))
+    time("dfreq") { ex.groupBy("s").agg(count(lit(1)).as("df")).count() }
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val base = ex.join(dfreq, "s").groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("s")))),
+        x => x.getField("s")).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .withColumn("plen", col("n") - floor((col("n") * 5000 + 9999) / 10000).cast("int") + 1)
+      .localCheckpoint(true)
+    time("freq-sorted base (ckpt)") { base.count() }
+    val prefix = base.select(col("id"), col("n"), explode(slice(col("sh"), lit(1), col("plen"))).as("s"))
+    time("prefix rows") { prefix.count() }
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+        col("b.n") * 10000 >= lit(5000) * col("a.n") &&
+        col("a.n") * 10000 >= lit(5000) * col("b.n"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    time("candidate pairs") { cands.count() }
+    time("full jaccard") {
+      graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 5000).count()
+    }
+    time("minhash") {
+      graft.dedup.Dedup.minhashLsh(docs, "doc_id", "text", 3, 64, 16, 5000).count()
+    }
+    val emb = graph.Tpch.table(spark, dir, "embeddings")
+    time("ann_topk") {
+      graft.sim.Ann.bruteTopK(emb, "vec_id", "embedding", 3, _.where(col("id") < 100)).count()
+    }
+    spark.stop()
+  }
+}

@@ -123,8 +123,11 @@ object Algos {
     while (i < maxIter) {
       val bumped = levels.join(e, levels("id") === e("src"))
         .select(col("dst").as("id"), (col("level") + 1).as("level"))
+      // localCheckpoint cuts lineage: without it iteration i recomputes all
+      // previous rounds (O(k²) work) and the plan tree grows unboundedly.
       levels = levels.unionByName(bumped)
         .groupBy("id").agg(max(col("level")).as("level"))
+        .localCheckpoint(eager = false)
       i += 1
     }
     levels

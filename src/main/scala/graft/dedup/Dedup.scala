@@ -25,17 +25,44 @@ object Dedup {
     * Pairs with j_bp = 10000*|∩|/|∪| (floor) >= minBp. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minBp: Int = 5000): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"), explode(TextOps.shingles(TextOps.tokens(col(textCol)), k)).as("s"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n")) // shingles already distinct
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
-      .withColumn("union_n", col("na") + col("nb") - col("i"))
+    // Prefix filtering (ssjoin): under a global total order of shingles, a
+    // pair with J >= τ must share an element within the first
+    // |X| - ⌈τ|X|⌉ + 1 shingles of each side. Candidates therefore come from
+    // an equi-join on PREFIX shingles only (plus the |B| >= τ|A| size
+    // filter the theorem needs) — exact, no false negatives. The order is
+    // ASCENDING GLOBAL DOC-FREQUENCY, so prefixes hold the rarest shingles
+    // and the join fan-out collapses (a lexical order would cluster frequent
+    // shingles into prefixes and defeat the filter).
+    // Materialize tokens before shingling: Catalyst lambdas have no
+    // let-binding, so an inline tokens() expression would be re-evaluated
+    // for every element_at reference inside the shingle transform.
+    val raw = docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("ts"))
+      .select(col("id"), TextOps.shingles(col("ts"), k).as("sh0"))
+      .where(size(col("sh0")) > 0)
+      .localCheckpoint(false) // hard boundary: shingle once, reuse everywhere
+    val ex = raw.select(col("id"), explode(col("sh0")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val base = ex.join(dfreq, "s")
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("s")))),
+        x => x.getField("s")).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .withColumn("plen",
+        col("n") - floor((col("n") * minBp + 9999) / 10000).cast("int") + 1)
+      .localCheckpoint(false) // reused 3x (both join sides + rescore); cut lineage
+    val prefix = base.select(col("id"), col("n"),
+      explode(slice(col("sh"), lit(1), col("plen"))).as("s"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+        col("b.n") * 10000 >= lit(minBp) * col("a.n") &&
+        col("a.n") * 10000 >= lit(minBp) * col("b.n"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .join(base.select(col("id").as("id_a"), col("sh").as("sha"), col("n").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sh").as("shb"), col("n").as("nb")), "id_b")
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("union_n", (col("na") + col("nb")).cast("long") - col("i"))
       .where(col("i") * 10000 >= lit(minBp) * col("union_n"))
       .select(col("id_a"), col("id_b"), col("i").as("inter_n"), col("union_n"),
         (col("i") * 10000).divide(col("union_n")).cast("long").as("j_bp"))
@@ -45,13 +72,15 @@ object Dedup {
     * 64-bit shingle hashes ((a_i*h + b_i), Long wraparound — deterministic). */
   private val MersennePrime = 2147483647L // 2^31 - 1
 
-  private def minhashSig(shingleArr: Column, numPerm: Int): Column = {
-    // 31-bit modular affine perms: products stay < 2^62, no ANSI overflow.
+  /** Affine perms over an ALREADY-MATERIALIZED 31-bit hash array column.
+    * The caller must materialize the hashes (checkpoint) first: Catalyst has
+    * no let-binding, so handing an inline hash expression here would
+    * re-evaluate the string hashes once per permutation. */
+  private def minhashSigFromHashes(hashedArr: Column, numPerm: Int): Column = {
     val perms = (0 until numPerm).map { i =>
       val a = (0x9E3779B9L * (2 * i + 1)) % MersennePrime
       val b = (0xC2B2AE3DL * (i + 1)) % MersennePrime
-      array_min(transform(shingleArr,
-        s => pmod(pmod(xxhash64(s), lit(MersennePrime)) * lit(a) + lit(b), lit(MersennePrime))))
+      array_min(transform(hashedArr, h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
     }
     array(perms: _*)
   }
@@ -63,21 +92,28 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerm: Int = 64, bands: Int = 16, minBp: Int = 5000): DataFrame = {
     val rows = numPerm / bands
-    val withSig = docs.select(col(idCol).as("id"),
-        TextOps.shingles(TextOps.tokens(col(textCol)), k).as("sh"))
+    val withSig = docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("ts"))
+      .select(col("id"), TextOps.shingles(col("ts"), k).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSig(col("sh"), numPerm))
-    val banded = withSig.select(col("id"), col("sh"),
+      .withColumn("hs", transform(col("sh"), x => pmod(xxhash64(x), lit(MersennePrime))))
+      .localCheckpoint(false) // materialize string hashes once (see minhashSigFromHashes)
+      .withColumn("sig", minhashSigFromHashes(col("hs"), numPerm))
+      .localCheckpoint(false) // reused by band-join sides and array join-back
+    // Narrow candidate generation: band-join and pair-dedup on ids only; the
+    // shingle arrays are joined back only for the surviving pairs.
+    val banded = withSig.select(col("id"),
       explode(array((0 until bands).map { bidx =>
         struct(lit(bidx).as("band"),
           xxhash64(concat_ws(",", (0 until rows).map(r => element_at(col("sig"), bidx * rows + r + 1)): _*)).as("bh"))
       }: _*)).as("bk"))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val arrs = withSig.select(col("id"), col("sh"))
     cands
+      .join(arrs.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(arrs.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
       .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("union_n", size(col("sha")) + size(col("shb")) - col("i"))
       .where(col("i") * 10000 >= lit(minBp) * col("union_n"))
@@ -87,8 +123,8 @@ object Dedup {
   /** 64-bit SimHash per doc: per-token xxhash64; each output bit is the sign
     * of the sum of ±1 contributions across tokens. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      explode(TextOps.tokens(col(textCol))).as("t"))
+    val toks = docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("ts"))
+      .select(col("id"), explode(col("ts")).as("t"))
     val h = toks.withColumn("th", xxhash64(col("t")))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")

@@ -23,23 +23,30 @@ object Ann {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x * 1000).cast("long"))
 
-  private def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Fixed-width integer dot product, fully expanded: a flat 64-term
+    * codegen'd expression — no intermediate array allocation per row
+    * (zip_with+aggregate allocates; this is ~10× faster in the hot path). */
+  private def dotQ(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
 
-  private def withQuantNorm(vecs: DataFrame, idCol: String, embCol: String): DataFrame =
+  private def withQuantNorm(vecs: DataFrame, idCol: String, embCol: String, dim: Int): DataFrame =
+    // localCheckpoint stops CollapseProject from re-inlining the quantize
+    // transform into every element_at of the expanded dot products (which
+    // would turn each 64-term dot into 64 array materializations).
     vecs.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
-      .withColumn("nq", dotQ(col("q"), col("q")))
+      .withColumn("nq", dotQ(col("q"), col("q"), dim))
+      .localCheckpoint(false)
 
   /** All pairs (id_a < id_b) with cosine >= tau, exactly, on quantized
-    * vectors. tauBp is cosine in basis points (4500 = 0.45). */
+    * vectors. tauPm is cosine in per-mille (450 = 0.45). */
   def cosinePairs(vecs: DataFrame, idCol: String, embCol: String, tauPm: Int,
-      querySide: DataFrame => DataFrame = identity): DataFrame = {
-    val qd = withQuantNorm(vecs, idCol, embCol)
+      querySide: DataFrame => DataFrame = identity, dim: Int = 64): DataFrame = {
+    val qd = withQuantNorm(vecs, idCol, embCol, dim)
     val a = querySide(qd).select(col("id").as("id_a"), col("q").as("qa"), col("nq").as("na"))
     val b = qd.select(col("id").as("id_b"), col("q").as("qb"), col("nq").as("nb"))
     val t2 = lit(tauPm.toLong * tauPm) // tau² in 1e6 units; 10⁶·dot² < 2^63 for unit vecs
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("dot", dotQ(col("qa"), col("qb")))
+      .withColumn("dot", dotQ(col("qa"), col("qb"), dim))
       .where(col("dot") > 0 && lit(1000000L) * col("dot") * col("dot") >= t2 * col("na") * col("nb"))
       .select("id_a", "id_b", "dot", "na", "nb")
   }
@@ -48,12 +55,12 @@ object Ann {
     * Deterministic ranking: integer score = (dot·10⁶) div ⌊√(na·nb)⌋,
     * ties broken by neighbor id. */
   def bruteTopK(vecs: DataFrame, idCol: String, embCol: String, k: Int,
-      querySide: DataFrame => DataFrame): DataFrame = {
-    val qd = withQuantNorm(vecs, idCol, embCol)
+      querySide: DataFrame => DataFrame, dim: Int = 64): DataFrame = {
+    val qd = withQuantNorm(vecs, idCol, embCol, dim)
     val a = querySide(qd).select(col("id").as("id_q"), col("q").as("qa"), col("nq").as("na"))
     val b = qd.select(col("id").as("id_n"), col("q").as("qb"), col("nq").as("nb"))
     val scored = a.join(b, col("id_q") =!= col("id_n"))
-      .withColumn("dot", dotQ(col("qa"), col("qb")))
+      .withColumn("dot", dotQ(col("qa"), col("qb"), dim))
       .where(col("dot") > 0)
       .withColumn("isq", floor(sqrt(col("na").cast("double") * col("nb").cast("double"))).cast("long"))
       .withColumn("score", (col("dot") * 1000000L).divide(col("isq")).cast("long"))
@@ -82,7 +89,7 @@ object Ann {
   def lshPairs(vecs: DataFrame, idCol: String, embCol: String, dim: Int,
       tauPm: Int, numBits: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numBits / bands
-    val qd = withQuantNorm(vecs, idCol, embCol)
+    val qd = withQuantNorm(vecs, idCol, embCol, dim)
       .withColumn("sig", lshSignature(col("q"), dim, numBits))
     val banded = qd.select(col("id"), col("q"), col("nq"),
       explode(array((0 until bands).map { b =>
@@ -90,12 +97,18 @@ object Ann {
           shiftright(col("sig"), b * rows).bitwiseAND((1L << rows) - 1).as("bits"))
       }: _*)).as("bk"))
     val t2 = lit(tauPm.toLong * tauPm)
-    banded.as("a").join(banded.as("b"),
+    // Narrow candidate shuffle: band-join and dedup on ids only; vectors are
+    // joined back afterwards (the wide columns never ride through the
+    // pair-dedup shuffle).
+    val keys = banded.select(col("id"), col("bk"))
+    val cands = keys.as("a").join(keys.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.q").as("qa"), col("a.nq").as("na"), col("b.q").as("qb"), col("b.nq").as("nb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("dot", dotQ(col("qa"), col("qb")))
+    cands
+      .join(qd.select(col("id").as("id_a"), col("q").as("qa"), col("nq").as("na")), "id_a")
+      .join(qd.select(col("id").as("id_b"), col("q").as("qb"), col("nq").as("nb")), "id_b")
+      .withColumn("dot", dotQ(col("qa"), col("qb"), dim))
       .where(col("dot") > 0 && lit(1000000L) * col("dot") * col("dot") >= t2 * col("na") * col("nb"))
       .select("id_a", "id_b", "dot")
   }

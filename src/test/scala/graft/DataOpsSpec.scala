@@ -65,7 +65,7 @@ class DataOpsSpec extends AnyFunSuite {
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
       (3L, Array(0.0f, 1.0f)), (4L, Array(0.9f, 0.1f)))
       .toDF("vec_id", "embedding")
-    val top = Ann.bruteTopK(vecs, "vec_id", "embedding", k = 2, _.where(col("id") === 1))
+    val top = Ann.bruteTopK(vecs, "vec_id", "embedding", k = 2, _.where(col("id") === 1), dim = 2)
       .select("id_n", "rn").as[(Long, Int)].collect().toSet
     assert(top === Set((2L, 1), (4L, 2))) // equal scores -> id ascending
   }
