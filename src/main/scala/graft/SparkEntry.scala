@@ -260,6 +260,27 @@ object SparkEntry {
         .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
       graft.algos.Algos.labelPropagation(gr.kind("nation").select("id"), adj, iters = 8)
     }),
+    "q_articulation" -> ((s, dir) => {
+      val gr = g(s, dir)
+      graft.algos.Algos.articulationPoints(
+        gr.edges.where(col("label") === "order_customer"))
+    }),
+    "q_bcc" -> ((s, dir) => { // rows-only: biconnected components (spec-tested)
+      val gr = g(s, dir)
+      graft.algos.Algos.biconnectedComponents(
+        gr.edges.where(col("label").isin("customer_nation", "nation_region")))
+    }),
+    "q_sql" -> ((s, dir) => {
+      val gr = g(s, dir)
+      gr.createViews(s)
+      s.sql("""
+        SELECT n.n_name, count(*) AS n_orders
+        FROM g_edges oc
+        JOIN g_edges cn ON oc.label = 'order_customer' AND cn.label = 'customer_nation'
+                       AND oc.dst = cn.src
+        JOIN g_nation n ON cn.dst = n.id
+        GROUP BY n.n_name""")
+    }),
     // ---- §2.4 text analysis ---------------------------------------------
     "q_token_count" -> ((s, dir) => {
       import graft.functions.TextOps
@@ -530,6 +551,13 @@ object SparkEntry {
                                WHEN min(pn) = max(pn) THEN min(pn)
                                ELSE (SELECT 1000000000000 + r_regionkey FROM asia) END
                    FROM preds GROUP BY vid""",
+    "q_articulation" ->
+      """SELECT (3000000000000 + c_custkey)::BIGINT AS id FROM customer
+         WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 2""",
+    "q_sql" ->
+      """SELECT n_name, count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
     "q_token_count" ->
       """SELECT doc_id,
                 len(list_filter(string_split(text, ' '), x -> len(x) > 0))::BIGINT AS n_ws,

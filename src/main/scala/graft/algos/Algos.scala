@@ -202,6 +202,116 @@ object Algos {
     idom.keys.toSeq.map(v => (v, depth(v))).toDF("id", "depth")
   }
 
+  /** Articulation points of the undirected view of the graph (fermor
+    * algo.clj `articulation-points`): iterative Tarjan low-link. Like
+    * dominators, DFS-order-sequential — runs single-node on a distributedly
+    * extracted subgraph. */
+  def articulationPoints(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val (adj, _) = undirectedAdj(edges)
+    val disc = scala.collection.mutable.HashMap[Long, Int]()
+    val low = scala.collection.mutable.HashMap[Long, Int]()
+    val arts = scala.collection.mutable.HashSet[Long]()
+    var timer = 0
+    adj.keys.foreach { root =>
+      if (!disc.contains(root)) {
+        // iterative DFS: stack of (vertex, parent, child-iterator)
+        var rootChildren = 0
+        val stack = scala.collection.mutable.Stack[(Long, Long, Iterator[Long])]()
+        disc(root) = timer; low(root) = timer; timer += 1
+        stack.push((root, -1L, adj(root).iterator))
+        while (stack.nonEmpty) {
+          val (u, parent, it) = stack.top
+          if (it.hasNext) {
+            val v = it.next()
+            if (!disc.contains(v)) {
+              if (u == root) rootChildren += 1
+              disc(v) = timer; low(v) = timer; timer += 1
+              stack.push((v, u, adj(v).iterator))
+            } else if (v != parent) low(u) = math.min(low(u), disc(v))
+          } else {
+            stack.pop()
+            if (stack.nonEmpty) {
+              val (p, _, _) = stack.top
+              low(p) = math.min(low(p), low(u))
+              if (p != root && low(u) >= disc(p)) arts += p
+            }
+          }
+        }
+        if (rootChildren >= 2) arts += root
+      }
+    }
+    arts.toSeq.toDF("id")
+  }
+
+  /** Biconnected components (fermor algo.clj `biconnected-components`):
+    * edge-partition into maximal 2-connected subgraphs via Tarjan's edge
+    * stack. Returns (src, dst, component) with component = min edge-endpoint
+    * id in the component (deterministic labeling). */
+  def biconnectedComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val (adj, _) = undirectedAdj(edges)
+    val disc = scala.collection.mutable.HashMap[Long, Int]()
+    val low = scala.collection.mutable.HashMap[Long, Int]()
+    val estack = scala.collection.mutable.Stack[(Long, Long)]()
+    val comps = scala.collection.mutable.ArrayBuffer[Seq[(Long, Long)]]()
+    adj.keys.foreach { root =>
+      if (!disc.contains(root)) {
+        var timer0 = disc.size
+        val stack = scala.collection.mutable.Stack[(Long, Long, Iterator[Long])]()
+        disc(root) = timer0; low(root) = timer0
+        stack.push((root, -1L, adj(root).iterator))
+        while (stack.nonEmpty) {
+          val (u, parent, it) = stack.top
+          if (it.hasNext) {
+            val v = it.next()
+            if (!disc.contains(v)) {
+              estack.push((u, v))
+              val t = disc.size
+              disc(v) = t; low(v) = t
+              stack.push((v, u, adj(v).iterator))
+            } else if (v != parent && disc(v) < disc(u)) {
+              estack.push((u, v))
+              low(u) = math.min(low(u), disc(v))
+            }
+          } else {
+            stack.pop()
+            if (stack.nonEmpty) {
+              val (p, _, _) = stack.top
+              low(p) = math.min(low(p), low(u))
+              if (low(u) >= disc(p)) {
+                // pop the component rooted at edge (p, u)
+                val comp = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+                var done = false
+                while (!done && estack.nonEmpty) {
+                  val e = estack.pop()
+                  comp += e
+                  if (e == ((p, u))) done = true
+                }
+                if (comp.nonEmpty) comps += comp.toSeq
+              }
+            }
+          }
+        }
+      }
+    }
+    comps.toSeq.flatMap { comp =>
+      val label = comp.iterator.flatMap(e => Iterator(e._1, e._2)).min
+      comp.map { case (s, d) => (s, d, label) }
+    }.toDF("src", "dst", "component")
+  }
+
+  private def undirectedAdj(edges: DataFrame): (Map[Long, Array[Long]], Int) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select("src", "dst").as[(Long, Long)].collect()
+    val adj = (es ++ es.map(_.swap)).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    (adj, es.length)
+  }
+
   /** Dominance frontiers (fermor `dominance-frontiers`), from idom by the
     * standard Cytron walk. Returns (id, frontier_member) pairs. */
   def dominanceFrontiers(entry: Long, edges: DataFrame): DataFrame = {

@@ -87,6 +87,15 @@ final case class PropertyGraph(
     if (ids.columns.contains("id")) Traversal(this, ids)
     else Traversal(this, ids.withColumnRenamed(ids.columns.head, "id"))
 
+  /** Register the graph as SQL temp views (`g_vertices`, `g_edges`,
+    * `g_<kind>`) so traversals can be written in plain Spark SQL — the
+    * second query surface next to the fluent DSL. */
+  def createViews(spark: SparkSession, prefix: String = "g_"): Unit = {
+    vertices.createOrReplaceTempView(prefix + "vertices")
+    edges.createOrReplaceTempView(prefix + "edges")
+    kinds.foreach { case (k, df) => df.createOrReplaceTempView(prefix + k) }
+  }
+
   /** GraphX interop (plays the role of fermor's loom adapter): the unified
     * long-id vertex/edge RDD view for iterative algorithms. */
   def toGraphX(implicit spark: SparkSession): org.apache.spark.graphx.Graph[Long, String] = {

@@ -72,6 +72,30 @@ class AlgosSpec extends AnyFunSuite {
     assert(df.contains((5L, 4L)))
   }
 
+  test("articulation points: shared vertex of two triangles") {
+    // triangles 1-2-3 and 3-4-5 share vertex 3
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 3L)).toDF("src", "dst")
+    val arts = Algos.articulationPoints(es).as[Long].collect().toSet
+    assert(arts === Set(3L))
+  }
+
+  test("biconnected components: two triangles sharing a vertex = two components") {
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 3L)).toDF("src", "dst")
+    val comps = Algos.biconnectedComponents(es)
+      .as[(Long, Long, Long)].collect().groupBy(_._3)
+    assert(comps.size === 2)
+    val byLabel = comps.map { case (label, es2) =>
+      label -> es2.flatMap(e => Seq(e._1, e._2)).toSet
+    }
+    assert(byLabel(1L) === Set(1L, 2L, 3L))
+    assert(byLabel(3L) === Set(3L, 4L, 5L))
+  }
+
+  test("articulation: a path's interior vertices are all articulation points") {
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Algos.articulationPoints(es).as[Long].collect().toSet === Set(2L, 3L))
+  }
+
   test("degrees counts both directions") {
     val es = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst").withColumn("label", lit("e"))
     val deg = Algos.degrees(es).as[(Long, Long)].collect().toMap
