@@ -260,6 +260,25 @@ object SparkEntry {
         .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
       graft.algos.Algos.labelPropagation(gr.kind("nation").select("id"), adj, iters = 8)
     }),
+    "q_get_vertex" -> ((s, dir) => {
+      val gr = g(s, dir)
+      gr.vertex(Vid.tag("region") * Vid.SPAN + 2)
+    }),
+    "q_of_kind" -> ((s, dir) => {
+      g(s, dir).allVertices.ofKind("supplier").props("supplier").df.select("s_name")
+    }),
+    "q_cycles" -> ((s, dir) => {
+      // fermor `cycles`/`strongly-connected-subgraphs`: nontrivial SCCs.
+      // The FK graph is acyclic, so close a deterministic back-edge per
+      // nation (nation -> its min customer) and find the resulting 2-cycles.
+      implicit val sp: SparkSession = s
+      val gr = g(s, dir)
+      val cn = gr.edges.where(col("label") === "customer_nation").select("src", "dst")
+      val back = cn.groupBy(col("dst").as("src")).agg(min(col("src")).as("dst"))
+      val edges2 = cn.unionByName(back.select("src", "dst"))
+      val vs = gr.kind("customer").select("id").unionAll(gr.kind("nation").select("id"))
+      graft.algos.Algos.nontrivialSccs(vs, edges2)
+    }),
     "q_articulation" -> ((s, dir) => {
       val gr = g(s, dir)
       graft.algos.Algos.articulationPoints(
@@ -551,6 +570,16 @@ object SparkEntry {
                                WHEN min(pn) = max(pn) THEN min(pn)
                                ELSE (SELECT 1000000000000 + r_regionkey FROM asia) END
                    FROM preds GROUP BY vid""",
+    "q_get_vertex" ->
+      "SELECT (1000000000000 + r_regionkey)::BIGINT AS id, 'region' AS kind FROM region WHERE r_regionkey = 2",
+    "q_of_kind" ->
+      "SELECT s_name FROM supplier",
+    "q_cycles" ->
+      """WITH mc AS (SELECT c_nationkey, min(c_custkey) AS k FROM customer GROUP BY 1)
+         SELECT (2000000000000 + c_nationkey)::BIGINT AS id,
+                (2000000000000 + c_nationkey)::BIGINT AS component FROM mc
+         UNION ALL
+         SELECT 3000000000000 + k, 2000000000000 + c_nationkey FROM mc""",
     "q_articulation" ->
       """SELECT (3000000000000 + c_custkey)::BIGINT AS id FROM customer
          WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 2""",

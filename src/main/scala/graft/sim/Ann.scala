@@ -23,11 +23,15 @@ object Ann {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x * 1000).cast("long"))
 
-  /** Fixed-width integer dot product, fully expanded: a flat 64-term
-    * codegen'd expression — no intermediate array allocation per row
-    * (zip_with+aggregate allocates; this is ~10× faster in the hot path). */
+  /** Integer dot product over materialized quantized arrays. Compact
+    * zip_with/aggregate form: the filter conditions downstream inline the
+    * dot expression several times, and an expanded dim-term sum inlined 3×
+    * exceeds the JVM 64 KB method limit, knocking the stage out of codegen
+    * entirely (worse than the lambda's per-row allocation). Inputs MUST be
+    * materialized attributes (withQuantNorm checkpoints) or the quantize
+    * transform would re-evaluate per reference. */
   private def dotQ(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   private def withQuantNorm(vecs: DataFrame, idCol: String, embCol: String, dim: Int): DataFrame =
     // localCheckpoint stops CollapseProject from re-inlining the quantize
@@ -73,11 +77,16 @@ object Ann {
     * deterministic pseudo-random ints derived from xxhash64(plane, dim) —
     * reproducible across runs and engines. */
   def lshSignature(qe: Column, dim: Int, numBits: Int): Column = {
+    // One zip_with/aggregate per plane (compact expression trees): an
+    // expanded dim×numBits sum would exceed the JVM's 64 KB method limit and
+    // knock the whole stage out of codegen. Signatures are computed once per
+    // input row (not per pair), so lambda-eval cost is irrelevant here.
     val bits = (0 until numBits).map { p =>
-      val proj = (0 until dim).map { i =>
-        val w = ((scala.util.hashing.MurmurHash3.productHash((p, i)) % 1001).toLong)
-        element_at(qe, i + 1) * lit(w)
-      }.reduce(_ + _)
+      val ws = (0 until dim).map { i =>
+        (scala.util.hashing.MurmurHash3.productHash((p, i)) % 1001).toLong
+      }
+      val proj = aggregate(
+        zip_with(qe, typedLit(ws), (x, w) => x * w), lit(0L), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
