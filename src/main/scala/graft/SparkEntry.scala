@@ -260,6 +260,15 @@ object SparkEntry {
         .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
       graft.algos.Algos.labelPropagation(gr.kind("nation").select("id"), adj, iters = 8)
     }),
+    "q_layout" -> ((s, dir) => { // rows-only: force-directed layout (deterministic; spec-tested)
+      val gr = g(s, dir)
+      val n = Tpch.table(s, dir, "nation")
+      val a = n.select(col("n_nationkey").as("k1"), col("n_regionkey").as("rk"))
+      val b = n.select(col("n_nationkey").as("k2"), col("n_regionkey").as("rk"))
+      val adj = a.join(b, "rk").where(col("k1") < col("k2"))
+        .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
+      graft.algos.ForceLayout.run(gr.kind("nation").select("id"), adj, iters = 10)
+    }),
     "q_get_vertex" -> ((s, dir) => {
       val gr = g(s, dir)
       gr.vertex(Vid.tag("region") * Vid.SPAN + 2)

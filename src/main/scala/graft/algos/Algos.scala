@@ -202,6 +202,81 @@ object Algos {
     idom.keys.toSeq.map(v => (v, depth(v))).toDF("id", "depth")
   }
 
+  /** Post-order / reverse-post-order DFS numbering from an entry (fermor
+    * algo.clj `post-order-numbering` / `reverse-post-order-numbering`).
+    * Successor order is sorted by id for determinism. Driver-side like the
+    * reference (DFS order is inherently sequential). */
+  def postOrderNumbering(entry: Long, edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select("src", "dst").as[(Long, Long)].collect()
+    val succ = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.sorted }
+    val order = scala.collection.mutable.ArrayBuffer[Long]()
+    val seen = scala.collection.mutable.HashSet[Long]()
+    val stack = scala.collection.mutable.Stack[(Long, Iterator[Long])]()
+    seen += entry; stack.push((entry, succ.getOrElse(entry, Array.empty[Long]).iterator))
+    while (stack.nonEmpty) {
+      val (u, it) = stack.top
+      if (it.hasNext) {
+        val v = it.next()
+        if (!seen(v)) { seen += v; stack.push((v, succ.getOrElse(v, Array.empty[Long]).iterator)) }
+      } else { stack.pop(); order += u }
+    }
+    order.toSeq.zipWithIndex.map { case (v, i) => (v, i, order.length - 1 - i) }
+      .toDF("id", "post_order", "reverse_post_order")
+  }
+
+  /** Natural-loop forest (fermor algo.clj `loop-tree` / `loop-info` /
+    * `intervals`): back edges are edges u→h where h dominates u; each loop is
+    * the union of natural loops sharing a header. Returns one row per
+    * (member, header) plus the header's nesting depth. */
+  def loopForest(entry: Long, edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val idom = immediateDominators(entry, edges).as[(Long, Long)].collect().toMap
+    def dominates(h: Long, v0: Long): Boolean = {
+      var v = v0
+      while (v != h && v != entry) v = idom(v)
+      v == h
+    }
+    val es = edges.select("src", "dst").as[(Long, Long)].collect()
+      .filter { case (s, d) => idom.contains(s) && idom.contains(d) }
+    val preds = es.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).distinct }
+    val backEdges = es.filter { case (u, h) => dominates(h, u) }
+    // natural loop of back edge u->h: h plus all vertices reaching u without
+    // passing through h
+    val loops = scala.collection.mutable.HashMap[Long, Set[Long]]().withDefaultValue(Set.empty)
+    backEdges.foreach { case (u, h) =>
+      val members = scala.collection.mutable.HashSet(h, u)
+      val work = scala.collection.mutable.Stack[Long]()
+      if (u != h) work.push(u)
+      while (work.nonEmpty) {
+        val v = work.pop()
+        preds.getOrElse(v, Array.empty[Long]).foreach { p =>
+          if (!members(p)) { members += p; work.push(p) }
+        }
+      }
+      loops(h) = loops(h) ++ members
+    }
+    val headers = loops.keySet
+    def depth(h: Long): Int =
+      headers.count(h2 => h2 != h && loops(h2).contains(h))
+    loops.toSeq.flatMap { case (h, ms) =>
+      val d = depth(h)
+      ms.toSeq.map(m => (m, h, d))
+    }.toDF("id", "header", "header_depth")
+  }
+
+  /** Vertices lying on some path from `from` to `to` (fermor algo.clj
+    * `non-loop-vertices-between`): forward-reachable(from) ∩
+    * backward-reachable(to) — two distributed BFS passes, no driver walk. */
+  def verticesBetween(vertices: DataFrame, edges: DataFrame, from: DataFrame, to: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    val fwd = bfsDistances(vertices, edges, from)
+    val bwd = bfsDistances(vertices, edges, to, reverse = true)
+    fwd.select("id").join(bwd.select("id"), "id")
+  }
+
   /** Articulation points of the undirected view of the graph (fermor
     * algo.clj `articulation-points`): iterative Tarjan low-link. Like
     * dominators, DFS-order-sequential — runs single-node on a distributedly

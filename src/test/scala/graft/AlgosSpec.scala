@@ -96,6 +96,53 @@ class AlgosSpec extends AnyFunSuite {
     assert(Algos.articulationPoints(es).as[Long].collect().toSet === Set(2L, 3L))
   }
 
+  test("postOrderNumbering: entry gets the last post-order number") {
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val nums = Algos.postOrderNumbering(1L, es)
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(nums(1L)._1 === 3 && nums(1L)._2 === 0) // entry: last in post, first in RPO
+    assert(nums(4L)._1 === 0) // deepest sink first in post-order
+  }
+
+  test("loopForest: nested loops with correct headers and depth") {
+    // outer loop 2..5 (back edge 5->2), inner loop 3..4 (back edge 4->3)
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 3L), (4L, 5L), (5L, 2L), (5L, 6L))
+      .toDF("src", "dst")
+    val rows = Algos.loopForest(1L, es).as[(Long, Long, Int)].collect()
+    val byHeader = rows.groupBy(_._2).map { case (h, ms) => h -> ms.map(_._1).toSet }
+    assert(byHeader(2L) === Set(2L, 3L, 4L, 5L))
+    assert(byHeader(3L) === Set(3L, 4L))
+    val depths = rows.map(r => r._2 -> r._3).toMap
+    assert(depths(2L) === 0 && depths(3L) === 1) // inner header nested in outer
+  }
+
+  test("verticesBetween: forward ∩ backward reachability") {
+    val vs = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L)).toDF("src", "dst")
+    val between = Algos.verticesBetween(vs, es, Seq(1L).toDF("id"), Seq(4L).toDF("id"))
+      .as[Long].collect().toSet
+    assert(between === Set(1L, 2L, 3L, 4L)) // 5 is a dead end
+  }
+
+  test("force layout: deterministic, and pulls connected pairs together") {
+    // two 3-cliques joined by one bridge edge
+    val vs = (1L to 6L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    def dist(m: Map[Long, (Double, Double)], a: Long, b: Long) = {
+      val (x1, y1) = m(a); val (x2, y2) = m(b)
+      math.hypot(x1 - x2, y1 - y2)
+    }
+    val p1 = graft.algos.ForceLayout.run(vs, es, iters = 15)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val p2 = graft.algos.ForceLayout.run(vs, es, iters = 15)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(p1 === p2) // deterministic
+    val intra = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L)).map(p => dist(p1, p._1, p._2))
+    val inter = Seq((1L, 5L), (2L, 6L), (1L, 6L)).map(p => dist(p1, p._1, p._2))
+    assert(intra.sum / intra.size < inter.sum / inter.size) // clusters separate
+  }
+
   test("degrees counts both directions") {
     val es = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst").withColumn("label", lit("e"))
     val deg = Algos.degrees(es).as[(Long, Long)].collect().toMap

@@ -86,6 +86,40 @@ class DataOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_sessions") === 2L && row.getAs[Long]("n_events") === 3L)
   }
 
+  test("streaming hourly window with watermark aggregates per bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val q = Sessionize.streamingHourly(mem.toDS().toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("update").start()
+    def t(min: Long) = new Timestamp(min * 60000L)
+    mem.addData(Sessionize.Event(1L, t(5), 2.0), Sessionize.Event(2L, t(20), 3.0),
+      Sessionize.Event(3L, t(70), 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("hourly")
+      .select(col("window.start").cast("long").as("w"), col("n_events"), col("total_value"))
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+    q.stop()
+    assert(rows(0L) === ((2L, 5.0)) && rows(3600L) === ((1L, 5.0)))
+  }
+
+  test("streaming dedup within watermark drops re-deliveries") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val deduped = mem.toDS().toDF("event_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    def t(min: Long) = new Timestamp(min * 60000L)
+    mem.addData((1L, t(0)), (2L, t(1)))
+    q.processAllAvailable()
+    mem.addData((1L, t(2)), (3L, t(3))) // 1 is a re-delivery
+    q.processAllAvailable()
+    val n = spark.table("dedup_stream").count()
+    q.stop()
+    assert(n === 3L)
+  }
+
   test("batch sessionization matches the same gap semantics") {
     def t(min: Long) = new Timestamp(min * 60000L)
     val ev = Seq((7L, t(0), 1L), (7L, t(10), 2L), (7L, t(120), 3L), (8L, t(0), 4L))
