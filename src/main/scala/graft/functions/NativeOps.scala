@@ -1,0 +1,11 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+
+/** Public facade for graft's native Catalyst expressions (which live under
+  * org.apache.spark.sql.graft to reach private[sql] internals). */
+object NativeOps {
+  /** Codegen'd integer dot product of two array<long> columns. */
+  def longArrayDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.LongArrayDot.column(a, b)
+}

@@ -23,15 +23,15 @@ object Ann {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x * 1000).cast("long"))
 
-  /** Integer dot product over materialized quantized arrays. Compact
-    * zip_with/aggregate form: the filter conditions downstream inline the
-    * dot expression several times, and an expanded dim-term sum inlined 3×
-    * exceeds the JVM 64 KB method limit, knocking the stage out of codegen
-    * entirely (worse than the lambda's per-row allocation). Inputs MUST be
+  /** Integer dot product via the native [[graft.functions.LongArrayDot]]
+    * Catalyst expression: a codegen'd primitive loop — no per-row
+    * allocation (unlike zip_with+aggregate) and no 64 KB method blowup
+    * (unlike an expanded term sum inlined into filters). Inputs MUST be
     * materialized attributes (withQuantNorm checkpoints) or the quantize
-    * transform would re-evaluate per reference. */
+    * transform would re-evaluate per reference. The `dim` parameter is kept
+    * for signature APIs (LSH planes); the dot uses runtime array length. */
   private def dotQ(a: Column, b: Column, dim: Int): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.NativeOps.longArrayDot(a, b)
 
   private def withQuantNorm(vecs: DataFrame, idCol: String, embCol: String, dim: Int): DataFrame =
     // localCheckpoint stops CollapseProject from re-inlining the quantize

@@ -70,6 +70,16 @@ class DataOpsSpec extends AnyFunSuite {
     assert(top === Set((2L, 1), (4L, 2))) // equal scores -> id ascending
   }
 
+  test("native LongArrayDot matches the zip_with reference implementation") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(round(x*1000) as bigint))").as("q"))
+    val both = vecs.select(
+      graft.functions.NativeOps.longArrayDot(col("q"), col("q")).as("native"),
+      expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (a, v) -> a + v)").as("ref"))
+    assert(both.where(col("native") =!= col("ref")).count() === 0)
+    assert(both.where(col("native") <= 0).count() === 0)
+  }
+
   test("streaming sessionization accumulates state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Sessionize.Event]
