@@ -153,6 +153,23 @@ final case class Traversal(g: PropertyGraph, df: DataFrame) {
     Traversal(g, df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn"))
   }
 
+  /** Reverse accumulated paths (fermor `reverse-paths`). */
+  def reversePaths: Traversal =
+    Traversal(g, df.withColumn("path", reverse(col("path"))))
+
+  /** Render paths as readable strings (fermor path printing, path.clj). */
+  def pathString(sep: String = "->"): Traversal =
+    Traversal(g, df.withColumn("path_str", array_join(col("path"), sep)))
+
+  /** Keep only elements whose path closed a cycle (fermor `is-cycle`):
+    * the current element appeared earlier in the path. */
+  def isCycle: Traversal =
+    where(array_position(slice(col("path"), lit(1), size(col("path")) - 1), col("id")) > 0)
+
+  /** Drop cycle-closing elements (fermor `no-cycle`). */
+  def noCycle: Traversal =
+    where(array_position(slice(col("path"), lit(1), size(col("path")) - 1), col("id")) === 0)
+
   /** Escape hatch: arbitrary DataFrame transform while staying in the
     * traversal (fermor routes interleave freely with Clojure seq fns; here
     * the DSL interleaves freely with the DataFrame API — idiomatic Spark). */

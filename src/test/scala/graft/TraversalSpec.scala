@@ -134,5 +134,31 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Set(4L))
   }
 
+  test("path helpers: reversePaths, pathString, cycle detection") {
+    val t = jobGraph.from(Seq(stephen).toDF("id")).withPaths.out("completes")
+    val strs = t.pathString().df.select("path_str").as[String].collect().toSet
+    assert(strs === Set(s"$stephen->$appStephen1", s"$stephen->$appStephen2"))
+    val rev = t.reversePaths.df.select("path").as[Seq[Long]].collect().toSet
+    assert(rev === Set(Seq(appStephen1, stephen), Seq(appStephen2, stephen)))
+    // on the cyclic graph: 1 -> 2 -> 3 -> 1 closes a cycle (allowCycles hop)
+    val c = cyclic.from(Seq(1L).toDF("id")).withPaths.out("e").out("e").out("e")
+    assert(c.isCycle.df.select("id").as[Long].collect().toSeq === Seq(1L))
+    assert(c.noCycle.df.select("id").as[Long].collect().toSeq === Seq(4L))
+  }
+
+  test("SQL extension registers long_array_dot for pure-SQL users") {
+    // (a fresh session would use .withExtensions(new GraftExtensions);
+    // the shared test session registers on its registry directly)
+    val fr = spark.sessionState.functionRegistry
+    if (!fr.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("long_array_dot"))) {
+      fr.createOrReplaceTempFunction("long_array_dot",
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          org.apache.spark.sql.graft.LongArrayDot(children(0), children(1)),
+        "built-in")
+    }
+    val r = spark.sql("SELECT long_array_dot(array(1L, 2L), array(3L, 4L)) AS d").head().getLong(0)
+    assert(r === 11L)
+  }
+
   override def afterAll(): Unit = { /* shared session; leave running */ }
 }
