@@ -117,7 +117,10 @@ object Algos {
     * level(v) = length of the longest path from any source to v. Bounded
     * DataFrame fixpoint — maxIter caps the join chain (DAG depth). */
   def topoLevels(vertices: DataFrame, edges: DataFrame, maxIter: Int = 10): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // parallel edges can't change a max-level fixpoint; dedup once upfront
+    // so every iteration joins against the smaller edge set
+    val e = edges.select(col("src"), col("dst")).dropDuplicates("src", "dst")
+      .localCheckpoint(false)
     var levels = vertices.select(col(vertices.columns.head).as("id")).withColumn("level", lit(0))
     var i = 0
     while (i < maxIter) {

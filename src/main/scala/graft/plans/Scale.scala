@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities (SURVEY.md §4): the explicit levers for 100 TB jobs that
+  * AQE alone doesn't cover — key-salting for skew, and bucketed storage for
+  * shuffle-free co-located joins.
+  */
+object Scale {
+
+  /** Skew-resistant equi-join: the (skewed) left side gets a deterministic
+    * per-row salt derived from its full row hash; the right side is
+    * replicated `salt` times. The shuffle key becomes (key, salt), so one
+    * hot key spreads over `salt` reducers instead of one straggler.
+    * Results are bag-identical to a plain inner join on `key`. */
+  def skewJoin(left: DataFrame, right: DataFrame, key: String, salt: Int = 16): DataFrame = {
+    val lSalted = left.withColumn("__salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salt)).cast("int"))
+    val rReplicated = right.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    lSalted.join(rReplicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase skew-resistant aggregation: partial aggregate on
+    * (key, salt), then final merge on key. Spark's hash aggregate already
+    * does map-side partials; this adds a REDUCE-side split for keys so hot
+    * that a single reducer partition would still straggle. */
+  def saltedSum(df: DataFrame, key: String, valueCol: String, salt: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salt)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__partial"), count(lit(1)).as("__pn"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as(valueCol), sum(col("__pn")).as("n"))
+
+  /** Persist a DataFrame bucketed+sorted by `key` as a saved table: two
+    * tables bucketed the same way join WITHOUT a shuffle (SortMergeJoin
+    * with no Exchange). This is the pre-partitioning lever for repeated
+    * co-located joins over the same keys at 100 TB. */
+  def saveBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** True when the physical plan of `df` contains no shuffle exchange —
+    * the co-location check for bucketed joins. */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

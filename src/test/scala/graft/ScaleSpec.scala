@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.Scale
+
+/** Scale levers: salting preserves join/agg semantics; bucketed tables join
+  * without a shuffle. */
+class ScaleSpec extends AnyFunSuite {
+  lazy implicit val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("skewJoin is bag-identical to a plain join") {
+    val left = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i)).toDF("k", "v")
+    val right = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "name")
+    val plain = left.join(right, "k").groupBy("k").count().as[(Long, Long)].collect().toMap
+    val salted = Scale.skewJoin(left, right, "k").groupBy("k").count()
+      .as[(Long, Long)].collect().toMap
+    assert(salted === plain)
+  }
+
+  test("saltedSum matches plain aggregation") {
+    val df = (1 to 5000).map(i => (i % 7L, i.toDouble)).toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum("v").as("v"), count(lit(1)).as("n"))
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val salted = Scale.saltedSum(df, "k", "v")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(salted.keySet === plain.keySet)
+    salted.foreach { case (k, (v, n)) =>
+      assert(n === plain(k)._2 && math.abs(v - plain(k)._1) < 1e-6)
+    }
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("id", "pa")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("id", "pb")
+    // a prior JVM's managed-table files would trip LOCATION_ALREADY_EXISTS
+    Seq("bucketed_a", "bucketed_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    }
+    Scale.saveBucketed(a, "bucketed_a", "id", 8)
+    Scale.saveBucketed(b, "bucketed_b", "id", 8)
+    // force a sort-merge join so "no Exchange" proves co-location (a
+    // broadcast join would be trivially shuffle-free)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), "id")
+      assert(joined.count() === 1000L)
+      assert(Scale.isShuffleFree(joined),
+        "bucketed join should have no Exchange:\n" + joined.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
