@@ -260,6 +260,21 @@ object SparkEntry {
         .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
       graft.algos.Algos.labelPropagation(gr.kind("nation").select("id"), adj, iters = 8)
     }),
+    "q_events_graph" -> ((s, dir) => {
+      // Graph construction from arbitrary (non-FK) data — the analogue of
+      // fermor custom_graph.clj's bring-your-own-graph layer: users become
+      // vertices, co-occurrence (same event_type, same hour) becomes edges.
+      val ev = Tpch.events(s, dir)
+        .select(col("user_id"), col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .distinct()
+      val a = ev.select(col("user_id").as("u1"), col("event_type"), col("h"))
+      val b = ev.select(col("user_id").as("u2"), col("event_type"), col("h"))
+      val edges = a.join(b, Seq("event_type", "h")).where(col("u1") < col("u2"))
+        .select(Vid.vid("user", col("u1")).as("src"), Vid.vid("user", col("u2")).as("dst"))
+        .distinct()
+        .withColumn("label", lit("cooccur"))
+      graft.algos.Algos.degrees(edges)
+    }),
     "q_layout" -> ((s, dir) => { // rows-only: force-directed layout (deterministic; spec-tested)
       val gr = g(s, dir)
       val n = Tpch.table(s, dir, "nation")
@@ -579,6 +594,13 @@ object SparkEntry {
                                WHEN min(pn) = max(pn) THEN min(pn)
                                ELSE (SELECT 1000000000000 + r_regionkey FROM asia) END
                    FROM preds GROUP BY vid""",
+    "q_events_graph" ->
+      """WITH a AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h FROM events),
+            e AS (SELECT DISTINCT x.user_id AS u1, y.user_id AS u2
+                  FROM a x JOIN a y ON x.event_type = y.event_type AND x.h = y.h AND x.user_id < y.user_id)
+         SELECT (8000000000000 + u)::BIGINT AS id, count(*) AS degree FROM (
+           SELECT u1 AS u FROM e UNION ALL SELECT u2 FROM e) t
+         GROUP BY u""",
     "q_get_vertex" ->
       "SELECT (1000000000000 + r_regionkey)::BIGINT AS id, 'region' AS kind FROM region WHERE r_regionkey = 2",
     "q_of_kind" ->
