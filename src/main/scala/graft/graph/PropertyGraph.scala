@@ -51,6 +51,20 @@ final case class PropertyGraph(
   def addEdges(rows: DataFrame): PropertyGraph =
     copy(edges = edges.unionByName(rows, allowMissingColumns = true))
 
+  /** fermor core.clj `set-document`/`update-document`: replace or merge the
+    * property columns of matching vertices in a kind table. `updates` must
+    * carry an `id` column; its other columns overwrite same-named columns
+    * (outer-join semantics: unmatched vertices keep their old values). */
+  def withVertexProps(kindName: String, updates: DataFrame): PropertyGraph = {
+    val old = kinds(kindName)
+    val overlap = updates.columns.filter(c => c != "id" && old.columns.contains(c))
+    val renamedNew = overlap.foldLeft(updates)((d, c) => d.withColumnRenamed(c, "__new_" + c))
+    val joined = old.join(renamedNew, Seq("id"), "left")
+    val merged = overlap.foldLeft(joined)((d, c) =>
+      d.withColumn(c, coalesce(col("__new_" + c), col(c))).drop("__new_" + c))
+    copy(kinds = kinds.updated(kindName, merged))
+  }
+
   /** fermor graph.clj `remove-vertex`: drop vertices and incident edges.
     * Anti-joins, so the removal set can itself be huge (no driver collect). */
   def removeVertices(ids: DataFrame): PropertyGraph = {

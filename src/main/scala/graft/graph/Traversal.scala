@@ -203,4 +203,13 @@ final case class EdgeTraversal(g: PropertyGraph, df: DataFrame, carriedCols: Seq
   def sameV: Traversal = toVertex(when(col("__dir") === "out", col("src")).otherwise(col("dst")))
 
   def where(cond: Column): EdgeTraversal = EdgeTraversal(g, df.where(cond), carriedCols)
+
+  /** fermor `followed-forward?` / `followed-reverse?`: restrict to edges the
+    * route entered from the tail (out) or the head (in). `goOn` continues
+    * past the edge in its traversal direction (fermor `go-on`); `goBack`
+    * returns to the entry vertex (fermor `go-back`). */
+  def followedForward: EdgeTraversal = where(col("__dir") === "out")
+  def followedReverse: EdgeTraversal = where(col("__dir") === "in")
+  def goOn: Traversal = otherV
+  def goBack: Traversal = sameV
 }

@@ -104,6 +104,20 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids(jobGraph.transpose.from(Seq(appBob1).toDF("id")).out("completes")) === Set(bob))
   }
 
+  test("withVertexProps merges updated documents (fermor set-document)") {
+    val updates = Seq((bob, "Robert")).toDF("id", "name")
+    val g2 = jobGraph.withVertexProps("person", updates)
+    val names = g2.kind("person").select("id", "name").as[(Long, String)].collect().toMap
+    assert(names(bob) === "Robert" && names(stephen) === "Stephen")
+  }
+
+  test("goOn/goBack and followedForward on edge routes") {
+    val e = jobGraph.from(Seq(appStephen1).toDF("id")).bothE()
+    assert(ids(e.followedForward.goOn) === Set(rexsterJob1))  // out-edge continues forward
+    assert(ids(e.followedReverse.goOn) === Set(stephen))      // in-edge continues backward
+    assert(ids(e.goBack) === Set(appStephen1))                // back to the entry vertex
+  }
+
   test("removeVertices drops vertices and incident edges") {
     val g2 = jobGraph.removeVertices(Seq(bob).toDF("id"))
     assert(g2.edges.where(col("label") === "completes").count() === 2)
