@@ -36,8 +36,8 @@ object Dedup {
     // Materialize tokens before shingling: Catalyst lambdas have no
     // let-binding, so an inline tokens() expression would be re-evaluated
     // for every element_at reference inside the shingle transform.
-    val raw = docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("ts"))
-      .select(col("id"), TextOps.shingles(col("ts"), k).as("sh0"))
+    val raw = docs.select(col(idCol).as("id"),
+        graft.functions.NativeOps.wordShingles(col(textCol), k).as("sh0"))
       .where(size(col("sh0")) > 0)
       .localCheckpoint(false) // hard boundary: shingle once, reuse everywhere
     val ex = raw.select(col("id"), explode(col("sh0")).as("s"))
@@ -92,8 +92,8 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerm: Int = 64, bands: Int = 16, minBp: Int = 5000): DataFrame = {
     val rows = numPerm / bands
-    val withSig = docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("ts"))
-      .select(col("id"), TextOps.shingles(col("ts"), k).as("sh"))
+    val withSig = docs.select(col(idCol).as("id"),
+        graft.functions.NativeOps.wordShingles(col(textCol), k).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("hs", transform(col("sh"), x => pmod(xxhash64(x), lit(MersennePrime))))
       .localCheckpoint(false) // materialize string hashes once (see minhashSigFromHashes)

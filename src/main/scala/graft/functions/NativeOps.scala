@@ -8,4 +8,9 @@ object NativeOps {
   /** Codegen'd integer dot product of two array<long> columns. */
   def longArrayDot(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.LongArrayDot.column(a, b)
+
+  /** One-pass distinct word-k-gram shingles (vs the interpreted
+    * higher-order-function pipeline). */
+  def wordShingles(text: Column, k: Int): Column =
+    org.apache.spark.sql.graft.WordShingles.column(text, k)
 }
