@@ -260,6 +260,17 @@ object SparkEntry {
         .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
       graft.algos.Algos.labelPropagation(gr.kind("nation").select("id"), adj, iters = 8)
     }),
+    "q_asof" -> ((s, dir) => {
+      // as-of join: each purchase event gets the most recent prior click
+      // value of the same user (inclusive on equal timestamps)
+      val ev = Tpch.events(s, dir).withColumn("t_us", unix_micros(col("ts")))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("t_us"), col("event_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "t_us").agg(max(col("value")).as("click_value"))
+      graft.streaming.AsOf.viaWindow(purchases, clicks, "user_id", "t_us", "click_value")
+        .select(col("event_id"), col("t_us"), col("asof_click_value"))
+    }),
     "q_events_graph" -> ((s, dir) => {
       // Graph construction from arbitrary (non-FK) data — the analogue of
       // fermor custom_graph.clj's bring-your-own-graph layer: users become
@@ -594,6 +605,12 @@ object SparkEntry {
                                WHEN min(pn) = max(pn) THEN min(pn)
                                ELSE (SELECT 1000000000000 + r_regionkey FROM asia) END
                    FROM preds GROUP BY vid""",
+    "q_asof" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP)::BIGINT AS t_us FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, epoch_us(ts::TIMESTAMP)::BIGINT AS t_us, max(value) AS click_value
+                  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.t_us, c.click_value AS asof_click_value
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t_us >= c.t_us""",
     "q_events_graph" ->
       """WITH a AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h FROM events),
             e AS (SELECT DISTINCT x.user_id AS u1, y.user_id AS u2

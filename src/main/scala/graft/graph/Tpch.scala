@@ -36,7 +36,9 @@ object Tpch {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    // integer division: `/` would go through double, whose 53-bit mantissa
+    // cannot represent epoch-nanos exactly (±1 µs error)
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** lineitem vid packs (orderkey, linenumber); linenumber is 1..7 so 3 bits

@@ -130,6 +130,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(n === 3L)
   }
 
+  test("custom AsOfJoinExec matches the window-composed as-of join") {
+    val ev = graft.graph.Tpch.events(spark, "/root/testdata/sf0.01")
+      .withColumn("t_us", unix_micros(col("ts")))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_us"), col("event_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy("user_id", "t_us").agg(max(col("value")).as("click_value"))
+    val composed = graft.streaming.AsOf
+      .viaWindow(purchases, clicks, "user_id", "t_us", "click_value")
+      .select(col("event_id"), col("asof_click_value"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val custom = org.apache.spark.sql.graft.AsOfJoinHelper
+      .asofJoin(purchases, clicks.withColumnRenamed("t_us", "t_us"), "user_id", "t_us")
+      .select(col("event_id"), col("click_value"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(custom.size === composed.size)
+    assert(custom === composed)
+  }
+
   test("batch sessionization matches the same gap semantics") {
     def t(min: Long) = new Timestamp(min * 60000L)
     val ev = Seq((7L, t(0), 1L), (7L, t(10), 2L), (7L, t(120), 3L), (8L, t(0), 4L))
