@@ -121,20 +121,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash per doc: per-token xxhash64; each output bit is the sign
-    * of the sum of ±1 contributions across tokens. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("ts"))
+    * of the sum of ±1 contributions across tokens. One custom imperative
+    * aggregate ([[org.apache.spark.sql.graft.SimHashAgg]]) instead of 64
+    * declarative sum(when(bit(j)…)) columns. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("ts"))
       .select(col("id"), explode(col("ts")).as("t"))
-    val h = toks.withColumn("th", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    val agg = h.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    agg.select(col("id"), sig.as("simhash"))
-  }
+      .withColumn("th", xxhash64(col("t")))
+      .groupBy("id")
+      .agg(org.apache.spark.sql.graft.SimHashAgg.column(col("th")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHam. Candidates via
     * 4×16-bit band exact-match (pigeonhole: ham<=3 ⇒ ≥1 band equal), then

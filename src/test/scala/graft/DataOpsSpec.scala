@@ -80,6 +80,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(both.where(col("native") <= 0).count() === 0)
   }
 
+  test("SimHashAgg matches the declarative 64-column formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = docs.select(col("doc_id").as("id"),
+        explode(graft.functions.TextOps.tokens(col("text"))).as("t"))
+      .withColumn("th", xxhash64(col("t")))
+    val viaAgg = toks.groupBy("id")
+      .agg(org.apache.spark.sql.graft.SimHashAgg.column(col("th")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val declarative = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), (0 until 64).map { j =>
+        when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_)).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaAgg === declarative)
+  }
+
   test("streaming sessionization accumulates state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Sessionize.Event]
