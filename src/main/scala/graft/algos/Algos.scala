@@ -37,12 +37,111 @@ object Algos {
   }
 
   /** Strongly connected components (fermor algo.clj
-    * `strongly-connected-components`): component id = min member id. */
-  def stronglyConnectedComponents(vertices: DataFrame, edges: DataFrame, numIter: Int = 20)(
-      implicit spark: SparkSession): DataFrame = {
+    * `strongly-connected-components`): component id = min member id.
+    *
+    * Hybrid trim + residual design (the standard scale recipe from the
+    * FW-BW/coloring SCC literature): repeatedly TRIM vertices whose in- or
+    * out-degree is zero within the remaining subgraph — such vertices cannot
+    * lie on a cycle, so they are singleton SCCs (component = own id). Each
+    * trim round is two semi-joins on a shrinking vertex set, all distributed.
+    * On real data (FK hierarchies, mostly-acyclic web/link graphs) trimming
+    * removes the overwhelming majority of vertices in a handful of rounds;
+    * the small cyclic residual is solved exactly with driver-side Tarjan
+    * (the same CFG-scale hybrid as [[immediateDominators]]). A residual too
+    * large to collect falls back to GraphX's Pregel SCC on just the residual
+    * subgraph — strictly less work than running it on the whole graph. */
+  def stronglyConnectedComponents(vertices: DataFrame, edges: DataFrame, numIter: Int = 20,
+      residualMax: Long = 2000000)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    buildGraph(vertices, edges).stronglyConnectedComponents(numIter)
-      .vertices.toDF("id", "component")
+    val vs0 = vertices.select(col(vertices.columns.head).as("id"))
+    // self-loops make a vertex cyclic but never a multi-member SCC; drop them
+    // so trimming sees the true cross-vertex cycle structure
+    val e0 = edges.select("src", "dst").where(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst")
+    var remaining = vs0.localCheckpoint(eager = false)
+    var e = e0.localCheckpoint(eager = false)
+    var prev = remaining.count()
+    var converged = prev == 0
+    var round = 0
+    while (!converged && round < 100) {
+      val srcs = e.select(col("src").as("id")).dropDuplicates("id")
+      val dsts = e.select(col("dst").as("id")).dropDuplicates("id")
+      val keep = remaining
+        .join(srcs, Seq("id"), "left_semi")
+        .join(dsts, Seq("id"), "left_semi")
+        .localCheckpoint(eager = false)
+      val n = keep.count()
+      if (n == prev) converged = true
+      else {
+        remaining = keep
+        e = e
+          .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .localCheckpoint(eager = false)
+        prev = n
+        converged = n == 0
+      }
+      round += 1
+    }
+    val residualComps: DataFrame =
+      if (prev == 0) Seq.empty[(Long, Long)].toDF("id", "component")
+      else if (prev <= residualMax) {
+        val es = e.as[(Long, Long)].collect()
+        val ids = remaining.as[Long].collect()
+        tarjanScc(ids, es).toSeq.toDF("id", "component")
+      } else {
+        buildGraph(remaining, e).stronglyConnectedComponents(numIter)
+          .vertices.toDF("id", "component")
+      }
+    vs0.join(residualComps.withColumnRenamed("component", "__rc"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__rc"), col("id")).as("component"))
+  }
+
+  /** Iterative Tarjan SCC; component label = min member id. */
+  private def tarjanScc(ids: Array[Long], es: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val succ = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.sorted }
+    val index = scala.collection.mutable.HashMap[Long, Int]()
+    val lowlink = scala.collection.mutable.HashMap[Long, Int]()
+    val onStack = scala.collection.mutable.HashSet[Long]()
+    val tstack = scala.collection.mutable.Stack[Long]()
+    val comp = scala.collection.mutable.HashMap[Long, Long]()
+    var counter = 0
+    ids.sorted.foreach { root =>
+      if (!index.contains(root)) {
+        val work = scala.collection.mutable.Stack[(Long, Iterator[Long])]()
+        index(root) = counter; lowlink(root) = counter; counter += 1
+        tstack.push(root); onStack += root
+        work.push((root, succ.getOrElse(root, Array.empty[Long]).iterator))
+        while (work.nonEmpty) {
+          val (u, it) = work.top
+          if (it.hasNext) {
+            val v = it.next()
+            if (!index.contains(v)) {
+              index(v) = counter; lowlink(v) = counter; counter += 1
+              tstack.push(v); onStack += v
+              work.push((v, succ.getOrElse(v, Array.empty[Long]).iterator))
+            } else if (onStack(v)) lowlink(u) = math.min(lowlink(u), index(v))
+          } else {
+            work.pop()
+            if (work.nonEmpty) {
+              val (p, _) = work.top
+              lowlink(p) = math.min(lowlink(p), lowlink(u))
+            }
+            if (lowlink(u) == index(u)) {
+              val members = scala.collection.mutable.ArrayBuffer[Long]()
+              var done = false
+              while (!done) {
+                val w = tstack.pop(); onStack -= w; members += w
+                if (w == u) done = true
+              }
+              val label = members.min
+              members.foreach(m => comp(m) = label)
+            }
+          }
+        }
+      }
+    }
+    ids.map(v => (v, comp.getOrElse(v, v)))
   }
 
   /** SCCs with >1 member = the cycle skeleton (fermor `cycles` /
@@ -121,19 +220,25 @@ object Algos {
     // so every iteration joins against the smaller edge set
     val e = edges.select(col("src"), col("dst")).dropDuplicates("src", "dst")
       .localCheckpoint(false)
-    var levels = vertices.select(col(vertices.columns.head).as("id")).withColumn("level", lit(0))
+    // DELTA iteration: round i propagates only the vertices whose level rose
+    // to i in round i-1 (= heads of some length-i path), instead of re-joining
+    // and re-aggregating the full vertex set every round. The per-round
+    // frontier shrinks with DAG height; one global max-merge at the end.
+    // localCheckpoint cuts lineage so round i doesn't recompute rounds 1..i-1.
+    val init = vertices.select(col(vertices.columns.head).as("id"))
+      .withColumn("level", lit(0)).localCheckpoint(eager = false)
+    var delta = init
+    val rounds = scala.collection.mutable.ArrayBuffer[DataFrame](init)
     var i = 0
     while (i < maxIter) {
-      val bumped = levels.join(e, levels("id") === e("src"))
+      delta = delta.join(e, delta("id") === e("src"))
         .select(col("dst").as("id"), (col("level") + 1).as("level"))
-      // localCheckpoint cuts lineage: without it iteration i recomputes all
-      // previous rounds (O(k²) work) and the plan tree grows unboundedly.
-      levels = levels.unionByName(bumped)
         .groupBy("id").agg(max(col("level")).as("level"))
         .localCheckpoint(eager = false)
+      rounds += delta
       i += 1
     }
-    levels
+    rounds.reduce(_.unionByName(_)).groupBy("id").agg(max(col("level")).as("level"))
   }
 
   /** Roll an aggregate up a DAG level-by-level (fermor postwalk-reduce /

@@ -64,10 +64,14 @@ object Descend {
     acc
   }
 
-  /** fermor `all`: every element reachable within maxDepth, cycles cut. */
+  /** fermor `all`: every element reachable within maxDepth, cycles cut.
+    * Each level is checkpointed eagerly: level i feeds BOTH the result union
+    * and level i+1's expansion, and Catalyst does not share common subplans
+    * across union branches — without the materialization the k-th level is
+    * recomputed O(k) times (quadratic join work). */
   def all(g: PropertyGraph, start: DataFrame, labels: Seq[String], forward: Boolean,
       maxDepth: Int): DataFrame =
-    run(g, start, labels, forward, maxDepth).select("id", "depth")
+    run(g, start, labels, forward, maxDepth, checkpointEvery = 1).select("id", "depth")
 
   /** fermor `deepest`: only elements with no further children (path-instances
     * whose id has no outgoing hop). Anti-join against the edge tails. */
@@ -75,7 +79,7 @@ object Descend {
       maxDepth: Int): DataFrame = {
     val e0 = if (labels.isEmpty) g.edges else g.edges.where(col("label").isin(labels: _*))
     val tails = e0.select(col(if (forward) "src" else "dst").as("id")).distinct()
-    run(g, start, labels, forward, maxDepth)
+    run(g, start, labels, forward, maxDepth, checkpointEvery = 1)
       .join(tails, Seq("id"), "left_anti")
       .select("id", "depth")
   }

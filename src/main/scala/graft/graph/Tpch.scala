@@ -27,13 +27,31 @@ object Vid {
 object Tpch {
   import Vid.vid
 
+  /** Opt-in scan sharing for the multi-query entry points (Bench, Verify):
+    * with 60 queries over the same handful of tables, re-reading parquet per
+    * query dominates; a persisted in-memory columnar copy is the Spark
+    * analogue of the reference holding the graph in heap (fermor's Bifurcan
+    * maps) — the data is loaded once, every query scans memory. Off by
+    * default so specs and ad-hoc use keep the pure scan path (with its
+    * parquet pushdown/pruning evidence). */
+  @volatile var shareScans: Boolean = false
+  private val tableCache =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+  private val graphCache =
+    scala.collection.concurrent.TrieMap[String, PropertyGraph]()
+
+  private def cached(key: (String, String))(build: => DataFrame): DataFrame =
+    if (!shareScans) build
+    else tableCache.getOrElseUpdate(key,
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cached((dir, name)) { spark.read.parquet(s"$dir/$name.parquet") }
 
   /** events.parquet stores nanosecond timestamps, which Spark's vectorized
     * reader rejects; read them as long nanos and rebuild a (µs-truncated)
     * timestamp column — the same truncation DuckDB applies. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame = cached((dir, "__events")) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     // integer division: `/` would go through double, whose 53-bit mantissa
@@ -49,7 +67,16 @@ object Tpch {
   def lineitemVid(orderkey: Column, linenumber: Column): Column =
     lit(Vid.tag("lineitem") * Vid.SPAN) + orderkey.cast("long") * 8 + linenumber.cast("long")
 
-  def load(spark: SparkSession, dir: String): PropertyGraph = {
+  def load(spark: SparkSession, dir: String): PropertyGraph =
+    if (!shareScans) build(spark, dir)
+    else graphCache.getOrElseUpdate(dir, {
+      val g = build(spark, dir)
+      // the edge table is touched by nearly every traversal and is itself a
+      // 6-way union over the base tables — persist the materialized union
+      g.copy(edges = g.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+
+  private def build(spark: SparkSession, dir: String): PropertyGraph = {
     val region   = table(spark, dir, "region")
     val nation   = table(spark, dir, "nation")
     val customer = table(spark, dir, "customer")
