@@ -314,6 +314,34 @@ object SparkEntry {
       val vs = gr.kind("customer").select("id").unionAll(gr.kind("nation").select("id"))
       graft.algos.Algos.nontrivialSccs(vs, edges2)
     }),
+    "q_loop_tree" -> ((s, dir) => {
+      // fermor `loop-tree`/`intervals`/`loop-info`: natural-loop forest with
+      // nesting depth, on a derived cyclic CFG — the ASIA FK sub-DAG in
+      // forward (region→nation→customer) direction, closed by two tiers of
+      // deterministic back-edges: each nation's min customer → nation
+      // (inner loops), and the region's min nation → region (outer loop,
+      // which nests the min nation's inner loop at depth 1).
+      val region = Tpch.table(s, dir, "region")
+      val nation = Tpch.table(s, dir, "nation")
+      val customer = Tpch.table(s, dir, "customer")
+      val rkey = region.where(col("r_name") === "ASIA").select("r_regionkey").head().getInt(0)
+      val entry = Vid.tag("region") * Vid.SPAN + rkey
+      val an = nation.where(col("n_regionkey") === rkey)
+        .select(Vid.vid("nation", col("n_nationkey")).as("nvid"), col("n_nationkey"))
+      val rn = an.select(lit(entry).as("src"), col("nvid").as("dst"))
+      val ac = customer.join(an.select(col("n_nationkey")), col("c_nationkey") === col("n_nationkey"))
+        .select(Vid.vid("nation", col("c_nationkey")).as("nvid"),
+                Vid.vid("customer", col("c_custkey")).as("cvid"))
+      val nc = ac.select(col("nvid").as("src"), col("cvid").as("dst"))
+      val back1 = ac.groupBy("nvid").agg(min(col("cvid")).as("mcvid"))
+        .select(col("mcvid").as("src"), col("nvid").as("dst"))
+      val back2 = an.agg(min(col("nvid")).as("src")).select(col("src"), lit(entry).as("dst"))
+      val edges = rn.unionByName(nc).unionByName(back1).unionByName(back2)
+      graft.algos.Algos.loopForest(entry, edges)
+    }),
+    "q_ann_ivf" -> ((s, dir) => // rows-only: IVF-flat scale path, recall spec vs brute
+      graft.sim.Ann.ivfTopK(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
+        querySide = _.where(col("id") < 100), nlist = 16, nprobe = 4)),
     "q_articulation" -> ((s, dir) => {
       val gr = g(s, dir)
       graft.algos.Algos.articulationPoints(
@@ -631,6 +659,27 @@ object SparkEntry {
     "q_articulation" ->
       """SELECT (3000000000000 + c_custkey)::BIGINT AS id FROM customer
          WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 2""",
+    "q_loop_tree" ->
+      """WITH ak AS (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'),
+            an AS (SELECT n_nationkey FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM ak)),
+            mc AS (SELECT c_nationkey, min(c_custkey) AS k FROM customer
+                   WHERE c_nationkey IN (SELECT n_nationkey FROM an) GROUP BY 1),
+            mn AS (SELECT min(n_nationkey) AS nk FROM an)
+         SELECT (2000000000000 + c_nationkey)::BIGINT AS id,
+                (2000000000000 + c_nationkey)::BIGINT AS header,
+                CASE WHEN c_nationkey = (SELECT nk FROM mn) THEN 1 ELSE 0 END AS header_depth
+         FROM mc
+         UNION ALL
+         SELECT 3000000000000 + k, 2000000000000 + c_nationkey,
+                CASE WHEN c_nationkey = (SELECT nk FROM mn) THEN 1 ELSE 0 END
+         FROM mc
+         UNION ALL SELECT (1000000000000 + r_regionkey)::BIGINT,
+                          (1000000000000 + r_regionkey)::BIGINT, 0 FROM ak
+         UNION ALL SELECT (2000000000000 + nk)::BIGINT,
+                          (SELECT 1000000000000 + r_regionkey FROM ak), 0 FROM mn
+         UNION ALL SELECT (3000000000000 + k)::BIGINT,
+                          (SELECT 1000000000000 + r_regionkey FROM ak), 0
+                   FROM mc WHERE c_nationkey = (SELECT nk FROM mn)""",
     "q_sql" ->
       """SELECT n_name, count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey

@@ -260,20 +260,57 @@ object Algos {
     * Dominance is DFS-order-sequential, so like the reference this runs
     * single-node — on a CFG-scale subgraph extracted distributedly. Returns
     * (id, idom); the entry maps to itself. */
+  /** Edges reachable from `entry` — the distributed extraction step in front
+    * of every driver-side DFS analysis (dominators, loop forest): a semi-join
+    * BFS over a deduped edge table, so what reaches the driver is only the
+    * entry's flow subgraph, not the whole 100 TB edge set. */
+  def reachableEdges(entry: Long, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select("src", "dst").dropDuplicates("src", "dst")
+      .localCheckpoint(eager = false)
+    var visited = Seq(entry).toDF("id").localCheckpoint(eager = false)
+    var frontier = visited
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val next = e.join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("id")).dropDuplicates("id")
+        .join(visited, Seq("id"), "left_anti")
+        .localCheckpoint(eager = false)
+      if (next.isEmpty) done = true
+      else { visited = visited.unionByName(next).localCheckpoint(eager = false); frontier = next }
+      i += 1
+    }
+    // an edge is in the flow subgraph iff its src is reachable (its dst then
+    // is too, by following that very edge)
+    e.join(visited.select(col("id").as("src")), Seq("src"), "left_semi")
+  }
+
   def immediateDominators(entry: Long, edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val es = edges.select("src", "dst").as[(Long, Long)].collect()
+    val es = reachableEdges(entry, edges).as[(Long, Long)].collect()
+    idomLocal(entry, es).toSeq.toDF("id", "idom")
+  }
+
+  /** Cooper–Harvey–Kennedy on reverse postorder, driver arrays. `es` must
+    * already be the entry's reachable subgraph. */
+  private def idomLocal(entry: Long, es: Array[(Long, Long)]): scala.collection.mutable.HashMap[Long, Long] = {
     val succ = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
-    // DFS from entry → reverse postorder
+    // iterative DFS from entry → reverse postorder (explicit stack: safe on
+    // deep chain graphs where recursion would blow the JVM stack)
     val rpoList = scala.collection.mutable.ArrayBuffer[Long]()
-    val seen = scala.collection.mutable.HashSet[Long]()
-    def dfs(v: Long): Unit = {
-      seen += v
-      succ.getOrElse(v, Array.empty[Long]).foreach(w => if (!seen(w)) dfs(w))
-      rpoList += v
+    val seen = scala.collection.mutable.HashSet[Long](entry)
+    val stack = scala.collection.mutable.Stack[(Long, Iterator[Long])](
+      (entry, succ.getOrElse(entry, Array.empty[Long]).iterator))
+    while (stack.nonEmpty) {
+      val (u, it) = stack.top
+      if (it.hasNext) {
+        val v = it.next()
+        if (!seen(v)) { seen += v; stack.push((v, succ.getOrElse(v, Array.empty[Long]).iterator)) }
+      } else { stack.pop(); rpoList += u }
     }
-    dfs(entry)
     val rpo = rpoList.reverse.toArray // entry first
     val rpoNum = rpo.zipWithIndex.toMap
     val preds = es.filter { case (s, d) => rpoNum.contains(s) && rpoNum.contains(d) }
@@ -298,7 +335,7 @@ object Algos {
         }
       }
     }
-    idom.toSeq.toDF("id", "idom")
+    idom
   }
 
   /** Depth of each vertex in the dominator tree (fermor `dominator-depth`). */
@@ -341,14 +378,13 @@ object Algos {
   def loopForest(entry: Long, edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val idom = immediateDominators(entry, edges).as[(Long, Long)].collect().toMap
+    val es = reachableEdges(entry, edges).as[(Long, Long)].collect()
+    val idom = idomLocal(entry, es)
     def dominates(h: Long, v0: Long): Boolean = {
       var v = v0
       while (v != h && v != entry) v = idom(v)
       v == h
     }
-    val es = edges.select("src", "dst").as[(Long, Long)].collect()
-      .filter { case (s, d) => idom.contains(s) && idom.contains(d) }
     val preds = es.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).distinct }
     val backEdges = es.filter { case (u, h) => dominates(h, u) }
     // natural loop of back edge u->h: h plus all vertices reaching u without
@@ -500,9 +536,8 @@ object Algos {
   def dominanceFrontiers(entry: Long, edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val idomMap = immediateDominators(entry, edges).as[(Long, Long)].collect().toMap
-    val es = edges.select("src", "dst").as[(Long, Long)].collect()
-      .filter { case (s, d) => idomMap.contains(s) && idomMap.contains(d) }
+    val es = reachableEdges(entry, edges).as[(Long, Long)].collect()
+    val idomMap = idomLocal(entry, es)
     val preds = es.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).distinct }
     val df = scala.collection.mutable.HashMap[Long, Set[Long]]().withDefaultValue(Set.empty)
     idomMap.keys.foreach { b =>

@@ -121,4 +121,50 @@ object Ann {
       .where(col("dot") > 0 && lit(1000000L) * col("dot") * col("dot") >= t2 * col("na") * col("nb"))
       .select("id_a", "id_b", "dot")
   }
+
+  /** IVF-style approximate top-k: the second scale path next to LSH.
+    *
+    * A coarse quantizer of `nlist` leader centroids — deterministically the
+    * `nlist` lowest-id vectors (a "sampled leaders" quantizer: reproducible
+    * across runs and engines, no RNG, no iterative k-means) — partitions the
+    * collection: every vector is indexed under its highest-integer-cosine
+    * leader (one broadcast join + window argmin; the leader table is tiny by
+    * construction, so assignment never shuffles the collection). A query
+    * probes its `nprobe` nearest leaders and rescores exactly within those
+    * cells, so candidate generation is an equi-join on the cell id — the
+    * same narrow shuffle shape as the LSH path, but with data-adaptive cells
+    * (IVF-flat, the standard ANN index layout). */
+  def ivfTopK(vecs: DataFrame, idCol: String, embCol: String, k: Int,
+      querySide: DataFrame => DataFrame, nlist: Int = 16, nprobe: Int = 2,
+      dim: Int = 64): DataFrame = {
+    val qd = withQuantNorm(vecs, idCol, embCol, dim)
+    val leaders = qd.orderBy(col("id").asc).limit(nlist)
+      .select(col("id").as("lid"), col("q").as("lq"), col("nq").as("ln"))
+      .localCheckpoint(false)
+    // integer cosine score against each leader; deterministic tie-break on lid
+    def ranked(side: DataFrame, idAs: String): DataFrame = {
+      val scored = side.crossJoin(broadcast(leaders))
+        .withColumn("ldot", dotQ(col("q"), col("lq"), dim))
+        .withColumn("lsq", floor(sqrt(col("nq").cast("double") * col("ln").cast("double"))).cast("long"))
+        .withColumn("lscore", (col("ldot") * 1000000L).divide(greatest(col("lsq"), lit(1L))).cast("long"))
+      val w = Window.partitionBy("id").orderBy(col("lscore").desc, col("lid").asc)
+      scored.withColumn("lrn", row_number().over(w))
+        .select(col("id").as(idAs), col("lid").as("cell"), col("lrn"))
+    }
+    val indexed = ranked(qd, "id_n").where(col("lrn") === 1).drop("lrn")
+    val probes = ranked(querySide(qd), "id_q").where(col("lrn") <= nprobe).drop("lrn")
+    val cands = probes.join(indexed, "cell")
+      .where(col("id_q") =!= col("id_n"))
+      .select("id_q", "id_n").dropDuplicates("id_q", "id_n")
+    val scored = cands
+      .join(qd.select(col("id").as("id_q"), col("q").as("qa"), col("nq").as("na")), "id_q")
+      .join(qd.select(col("id").as("id_n"), col("q").as("qb"), col("nq").as("nb")), "id_n")
+      .withColumn("dot", dotQ(col("qa"), col("qb"), dim))
+      .where(col("dot") > 0)
+      .withColumn("isq", floor(sqrt(col("na").cast("double") * col("nb").cast("double"))).cast("long"))
+      .withColumn("score", (col("dot") * 1000000L).divide(col("isq")).cast("long"))
+    val w = Window.partitionBy("id_q").orderBy(col("score").desc, col("id_n").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("id_q"), col("id_n"), col("score"), col("rn"))
+  }
 }

@@ -149,6 +149,50 @@ class DataOpsSpec extends AnyFunSuite {
     assert(n === 3L)
   }
 
+  test("IVF ANN: exact rescore subset of brute-force, with usable recall") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val brute = Ann.bruteTopK(vecs, "vec_id", "embedding", k = 3, _.where(col("id") < 100))
+      .select("id_q", "id_n", "score").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val ivf = Ann.ivfTopK(vecs, "vec_id", "embedding", k = 3, _.where(col("id") < 100),
+        nlist = 16, nprobe = 4)
+      .select("id_q", "id_n", "score").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // scores are the same exact integer cosine on both paths
+    ivf.foreach { case (pair, s) => brute.get(pair).foreach(bs => assert(bs === s)) }
+    val recall = ivf.keySet.intersect(brute.keySet).size.toDouble / brute.size
+    assert(recall > 0.5, s"recall@3 was $recall")
+  }
+
+  test("file-source streaming: parquet drop directory feeds the hourly window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs_stream").toFile.getAbsolutePath
+    val cp = java.nio.file.Files.createTempDirectory("graft_fs_cp").toFile.getAbsolutePath
+    def t(min: Long) = new Timestamp(min * 60000L)
+    def drop(rows: Seq[Sessionize.Event]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(dir)
+    drop(Seq(Sessionize.Event(1L, t(5), 2.0), Sessionize.Event(2L, t(20), 3.0)))
+    val in = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = Sessionize.streamingHourly(in)
+      .writeStream.format("memory").queryName("fs_hourly")
+      .option("checkpointLocation", cp).outputMode("update").start()
+    q.processAllAvailable()
+    val first = spark.table("fs_hourly")
+      .select(col("window.start").cast("long"), col("n_events")).as[(Long, Long)]
+      .collect().toMap
+    assert(first(0L) === 2L)
+    drop(Seq(Sessionize.Event(3L, t(30), 1.0), Sessionize.Event(4L, t(70), 4.0)))
+    q.processAllAvailable()
+    val rows = spark.table("fs_hourly")
+      .select(col("window.start").cast("long"), col("n_events")).as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+    q.stop()
+    assert(rows(0L) === 3L && rows(3600L) === 1L)
+  }
+
   test("custom AsOfJoinExec matches the window-composed as-of join") {
     val ev = graft.graph.Tpch.events(spark, "/root/testdata/sf0.01")
       .withColumn("t_us", unix_micros(col("ts")))
