@@ -347,10 +347,17 @@ object SparkEntry {
       graft.algos.Algos.articulationPoints(
         gr.edges.where(col("label") === "order_customer"))
     }),
-    "q_bcc" -> ((s, dir) => { // rows-only: biconnected components (spec-tested)
+    "q_bcc" -> ((s, dir) => {
+      // The undirected customer—nation—region view is a forest, so every
+      // edge is a bridge = its own biconnected component (component label =
+      // min endpoint) — which makes the edge-partition SQL-expressible.
+      // Endpoints are normalized (least/greatest) because Tarjan reports
+      // tree edges in DFS orientation.
       val gr = g(s, dir)
       graft.algos.Algos.biconnectedComponents(
         gr.edges.where(col("label").isin("customer_nation", "nation_region")))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"), col("component"))
     }),
     "q_sql" -> ((s, dir) => {
       val gr = g(s, dir)
@@ -659,6 +666,13 @@ object SparkEntry {
     "q_articulation" ->
       """SELECT (3000000000000 + c_custkey)::BIGINT AS id FROM customer
          WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 2""",
+    "q_bcc" ->
+      """SELECT (2000000000000 + c_nationkey)::BIGINT AS a,
+                (3000000000000 + c_custkey)::BIGINT AS b,
+                (2000000000000 + c_nationkey)::BIGINT AS component FROM customer
+         UNION ALL
+         SELECT 1000000000000 + n_regionkey, 2000000000000 + n_nationkey,
+                1000000000000 + n_regionkey FROM nation""",
     "q_loop_tree" ->
       """WITH ak AS (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'),
             an AS (SELECT n_nationkey FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM ak)),

@@ -154,24 +154,35 @@ object Algos {
   }
 
   /** Unweighted BFS distances from a source set (fermor algo.clj
-    * `shortest-path`, `breadth-first-nodes`). Pregel; `reverse` follows
-    * edges dst→src (e.g. down a FK hierarchy). Returns reachable (id, dist). */
+    * `shortest-path`, `breadth-first-nodes`). `reverse` follows edges
+    * dst→src (e.g. down a FK hierarchy). Returns reachable (id, dist).
+    *
+    * Level-synchronous DataFrame delta BFS: each round expands only the
+    * newest frontier (semi-join on the deduped edge table) and anti-joins
+    * the visited set, so per-round work tracks frontier size — the same
+    * shape GraphX Pregel computes, without the RDD conversion and
+    * vertex-state machinery, and AQE-planned per round. */
   def bfsDistances(vertices: DataFrame, edges: DataFrame, sources: DataFrame,
-      reverse: Boolean = false)(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val srcSet = spark.sparkContext.broadcast(
-      sources.select(sources.columns.head).rdd.map(_.getLong(0)).collect().toSet)
-    val g0 = buildGraph(vertices, edges)
-    val g = g0.mapVertices((id, _) => if (srcSet.value(id)) 0 else Int.MaxValue)
-    val INF = Int.MaxValue
-    def send(t: EdgeTriplet[Int, Int]): Iterator[(VertexId, Int)] = {
-      val (fromAttr, toId) = if (reverse) (t.dstAttr, t.srcId) else (t.srcAttr, t.dstId)
-      val toAttr = if (reverse) t.srcAttr else t.dstAttr
-      if (fromAttr != INF && fromAttr + 1 < toAttr) Iterator((toId, fromAttr + 1)) else Iterator.empty
+      reverse: Boolean = false, maxIter: Int = 1000)(implicit spark: SparkSession): DataFrame = {
+    val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
+    val e = edges.select(col(from).as("__from"), col(to).as("__to"))
+      .dropDuplicates("__from", "__to").localCheckpoint(eager = false)
+    var dist = sources.select(col(sources.columns.head).as("id")).dropDuplicates("id")
+      .withColumn("dist", lit(0)).localCheckpoint(eager = false)
+    var frontier = dist
+    var d = 0
+    var done = false
+    while (!done && d < maxIter) {
+      val next = e.join(frontier.select(col("id").as("__from")), Seq("__from"), "left_semi")
+        .select(col("__to").as("id")).dropDuplicates("id")
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("dist", lit(d + 1))
+        .localCheckpoint(eager = false)
+      if (next.isEmpty) done = true
+      else { dist = dist.unionByName(next).localCheckpoint(eager = false); frontier = next }
+      d += 1
     }
-    val res = org.apache.spark.graphx.Pregel(g, INF)(
-      (_, attr, msg) => math.min(attr, msg), send, math.min)
-    res.vertices.filter(_._2 != INF).toDF("id", "dist")
+    dist
   }
 
   /** PageRank (capability class inherited from the reference's Pacer
@@ -230,12 +241,13 @@ object Algos {
     var delta = init
     val rounds = scala.collection.mutable.ArrayBuffer[DataFrame](init)
     var i = 0
-    while (i < maxIter) {
+    var done = false
+    while (!done && i < maxIter) {
       delta = delta.join(e, delta("id") === e("src"))
         .select(col("dst").as("id"), (col("level") + 1).as("level"))
         .groupBy("id").agg(max(col("level")).as("level"))
         .localCheckpoint(eager = false)
-      rounds += delta
+      if (delta.isEmpty) done = true else rounds += delta
       i += 1
     }
     rounds.reduce(_.unionByName(_)).groupBy("id").agg(max(col("level")).as("level"))

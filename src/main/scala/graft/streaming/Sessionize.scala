@@ -65,6 +65,48 @@ object Sessionize {
       }
   }
 
+  case class OpenSession(startTs: Long, lastTs: Long, nEvents: Long)
+  case class ClosedSession(user_id: Long, start_ts: Long, end_ts: Long, n_events: Long)
+
+  /** Event-time streaming sessionization: sessions close when EVENT TIME
+    * (not wall clock) passes last-event + gap, driven by the watermark via
+    * `EventTimeTimeout` — the production shape for out-of-order streams
+    * (the ProcessingTimeTimeout variant above is the didactic one). Emits
+    * one row per CLOSED session. */
+  def streamingEventTime(events: Dataset[Event], gapSec: Long = 1800)(
+      implicit spark: SparkSession): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, st.startTs, st.lastTs, st.nEvents))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime / 1000
+              if (st == null) st = OpenSession(t, t, 1L)
+              else if (t - st.lastTs > gapSec) {
+                closed += ClosedSession(uid, st.startTs, st.lastTs, st.nEvents)
+                st = OpenSession(t, t, 1L)
+              } else st = OpenSession(st.startTs, math.max(st.lastTs, t), st.nEvents + 1)
+            }
+            state.update(st)
+            // close when the watermark passes last-event + gap (never set a
+            // timeout at/below the current watermark — Spark rejects it)
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(st.lastTs * 1000 + gapSec * 1000, wm + 1))
+            closed.iterator
+          }
+      }
+  }
+
   /** Streaming hourly window with watermark (late data dropped after 2h). */
   def streamingHourly(events: DataFrame): DataFrame =
     events

@@ -131,6 +131,30 @@ class DataOpsSpec extends AnyFunSuite {
     assert(rows(0L) === ((2L, 5.0)) && rows(3600L) === ((1L, 5.0)))
   }
 
+  test("event-time sessionization closes sessions as the watermark advances") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val q = Sessionize.streamingEventTime(mem.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("et_sess").outputMode("append").start()
+    // keep all events strictly above the initial watermark (epoch 0) — a row
+    // AT the watermark is dropped as late data
+    def t(min: Long) = new Timestamp((60 + min) * 60000L)
+    mem.addData(Sessionize.Event(7L, t(0), 1.0), Sessionize.Event(7L, t(10), 1.0))
+    q.processAllAvailable()
+    assert(spark.table("et_sess").count() === 0L) // session still open
+    // event 4h later: watermark (max event time - 10 min) passes
+    // last(10 min) + gap(30 min) -> the first session must close
+    mem.addData(Sessionize.Event(7L, t(240), 1.0))
+    q.processAllAvailable()
+    mem.addData(Sessionize.Event(8L, t(300), 1.0)) // push watermark again
+    q.processAllAvailable()
+    val rows = spark.table("et_sess")
+      .select("user_id", "start_ts", "end_ts", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(rows.contains((7L, 3600L, 4200L, 2L)))
+  }
+
   test("streaming dedup within watermark drops re-deliveries") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]

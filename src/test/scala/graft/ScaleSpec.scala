@@ -53,4 +53,30 @@ class ScaleSpec extends AnyFunSuite {
         "bucketed join should have no Exchange:\n" + joined.queryExecution.executedPlan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("bucketed TPC-H edge storage: a traversal hop runs with no exchange") {
+    // SURVEY §7 storage demo: persist the property-graph tables bucketed on
+    // the hop key; a frontier⋈edges traversal hop then needs no shuffle at
+    // all — the plan co-locates by bucket. This is the storage layout that
+    // makes repeated traversals over a 100 TB graph shuffle-free.
+    val gr = graph.Tpch.load(spark, "/root/testdata/sf0.001")
+    Seq("bucketed_li", "bucketed_edges").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    }
+    Scale.saveBucketed(gr.kind("lineitem").select("id", "l_quantity"), "bucketed_li", "id", 8)
+    Scale.saveBucketed(gr.edges.where(col("label") === "lineitem_order")
+      .select("src", "dst"), "bucketed_edges", "src", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hop = spark.table("bucketed_li")
+        .join(spark.table("bucketed_edges"), col("id") === col("src"))
+        .select(col("dst"), col("l_quantity"))
+      assert(hop.count() > 0L)
+      assert(Scale.isShuffleFree(hop),
+        "bucketed traversal hop should have no Exchange:\n" + hop.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
