@@ -135,6 +135,14 @@ object SparkEntry {
         .where(col("id") =!= col("self"))
         .df.groupBy("o_orderkey").agg(count(lit(1)).as("n_siblings"))
     }),
+    "q_group_count" -> ((s, dir) => {
+      // fermor group-count/group-by-count/sorted-group-count: key frequency
+      // along a route (here: orders per priority of high-value customers)
+      g(s, dir).ofKind("customer")
+        .hasProperty("customer", col("c_acctbal") > 5000)
+        .in("order_customer").props("orders")
+        .groupCount(col("o_orderpriority"))
+    }),
     "q_topk_per_group" -> ((s, dir) => {
       g(s, dir).ofKind("nation").props("nation")
         .in("customer_nation").props("customer")
@@ -494,6 +502,10 @@ object SparkEntry {
       """SELECT a.o_orderkey, count(*) AS n_siblings
          FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey AND a.o_orderkey <> b.o_orderkey
          GROUP BY a.o_orderkey""",
+    "q_group_count" ->
+      """SELECT o_orderpriority, count(*) AS n
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_acctbal > 5000 GROUP BY 1""",
     "q_topk_per_group" ->
       """SELECT n_name, c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey
          QUALIFY row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC) <= 3""",

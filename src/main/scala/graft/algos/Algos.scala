@@ -231,23 +231,26 @@ object Algos {
     // so every iteration joins against the smaller edge set
     val e = edges.select(col("src"), col("dst")).dropDuplicates("src", "dst")
       .localCheckpoint(false)
-    // DELTA iteration: round i propagates only the vertices whose level rose
-    // to i in round i-1 (= heads of some length-i path), instead of re-joining
-    // and re-aggregating the full vertex set every round. The per-round
-    // frontier shrinks with DAG height; one global max-merge at the end.
+    // DELTA iteration: round i's frontier is exactly the heads of some
+    // length-i path, so the level column is constant per round — each round
+    // is a semi-join + distinct on the previous frontier only (no re-join or
+    // re-agg of the full vertex set), and round 1 needs no join at all (it
+    // is just the distinct edge heads). One global max-merge at the end.
     // localCheckpoint cuts lineage so round i doesn't recompute rounds 1..i-1.
     val init = vertices.select(col(vertices.columns.head).as("id"))
-      .withColumn("level", lit(0)).localCheckpoint(eager = false)
-    var delta = init
+      .withColumn("level", lit(0))
+    var frontier = e.select(col("dst").as("id")).dropDuplicates("id")
+      .localCheckpoint(eager = false)
     val rounds = scala.collection.mutable.ArrayBuffer[DataFrame](init)
-    var i = 0
-    var done = false
+    var i = 1
+    var done = frontier.isEmpty
+    if (!done) rounds += frontier.withColumn("level", lit(1))
     while (!done && i < maxIter) {
-      delta = delta.join(e, delta("id") === e("src"))
-        .select(col("dst").as("id"), (col("level") + 1).as("level"))
-        .groupBy("id").agg(max(col("level")).as("level"))
+      frontier = e.join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("id")).dropDuplicates("id")
         .localCheckpoint(eager = false)
-      if (delta.isEmpty) done = true else rounds += delta
+      if (frontier.isEmpty) done = true
+      else rounds += frontier.withColumn("level", lit(i + 1))
       i += 1
     }
     rounds.reduce(_.unionByName(_)).groupBy("id").agg(max(col("level")).as("level"))

@@ -143,6 +143,29 @@ final case class Traversal(g: PropertyGraph, df: DataFrame) {
   def branch(fs: (Traversal => Traversal)*): Traversal =
     Traversal(g, fs.map(f => f(this).df).reduce(_.unionByName(_, allowMissingColumns = true)))
 
+  /** fermor core.clj:924 `keyed-branch`: branch where every sub-route's rows
+    * carry the branch key in a `__branch` column, so downstream steps can
+    * tell the merged streams apart (the distributed analogue of fermor's
+    * key-interleaved lazy seq). */
+  def keyedBranch(fs: (String, Traversal => Traversal)*): Traversal =
+    Traversal(g, fs.map { case (k, f) => f(this).df.withColumn("__branch", lit(k)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true)))
+
+  /** fermor `group-count`/`group-by-count`: frequency of a key expression
+    * along the route (one shuffle, map-side partial agg). fermor's
+    * `sorted-group-count` is `.orderBy` on the result. */
+  def groupCount(key: Column): DataFrame =
+    df.groupBy(key).agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+
+  /** fermor `index-by` / `index-by-multi`: build a keyed lookup from the
+    * route. A distributed index IS a keyed DataFrame — usable as a join
+    * target (exact lookups stay distributed; no driver-side map). */
+  def indexBy(key: Column, value: Column): DataFrame =
+    df.groupBy(key).agg(sort_array(collect_list(value)).as("values"))
+
+  /** fermor `pluck`: map each route element to an expression value. */
+  def pluck(e: Column*): DataFrame = df.select(e: _*)
+
   /** fermor `distinct-in`: de-duplicate the frontier by id (+carried keys). */
   def distinctIds: Traversal = Traversal(g, df.dropDuplicates("id" +: carried))
 
@@ -156,6 +179,10 @@ final case class Traversal(g: PropertyGraph, df: DataFrame) {
   /** Reverse accumulated paths (fermor `reverse-paths`). */
   def reversePaths: Traversal =
     Traversal(g, df.withColumn("path", reverse(col("path"))))
+
+  /** Restart path accumulation from the current position (fermor `reset-path`). */
+  def resetPath: Traversal =
+    Traversal(g, df.withColumn("path", array(col("id"))))
 
   /** Render paths as readable strings (fermor path printing, path.clj). */
   def pathString(sep: String = "->"): Traversal =

@@ -149,6 +149,32 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Set(4L))
   }
 
+  test("keyedBranch tags merged sub-routes; groupCount/indexBy/pluck/resetPath") {
+    val t = jobGraph.from(jobGraph.kind("person"))
+    // keyed-branch: apps and (via apps) jobs, each stream tagged
+    val kb = t.keyedBranch(
+      "apps" -> (_.out("completes")),
+      "jobs" -> (_.out("completes").out("appliesTo")))
+      .df.groupBy("__branch").count()
+      .as[(String, Long)].collect().toMap
+    assert(kb === Map("apps" -> 4L, "jobs" -> 4L))
+    // group-count: applications per person
+    val gc = t.out("completes").mapDf(_.withColumn("who", col("id") % 10))
+      .groupCount(col("who") >= lit(3L))
+    assert(gc.count() === 2L)
+    // index-by: company -> its created jobs, as a keyed DataFrame
+    val idx = jobGraph.from(jobGraph.kind("company")).tag("comp").out("created")
+      .indexBy(col("comp"), col("id"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(idx(blueprints) === Seq(blueprintsJob1, blueprintsJob2, blueprintsJob3))
+    assert(idx(rexster) === Seq(rexsterJob1))
+    // pluck + resetPath: path restarts at the current element
+    val p = jobGraph.from(Seq(bob).toDF("id")).withPaths
+      .out("completes").resetPath.out("appliesTo")
+      .pluck(col("path")).as[Seq[Long]].collect().toSet
+    assert(p === Set(Seq(appBob1, blueprintsJob1), Seq(appBob2, blueprintsJob2)))
+  }
+
   test("path helpers: reversePaths, pathString, cycle detection") {
     val t = jobGraph.from(Seq(stephen).toDF("id")).withPaths.out("completes")
     val strs = t.pathString().df.select("path_str").as[String].collect().toSet
