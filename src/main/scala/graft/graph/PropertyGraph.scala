@@ -81,6 +81,49 @@ final case class PropertyGraph(
   def edgeSubgraph(labels: String*): PropertyGraph =
     copy(edges = edges.where(col("label").isin(labels: _*)))
 
+  /** Distinct edge labels present (fermor graph.clj `labels`). */
+  def labels: Seq[String] =
+    edges.select("label").distinct().collect().map(_.getString(0)).sorted.toSeq
+
+  /** One label-restricted subgraph per present label (fermor `edge-graphs`). */
+  def edgeGraphs: Map[String, PropertyGraph] =
+    labels.map(l => l -> edgeSubgraph(l)).toMap
+
+  /** Vertices that have at least one `label` edge in the given direction
+    * (fermor graph.clj `vertices-with-edge`): a semi-join — no fan-out. */
+  def verticesWithEdge(label: String, direction: String = "out"): DataFrame = {
+    val keys = direction match {
+      case "out"  => Seq("src")
+      case "in"   => Seq("dst")
+      case _      => Seq("src", "dst")
+    }
+    val e = edges.where(col("label") === label)
+    val ids = keys.map(k => e.select(col(k).as("id"))).reduce(_.unionAll(_))
+    vertices.join(ids.dropDuplicates("id"), Seq("id"), "left_semi")
+  }
+
+  /** fermor graph.clj `add-unique-edge`: union new edges, dropping rows that
+    * duplicate an existing (src, dst, label) triple — unlike [[addEdges]],
+    * which keeps parallel edges (fermor `add-parallel-edge`). */
+  def addUniqueEdges(rows: DataFrame): PropertyGraph =
+    copy(edges = edges.unionByName(rows, allowMissingColumns = true)
+      .dropDuplicates("src", "dst", "label"))
+
+  /** Merge two graphs (fermor graph.clj `merge`): kind-wise vertex union
+    * (same-id rows deduped, first graph wins by min) and edge union. */
+  def merge(other: PropertyGraph): PropertyGraph = {
+    val mergedKinds = (kinds.keySet ++ other.kinds.keySet).map { k =>
+      val m = (kinds.get(k), other.kinds.get(k)) match {
+        case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true).dropDuplicates("id")
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (None, None) => throw new IllegalStateException(s"unreachable kind $k")
+      }
+      k -> m
+    }.toMap
+    PropertyGraph(mergedKinds, edges.unionByName(other.edges, allowMissingColumns = true))
+  }
+
   /** Reverse every edge (fermor core.clj `transpose`). Column swap only —
     * no shuffle, no data movement. */
   def transpose: PropertyGraph =

@@ -104,6 +104,28 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids(jobGraph.transpose.from(Seq(appBob1).toDF("id")).out("completes")) === Set(bob))
   }
 
+  test("graph ops: labels, verticesWithEdge, addUniqueEdges, merge") {
+    assert(jobGraph.labels === Seq("appliesTo", "completes", "created"))
+    assert(jobGraph.edgeGraphs.keySet === Set("appliesTo", "completes", "created"))
+    // vertices with an out 'created' edge = the two companies
+    val withCreated = jobGraph.verticesWithEdge("created", "out")
+      .select("id").as[Long].collect().toSet
+    assert(withCreated === Set(blueprints, rexster))
+    // unique-edge union drops the duplicate triple, keeps the new one
+    val add = Seq((bob, appBob1, "completes"), (bob, rexsterJob1, "likes"))
+      .toDF("src", "dst", "label")
+    val g2 = jobGraph.addUniqueEdges(add)
+    assert(g2.edges.count() === jobGraph.edges.count() + 1)
+    // merge: vertex kinds dedup by id, edges union
+    val extra = PropertyGraph(
+      Map("person" -> Seq((bob, "Bob"), (99L, "Zed")).toDF("id", "name")),
+      Seq((99L, bob, "knows")).toDF("src", "dst", "label"))
+    val m = jobGraph.merge(extra)
+    assert(m.kind("person").count() === 3)
+    assert(m.edges.count() === jobGraph.edges.count() + 1)
+    assert(m.kind("job").count() === 4)
+  }
+
   test("withVertexProps merges updated documents (fermor set-document)") {
     val updates = Seq((bob, "Robert")).toDF("id", "name")
     val g2 = jobGraph.withVertexProps("person", updates)
