@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.LongArrayDot
+import org.apache.spark.sql.graft.{LongArrayDot, SortedIntersectCount}
 
 /** Spark session extension wiring graft's native expressions into the SQL
   * function registry, so pure-SQL users get them too:
@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("long_array_dot"),
       new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
       (children: Seq[Expression]) => LongArrayDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
   }
 }

@@ -19,12 +19,13 @@ object Prof {
     }
     val docs = graph.Tpch.table(spark, dir, "documents")
 
-    time("shingle+tokenize only") {
-      docs.select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    time("shingle only (native)") {
+      docs.select(col("doc_id"), graft.functions.NativeOps.wordShingles(col("text"), 3).as("sh"))
         .select(sum(size(col("sh")))).head().getLong(0)
     }
     val raw = docs.select(col("doc_id").as("id"),
-      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh0")).where(size(col("sh0")) > 0)
+        graft.functions.NativeOps.wordShingles(col("text"), 3).as("sh0"))
+      .where(size(col("sh0")) > 0).localCheckpoint(false)
     val ex = raw.select(col("id"), explode(col("sh0")).as("s"))
     time("dfreq") { ex.groupBy("s").agg(count(lit(1)).as("df")).count() }
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
@@ -44,6 +45,15 @@ object Prof {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     time("candidate pairs") { cands.count() }
+    val cked = cands.localCheckpoint(true)
+    time("rescore only") {
+      cked
+        .join(base.select(col("id").as("id_a"), col("sh").as("sha"), col("n").as("na")), "id_a")
+        .join(base.select(col("id").as("id_b"), col("sh").as("shb"), col("n").as("nb")), "id_b")
+        .withColumn("i", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        .where(col("i") * 10000 >= lit(5000) * (col("na") + col("nb") - col("i")))
+        .count()
+    }
     time("full jaccard") {
       graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 5000).count()
     }

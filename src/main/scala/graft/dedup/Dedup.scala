@@ -49,19 +49,36 @@ object Dedup {
       .withColumn("n", size(col("sh")))
       .withColumn("plen",
         col("n") - floor((col("n") * minBp + 9999) / 10000).cast("int") + 1)
+      // shl: the same shingles LEX-sorted, for the merge-scan rescore
+      // (array_sort = Spark's string order = the order the native
+      // SortedIntersectCount merge expects)
+      .withColumn("shl", array_sort(col("sh")))
       .localCheckpoint(false) // reused 3x (both join sides + rescore); cut lineage
+    // ppjoin positional bound (Xiao et al.): matching at (1-based) prefix
+    // positions pa, pb caps the achievable overlap at
+    // min(na-pa, nb-pb) + 1, and J >= τ needs |∩| >= τ/(1+τ)·(na+nb) —
+    // cross-multiplied in integers, so the prune is exact (no rounding, no
+    // false negatives; a qualifying pair always passes at its first shared
+    // prefix token, the loosest bound).
     val prefix = base.select(col("id"), col("n"),
-      explode(slice(col("sh"), lit(1), col("plen"))).as("s"))
+        posexplode(slice(col("sh"), lit(1), col("plen"))))
+      .toDF("id", "n", "pos", "s") // pos is 0-based
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
         col("b.n") * 10000 >= lit(minBp) * col("a.n") &&
-        col("a.n") * 10000 >= lit(minBp) * col("b.n"))
+        col("a.n") * 10000 >= lit(minBp) * col("b.n") &&
+        (least(col("a.n") - col("a.pos") - 1, col("b.n") - col("b.pos") - 1) + 1) *
+          lit(10000 + minBp) >= lit(minBp) * (col("a.n") + col("b.n")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cands
-      .join(base.select(col("id").as("id_a"), col("sh").as("sha"), col("n").as("na")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("sh").as("shb"), col("n").as("nb")), "id_b")
-      .withColumn("i", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .join(base.select(col("id").as("id_a"), col("shl").as("sha"), col("n").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("shl").as("shb"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+        graft.functions.NativeOps.sortedIntersectCount(col("sha"), col("shb")).as("i"))
+      // boundary: `i` feeds the filter AND three projections — without it,
+      // collapsed projects re-run the intersect once per reference
+      .localCheckpoint(false)
       .withColumn("union_n", (col("na") + col("nb")).cast("long") - col("i"))
       .where(col("i") * 10000 >= lit(minBp) * col("union_n"))
       .select(col("id_a"), col("id_b"), col("i").as("inter_n"), col("union_n"),
@@ -98,6 +115,7 @@ object Dedup {
       .withColumn("hs", transform(col("sh"), x => pmod(xxhash64(x), lit(MersennePrime))))
       .localCheckpoint(false) // materialize string hashes once (see minhashSigFromHashes)
       .withColumn("sig", minhashSigFromHashes(col("hs"), numPerm))
+      .withColumn("shl", array_sort(col("sh"))) // lex-sorted for merge rescore
       .localCheckpoint(false) // reused by band-join sides and array join-back
     // Narrow candidate generation: band-join and pair-dedup on ids only; the
     // shingle arrays are joined back only for the surviving pairs.
@@ -110,12 +128,15 @@ object Dedup {
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val arrs = withSig.select(col("id"), col("sh"))
+    val arrs = withSig.select(col("id"), col("shl"), size(col("shl")).as("n"))
     cands
-      .join(arrs.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
-      .join(arrs.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
-      .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("union_n", size(col("sha")) + size(col("shb")) - col("i"))
+      .join(arrs.select(col("id").as("id_a"), col("shl").as("sha"), col("n").as("na")), "id_a")
+      .join(arrs.select(col("id").as("id_b"), col("shl").as("shb"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+        graft.functions.NativeOps.sortedIntersectCount(col("sha"), col("shb"))
+          .cast("int").as("i"))
+      .localCheckpoint(false) // boundary: `i` referenced by filter + outputs
+      .withColumn("union_n", col("na") + col("nb") - col("i"))
       .where(col("i") * 10000 >= lit(minBp) * col("union_n"))
       .select("id_a", "id_b", "i", "union_n")
   }

@@ -13,4 +13,8 @@ object NativeOps {
     * higher-order-function pipeline). */
   def wordShingles(text: Column, k: Int): Column =
     org.apache.spark.sql.graft.WordShingles.column(text, k)
+
+  /** Codegen'd merge-scan |A ∩ B| over lex-sorted distinct array<string>. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.SortedIntersectCount.column(a, b)
 }

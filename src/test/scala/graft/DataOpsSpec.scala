@@ -80,6 +80,22 @@ class DataOpsSpec extends AnyFunSuite {
     assert(both.where(col("native") <= 0).count() === 0)
   }
 
+  test("native SortedIntersectCount matches size(array_intersect) on sorted sets") {
+    val rows = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("a")),
+      (Seq[String](), Seq("a", "b")),
+      (Seq("aa", "ab", "b"), Seq("ab", "ba")),
+      ((1 to 50).map(i => f"s$i%03d"), (25 to 80).map(i => f"s$i%03d"))
+    ).toDF("x", "y")
+      .select(array_sort(col("x")).as("x"), array_sort(col("y")).as("y"))
+    val got = rows.select(
+      graft.functions.NativeOps.sortedIntersectCount(col("x"), col("y")).as("n"),
+      size(array_intersect(col("x"), col("y"))).cast("long").as("ref"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (n, ref) => assert(n === ref) }
+  }
+
   test("SimHashAgg matches the declarative 64-column formulation") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val toks = docs.select(col("doc_id").as("id"),
