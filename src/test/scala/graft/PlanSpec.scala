@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.Tpch
+
+/** Plan-shape guarantees (SURVEY.md §4): these assertions pin the properties
+  * that make the engine survive a 100× scale-up — filter/projection pushdown
+  * to the parquet scan, broadcast of dimension sides in traversal joins, and
+  * whole-stage codegen over the hot expressions. A regression here is a
+  * scale bug even when results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy implicit val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("property filters reach the parquet scan (PushedFilters)") {
+    val q = SparkEntry.queries("q_has_property")(spark, dir)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("c_acctbal"),
+      "expected c_acctbal filter pushed to scan:\n" + scan.take(2000))
+  }
+
+  test("column pruning: a two-column projection reads a two-column schema") {
+    val df = Tpch.table(spark, dir, "customer").select("c_custkey", "c_name")
+    val scan = executedPlan(df)
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("c_custkey") && readSchema.contains("c_name"))
+    assert(!readSchema.contains("c_acctbal"), "pruned column still read:\n" + readSchema)
+  }
+
+  test("multi-hop traversal broadcasts the dimension side") {
+    val q = SparkEntry.queries("q_out_path2")(spark, dir)
+    assert(executedPlan(q).contains("BroadcastHashJoin"),
+      "expected broadcast join for nation/region dims")
+  }
+
+  test("traversal joins run inside whole-stage codegen") {
+    val q = SparkEntry.queries("q_out_path2")(spark, dir)
+    q.collect() // AQE finalizes THIS plan's stages (count() would plan anew)
+    val plan = executedPlan(q)
+    assert(plan.contains("*("), "no whole-stage-codegen stage marker in:\n" + plan.take(2000))
+  }
+
+  test("native expressions stay in codegen (no CodegenFallback wrapper)") {
+    val df = Tpch.table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.sim.Ann.quantize(col("embedding")).as("q"))
+      .localCheckpoint(false)
+      .select(graft.functions.NativeOps.longArrayDot(col("q"), col("q")).as("nq"))
+    val plan = executedPlan(df)
+    // the `*(n)` prefix marks a WholeStageCodegen stage; the native dot must
+    // sit inside one, not behind a CodegenFallback
+    assert(plan.contains("*(") && plan.contains("long_array_dot"),
+      "native dot not inside a codegen stage:\n" + plan)
+    assert(df.agg(sum("nq")).head().getLong(0) > 0L)
+  }
+
+  test("lookahead compiles to a left-semi join, negLookahead to left-anti") {
+    val g = Tpch.load(spark, dir)
+    val semi = g.ofKind("customer").lookahead(_.in("order_customer")).df
+    assert(executedPlan(semi).toLowerCase.contains("leftsemi"))
+    val anti = g.ofKind("customer").negLookahead(_.in("order_customer")).df
+    assert(executedPlan(anti).toLowerCase.contains("leftanti"))
+  }
+}

@@ -159,6 +159,19 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Set((1L, 0), (2L, 1), (3L, 2), (4L, 3)))
   }
 
+  test("descend control functions: emit/continue predicates (fermor emit-and-cut family)") {
+    // fermor's control fns (emit, continue, cut, emit-and-continue,
+    // emit-and-cut — core.clj control-return-values) become two Column
+    // predicates over (id, depth, path): emit-and-cut ≡ emit=true,
+    // continue=false at that element.
+    val res = graph.Descend.run(jobGraph, Seq(bob, stephen).toDF("id"),
+        Seq("completes", "appliesTo"), forward = true, maxDepth = 5,
+        emit = _.where(col("depth") === 1),      // emit applications only
+        continueP = _.where(col("depth") < 1))   // cut below the app level
+      .select("id", "depth").as[(Long, Int)].collect().toSet
+    assert(res === Set(appBob1, appBob2, appStephen1, appStephen2).map(_ -> 1))
+  }
+
   test("allCycles finds the 3-cycle from its members only") {
     val cycles = Descend.allCycles(cyclic, cyclic.kind("n"), Nil, forward = true, maxDepth = 5)
       .select("path").as[Seq[Long]].collect().toSet
