@@ -109,6 +109,24 @@ final case class PropertyGraph(
     copy(edges = edges.unionByName(rows, allowMissingColumns = true)
       .dropDuplicates("src", "dst", "label"))
 
+  /** Bag-exact graph equality (fermor graph.clj `graph-equality` /
+    * `document-equality?`): same kinds, same vertex rows (documents
+    * included), same edge multiset. Distributed via exceptAll both ways —
+    * no driver materialization. */
+  def sameAs(other: PropertyGraph): Boolean = {
+    def bagEqual(a: DataFrame, b: DataFrame): Boolean =
+      a.columns.sorted.sameElements(b.columns.sorted) && {
+        // checkpoint decouples the two plans (exceptAll against a
+        // re-projection of the SAME plan trips Catalyst attribute rebinding);
+        // |A| == |B| plus A∖B = ∅ (bag difference) already implies equality
+        val bb = b.select(a.columns.map(col).toIndexedSeq: _*).localCheckpoint(false)
+        a.count() == bb.count() && a.exceptAll(bb).isEmpty
+      }
+    kinds.keySet == other.kinds.keySet &&
+      kinds.forall { case (k, df) => bagEqual(df, other.kinds(k)) } &&
+      bagEqual(edges, other.edges)
+  }
+
   /** Merge two graphs (fermor graph.clj `merge`): kind-wise vertex union
     * (same-id rows deduped, first graph wins by min) and edge union. */
   def merge(other: PropertyGraph): PropertyGraph = {

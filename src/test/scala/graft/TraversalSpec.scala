@@ -124,6 +124,10 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.kind("person").count() === 3)
     assert(m.edges.count() === jobGraph.edges.count() + 1)
     assert(m.kind("job").count() === 4)
+    // graph equality: reflexive; sensitive to edge multiset and documents
+    assert(jobGraph.sameAs(jobGraph))
+    assert(!jobGraph.sameAs(m))
+    assert(!jobGraph.sameAs(g2))
   }
 
   test("withVertexProps merges updated documents (fermor set-document)") {
