@@ -322,6 +322,36 @@ object SparkEntry {
       val vs = gr.kind("customer").select("id").unionAll(gr.kind("nation").select("id"))
       graft.algos.Algos.nontrivialSccs(vs, edges2)
     }),
+    "q_between" -> ((s, dir) => {
+      // fermor non-loop-vertices-between: forward-reachable(from) ∩
+      // backward-reachable(to) — two distributed BFS passes. Here: vertices
+      // on some FK path from an ASIA customer up to the ASIA region.
+      implicit val sp: SparkSession = s
+      val gr = g(s, dir)
+      val rkey = Tpch.table(s, dir, "region")
+        .where(col("r_name") === "ASIA").select("r_regionkey").head().getInt(0)
+      val asiaNations = Tpch.table(s, dir, "nation").where(col("n_regionkey") === rkey)
+      val from = Tpch.table(s, dir, "customer")
+        .join(asiaNations.select(col("n_nationkey")), col("c_nationkey") === col("n_nationkey"))
+        .select(Vid.vid("customer", col("c_custkey")).as("id"))
+      val to = s.range(1).select(lit(Vid.tag("region") * Vid.SPAN + rkey).as("id"))
+      graft.algos.Algos.verticesBetween(gr.vertices.select("id"), gr.edges, from, to)
+    }),
+    "q_post_order" -> ((s, dir) => {
+      // fermor post-order-numbering / reverse-post-order-numbering: DFS with
+      // id-sorted successors over the ASIA region→nation→customer subtree.
+      val rkey = Tpch.table(s, dir, "region")
+        .where(col("r_name") === "ASIA").select("r_regionkey").head().getInt(0)
+      val entry = Vid.tag("region") * Vid.SPAN + rkey
+      val an = Tpch.table(s, dir, "nation").where(col("n_regionkey") === rkey)
+        .select(Vid.vid("nation", col("n_nationkey")).as("nvid"), col("n_nationkey"))
+      val rn = an.select(lit(entry).as("src"), col("nvid").as("dst"))
+      val nc = Tpch.table(s, dir, "customer")
+        .join(an.select(col("n_nationkey")), col("c_nationkey") === col("n_nationkey"))
+        .select(Vid.vid("nation", col("c_nationkey")).as("src"),
+          Vid.vid("customer", col("c_custkey")).as("dst"))
+      graft.algos.Algos.postOrderNumbering(entry, rn.unionByName(nc))
+    }),
     "q_loop_tree" -> ((s, dir) => {
       // fermor `loop-tree`/`intervals`/`loop-info`: natural-loop forest with
       // nesting depth, on a derived cyclic CFG — the ASIA FK sub-DAG in
@@ -685,6 +715,31 @@ object SparkEntry {
          UNION ALL
          SELECT 1000000000000 + n_regionkey, 2000000000000 + n_nationkey,
                 1000000000000 + n_regionkey FROM nation""",
+    "q_between" ->
+      """WITH ak AS (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'),
+            an AS (SELECT n_nationkey FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM ak)),
+            ac AS (SELECT c_custkey, c_nationkey FROM customer
+                   WHERE c_nationkey IN (SELECT n_nationkey FROM an))
+         SELECT (3000000000000 + c_custkey)::BIGINT AS id FROM ac
+         UNION ALL SELECT DISTINCT 2000000000000 + c_nationkey FROM ac
+         UNION ALL SELECT 1000000000000 + r_regionkey FROM ak""",
+    "q_post_order" ->
+      """WITH ak AS (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'),
+            an AS (SELECT n_nationkey FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM ak)),
+            ac AS (SELECT c_custkey, c_nationkey FROM customer
+                   WHERE c_nationkey IN (SELECT n_nationkey FROM an)),
+            seq AS (
+              SELECT (3000000000000 + c_custkey)::BIGINT AS id,
+                     (2000000000000 + c_nationkey)::BIGINT AS g, 0 AS lvl,
+                     (3000000000000 + c_custkey)::BIGINT AS k FROM ac
+              UNION ALL SELECT (2000000000000 + n_nationkey)::BIGINT,
+                     (2000000000000 + n_nationkey)::BIGINT, 1, 0 FROM an
+              UNION ALL SELECT (1000000000000 + r_regionkey)::BIGINT,
+                     9223372036854775807, 2, 0 FROM ak)
+         SELECT id,
+                (row_number() OVER (ORDER BY g, lvl, k) - 1)::INT AS post_order,
+                (count(*) OVER () - row_number() OVER (ORDER BY g, lvl, k))::INT AS reverse_post_order
+         FROM seq""",
     "q_loop_tree" ->
       """WITH ak AS (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'),
             an AS (SELECT n_nationkey FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM ak)),

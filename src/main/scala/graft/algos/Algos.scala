@@ -369,7 +369,7 @@ object Algos {
   def postOrderNumbering(entry: Long, edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val es = edges.select("src", "dst").as[(Long, Long)].collect()
+    val es = reachableEdges(entry, edges).as[(Long, Long)].collect()
     val succ = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.sorted }
     val order = scala.collection.mutable.ArrayBuffer[Long]()
     val seen = scala.collection.mutable.HashSet[Long]()
