@@ -258,6 +258,15 @@ object SparkEntry {
       val entry = Vid.tag("region") * Vid.SPAN + asiaKey
       graft.algos.Algos.immediateDominators(entry, gr.transpose.edges)
     }),
+    "q_dom_depth" -> ((s, dir) => {
+      // fermor dominator-depth: depth of each vertex in the dominator tree
+      // of the ASIA flow subgraph (same CFG as q_dominators).
+      val gr = g(s, dir)
+      val asiaKey = Tpch.table(s, dir, "region")
+        .where(col("r_name") === "ASIA").select("r_regionkey").head().getInt(0)
+      val entry = Vid.tag("region") * Vid.SPAN + asiaKey
+      graft.algos.Algos.dominatorDepth(entry, gr.transpose.edges)
+    }),
     "q_label_prop" -> ((s, dir) => { // rows-only: community detection sanity
       implicit val sp: SparkSession = s
       val gr = g(s, dir)
@@ -681,6 +690,29 @@ object SparkEntry {
                           CASE WHEN count(*) = 1 THEN min(pred)
                                WHEN min(pn) = max(pn) THEN min(pn)
                                ELSE (SELECT 1000000000000 + r_regionkey FROM asia) END
+                   FROM preds GROUP BY vid""",
+    "q_dom_depth" ->
+      """WITH asia AS (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'),
+            an AS (SELECT n_nationkey FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM asia)),
+            ac AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey IN (SELECT n_nationkey FROM an)),
+            asup AS (SELECT s_suppkey, s_nationkey FROM supplier WHERE s_nationkey IN (SELECT n_nationkey FROM an)),
+            ao AS (SELECT o_orderkey, o_custkey, c_nationkey FROM orders JOIN ac ON o_custkey = c_custkey),
+            li AS (SELECT DISTINCT (7000000000000 + l_orderkey*8 + l_linenumber)::BIGINT AS vid, l_orderkey, l_suppkey FROM lineitem),
+            sp AS (SELECT DISTINCT vid, (4000000000000 + l_suppkey)::BIGINT AS pred, (2000000000000 + s_nationkey)::BIGINT AS pn
+                   FROM li JOIN asup ON l_suppkey = s_suppkey),
+            op AS (SELECT DISTINCT vid, (6000000000000 + l.l_orderkey)::BIGINT AS pred, (2000000000000 + ao.c_nationkey)::BIGINT AS pn
+                   FROM li l JOIN ao ON l.l_orderkey = ao.o_orderkey),
+            preds AS (SELECT * FROM sp UNION SELECT * FROM op)
+         SELECT (1000000000000 + r_regionkey)::BIGINT AS id, 0 AS depth FROM asia
+         UNION ALL SELECT 2000000000000 + n_nationkey, 1 FROM an
+         UNION ALL SELECT 3000000000000 + c_custkey, 2 FROM ac
+         UNION ALL SELECT 4000000000000 + s_suppkey, 2 FROM asup
+         UNION ALL SELECT 6000000000000 + o_orderkey, 3 FROM ao
+         UNION ALL SELECT vid,
+                          CASE WHEN count(*) = 1 AND min(pred) >= 6000000000000 THEN 4
+                               WHEN count(*) = 1 THEN 3
+                               WHEN min(pn) = max(pn) THEN 2
+                               ELSE 1 END
                    FROM preds GROUP BY vid""",
     "q_asof" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP)::BIGINT AS t_us FROM events WHERE event_type = 'purchase'),
