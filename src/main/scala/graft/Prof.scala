@@ -12,6 +12,7 @@ object Prof {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graph.Tpch.shareScans = true // measure under Bench's scan-sharing regime
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
@@ -64,6 +65,17 @@ object Prof {
     time("ann_topk") {
       graft.sim.Ann.bruteTopK(emb, "vec_id", "embedding", 3, _.where(col("id") < 100)).count()
     }
+    val gr = graph.Tpch.load(spark, dir)
+    val asiaKey = graph.Tpch.table(spark, dir, "region")
+      .where(col("r_name") === "ASIA").select("r_regionkey").head().getInt(0)
+    val entry = graph.Vid.tag("region") * graph.Vid.SPAN + asiaKey
+    val te = gr.transpose.edges
+    time("dom: reachableEdges") { algos.Algos.reachableEdges(entry, te).count() }
+    time("dom: collect") {
+      import spark.implicits._
+      algos.Algos.reachableEdges(entry, te).as[(Long, Long)].collect().length.toLong
+    }
+    time("dom: full idom") { algos.Algos.immediateDominators(entry, te).count() }
     spark.stop()
   }
 }

@@ -444,6 +444,9 @@ object SparkEntry {
           (col("alpha") * 100).divide(col("n_toks")).cast("long").as("tok_len_x100"),
           (col("stops") * 10000).divide(col("n_toks")).cast("long").as("stop_bp"))
     }),
+    "q_tfidf" -> ((s, dir) =>
+      graft.functions.TextOps.tfidfTopTerms(Tpch.table(s, dir, "documents"),
+        "doc_id", "text", k = 3)),
     "q_fingerprint" -> ((s, dir) => {
       import graft.functions.TextOps
       Tpch.table(s, dir, "documents")
@@ -833,6 +836,18 @@ object SparkEntry {
          FROM b WHERE len > 0 AND n_toks > 0""",
     "q_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents",
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t
+                       FROM documents),
+            tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS n FROM toks GROUP BY 1),
+            dfq AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1)
+         SELECT tf.doc_id, tf.t, (tf.tf * 1000000 * (SELECT count(*) FROM dl)) // (dfq.df * dl.n) AS score,
+                row_number() OVER (PARTITION BY tf.doc_id
+                                   ORDER BY (tf.tf * 1000000 * (SELECT count(*) FROM dl)) // (dfq.df * dl.n) DESC,
+                                            tf.t ASC)::INT AS rn
+         FROM tf JOIN dl ON tf.doc_id = dl.doc_id JOIN dfq ON tf.t = dfq.t
+         QUALIFY rn <= 3""",
     "q_dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY 1",
     "q_dedup_jaccard" ->

@@ -165,8 +165,10 @@ object Algos {
   def bfsDistances(vertices: DataFrame, edges: DataFrame, sources: DataFrame,
       reverse: Boolean = false, maxIter: Int = 1000)(implicit spark: SparkSession): DataFrame = {
     val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
+    // duplicate edges are harmless (per-round dropDuplicates on ids): no
+    // dedup shuffle, just one narrow materialization shared by the rounds
     val e = edges.select(col(from).as("__from"), col(to).as("__to"))
-      .dropDuplicates("__from", "__to").localCheckpoint(eager = false)
+      .localCheckpoint(eager = false)
     var dist = sources.select(col(sources.columns.head).as("id")).dropDuplicates("id")
       .withColumn("dist", lit(0)).localCheckpoint(eager = false)
     var frontier = dist
@@ -177,7 +179,7 @@ object Algos {
         .select(col("__to").as("id")).dropDuplicates("id")
         .join(dist, Seq("id"), "left_anti")
         .withColumn("dist", lit(d + 1))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true) // full materialization before isEmpty
       if (next.isEmpty) done = true
       else { dist = dist.unionByName(next).localCheckpoint(eager = false); frontier = next }
       d += 1
@@ -227,10 +229,9 @@ object Algos {
     * level(v) = length of the longest path from any source to v. Bounded
     * DataFrame fixpoint — maxIter caps the join chain (DAG depth). */
   def topoLevels(vertices: DataFrame, edges: DataFrame, maxIter: Int = 10): DataFrame = {
-    // parallel edges can't change a max-level fixpoint; dedup once upfront
-    // so every iteration joins against the smaller edge set
-    val e = edges.select(col("src"), col("dst")).dropDuplicates("src", "dst")
-      .localCheckpoint(false)
+    // parallel edges can't change a max-level fixpoint, and each round
+    // dedups its frontier — no dedup shuffle, one narrow materialization
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
     // DELTA iteration: round i's frontier is exactly the heads of some
     // length-i path, so the level column is constant per round — each round
     // is a semi-join + distinct on the previous frontier only (no re-join or
@@ -248,7 +249,7 @@ object Algos {
     while (!done && i < maxIter) {
       frontier = e.join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
         .select(col("dst").as("id")).dropDuplicates("id")
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true) // full materialization before isEmpty
       if (frontier.isEmpty) done = true
       else rounds += frontier.withColumn("level", lit(i + 1))
       i += 1
@@ -279,20 +280,40 @@ object Algos {
     * of every driver-side DFS analysis (dominators, loop forest): a semi-join
     * BFS over a deduped edge table, so what reaches the driver is only the
     * entry's flow subgraph, not the whole 100 TB edge set. */
-  def reachableEdges(entry: Long, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  private val reachCache =
+    scala.collection.concurrent.TrieMap[(Long, Int), DataFrame]()
+
+  def reachableEdges(entry: Long, edges: DataFrame, maxIter: Int = 50): DataFrame =
+    if (!graft.graph.Tpch.shareScans) reachableEdgesImpl(entry, edges, maxIter)
+    else {
+      // under the multi-query scan-sharing regime (Bench/Verify), several
+      // queries analyze the same flow subgraph (dominators, dominator-depth,
+      // loop forest) — extract it once per (entry, semantic plan)
+      val key = (entry, edges.queryExecution.analyzed.semanticHash())
+      reachCache.getOrElseUpdate(key,
+        reachableEdgesImpl(entry, edges, maxIter).localCheckpoint(eager = false))
+    }
+
+  private def reachableEdgesImpl(entry: Long, edges: DataFrame, maxIter: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select("src", "dst").dropDuplicates("src", "dst")
-      .localCheckpoint(eager = false)
+    // no upfront dedup of the (possibly huge) edge table: duplicate edges
+    // only produce duplicate frontier ids, which each round's
+    // dropDuplicates removes; the much smaller OUTPUT is deduped. The
+    // narrow projection IS materialized once so the rounds don't re-scan
+    // the source plan.
+    val e = edges.select("src", "dst").localCheckpoint(eager = false)
     var visited = Seq(entry).toDF("id").localCheckpoint(eager = false)
     var frontier = visited
     var done = false
     var i = 0
     while (!done && i < maxIter) {
+      // eager: isEmpty on a LAZY checkpoint only materializes the partition
+      // its limit-1 touches, and the next round then recomputes the rest
       val next = e.join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
         .select(col("dst").as("id")).dropDuplicates("id")
         .join(visited, Seq("id"), "left_anti")
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       if (next.isEmpty) done = true
       else { visited = visited.unionByName(next).localCheckpoint(eager = false); frontier = next }
       i += 1
@@ -300,6 +321,7 @@ object Algos {
     // an edge is in the flow subgraph iff its src is reachable (its dst then
     // is too, by following that very edge)
     e.join(visited.select(col("id").as("src")), Seq("src"), "left_semi")
+      .dropDuplicates("src", "dst")
   }
 
   def immediateDominators(entry: Long, edges: DataFrame): DataFrame = {

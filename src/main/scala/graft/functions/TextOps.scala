@@ -54,4 +54,26 @@ object TextOps {
     * rolling hash). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+
+  /** Top-k TF-IDF terms per document, integer-exact: score =
+    * (tf · 10⁶ · N) div (df · doclen) — all 64-bit integer arithmetic (no
+    * float idf, so Spark and any SQL oracle agree bit-for-bit), ties broken
+    * by term. Three shuffles (tf, doclen, df) over the token explode, then
+    * a window top-k; the explode is checkpointed so the three aggregations
+    * share one materialization. */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
+      .localCheckpoint(false)
+    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfq = toks.groupBy("t").agg(count_distinct(col("doc_id")).as("df"))
+    val nDocs = dl.count() // documents with >= 1 token
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("t").asc)
+    tf.join(dl, "doc_id").join(dfq, "t")
+      .withColumn("score", expr(s"(tf * 1000000 * $nDocs) div (df * n)"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("doc_id"), col("t"), col("score"), col("rn"))
+  }
 }
