@@ -43,4 +43,65 @@ object Multimodal {
       }
     }
   }
+
+  case class ResizedRow(doc_id: Long, width: Int, height: Int, payload: Array[Byte])
+  case class FrameRow(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+  case class EmbeddingRow(doc_id: Long, embedding: Array[Float])
+
+  /** Resize pass (STUB transform: a real deployment swaps the per-row body
+    * for an image library call). Downscales metadata to fit (maxW, maxH)
+    * preserving aspect ratio; payload passes through untouched — the Spark
+    * contract (schema, batching, pruned columns) is the real part. */
+  def resize(media: DataFrame, maxW: Int, maxH: Int)(
+      implicit spark: SparkSession): Dataset[ResizedRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val (w0, h0, _) = FakeCodec.decode(r.payload)
+        val w = math.max(w0, 1); val h = math.max(h0, 1)
+        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        ResizedRow(r.doc_id, (w * scale).toInt, (h * scale).toInt, r.payload)
+      }
+    }
+  }
+
+  /** Frame sampling: one output row per sampled frame (every `stride`-th of
+    * the decoded frame count) — the row-explosion shape of video pipelines.
+    * Frame payload is a deterministic byte slice stand-in for a real
+    * frame-extraction call. */
+  def sampleFrames(media: DataFrame, stride: Int)(
+      implicit spark: SparkSession): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (_, _, nFrames) = FakeCodec.decode(r.payload)
+        (0 until nFrames by math.max(stride, 1)).iterator.map { i =>
+          val n = r.payload.length
+          val from = if (n == 0) 0 else (i * 31) % n
+          FrameRow(r.doc_id, i, java.util.Arrays.copyOfRange(
+            r.payload, from, math.min(from + 16, n)))
+        }
+      }
+    }
+  }
+
+  /** Feature-extraction pass: payload → fixed-dim embedding (deterministic
+    * hash-projection stub standing in for a vision/audio encoder). Output
+    * feeds graft.sim.Ann directly — the media → embedding → ANN pipeline. */
+  def embed(media: DataFrame, dim: Int = 64)(
+      implicit spark: SparkSession): Dataset[EmbeddingRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < r.payload.length) {
+          val b = r.payload(i) & 0xFF
+          v((b + i) % dim) += ((b % 7) - 3).toFloat
+          i += 1
+        }
+        EmbeddingRow(r.doc_id, v)
+      }
+    }
+  }
 }

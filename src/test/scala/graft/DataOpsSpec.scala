@@ -267,4 +267,26 @@ class DataOpsSpec extends AnyFunSuite {
       graft.multimodal.Multimodal.withPayload(docs, "doc_id", "text")).head()
     assert(meta.n_bytes === 6L && meta.width === 6 && meta.height === 42 && meta.n_frames === 6)
   }
+
+  test("multimodal resize / frame-sample / embed: shapes and determinism") {
+    import graft.multimodal.Multimodal
+    val docs = Seq((1L, "abcdef"), (2L, "x" * 100)).toDF("doc_id", "text")
+    val media = Multimodal.withPayload(docs, "doc_id", "text")
+    // resize preserves aspect ratio within bounds
+    val rz = Multimodal.resize(media, 32, 32).collect().map(r => r.doc_id -> r).toMap
+    assert(rz(1L).width <= 32 && rz(1L).height <= 32)
+    assert(rz(2L).width <= 32 && rz(2L).height <= 32)
+    // frame sampling explodes every 2nd frame of the decoded count
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(frames.filter(_.doc_id == 1L).map(_.frame_idx).sorted.sameElements(Array(0, 2, 4)))
+    assert(frames.forall(_.payload.length <= 16))
+    // embedding: fixed dim, deterministic, nonzero, ANN-composable
+    val e1 = Multimodal.embed(media).collect().map(r => r.doc_id -> r.embedding.toSeq).toMap
+    val e2 = Multimodal.embed(media).collect().map(r => r.doc_id -> r.embedding.toSeq).toMap
+    assert(e1 === e2)
+    assert(e1(2L).length === 64 && e1(2L).exists(_ != 0f))
+    val ann = graft.sim.Ann.bruteTopK(
+      Multimodal.embed(media).toDF(), "doc_id", "embedding", k = 1, querySide = identity)
+    assert(ann.count() <= 2)
+  }
 }
