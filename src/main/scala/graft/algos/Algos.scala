@@ -151,6 +151,7 @@ object Algos {
     val scc = stronglyConnectedComponents(vertices, edges, numIter)
     val big = scc.groupBy("component").agg(count(lit(1)).as("n")).where(col("n") > 1)
     scc.join(big.select("component"), Seq("component"), "left_semi")
+      .select("id", "component") // a USING join reorders the key first
   }
 
   /** Unweighted BFS distances from a source set (fermor algo.clj

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.algos.Algos
+
+/** Parity with the reference's OWN test suite (fermor test/fermor/graph/
+  * algo_test.clj), on its exact graphs from the published sources it cites:
+  * ELI (Bendersky's traversal-orderings article), GRAPHS (Offner's compiler
+  * notes), and DOM (Cooper–Harvey–Kennedy). Letters map to their alphabet
+  * position so sorted-successor DFS matches fermor's Bifurcan-sorted
+  * adjacency — sequences compare EXACTLY, not just structurally.
+  */
+class ReferenceParitySpec extends AnyFunSuite {
+  lazy implicit val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val L: Map[String, Long] =
+    ('A' to 'Z').map(c => c.toString -> (c - 'A' + 1).toLong).toMap
+
+  private def edges(pairs: (String, String)*) =
+    pairs.map { case (a, b) => (L(a), L(b)) }.toDF("src", "dst")
+
+  // ELI simple graph (algo_test.clj:12)
+  lazy val simple = edges(
+    "A" -> "T", "A" -> "B", "A" -> "C", "T" -> "B",
+    "C" -> "B", "B" -> "D", "C" -> "E", "E" -> "D")
+
+  // ELI cyclic graph (algo_test.clj:42)
+  lazy val cyclic = edges(
+    "X" -> "T", "X" -> "B", "X" -> "C", "T" -> "B", "B" -> "D",
+    "C" -> "E", "E" -> "D", "E" -> "M", "M" -> "C", "D" -> "G", "G" -> "D")
+
+  test("postwalk order on the ELI simple graph (fermor test-postwalk)") {
+    val rows = Algos.postOrderNumbering(L("A"), simple)
+      .as[(Long, Int, Int)].collect().sortBy(_._2).map(_._1).toSeq
+    assert(rows === Seq("D", "B", "E", "C", "T", "A").map(L)) // [D B E C T A]
+    val rpo = Algos.postOrderNumbering(L("A"), simple)
+      .as[(Long, Int, Int)].collect().sortBy(_._3).map(_._1).toSeq
+    assert(rpo === Seq("A", "T", "C", "E", "B", "D").map(L)) // reverse-postwalk
+  }
+
+  test("postwalk order on the ELI cyclic graph (fermor test-postwalk-cyclic)") {
+    val rows = Algos.postOrderNumbering(L("X"), cyclic)
+      .as[(Long, Int, Int)].collect().sortBy(_._2).map(_._1).toSeq
+    assert(rows === Seq("G", "D", "B", "M", "E", "C", "T", "X").map(L))
+  }
+
+  test("immediate dominators on the ELI cyclic graph (fermor dominance)") {
+    val idom = Algos.immediateDominators(L("X"), cyclic)
+      .as[(Long, Long)].collect().toMap
+    val expected = Map("X" -> "X", "T" -> "X", "C" -> "X", "E" -> "C",
+      "M" -> "E", "B" -> "X", "D" -> "X", "G" -> "D")
+      .map { case (k, v) => L(k) -> L(v) }
+    assert(idom === expected)
+  }
+
+  test("dominance frontiers on the ELI cyclic graph (fermor on-the-range)") {
+    val df = Algos.dominanceFrontiers(L("X"), cyclic)
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expected = Map(
+      "T" -> Set("B"), "C" -> Set("D", "C"), "E" -> Set("D", "C"),
+      "M" -> Set("C"), "B" -> Set("D"), "D" -> Set("D"), "G" -> Set("D"))
+      .map { case (k, v) => L(k) -> v.map(L) }
+    assert(df === expected) // X has an empty frontier and is not emitted
+  }
+
+  test("SCCs on the ELI cyclic graph (fermor scc/scsg)") {
+    val vs = cyclic.select(col("src").as("id"))
+      .unionAll(cyclic.select(col("dst").as("id"))).distinct()
+    val comps = Algos.nontrivialSccs(vs, cyclic)
+      .as[(Long, Long)].collect().groupBy(_._2).map(_._2.map(_._1).toSet).toSet
+    assert(comps === Set(Set("M", "C", "E").map(L), Set("D", "G").map(L)))
+  }
+
+  test("loop forest on the ELI cyclic graph (fermor simple-graph-loops)") {
+    assert(Algos.loopForest(L("A"), simple).isEmpty) // acyclic: no loops
+    val loops = Algos.loopForest(L("X"), cyclic)
+      .as[(Long, Long, Int)].collect()
+    val byHeader = loops.groupBy(_._2).map { case (h, v) => h -> v.map(_._1).toSet }
+    assert(byHeader === Map(
+      L("D") -> Set("D", "G").map(L),
+      L("C") -> Set("C", "E", "M").map(L)))
+    assert(loops.forall(_._3 == 0))
+  }
+
+  test("nested loop tree (fermor double-graph: loop in a loop)") {
+    // entry→head→body-entry→body-head⇄body-body, body-head→body-result→body→head
+    val ids = Map("entry" -> 1L, "head" -> 2L, "bentry" -> 3L, "bhead" -> 4L,
+      "bbody" -> 5L, "bresult" -> 6L, "body" -> 7L, "result" -> 8L)
+    val es = Seq(
+      "entry" -> "head", "head" -> "bentry", "bresult" -> "body",
+      "body" -> "head", "head" -> "result", "bentry" -> "bhead",
+      "bhead" -> "bbody", "bbody" -> "bhead", "bhead" -> "bresult")
+      .map { case (a, b) => (ids(a), ids(b)) }.toDF("src", "dst")
+    val loops = Algos.loopForest(ids("entry"), es).as[(Long, Long, Int)].collect()
+    val outer = loops.filter(_._2 == ids("head"))
+    val inner = loops.filter(_._2 == ids("bhead"))
+    assert(outer.map(_._1).toSet ===
+      Set("head", "body", "bentry", "bhead", "bbody", "bresult").map(ids))
+    assert(inner.map(_._1).toSet === Set("bhead", "bbody").map(ids))
+    assert(outer.forall(_._3 == 0) && inner.forall(_._3 == 1)) // nesting depth
+  }
+
+  test("irreducible graph from the DOM paper (fermor all-dom5)") {
+    val es = Seq((5L, 4L), (5L, 3L), (4L, 1L), (1L, 2L), (3L, 2L), (2L, 1L))
+      .toDF("src", "dst")
+    val idom = Algos.immediateDominators(5L, es).as[(Long, Long)].collect().toMap
+    assert(idom === Map(5L -> 5L, 4L -> 5L, 3L -> 5L, 2L -> 5L, 1L -> 5L))
+    val vs = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val cyc = Algos.nontrivialSccs(vs, es)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(cyc === Set(1L, 2L)) // fermor cycles: [[1 2 1]]
+  }
+
+  test("dominators on Offner p42 flow graph (fermor flow-hard)") {
+    val es = edges(
+      "S" -> "A", "S" -> "B", "A" -> "B", "B" -> "C", "C" -> "D", "C" -> "E",
+      "D" -> "F", "E" -> "F", "E" -> "J", "E" -> "C", "F" -> "C", "F" -> "G",
+      "F" -> "L", "I" -> "F", "G" -> "I", "G" -> "B", "J" -> "K", "K" -> "J",
+      "L" -> "J", "L" -> "N", "L" -> "M", "M" -> "N", "M" -> "L", "N" -> "L",
+      "M" -> "O", "G" -> "O", "H" -> "O", "H" -> "S", "G" -> "H", "O" -> "P",
+      "P" -> "O", "P" -> "Q", "Q" -> "P")
+    val idom = Algos.immediateDominators(L("S"), es).as[(Long, Long)].collect().toMap
+    val expected = Map(
+      "A" -> "S", "B" -> "S", "C" -> "B", "D" -> "C", "E" -> "C", "F" -> "C",
+      "G" -> "F", "H" -> "G", "I" -> "G", "J" -> "C", "K" -> "J", "L" -> "F",
+      "M" -> "L", "N" -> "L", "O" -> "F", "P" -> "O", "Q" -> "P", "S" -> "S")
+      .map { case (k, v) => L(k) -> L(v) }
+    assert(idom === expected)
+    // loop-tree headers on the same graph (fermor flow-hard loop-tree keys)
+    val headers = Algos.loopForest(L("S"), es)
+      .as[(Long, Long, Int)].collect().map(_._2).toSet
+    assert(headers === Set("S", "B", "C", "F", "L", "J", "O", "P").map(L))
+  }
+
+  test("dominators on Offner loops graph (fermor loops-test)") {
+    val es = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 7L),
+      (6L, 7L), (4L, 3L), (7L, 4L), (7L, 8L), (8L, 3L), (8L, 9L), (9L, 1L),
+      (8L, 10L), (10L, 7L)).toDF("src", "dst")
+    val idom = Algos.immediateDominators(1L, es).as[(Long, Long)].collect().toMap
+    assert(idom === Map(
+      7L -> 4L, 1L -> 1L, 4L -> 3L, 6L -> 4L, 3L -> 1L,
+      2L -> 1L, 9L -> 8L, 5L -> 4L, 10L -> 8L, 8L -> 7L))
+  }
+}
