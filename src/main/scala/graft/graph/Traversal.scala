@@ -197,6 +197,27 @@ final case class Traversal(g: PropertyGraph, df: DataFrame) {
   def noCycle: Traversal =
     where(array_position(slice(col("path"), lit(1), size(col("path")) - 1), col("id")) === 0)
 
+  /** fermor `subgraph` (core.clj:1559): the graph induced by the edges along
+    * the route's accumulated paths (requires [[withPaths]]). Our paths hold
+    * vertex ids, so consecutive pairs are normalized (least, greatest) and
+    * equi-joined back against the edge table to recover labels and edge
+    * properties in either traversal direction; kind tables are semi-joined
+    * down to the path vertices. All distributed — a subgraph of a 100 TB
+    * graph is itself a set of (lazy) DataFrames. */
+  def pathSubgraph: PropertyGraph = {
+    val steps = df.select(explode(zip_with(
+        slice(col("path"), lit(1), size(col("path")) - 1),
+        slice(col("path"), lit(2), size(col("path")) - 1),
+        (a, b) => struct(least(a, b).as("lo"), greatest(a, b).as("hi")))).as("s"))
+      .select(col("s.lo"), col("s.hi")).dropDuplicates("lo", "hi")
+    val edges = g.edges.join(steps,
+      least(col("src"), col("dst")) === col("lo") &&
+        greatest(col("src"), col("dst")) === col("hi"), "left_semi")
+    val ids = df.select(explode(col("path")).as("id")).dropDuplicates("id")
+    val kinds = g.kinds.map { case (k, kdf) => k -> kdf.join(ids, Seq("id"), "left_semi") }
+    PropertyGraph(kinds, edges)
+  }
+
   /** Escape hatch: arbitrary DataFrame transform while staying in the
     * traversal (fermor routes interleave freely with Clojure seq fns; here
     * the DSL interleaves freely with the DataFrame API — idiomatic Spark). */

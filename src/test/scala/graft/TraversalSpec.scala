@@ -214,6 +214,24 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p === Set(Seq(appBob1, blueprintsJob1), Seq(appBob2, blueprintsJob2)))
   }
 
+  test("pathSubgraph induces the graph of traversed edges (fermor subgraph)") {
+    // Stephen's application route: only his completes/appliesTo edges and
+    // the vertices on those paths survive
+    val sub = jobGraph.from(Seq(stephen).toDF("id")).withPaths
+      .out("completes").out("appliesTo")
+      .pathSubgraph
+    val es = sub.edges.select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(es === Set((stephen, appStephen1), (stephen, appStephen2),
+      (appStephen1, rexsterJob1), (appStephen2, blueprintsJob3)))
+    assert(sub.kind("person").select("id").as[Long].collect().toSeq === Seq(stephen))
+    assert(sub.kind("company").count() === 0)
+    // reverse hops recover the same edges (orientation-normalized matching)
+    val subRev = jobGraph.from(Seq(blueprintsJob1).toDF("id")).withPaths
+      .in("appliesTo").pathSubgraph
+    assert(subRev.edges.select("src", "dst").as[(Long, Long)].collect().toSet ===
+      Set((appBob1, blueprintsJob1)))
+  }
+
   test("path helpers: reversePaths, pathString, cycle detection") {
     val t = jobGraph.from(Seq(stephen).toDF("id")).withPaths.out("completes")
     val strs = t.pathString().df.select("path_str").as[String].collect().toSet
