@@ -11,9 +11,23 @@ import graft.algos.Algos
   * position so sorted-successor DFS matches fermor's Bifurcan-sorted
   * adjacency — sequences compare EXACTLY, not just structurally.
   */
+object PropertyGraphFixtures {
+  /** value-graph for the descend-control cases: 0→{1,2,3}, 2→9. */
+  lazy val valueGraph: graft.graph.PropertyGraph = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    graft.graph.PropertyGraph(
+      Map("v" -> Seq(-2L, -1L, 0L, 1L, 2L, 3L, 9L).toDF("id")),
+      Seq((0L, 1L), (0L, 2L), (0L, 3L), (2L, 9L))
+        .toDF("src", "dst").withColumn(
+          "label", org.apache.spark.sql.functions.lit("child")))
+  }
+}
+
 class ReferenceParitySpec extends AnyFunSuite {
   lazy implicit val spark = TestSpark.spark
   import spark.implicits._
+  import graft.graph.PropertyGraph
 
   private val L: Map[String, Long] =
     ('A' to 'Z').map(c => c.toString -> (c - 'A' + 1).toLong).toMap
@@ -100,6 +114,33 @@ class ReferenceParitySpec extends AnyFunSuite {
       Set("head", "body", "bentry", "bhead", "bbody", "bresult").map(ids))
     assert(inner.map(_._1).toSet === Set("bhead", "bbody").map(ids))
     assert(outer.forall(_._3 == 0) && inner.forall(_._3 == 1)) // nesting depth
+  }
+
+  test("descend control semantics as bags (fermor descend-with-control)") {
+    // fermor: (descend control children [0 -1 0 -2]) where children(0)=[1 2 3].
+    // Values become a tiny graph 0→{1,2,3}; the duplicate root 0 stays a bag
+    // row. Order and the lazy-seq sibling-cut are sequential semantics (see
+    // SURVEY §5); the emitted BAGS must match.
+    val g = PropertyGraphFixtures.valueGraph
+    val roots = Seq(0L, -1L, 0L, -2L).toDF("id")
+    def bag(emit: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        continueP: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      graft.graph.Descend.run(g, roots, Nil, forward = true, maxDepth = 3,
+          emit = emit, continueP = continueP)
+        .select("id").as[Long].collect().toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
+    // the reference's children fn returns children only for 0; the 2→9 edge
+    // exists purely for the emit-and-cut case below
+    val childrenOf0 = (d: org.apache.spark.sql.DataFrame) => d.where(col("id") === 0)
+    // continue-only, no emit => []
+    assert(bag(_.where(lit(false)), childrenOf0) === Map.empty)
+    // emit everything except 0 => [1 2 3 -1 1 2 3 -2]
+    assert(bag(_.where(col("id") =!= 0), childrenOf0) ===
+      Map(1L -> 2, 2L -> 2, 3L -> 2, -1L -> 1, -2L -> 1))
+    // emit without continue => roots only [0 -1 0 -2]
+    assert(bag(identity, _.where(lit(false))) === Map(0L -> 2, -1L -> 1, -2L -> 1))
+    // emit-and-cut at 2: 2 emitted, its child 9 never visited
+    assert(bag(identity, _.where(col("id") =!= 2)) ===
+      Map(0L -> 2, -1L -> 1, -2L -> 1, 1L -> 2, 2L -> 2, 3L -> 2))
   }
 
   test("irreducible graph from the DOM paper (fermor all-dom5)") {
