@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.{PropertyGraph, Tpch, Vid}
+
+/** Scale-up probe (not part of the driver contract): replicates the sf0.1
+  * fact tables K× with key-shifted copies (dimension tables stay fixed, as
+  * they do in a real warehouse) and times the shuffle-heavy operators at 1×
+  * and K×. The interesting output is the RATIO: a plan that scales linearly
+  * in fact rows prints ratios near K (or below, where fixed per-round
+  * scheduling overhead amortizes); a super-linear ratio exposes an operator
+  * that would not survive the 100 TB target.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleProbe [K]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 8
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tpch.shareScans = true
+
+    // K key-shifted copies of the fact tables; dims unchanged
+    def replicate(df: DataFrame, keyCols: Seq[String], span: Long): DataFrame =
+      (0 until k).map { i =>
+        keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * span)))
+      }.reduce(_.unionByName(_))
+
+    val span = 10000000L
+    val orders1 = Tpch.table(spark, dir, "orders")
+    val lineitem1 = Tpch.table(spark, dir, "lineitem")
+    val ordersK = replicate(orders1, Seq("o_orderkey"), span).localCheckpoint(true)
+    val lineitemK = replicate(lineitem1, Seq("l_orderkey"), span).localCheckpoint(true)
+
+    def graphOf(orders: DataFrame, lineitem: DataFrame): PropertyGraph = {
+      val customer = Tpch.table(spark, dir, "customer")
+      val kinds = Map(
+        "customer" -> customer.select(Vid.vid("customer", col("c_custkey")).as("id")),
+        "orders" -> orders.select(Vid.vid("orders", col("o_orderkey")).as("id")),
+        "lineitem" -> lineitem.select(
+          Tpch.lineitemVid(col("l_orderkey"), col("l_linenumber")).as("id")))
+      val edges =
+        orders.select(Vid.vid("orders", col("o_orderkey")).as("src"),
+            Vid.vid("customer", col("o_custkey")).as("dst"),
+            lit("order_customer").as("label"))
+          .unionByName(lineitem.select(
+            Tpch.lineitemVid(col("l_orderkey"), col("l_linenumber")).as("src"),
+            Vid.vid("orders", col("l_orderkey")).as("dst"),
+            lit("lineitem_order").as("label")))
+      PropertyGraph(kinds, edges)
+    }
+
+    val g1 = graphOf(orders1, lineitem1)
+    val gK = graphOf(ordersK, lineitemK)
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+    }
+    def minTime(f: => Long): (Double, Long) = {
+      val a = time(f); val b = time(f); (math.min(a._1, b._1), b._2)
+    }
+
+    val probes: Seq[(String, PropertyGraph => Long)] = Seq(
+      "two_hop_agg" -> { g =>
+        g.ofKind("lineitem").out("lineitem_order").out("order_customer")
+          .df.groupBy("id").agg(count(lit(1))).count()
+      },
+      "topo_levels" -> { g =>
+        graft.algos.Algos.topoLevels(g.vertices.select("id"), g.edges, maxIter = 4).count()
+      },
+      "conn_components" -> { g =>
+        implicit val sp: SparkSession = spark
+        graft.algos.Algos.connectedComponents(
+          g.kind("customer").select("id").unionAll(g.kind("orders").select("id")),
+          g.edges.where(col("label") === "order_customer")).count()
+      },
+      "descend_deepest" -> { g =>
+        graft.graph.Descend.deepest(g,
+          g.kind("customer").select("id"), Nil, forward = false, maxDepth = 2).count()
+      })
+
+    val results = probes.map { case (name, p) =>
+      val (t1, n1) = minTime(p(g1))
+      val (tK, nK) = minTime(p(gK))
+      val ratio = tK / math.max(t1, 1e-9)
+      println(f"[scale] $name%-18s 1x: $t1%6.2f s (n=$n1%9d)   ${k}x: $tK%6.2f s (n=$nK%9d)   time-ratio: $ratio%5.2f")
+      (name, t1, tK, ratio)
+    }
+    val worst = results.maxBy(_._4)
+    println(f"[scale] data ${k}x -> worst time-ratio ${worst._4}%.2f (${worst._1}); " +
+      "ratios at or below the data factor indicate shuffle-linear plans")
+    spark.stop()
+  }
+}

@@ -147,6 +147,26 @@ class DataOpsSpec extends AnyFunSuite {
     assert(rows(0L) === ((2L, 5.0)) && rows(3600L) === ((1L, 5.0)))
   }
 
+  test("stream-static enrichment: streaming events join a static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[Sessionize.Event]
+    val q = mem.toDS().toDF()
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+      .groupBy("tier").agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .writeStream.format("memory").queryName("enriched").outputMode("complete").start()
+    def t(min: Long) = new Timestamp(min * 60000L)
+    mem.addData(Sessionize.Event(1L, t(1), 2.0), Sessionize.Event(2L, t(2), 3.0),
+      Sessionize.Event(9L, t(3), 5.0)) // 9 has no dim row -> null tier
+    q.processAllAvailable()
+    val rows = spark.table("enriched")
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getDouble(2))).toMap
+    q.stop()
+    assert(rows(Some("gold")) === ((1L, 2.0)))
+    assert(rows(Some("silver")) === ((1L, 3.0)))
+    assert(rows(None) === ((1L, 5.0)))
+  }
+
   test("event-time sessionization closes sessions as the watermark advances") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Sessionize.Event]
