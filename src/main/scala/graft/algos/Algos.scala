@@ -449,6 +449,49 @@ object Algos {
     }.toDF("id", "header", "header_depth")
   }
 
+  /** Interval partition of a flow graph (fermor algo.clj `intervals`; the
+    * Allen/Cocke interval analysis from Offner's notes p44): each interval
+    * I(h) grows from its header h by absorbing nodes whose predecessors all
+    * lie inside; un-absorbed successors seed new headers. Driver-side on
+    * the distributedly-extracted reachable subgraph (CFG-scale, like
+    * dominators); deterministic via sorted worklists. Returns
+    * (id, interval_header). */
+  def intervals(entry: Long, edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = reachableEdges(entry, edges).as[(Long, Long)].collect()
+    val succ = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.sorted }
+    val preds = es.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).distinct }
+    val assigned = scala.collection.mutable.HashMap[Long, Long]()
+    val headers = scala.collection.mutable.SortedSet[Long](entry)
+    val doneHeaders = scala.collection.mutable.HashSet[Long]()
+    while (headers.nonEmpty) {
+      val h = headers.head; headers.remove(h); doneHeaders += h
+      if (!assigned.contains(h)) {
+        val interval = scala.collection.mutable.SortedSet[Long](h)
+        assigned(h) = h
+        var grew = true
+        while (grew) {
+          grew = false
+          val candidates = interval.toSeq
+            .flatMap(v => succ.getOrElse(v, Array.empty[Long]))
+            .distinct.sorted
+            .filterNot(assigned.contains)
+          candidates.foreach { v =>
+            if (preds.getOrElse(v, Array.empty[Long]).forall(interval.contains)) {
+              interval += v; assigned(v) = h; grew = true
+            }
+          }
+        }
+        // unabsorbed successors of the interval become new headers
+        interval.toSeq.flatMap(v => succ.getOrElse(v, Array.empty[Long]))
+          .filterNot(assigned.contains)
+          .foreach(v => if (!doneHeaders(v)) headers += v)
+      }
+    }
+    assigned.toSeq.toDF("id", "interval_header")
+  }
+
   /** Vertices lying on some path from `from` to `to` (fermor algo.clj
     * `non-loop-vertices-between`): forward-reachable(from) ∩
     * backward-reachable(to) — two distributed BFS passes, no driver walk. */

@@ -175,6 +175,23 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(headers === Set("S", "B", "C", "F", "L", "J", "O", "P").map(L))
   }
 
+  test("interval partition on Offner p44 flow graph (fermor flow-hard intervals)") {
+    val es = edges(
+      "S" -> "A", "S" -> "B", "A" -> "B", "B" -> "C", "C" -> "D", "C" -> "E",
+      "D" -> "F", "E" -> "F", "E" -> "J", "E" -> "C", "F" -> "C", "F" -> "G",
+      "F" -> "L", "I" -> "F", "G" -> "I", "G" -> "B", "J" -> "K", "K" -> "J",
+      "L" -> "J", "L" -> "N", "L" -> "M", "M" -> "N", "M" -> "L", "N" -> "L",
+      "M" -> "O", "G" -> "O", "H" -> "O", "H" -> "S", "G" -> "H", "O" -> "P",
+      "P" -> "O", "P" -> "Q", "Q" -> "P")
+    val parts = Algos.intervals(L("S"), es)
+      .as[(Long, Long)].collect().groupBy(_._2).map(_._2.map(_._1).toSet).toSet
+    val expected = Set(
+      Set("S", "A"), Set("B"), Set("C", "D", "E"), Set("F", "G", "H", "I"),
+      Set("L", "M", "N"), Set("O"), Set("P", "Q"), Set("J", "K"))
+      .map(_.map(L))
+    assert(parts === expected)
+  }
+
   test("dominators on Offner loops graph (fermor loops-test)") {
     val es = Seq(
       (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 7L),
