@@ -458,6 +458,9 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, dir) =>
       graft.dedup.Dedup.ngramJaccardPairs(Tpch.table(s, dir, "documents"), "doc_id", "text",
         k = 3, minBp = 5000)),
+    "q_dedup_clusters" -> ((s, dir) =>
+      graft.dedup.Dedup.clusters(Tpch.table(s, dir, "documents"), "doc_id", "text",
+        k = 3, minBp = 5000)),
     "q_dedup_minhash" -> ((s, dir) => // rows-only: LSH band candidates, exact-rescored
       graft.dedup.Dedup.minhashLsh(Tpch.table(s, dir, "documents"), "doc_id", "text",
         k = 3, numPerm = 64, bands = 16, minBp = 5000)),
@@ -861,6 +864,23 @@ object SparkEntry {
                 (i * 10000) // (na.n + nb.n - i) AS j_bp
          FROM inter JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id
          WHERE i * 10000 >= 5000 * (na.n + nb.n - i)""",
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
+            sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+                   FROM toks, unnest(generate_series(1, greatest(len(ts) - 2, 0))) t(i)),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b FROM inter
+                      JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id
+                      WHERE i * 10000 >= 5000 * (na.n + nb.n - i)),
+            e AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (SELECT a, b FROM e
+                            UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+            lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+         SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster,
+                (d.doc_id = coalesce(l.cluster, d.doc_id))::INT AS keep
+         FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id""",
     "q_ann_pairs" ->
       """WITH qv AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
                        round(unnest(embedding) * 1000)::BIGINT AS q FROM embeddings),

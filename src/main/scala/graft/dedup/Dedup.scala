@@ -85,6 +85,25 @@ object Dedup {
         (col("i") * 10000).divide(col("union_n")).cast("long").as("j_bp"))
   }
 
+  /** Near-dup CLUSTERS: the step after pair generation in a real pipeline —
+    * connected components over the near-dup pair graph (a doc transitively
+    * near-identical to another lands in the same cluster), cluster label =
+    * min member id, and the label member is the canonical KEEPER. Docs with
+    * no near-dup form singleton clusters of themselves. Components run on
+    * GraphX Pregel (the pair graph is the tiny output of candidate
+    * generation, but the same code is scale-safe if it isn't). */
+  def clusters(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minBp: Int = 5000): DataFrame = {
+    val spark = docs.sparkSession
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, k, minBp)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val vs = docs.select(col(idCol).as("id"))
+    val cc = graft.algos.Algos.connectedComponents(vs, pairs)
+    cc.select(col("id").as("doc_id"), col("component").as("cluster"),
+      (col("id") === col("component")).cast("int").as("keep"))
+  }
+
   /** MinHash signature column: array of `numPerm` minima of affine permuted
     * 64-bit shingle hashes ((a_i*h + b_i), Long wraparound — deterministic). */
   private val MersennePrime = 2147483647L // 2^31 - 1

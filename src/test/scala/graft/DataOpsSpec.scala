@@ -42,6 +42,14 @@ class DataOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dedup clusters: transitive near-dups share one keeper") {
+    // 1~2 and 1~4 are near-dups => cluster {1,2,4} keeps 1; 3 is singleton
+    val rows = Dedup.clusters(docs, "doc_id", "text", k = 3, minBp = 5000)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L) === ((1L, 1)) && rows(2L) === ((1L, 0)) && rows(4L) === ((1L, 0)))
+    assert(rows(3L) === ((3L, 1)))
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, unrelated absent") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHam = 6)
       .as[(Long, Long, Int)].collect().map(r => ((r._1, r._2), r._3)).toMap
