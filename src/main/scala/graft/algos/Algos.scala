@@ -258,6 +258,20 @@ object Algos {
     rounds.reduce(_.unionByName(_)).groupBy("id").agg(max(col("level")).as("level"))
   }
 
+  /** Push a value DOWN a DAG (fermor prewalk-reduce: accumulate along the
+    * walk from the roots): each hop joins the current assignment through an
+    * edge label, so a root attribute (e.g. a region id) reaches every
+    * descendant. The mirror of [[rollup]]. */
+  def pushDown(g: PropertyGraph, start: DataFrame, valueCol: String, labels: Seq[String]): DataFrame = {
+    var cur = start // columns: id, <valueCol>
+    labels.foreach { l =>
+      val e = g.edges.where(col("label") === l).select("src", "dst").dropDuplicates("src", "dst")
+      cur = cur.join(e, cur("id") === e("dst"))
+        .select(col("src").as("id"), col(valueCol))
+    }
+    cur.dropDuplicates("id", valueCol)
+  }
+
   /** Roll an aggregate up a DAG level-by-level (fermor postwalk-reduce /
     * reverse-postwalk-reduce as a distributed reduction): here exposed as a
     * path-aggregate: sum `valueCol` of source vertices grouped by the vertex

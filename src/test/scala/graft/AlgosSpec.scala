@@ -143,6 +143,20 @@ class AlgosSpec extends AnyFunSuite {
     assert(intra.sum / intra.size < inter.sum / inter.size) // clusters separate
   }
 
+  test("pushDown propagates a root value to all descendants (fermor prewalk-reduce)") {
+    // FK-direction edges child→parent; pushDown walks dst→src
+    val es = Seq((10L, 1L), (11L, 1L), (20L, 10L), (21L, 10L), (22L, 11L))
+      .toDF("src", "dst").withColumn("label", lit("up"))
+    val g = graft.graph.PropertyGraph(Map("v" -> Seq(1L).toDF("id")), es)
+    val roots = Seq((1L, 77L)).toDF("id", "tag")
+    val lvl1 = Algos.pushDown(g, roots, "tag", Seq("up"))
+      .as[(Long, Long)].collect().toSet
+    assert(lvl1 === Set((10L, 77L), (11L, 77L)))
+    val lvl2 = Algos.pushDown(g, roots, "tag", Seq("up", "up"))
+      .as[(Long, Long)].collect().toSet
+    assert(lvl2 === Set((20L, 77L), (21L, 77L), (22L, 77L)))
+  }
+
   test("degrees counts both directions") {
     val es = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst").withColumn("label", lit("e"))
     val deg = Algos.degrees(es).as[(Long, Long)].collect().toMap
