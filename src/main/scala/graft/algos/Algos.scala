@@ -511,8 +511,16 @@ object Algos {
     * backward-reachable(to) — two distributed BFS passes, no driver walk. */
   def verticesBetween(vertices: DataFrame, edges: DataFrame, from: DataFrame, to: DataFrame)(
       implicit spark: SparkSession): DataFrame = {
-    val fwd = bfsDistances(vertices, edges, from)
-    val bwd = bfsDistances(vertices, edges, to, reverse = true)
+    // the two BFS passes are independent job sequences; submitting them from
+    // two threads lets their per-round jobs interleave on the cluster, so
+    // wall time is ~max of the passes instead of their sum
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fwdF = Future { bfsDistances(vertices, edges, from) }
+    val bwdF = Future { bfsDistances(vertices, edges, to, reverse = true) }
+    val fwd = Await.result(fwdF, Duration.Inf)
+    val bwd = Await.result(bwdF, Duration.Inf)
     fwd.select("id").join(bwd.select("id"), "id")
   }
 
