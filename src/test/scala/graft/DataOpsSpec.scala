@@ -155,6 +155,29 @@ class DataOpsSpec extends AnyFunSuite {
     assert(rows(0L) === ((2L, 5.0)) && rows(3600L) === ((1L, 5.0)))
   }
 
+  test("streaming graph maintenance: foreachBatch accumulates edges, traversals see updates") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph_stream").toFile.getAbsolutePath
+    val cp = java.nio.file.Files.createTempDirectory("graft_graph_cp").toFile.getAbsolutePath
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = mem.toDS().toDF("src", "dst", "label").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(dir) // the graph IS the edge log
+      }
+      .option("checkpointLocation", cp).start()
+    def graph() = graft.graph.PropertyGraph(
+      Map("v" -> Seq(1L, 2L, 3L).toDF("id")), spark.read.parquet(dir))
+    mem.addData((1L, 2L, "knows"))
+    q.processAllAvailable()
+    assert(graph().from(Seq(1L).toDF("id")).out("knows").count() === 1)
+    mem.addData((2L, 3L, "knows")) // next micro-batch extends the graph
+    q.processAllAvailable()
+    val g2 = graph()
+    assert(g2.from(Seq(1L).toDF("id")).out("knows").out("knows")
+      .df.select("id").as[Long].collect().toSeq === Seq(3L))
+    q.stop()
+  }
+
   test("stream-static enrichment: streaming events join a static dimension") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
