@@ -463,6 +463,27 @@ object Algos {
     }.toDF("id", "header", "header_depth")
   }
 
+  /** Betweenness centrality by shortest-path enumeration (the TinkerPop
+    * recipe the reference mirrors in gremlin_examples_test.clj): enumerate
+    * all simple paths up to `maxDepth` from every vertex via [[graft.graph.Descend]],
+    * keep the shortest per (origin, destination) pair, and count how often
+    * each vertex appears on them. Exact for diameters <= maxDepth; as the
+    * reference notes, "not large graph friendly" — path enumeration is
+    * exponential in dense graphs — but every step here is a distributed
+    * join/window, so moderate graphs parallelize. */
+  def betweennessByEnumeration(g: PropertyGraph, maxDepth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paths = graft.graph.Descend
+      .run(g, g.vertices.select("id"), Nil, forward = true, maxDepth = maxDepth)
+      .select(element_at(col("path"), 1).as("o"), col("id").as("d"),
+        col("depth"), col("path"))
+    val w = Window.partitionBy("o", "d")
+    paths.withColumn("m", min(col("depth")).over(w))
+      .where(col("depth") === col("m"))
+      .select(explode(col("path")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("betweenness"))
+  }
+
   /** Interval partition of a flow graph (fermor algo.clj `intervals`; the
     * Allen/Cocke interval analysis from Offner's notes p44): each interval
     * I(h) grows from its header h by absorbing nodes whose predecessors all

@@ -41,16 +41,10 @@ class GremlinParitySpec extends AnyFunSuite {
       .map { case (x, y) => (ids(x), ids(y)) }
     val undirected = base ++ base.map(_.swap)
     val g = graphOf(ids.values.toSeq, undirected, "next")
-    // enumerate all simple paths from every vertex (cycles cut), keep the
-    // shortest group per (origin, destination), count vertex occurrences
-    val paths = Descend.run(g, g.kind("v").select("id"), Nil, forward = true, maxDepth = 6)
-      .select(element_at(col("path"), 1).as("o"), col("id").as("d"),
-        col("depth"), col("path"))
-    val w = Window.partitionBy("o", "d")
-    val shortest = paths.withColumn("m", min(col("depth")).over(w))
-      .where(col("depth") === col("m"))
-    val counts = shortest.select(explode(col("path")).as("v"))
-      .groupBy("v").count().as[(Long, Long)].collect().toMap
+    // first-class operator: enumerate simple paths, keep the shortest per
+    // (origin, destination), count vertex occurrences
+    val counts = graft.algos.Algos.betweennessByEnumeration(g, maxDepth = 6)
+      .as[(Long, Long)].collect().toMap
     val expected = Map("a" -> 15L, "b" -> 29L, "c" -> 21L, "d" -> 21L, "e" -> 29L, "f" -> 15L)
       .map { case (k, n) => ids(k) -> n }
     assert(counts === expected)
