@@ -2,7 +2,7 @@ package graft.algos
 
 import org.apache.spark.graphx.{Edge, EdgeTriplet, Graph, VertexId, PartitionStrategy}
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.graph.PropertyGraph
 
@@ -85,7 +85,11 @@ object Algos {
     }
     val residualComps: DataFrame =
       if (prev == 0) Seq.empty[(Long, Long)].toDF("id", "component")
-      else if (prev <= residualMax) {
+      // gate on BOTH vertex and edge count before collecting: a dense cyclic
+      // residual under the vertex cap can still hold edge counts that OOM the
+      // driver; the edge count is one cheap agg on the already-materialized
+      // residual edge table
+      else if (prev <= residualMax && e.count() <= residualMax) {
         val es = e.as[(Long, Long)].collect()
         val ids = remaining.as[Long].collect()
         tarjanScc(ids, es).toSeq.toDF("id", "component")
@@ -184,6 +188,74 @@ object Algos {
       if (next.isEmpty) done = true
       else { dist = dist.unionByName(next).localCheckpoint(eager = false); frontier = next }
       d += 1
+    }
+    dist
+  }
+
+  /** Weighted shortest path by distributed delta-relaxation (fermor
+    * algo.clj:92 `shortest-path`, which takes a per-edge cost fn and an
+    * accept predicate). `cost` is a Column over the edge row (must evaluate
+    * to a strictly positive long — the exactness convention: integer costs
+    * hash-match across engines). Each round relaxes only edges out of the
+    * newest improved frontier: a keyed join + min-merge against the distance
+    * table, the Bellman-Ford/delta-stepping shape that scales (per-round work
+    * tracks frontier size; no priority queue, no driver state). Returns every
+    * reachable (id, cost) with cost = minimal path cost from any source. */
+  def weightedShortestPath(edges: DataFrame, sources: DataFrame, cost: Column,
+      reverse: Boolean = false, maxIter: Int = 50)(implicit spark: SparkSession): DataFrame =
+    relaxLoop(edges, sources, cost, reverse, maxIter, accept = None)
+
+  /** fermor `shortest-path`'s full contract: lowest-cost search for vertices
+    * satisfying `accept` (a predicate Column over `id`), with early exit —
+    * once the cheapest accepted cost B is known and the frontier's minimum
+    * tentative cost reaches B, no future relaxation can beat it (costs are
+    * strictly positive), so the search stops without exhausting the graph.
+    * Returns the accepted vertices tied at the minimal cost. */
+  def cheapestAccepted(edges: DataFrame, sources: DataFrame, cost: Column, accept: Column,
+      reverse: Boolean = false, maxIter: Int = 50)(implicit spark: SparkSession): DataFrame = {
+    val dist = relaxLoop(edges, sources, cost, reverse, maxIter, accept = Some(accept))
+    val hits = dist.where(accept).localCheckpoint(eager = false)
+    hits.join(hits.agg(min(col("cost")).as("cost")), Seq("cost"), "left_semi")
+      .select("id", "cost")
+  }
+
+  private def relaxLoop(edges: DataFrame, sources: DataFrame, cost: Column,
+      reverse: Boolean, maxIter: Int, accept: Option[Column]): DataFrame = {
+    val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
+    // parallel edges are fine un-deduped: the per-round min-merge collapses
+    // them; one narrow materialization shared by all rounds
+    val e = edges.select(col(from).as("__from"), col(to).as("__to"), cost.cast("long").as("__w"))
+      .localCheckpoint(eager = false)
+    var dist = sources.select(col(sources.columns.head).as("id")).dropDuplicates("id")
+      .withColumn("cost", lit(0L)).localCheckpoint(eager = false)
+    var frontier = dist
+    var bestAccepted = Long.MaxValue
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val improved = e
+        .join(frontier.withColumnRenamed("id", "__from"), "__from")
+        .select(col("__to").as("id"), (col("cost") + col("__w")).as("cost"))
+        .groupBy("id").agg(min(col("cost")).as("cost")) // map-side partial min
+        .join(dist.withColumnRenamed("cost", "__old"), Seq("id"), "left")
+        .where(col("__old").isNull || col("cost") < col("__old"))
+        .select("id", "cost")
+        .localCheckpoint(eager = true) // materialized once; isEmpty/agg below are cheap
+      if (improved.isEmpty) done = true
+      else {
+        dist = dist.join(improved.select("id"), Seq("id"), "left_anti")
+          .unionByName(improved).localCheckpoint(eager = false)
+        frontier = improved
+        accept.foreach { pred =>
+          val acc = improved.where(pred).agg(min(col("cost"))).head()
+          if (!acc.isNullAt(0)) bestAccepted = math.min(bestAccepted, acc.getLong(0))
+          val frontierMin = improved.agg(min(col("cost"))).head().getLong(0)
+          // strictly positive costs: every future relaxation strictly exceeds
+          // the frontier minimum, so the accepted set at bestAccepted is final
+          if (frontierMin >= bestAccepted) done = true
+        }
+      }
+      i += 1
     }
     dist
   }
@@ -296,15 +368,16 @@ object Algos {
     * BFS over a deduped edge table, so what reaches the driver is only the
     * entry's flow subgraph, not the whole 100 TB edge set. */
   private val reachCache =
-    scala.collection.concurrent.TrieMap[(Long, Int), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, Long, Int), DataFrame]()
 
   def reachableEdges(entry: Long, edges: DataFrame, maxIter: Int = 50): DataFrame =
     if (!graft.graph.Tpch.shareScans) reachableEdgesImpl(entry, edges, maxIter)
     else {
       // under the multi-query scan-sharing regime (Bench/Verify), several
       // queries analyze the same flow subgraph (dominators, dominator-depth,
-      // loop forest) — extract it once per (entry, semantic plan)
-      val key = (entry, edges.queryExecution.analyzed.semanticHash())
+      // loop forest) — extract it once per (session, entry, semantic plan);
+      // session-keyed so a dead session's plans are never resurrected
+      val key = (edges.sparkSession, entry, edges.queryExecution.analyzed.semanticHash())
       reachCache.getOrElseUpdate(key,
         reachableEdgesImpl(entry, edges, maxIter).localCheckpoint(eager = false))
     }
@@ -484,6 +557,72 @@ object Algos {
       .groupBy("id").agg(count(lit(1)).as("betweenness"))
   }
 
+  /** Betweenness centrality via distributed Brandes — the 100 TB form of
+    * [[betweennessByEnumeration]] (which is the TinkerPop path-enumeration
+    * recipe: exponential in dense graphs). Standard Brandes (2001): for each
+    * source s, a level-synchronous BFS computes σ(s,v) = #shortest s→v paths
+    * (sum of predecessor σ per level — one keyed agg per level), then a
+    * backward sweep accumulates pair dependencies
+    * δ(s,v) = Σ_{w: succ on a shortest path} σ(s,v)/σ(s,w) · (1 + δ(s,w)).
+    * Betweenness(v) = Σ_{s≠v} δ(s,v) (endpoints excluded). All sources run
+    * TOGETHER: rows are (s, v, …), so each level is one join keyed by vertex
+    * — the per-source loop of the sequential algorithm becomes row
+    * parallelism. `sources` bounds the work (pass a sample for the standard
+    * approximation; pass all vertices for exact values). */
+  def brandesBetweenness(edges: DataFrame, sources: DataFrame, directed: Boolean = false,
+      maxIter: Int = 100)(implicit spark: SparkSession): DataFrame = {
+    val e0 = edges.select("src", "dst").dropDuplicates("src", "dst")
+    val e = (if (directed) e0
+             else e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+               .dropDuplicates("src", "dst"))
+      .localCheckpoint(eager = false)
+    // forward phase: per-level (s, v, sigma); keep each level for the sweep
+    var frontier = sources.select(col(sources.columns.head).as("s"))
+      .dropDuplicates("s").withColumn("v", col("s")).withColumn("sigma", lit(1L))
+      .localCheckpoint(eager = false)
+    var visited = frontier.select("s", "v").localCheckpoint(eager = false)
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    var done = false
+    var d = 0
+    while (!done && d < maxIter) {
+      val next = frontier.join(e, frontier("v") === e("src"))
+        .groupBy(col("s"), col("dst").as("v2")).agg(sum(col("sigma")).as("sigma"))
+        .select(col("s"), col("v2").as("v"), col("sigma"))
+        .join(visited, Seq("s", "v"), "left_anti")
+        .localCheckpoint(eager = true)
+      if (next.isEmpty) done = true
+      else {
+        levels += next
+        visited = visited.unionByName(next.select("s", "v")).localCheckpoint(eager = false)
+        frontier = next
+      }
+      d += 1
+    }
+    // backward sweep, deepest level first: δ at the deepest level is 0.
+    // `delta` carries (s, v, sigma, delta) — the σ of level l+1 is needed as
+    // the divisor when level l pulls its dependency contributions.
+    var delta = levels.last.withColumn("delta", lit(0.0)).localCheckpoint(eager = false)
+    var acc = delta.select("s", "v", "delta")
+    var l = levels.length - 2
+    while (l >= 0) {
+      val cur = levels(l)
+      val contrib = cur.join(e, cur("v") === e("src"))
+        .select(col("s"), col("v"), col("sigma"), col("dst").as("w"))
+        .join(delta.select(col("s"), col("v").as("w"), col("sigma").as("sw"), col("delta").as("dw")),
+          Seq("s", "w"))
+        .groupBy("s", "v")
+        .agg(sum(col("sigma").cast("double") / col("sw") * (lit(1.0) + col("dw"))).as("delta"))
+      val lvlDelta = cur.join(contrib, Seq("s", "v"), "left")
+        .select(col("s"), col("v"), col("sigma"), coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint(eager = true)
+      delta = lvlDelta
+      acc = acc.unionByName(lvlDelta.select("s", "v", "delta"))
+      l -= 1
+    }
+    acc.where(col("s") =!= col("v"))
+      .groupBy(col("v").as("id")).agg(sum(col("delta")).as("betweenness"))
+  }
+
   /** Interval partition of a flow graph (fermor algo.clj `intervals`; the
     * Allen/Cocke interval analysis from Offner's notes p44): each interval
     * I(h) grows from its header h by absorbing nodes whose predecessors all
@@ -530,29 +669,54 @@ object Algos {
   /** Vertices lying on some path from `from` to `to` (fermor algo.clj
     * `non-loop-vertices-between`): forward-reachable(from) ∩
     * backward-reachable(to) — two distributed BFS passes, no driver walk. */
-  def verticesBetween(vertices: DataFrame, edges: DataFrame, from: DataFrame, to: DataFrame)(
+  def verticesBetween(vertices: DataFrame, edges: DataFrame, from: DataFrame, to: DataFrame,
+      fwdMaxIter: Int = 1000, bwdMaxIter: Int = 1000)(
       implicit spark: SparkSession): DataFrame = {
     // the two BFS passes are independent job sequences; submitting them from
     // two threads lets their per-round jobs interleave on the cluster, so
-    // wall time is ~max of the passes instead of their sum
+    // wall time is ~max of the passes instead of their sum. Callers that know
+    // the graph diameter pass it as the iteration bound: each saved round is
+    // a saved frontier materialization (the dominant cost on low-diameter
+    // graphs, where the last rounds run only to discover emptiness).
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fwdF = Future { bfsDistances(vertices, edges, from) }
-    val bwdF = Future { bfsDistances(vertices, edges, to, reverse = true) }
+    val fwdF = Future { bfsDistances(vertices, edges, from, maxIter = fwdMaxIter) }
+    val bwdF = Future { bfsDistances(vertices, edges, to, reverse = true, maxIter = bwdMaxIter) }
     val fwd = Await.result(fwdF, Duration.Inf)
     val bwd = Await.result(bwdF, Duration.Inf)
     fwd.select("id").join(bwd.select("id"), "id")
   }
 
   /** Articulation points of the undirected view of the graph (fermor
-    * algo.clj `articulation-points`): iterative Tarjan low-link. Like
-    * dominators, DFS-order-sequential — runs single-node on a distributedly
-    * extracted subgraph. */
-  def articulationPoints(edges: DataFrame): DataFrame = {
+    * algo.clj `articulation-points`): iterative Tarjan low-link.
+    *
+    * Tarjan low-link is DFS-order-sequential, so SOME single-threaded walk is
+    * unavoidable; what must not happen at 100 TB is an unguarded collect of
+    * the whole edge set to the driver. Guard: if the edge count exceeds
+    * `localMaxEdges`, fall back to the distributed per-component plan —
+    * connected components first (Pregel), then each component's edge list is
+    * walked WITHIN an executor via flatMapGroups. Biconnectivity never
+    * crosses a connected component, so the partition is exact; the collect
+    * unit shrinks from "the graph" to "the largest component". */
+  def articulationPoints(edges: DataFrame, localMaxEdges: Long = 3000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val (adj, _) = undirectedAdj(edges)
+    val e = edges.select("src", "dst").localCheckpoint(eager = false)
+    if (e.count() > localMaxEdges) {
+      implicit val sp: SparkSession = spark
+      return perComponent(e)(es => articulationLocal(buildAdj(es)).iterator).toDF("id")
+    }
+    val adj = buildAdj(e.as[(Long, Long)].collect())
+    articulationLocal(adj).toDF("id")
+  }
+
+  /** Undirected adjacency (dedup + symmetrize) from an edge list. */
+  private def buildAdj(es: Array[(Long, Long)]): Map[Long, Array[Long]] =
+    (es ++ es.map(_.swap)).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+
+  private def articulationLocal(adj: Map[Long, Array[Long]]): Seq[Long] = {
     val disc = scala.collection.mutable.HashMap[Long, Int]()
     val low = scala.collection.mutable.HashMap[Long, Int]()
     val arts = scala.collection.mutable.HashSet[Long]()
@@ -585,17 +749,44 @@ object Algos {
         if (rootChildren >= 2) arts += root
       }
     }
-    arts.toSeq.toDF("id")
+    arts.toSeq.sorted
+  }
+
+  /** Partition the (undirected) edge set by connected component and run `f`
+    * over each component's edge list INSIDE an executor — the distributed
+    * harness for the DFS-sequential biconnectivity family. One Pregel CC run
+    * + one keyed shuffle; per-task memory is bounded by the largest
+    * component, not the graph. */
+  private def perComponent[T: org.apache.spark.sql.Encoder](e: DataFrame)(
+      f: Array[(Long, Long)] => Iterator[T])(implicit spark: SparkSession): org.apache.spark.sql.Dataset[T] = {
+    import spark.implicits._
+    val vs = e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
+      .dropDuplicates("id")
+    val comp = connectedComponents(vs, e)
+    e.join(comp.withColumnRenamed("id", "src"), "src")
+      .select(col("component"), col("src"), col("dst"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups((_, it) => f(it.map(t => (t._2, t._3)).toArray))
   }
 
   /** Biconnected components (fermor algo.clj `biconnected-components`):
     * edge-partition into maximal 2-connected subgraphs via Tarjan's edge
     * stack. Returns (src, dst, component) with component = min edge-endpoint
-    * id in the component (deterministic labeling). */
-  def biconnectedComponents(edges: DataFrame): DataFrame = {
+    * id in the component (deterministic labeling). Same guard + distributed
+    * per-component fallback as [[articulationPoints]]. */
+  def biconnectedComponents(edges: DataFrame, localMaxEdges: Long = 3000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val (adj, _) = undirectedAdj(edges)
+    val e = edges.select("src", "dst").localCheckpoint(eager = false)
+    if (e.count() > localMaxEdges) {
+      implicit val sp: SparkSession = spark
+      return perComponent(e)(es => bccLocal(buildAdj(es)).iterator).toDF("src", "dst", "component")
+    }
+    bccLocal(buildAdj(e.as[(Long, Long)].collect())).toDF("src", "dst", "component")
+  }
+
+  private def bccLocal(adj: Map[Long, Array[Long]]): Seq[(Long, Long, Long)] = {
     val disc = scala.collection.mutable.HashMap[Long, Int]()
     val low = scala.collection.mutable.HashMap[Long, Int]()
     val estack = scala.collection.mutable.Stack[(Long, Long)]()
@@ -643,16 +834,7 @@ object Algos {
     comps.toSeq.flatMap { comp =>
       val label = comp.iterator.flatMap(e => Iterator(e._1, e._2)).min
       comp.map { case (s, d) => (s, d, label) }
-    }.toDF("src", "dst", "component")
-  }
-
-  private def undirectedAdj(edges: DataFrame): (Map[Long, Array[Long]], Int) = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val es = edges.select("src", "dst").as[(Long, Long)].collect()
-    val adj = (es ++ es.map(_.swap)).distinct
-      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
-    (adj, es.length)
+    }
   }
 
   /** Dominance frontiers (fermor `dominance-frontiers`), from idom by the

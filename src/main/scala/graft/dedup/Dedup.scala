@@ -24,7 +24,7 @@ object Dedup {
     * shared-shingle equi-join → exact |∩|/|∪| in integer basis points.
     * Pairs with j_bp = 10000*|∩|/|∪| (floor) >= minBp. */
   private val pairsCache =
-    scala.collection.concurrent.TrieMap[(Int, String, String, Int, Int), DataFrame]()
+    scala.collection.concurrent.TrieMap[(org.apache.spark.sql.SparkSession, Int, String, String, Int, Int), DataFrame]()
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minBp: Int = 5000): DataFrame =
@@ -34,7 +34,8 @@ object Dedup {
       // under the multi-query scan-sharing regime the pair table is an
       // intermediate index shared by the pair query and the clustering
       // query — compute it once per (input plan, parameters)
-      val key = (docs.queryExecution.analyzed.semanticHash(), idCol, textCol, k, minBp)
+      // session-keyed: a dead session's cached plan must never be reused
+      val key = (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(), idCol, textCol, k, minBp)
       pairsCache.getOrElseUpdate(key,
         ngramJaccardPairsImpl(docs, idCol, textCol, k, minBp).localCheckpoint(eager = false))
     }
@@ -174,6 +175,22 @@ object Dedup {
       .withColumn("union_n", col("na") + col("nb") - col("i"))
       .where(col("i") * 10000 >= lit(minBp) * col("union_n"))
       .select("id_a", "id_b", "i", "union_n")
+  }
+
+  /** MinHash band-bucket keys as ONE self-contained expression over a text
+    * column — for STREAMING callers, where localCheckpoint boundaries are
+    * unavailable, so the hash array re-evaluates per permutation (Catalyst
+    * has no let-binding). Fine at per-micro-batch row counts; the batch path
+    * ([[minhashLsh]]) keeps its checkpointed single-evaluation pipeline. */
+  private[graft] def bandKeyArray(text: Column, k: Int, numPerm: Int, bands: Int): Column = {
+    val rows = numPerm / bands
+    val hs = transform(graft.functions.NativeOps.wordShingles(text, k),
+      x => pmod(xxhash64(x), lit(MersennePrime)))
+    val sig = minhashSigFromHashes(hs, numPerm)
+    array((0 until bands).map { bidx =>
+      xxhash64(lit(bidx),
+        concat_ws(",", (0 until rows).map(r => element_at(sig, bidx * rows + r + 1)): _*))
+    }: _*)
   }
 
   /** 64-bit SimHash per doc: per-token xxhash64; each output bit is the sign

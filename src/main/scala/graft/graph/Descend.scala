@@ -34,17 +34,24 @@ object Descend {
       emit: DataFrame => DataFrame = identity,
       continueP: DataFrame => DataFrame = identity,
       allowCycles: Boolean = false,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 0,
+      acyclic: Boolean = false): DataFrame = {
 
     val e0 = if (labels.isEmpty) g.edges else g.edges.where(col("label").isin(labels: _*))
     val (from, to) = if (forward) ("src", "dst") else ("dst", "src")
     val e = e0.select(col(from).as("__from"), col(to).as("__to"))
 
+    // acyclic: the caller vouches the traversed subgraph is a DAG, so no
+    // cycle can occur and the path column exists only to be emitted — when
+    // the emit projection doesn't need it either, drop it entirely: the
+    // frontier is two longs wide and per-level shuffles shrink by the whole
+    // array<long> column (path multiplicity is preserved by join fan-out —
+    // bag semantics need no bookkeeping).
     val idCol = start.columns.head
     var frontier = start
       .select(col(idCol).cast("long").as("id"))
       .withColumn("depth", lit(0))
-      .withColumn("path", array(col("id")))
+    if (!acyclic) frontier = frontier.withColumn("path", array(col("id")))
     var acc = emit(frontier)
 
     var d = 1
@@ -52,9 +59,14 @@ object Descend {
       val cont = continueP(frontier)
       var next = cont
         .join(e, cont("id") === e("__from"))
-        .select(col("path"), col("__to").as("id"), (col("depth") + 1).as("depth"))
-      if (!allowCycles) next = next.where(!array_contains(col("path"), col("id")))
-      next = next.withColumn("path", concat(col("path"), array(col("id"))))
+      next =
+        if (acyclic)
+          next.select(col("__to").as("id"), (col("depth") + 1).as("depth"))
+        else {
+          var n = next.select(col("path"), col("__to").as("id"), (col("depth") + 1).as("depth"))
+          if (!allowCycles) n = n.where(!array_contains(col("path"), col("id")))
+          n.withColumn("path", concat(col("path"), array(col("id"))))
+        }
       frontier =
         if (checkpointEvery > 0 && d % checkpointEvery == 0) next.localCheckpoint(eager = true)
         else next
@@ -68,18 +80,21 @@ object Descend {
     * Each level is checkpointed eagerly: level i feeds BOTH the result union
     * and level i+1's expansion, and Catalyst does not share common subplans
     * across union branches — without the materialization the k-th level is
-    * recomputed O(k) times (quadratic join work). */
+    * recomputed O(k) times (quadratic join work). Pass `acyclic = true` on
+    * DAGs (e.g. FK hierarchies) to skip path accumulation — same rows, far
+    * narrower shuffles. */
   def all(g: PropertyGraph, start: DataFrame, labels: Seq[String], forward: Boolean,
-      maxDepth: Int): DataFrame =
-    run(g, start, labels, forward, maxDepth, checkpointEvery = 1).select("id", "depth")
+      maxDepth: Int, acyclic: Boolean = false): DataFrame =
+    run(g, start, labels, forward, maxDepth, checkpointEvery = 1, acyclic = acyclic)
+      .select("id", "depth")
 
   /** fermor `deepest`: only elements with no further children (path-instances
     * whose id has no outgoing hop). Anti-join against the edge tails. */
   def deepest(g: PropertyGraph, start: DataFrame, labels: Seq[String], forward: Boolean,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int, acyclic: Boolean = false): DataFrame = {
     val e0 = if (labels.isEmpty) g.edges else g.edges.where(col("label").isin(labels: _*))
     val tails = e0.select(col(if (forward) "src" else "dst").as("id")).distinct()
-    run(g, start, labels, forward, maxDepth, checkpointEvery = 1)
+    run(g, start, labels, forward, maxDepth, checkpointEvery = 1, acyclic = acyclic)
       .join(tails, Seq("id"), "left_anti")
       .select("id", "depth")
   }

@@ -127,12 +127,21 @@ final case class PropertyGraph(
       bagEqual(edges, other.edges)
   }
 
-  /** Merge two graphs (fermor graph.clj `merge`): kind-wise vertex union
-    * (same-id rows deduped, first graph wins by min) and edge union. */
+  /** Merge two graphs (fermor graph.clj `merge`: "when edges or documents
+    * conflict, keep the later ones"): kind-wise vertex union where a same-id
+    * row in `other` deterministically REPLACES this graph's row (source
+    * priority + window, not an arbitrary dropDuplicates survivor), and edge
+    * bag union (parallel edges are first-class, so edge rows never collapse). */
   def merge(other: PropertyGraph): PropertyGraph = {
+    import org.apache.spark.sql.expressions.Window
     val mergedKinds = (kinds.keySet ++ other.kinds.keySet).map { k =>
       val m = (kinds.get(k), other.kinds.get(k)) match {
-        case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true).dropDuplicates("id")
+        case (Some(a), Some(b)) =>
+          val tagged = a.withColumn("__pri", lit(0))
+            .unionByName(b.withColumn("__pri", lit(1)), allowMissingColumns = true)
+          val w = Window.partitionBy("id").orderBy(col("__pri").desc)
+          tagged.withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1).drop("__pri", "__rn")
         case (Some(a), None) => a
         case (None, Some(b)) => b
         case (None, None) => throw new IllegalStateException(s"unreachable kind $k")

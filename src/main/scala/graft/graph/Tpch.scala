@@ -35,23 +35,26 @@ object Tpch {
     * default so specs and ad-hoc use keep the pure scan path (with its
     * parquet pushdown/pruning evidence). */
   @volatile var shareScans: Boolean = false
+  // caches are keyed by the OWNING SparkSession: a stopped/recreated session
+  // (each spec suite, or Bench after Verify in one JVM) must never be handed
+  // a DataFrame bound to a dead session's plan — entries die with the session
   private val tableCache =
-    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
   private val graphCache =
-    scala.collection.concurrent.TrieMap[String, PropertyGraph]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String), PropertyGraph]()
 
-  private def cached(key: (String, String))(build: => DataFrame): DataFrame =
+  private def cached(spark: SparkSession, key: (String, String))(build: => DataFrame): DataFrame =
     if (!shareScans) build
-    else tableCache.getOrElseUpdate(key,
+    else tableCache.getOrElseUpdate((spark, key._1, key._2),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    cached((dir, name)) { spark.read.parquet(s"$dir/$name.parquet") }
+    cached(spark, (dir, name)) { spark.read.parquet(s"$dir/$name.parquet") }
 
   /** events.parquet stores nanosecond timestamps, which Spark's vectorized
     * reader rejects; read them as long nanos and rebuild a (µs-truncated)
     * timestamp column — the same truncation DuckDB applies. */
-  def events(spark: SparkSession, dir: String): DataFrame = cached((dir, "__events")) {
+  def events(spark: SparkSession, dir: String): DataFrame = cached(spark, (dir, "__events")) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     // integer division: `/` would go through double, whose 53-bit mantissa
@@ -69,7 +72,7 @@ object Tpch {
 
   def load(spark: SparkSession, dir: String): PropertyGraph =
     if (!shareScans) build(spark, dir)
-    else graphCache.getOrElseUpdate(dir, {
+    else graphCache.getOrElseUpdate((spark, dir), {
       val g = build(spark, dir)
       // the edge table is touched by nearly every traversal and is itself a
       // 6-way union over the base tables — persist the materialized union

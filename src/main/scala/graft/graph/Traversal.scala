@@ -218,6 +218,31 @@ final case class Traversal(g: PropertyGraph, df: DataFrame) {
     PropertyGraph(kinds, edges)
   }
 
+  /** fermor path.clj:325 `path-edges`: the edge rows (labels + properties)
+    * traversed by the accumulated paths (requires [[withPaths]]). Paths hold
+    * vertex ids, so consecutive hop pairs are normalized (least, greatest)
+    * and equi-joined back against the edge table — recovers the edge in
+    * either traversal direction, stays a hash join (no OR-condition BNL). */
+  def pathEdges: DataFrame = {
+    val hops = df.select(explode(zip_with(
+        slice(col("path"), lit(1), size(col("path")) - 1),
+        slice(col("path"), lit(2), size(col("path")) - 1),
+        (a, b) => struct(least(a, b).as("lo"), greatest(a, b).as("hi")))).as("h"))
+      .select(col("h.lo"), col("h.hi")).dropDuplicates("lo", "hi")
+    g.edges.join(hops,
+      least(col("src"), col("dst")) === col("lo") &&
+        greatest(col("src"), col("dst")) === col("hi"), "left_semi")
+  }
+
+  /** fermor path.clj `path-vertices`: every vertex on any accumulated path,
+    * with kind (join [[PropertyGraph.vertices]] for typed props per kind). */
+  def pathVertices: DataFrame =
+    df.select(explode(col("path")).as("id")).dropDuplicates("id").join(g.vertices, "id")
+
+  /** fermor path.clj `subpath`: slice the accumulated path (1-based start). */
+  def subpath(start: Int, length: Int): Traversal =
+    Traversal(g, df.withColumn("path", slice(col("path"), start, length)))
+
   /** Escape hatch: arbitrary DataFrame transform while staying in the
     * traversal (fermor routes interleave freely with Clojure seq fns; here
     * the DSL interleaves freely with the DataFrame API — idiomatic Spark). */
@@ -247,6 +272,12 @@ final case class EdgeTraversal(g: PropertyGraph, df: DataFrame, carriedCols: Seq
   def outV: Traversal = toVertex(col("src"))
   /** The vertex we did NOT come from (fermor `other-v`). */
   def otherV: Traversal = toVertex(when(col("__dir") === "out", col("dst")).otherwise(col("src")))
+  /** BOTH endpoints of the edge (fermor core.clj `both-v`): bag union of
+    * tail and head — each edge element yields two vertex elements. */
+  def bothV: Traversal = {
+    val t = toVertex(col("src")); val h = toVertex(col("dst"))
+    Traversal(g, t.df.unionByName(h.df))
+  }
   /** The vertex we came from (fermor `same-v`). */
   def sameV: Traversal = toVertex(when(col("__dir") === "out", col("src")).otherwise(col("dst")))
 

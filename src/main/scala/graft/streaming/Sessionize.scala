@@ -91,11 +91,16 @@ object Sessionize {
             var st = state.getOption.orNull
             sorted.foreach { e =>
               val t = e.ts.getTime / 1000
+              // membership = distance to the session INTERVAL
+              // [startTs - gap, lastTs + gap]: a late-but-above-watermark
+              // event before the open session extends its start BACKWARD
+              // (min), not just its end — the emitted session can never
+              // report a start later than its earliest event
               if (st == null) st = OpenSession(t, t, 1L)
-              else if (t - st.lastTs > gapSec) {
+              else if (t > st.lastTs + gapSec || t < st.startTs - gapSec) {
                 closed += ClosedSession(uid, st.startTs, st.lastTs, st.nEvents)
                 st = OpenSession(t, t, 1L)
-              } else st = OpenSession(st.startTs, math.max(st.lastTs, t), st.nEvents + 1)
+              } else st = OpenSession(math.min(st.startTs, t), math.max(st.lastTs, t), st.nEvents + 1)
             }
             state.update(st)
             // close when the watermark passes last-event + gap (never set a

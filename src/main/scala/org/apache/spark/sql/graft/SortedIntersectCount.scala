@@ -26,15 +26,22 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
 
+  // null ELEMENTS are skipped (SQL semantics: null matches nothing) — the
+  // expression is registered as a public SQL function, so arbitrary arrays
+  // must not NPE; internal dedup callers never produce null shingles.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var acc = 0L
     while (i < nx && j < ny) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { acc += 1L; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (c == 0) { acc += 1L; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     acc
   }
@@ -49,9 +56,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |final int $ny = $b.numElements();
          |int $i = 0; int $j = 0; long $acc = 0L;
          |while ($i < $nx && $j < $ny) {
-         |  final int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($c == 0) { $acc++; $i++; $j++; }
-         |  else if ($c < 0) { $i++; } else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    final int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    if ($c == 0) { $acc++; $i++; $j++; }
+         |    else if ($c < 0) { $i++; } else { $j++; }
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -162,4 +162,86 @@ class AlgosSpec extends AnyFunSuite {
     val deg = Algos.degrees(es).as[(Long, Long)].collect().toMap
     assert(deg === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  test("weightedShortestPath: a cheaper long path beats a short expensive edge") {
+    // 1→2 costs 10 direct, but 3 via 1→3→2; relaxation must IMPROVE an
+    // already-settled vertex and propagate the improvement (2→4)
+    val es = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L), (2L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val d = Algos.weightedShortestPath(es, Seq(1L).toDF("id"), col("w"))
+      .as[(Long, Long)].collect().toMap
+    assert(d === Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 4L))
+  }
+
+  test("weightedShortestPath reverse follows dst→src with edge costs") {
+    val es = Seq((2L, 1L, 5L), (3L, 2L, 7L)).toDF("src", "dst", "w")
+    val d = Algos.weightedShortestPath(es, Seq(1L).toDF("id"), col("w"), reverse = true)
+      .as[(Long, Long)].collect().toMap
+    assert(d === Map(1L -> 0L, 2L -> 5L, 3L -> 12L))
+  }
+
+  test("cheapestAccepted: accept predicate + early exit return the tied-minimum set") {
+    // accepted {2,4,5}: costs 5, 5, 9 → the tie {2,4} is the answer; the
+    // search stops before relaxing 4→6 (frontier min reaches best accepted)
+    val es = Seq((1L, 2L, 5L), (1L, 3L, 2L), (3L, 4L, 3L), (1L, 5L, 9L), (4L, 6L, 10L))
+      .toDF("src", "dst", "w")
+    val r = Algos.cheapestAccepted(es, Seq(1L).toDF("id"), col("w"),
+        accept = col("id").isin(2L, 4L, 5L))
+      .as[(Long, Long)].collect().toMap
+    assert(r === Map(2L -> 5L, 4L -> 5L))
+  }
+
+  test("articulation/BCC: distributed per-component fallback matches the driver path") {
+    // two components: path 1-2-3 (2 is articulation; each edge its own BCC)
+    // and triangle 10-11-12 (no articulation; one BCC)
+    val es = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val artDriver = Algos.articulationPoints(es).as[Long].collect().toSet
+    val artDist = Algos.articulationPoints(es, localMaxEdges = 0L).as[Long].collect().toSet
+    assert(artDriver === Set(2L))
+    assert(artDist === artDriver) // localMaxEdges=0 forces the guard to trip
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(least(col("src"), col("dst")), greatest(col("src"), col("dst")), col("component"))
+        .as[(Long, Long, Long)].collect().toSet
+    val bccDriver = norm(Algos.biconnectedComponents(es))
+    val bccDist = norm(Algos.biconnectedComponents(es, localMaxEdges = 0L))
+    assert(bccDriver === Set((1L, 2L, 1L), (2L, 3L, 2L),
+      (10L, 11L, 10L), (11L, 12L, 10L), (10L, 12L, 10L)))
+    assert(bccDist === bccDriver)
+  }
+
+  test("brandesBetweenness: star, path, and split-sigma diamond closed forms") {
+    // undirected star, hub 0, 4 leaves: 4·3 ordered leaf pairs through hub
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val b = Algos.brandesBetweenness(star, Seq(0L, 1L, 2L, 3L, 4L).toDF("id"))
+      .as[(Long, Double)].collect().toMap
+    assert(b(0L) === 12.0 && b(1L) === 0.0)
+    // undirected path 1-2-3: (1,3) and (3,1) pass through 2
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val bp = Algos.brandesBetweenness(path, Seq(1L, 2L, 3L).toDF("id"))
+      .as[(Long, Double)].collect().toMap
+    assert(bp(2L) === 2.0)
+    // directed diamond 1→{2,3}→4: σ(1,4)=2, each middle carries half
+    val dia = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val bd = Algos.brandesBetweenness(dia, Seq(1L, 2L, 3L, 4L).toDF("id"), directed = true)
+      .as[(Long, Double)].collect().toMap
+    assert(bd(2L) === 0.5 && bd(3L) === 0.5 && bd(4L) === 0.0)
+  }
+
+  test("brandes agrees with enumeration-recipe ordering on the star (scale path sanity)") {
+    // the TinkerPop enumeration counts path APPEARANCES (endpoints included),
+    // Brandes sums pair dependencies (endpoints excluded) — different
+    // measures, same ranking: hub strictly above leaves
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+      .withColumn("label", lit("e"))
+    val both = star.unionByName(star.select(col("dst").as("src"), col("src").as("dst"), col("label")))
+    val g = graft.graph.PropertyGraph(Map("v" -> Seq(0L, 1L, 2L, 3L).toDF("id")), both)
+    val enum_ = Algos.betweennessByEnumeration(g, maxDepth = 2)
+      .as[(Long, Long)].collect().toMap
+    val brandes = Algos.brandesBetweenness(star, Seq(0L, 1L, 2L, 3L).toDF("id"))
+      .as[(Long, Double)].collect().toMap
+    assert(enum_(0L) > enum_(1L) && brandes(0L) > brandes(1L))
+    // closed forms on the 3-leaf star: hub 1+2·3+3·2=13, leaf 2·3+1=7
+    assert(enum_(0L) === 13L && enum_(1L) === 7L)
+    assert(brandes(0L) === 6.0)
+  }
 }

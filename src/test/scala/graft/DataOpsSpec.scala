@@ -312,6 +312,72 @@ class DataOpsSpec extends AnyFunSuite {
     assert(rows(7L) === ((2L, 3L)) && rows(8L) === ((1L, 1L)))
   }
 
+  test("streaming near-dup filter: band state drops re-delivered near-duplicates") {
+    import graft.streaming.StreamDedup
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDedup.Doc]
+    val q = StreamDedup.bandVerdicts(mem.toDS())
+      .writeStream.format("memory").queryName("nd_verdicts").outputMode("append").start()
+    def t(min: Long) = new Timestamp(min * 60000L)
+    mem.addData(StreamDedup.Doc(1L, t(0), base), StreamDedup.Doc(3L, t(1), unrelated))
+    q.processAllAvailable()
+    // next micro-batch re-delivers: 2 is a near-dup of 1, 4 an exact copy
+    mem.addData(StreamDedup.Doc(2L, t(2), nearDup), StreamDedup.Doc(4L, t(3), base))
+    q.processAllAvailable()
+    val keep = StreamDedup.collapseVerdicts(spark.table("nd_verdicts"))
+      .as[(Long, Boolean)].collect().toMap
+    q.stop()
+    assert(keep(1L) && keep(3L)) // first claimants pass
+    assert(!keep(4L))            // exact copy: every band collides
+    assert(!keep(2L))            // near-dup: >=1 band collides
+  }
+
+  test("signature dedup within watermark collapses exact re-deliveries, keeps distinct docs") {
+    import graft.streaming.StreamDedup
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDedup.Doc]
+    val q = StreamDedup.signatureDedup(mem.toDS().toDF())
+      .writeStream.format("memory").queryName("sig_dedup").outputMode("append").start()
+    def t(min: Long) = new Timestamp((60 + min) * 60000L) // strictly above watermark 0
+    mem.addData(StreamDedup.Doc(1L, t(0), base), StreamDedup.Doc(3L, t(1), unrelated))
+    q.processAllAvailable()
+    mem.addData(StreamDedup.Doc(4L, t(2), base)) // same signature as doc 1
+    q.processAllAvailable()
+    val kept = spark.table("sig_dedup").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(kept === Set(1L, 3L))
+  }
+
+  test("event-time sessionization extends a session BACKWARD for late in-gap events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val q = Sessionize.streamingEventTime(mem.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("bk_sess").outputMode("append").start()
+    def t(min: Long) = new Timestamp((60 + min) * 60000L)
+    mem.addData(Sessionize.Event(7L, t(10), 1.0))
+    q.processAllAvailable()
+    // late event BEFORE the open session's start, within gap + above watermark:
+    // the session must extend backward (start = the earlier event's time)
+    mem.addData(Sessionize.Event(7L, t(5), 1.0))
+    q.processAllAvailable()
+    mem.addData(Sessionize.Event(8L, t(300), 1.0)) // advance watermark → close
+    q.processAllAvailable()
+    val rows = spark.table("bk_sess")
+      .select("user_id", "start_ts", "end_ts", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(rows.contains((7L, 3900L, 4200L, 2L)))
+  }
+
+  test("sorted_intersect_count skips null elements (public SQL surface safety)") {
+    val r = Seq(1).toDF("x").select(
+      graft.functions.NativeOps.sortedIntersectCount(
+        array(lit("a"), lit("b"), lit(null).cast("string")),
+        array(lit("a"), lit(null).cast("string"))).as("n"))
+      .head().getLong(0)
+    assert(r === 1L)
+  }
+
   test("multimodal plumbing: deterministic stub metadata through mapPartitions") {
     val docs = Seq((1L, "abcdef")).toDF("doc_id", "text")
     val meta = graft.multimodal.Multimodal.extractMeta(

@@ -258,5 +258,54 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r === 11L)
   }
 
+  test("merge: the LATER graph's document wins on id conflict (fermor merge)") {
+    val a = PropertyGraph(Map("v" -> Seq((1L, "old"), (2L, "keep")).toDF("id", "name")),
+      Seq((1L, 2L, "e")).toDF("src", "dst", "label"))
+    val b = PropertyGraph(Map("v" -> Seq((1L, "new")).toDF("id", "name")),
+      Seq((1L, 2L, "e")).toDF("src", "dst", "label"))
+    val m = a.merge(b)
+    val docs = m.kind("v").as[(Long, String)].collect().toMap
+    assert(docs === Map(1L -> "new", 2L -> "keep"))
+    assert(m.edges.count() === 2) // edge BAG union: parallel edges kept
+  }
+
+  test("pathEdges recovers edge rows (with labels) along accumulated paths") {
+    val e = jobGraph.from(Seq(bob).toDF("id")).withPaths
+      .out("completes").out("appliesTo")
+      .pathEdges
+    val rows = e.select("src", "dst", "label").as[(Long, Long, String)].collect().toSet
+    assert(rows === Set(
+      (bob, appBob1, "completes"), (bob, appBob2, "completes"),
+      (appBob1, blueprintsJob1, "appliesTo"), (appBob2, blueprintsJob2, "appliesTo")))
+  }
+
+  test("pathVertices lists every vertex on any path, with kind") {
+    val v = jobGraph.from(Seq(bob).toDF("id")).withPaths.out("completes")
+      .pathVertices.as[(Long, String)].collect().toMap
+    assert(v === Map(bob -> "person", appBob1 -> "application", appBob2 -> "application"))
+  }
+
+  test("bothV yields both endpoints of each edge element") {
+    val t = jobGraph.from(Seq(appBob1).toDF("id")).outE("appliesTo").bothV
+    assert(t.df.select("id").as[Long].collect().toSet === Set(appBob1, blueprintsJob1))
+    assert(t.count() === 2) // one edge → two vertex elements (bag)
+  }
+
+  test("Descend acyclic mode matches the path-carrying mode on a DAG") {
+    val full = Descend.all(jobGraph, jobGraph.kind("person").select("id"), Nil,
+      forward = true, maxDepth = 2)
+    val slim = Descend.all(jobGraph, jobGraph.kind("person").select("id"), Nil,
+      forward = true, maxDepth = 2, acyclic = true)
+    val f = full.groupBy("id", "depth").count().as[(Long, Int, Long)].collect().toSet
+    val s = slim.groupBy("id", "depth").count().as[(Long, Int, Long)].collect().toSet
+    assert(s === f) // identical bags: multiplicity preserved without paths
+    val fd = Descend.deepest(jobGraph, jobGraph.kind("person").select("id"), Nil,
+      forward = true, maxDepth = 3)
+    val sd = Descend.deepest(jobGraph, jobGraph.kind("person").select("id"), Nil,
+      forward = true, maxDepth = 3, acyclic = true)
+    assert(sd.groupBy("id", "depth").count().as[(Long, Int, Long)].collect().toSet ===
+      fd.groupBy("id", "depth").count().as[(Long, Int, Long)].collect().toSet)
+  }
+
   override def afterAll(): Unit = { /* shared session; leave running */ }
 }
