@@ -26,6 +26,11 @@ object Bench {
       val a = once(fn)
       val b = once(fn)
       val t = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      // iterative queries leave localCheckpoint blocks behind; ContextCleaner
+      // frees them only after a JVM GC — nudge it so block-manager pressure
+      // from query k doesn't evict-and-spill query k+1 (the shared persisted
+      // tables stay: they are strongly referenced by the caches)
+      System.gc()
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

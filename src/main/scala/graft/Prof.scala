@@ -76,6 +76,51 @@ object Prof {
       algos.Algos.reachableEdges(entry, te).as[(Long, Long)].collect().length.toLong
     }
     time("dom: full idom") { algos.Algos.immediateDominators(entry, te).count() }
+
+    // q_between / q_deepest breakdown
+    {
+      import spark.implicits._
+      implicit val sp: SparkSession = spark
+      val asiaNations = graph.Tpch.table(spark, dir, "nation").where(col("n_regionkey") === asiaKey)
+      val from = graph.Tpch.table(spark, dir, "customer")
+        .join(asiaNations.select(col("n_nationkey")), col("c_nationkey") === col("n_nationkey"))
+        .select(graph.Vid.vid("customer", col("c_custkey")).as("id"))
+      val to = spark.range(1).select(lit(entry).as("id"))
+      time("between: fwd bfs only") {
+        algos.Algos.bfsDistances(gr.vertices.select("id"), gr.edges, from, maxIter = 2).count()
+      }
+      time("between: bwd bfs only") {
+        algos.Algos.bfsDistances(gr.vertices.select("id"), gr.edges, to, reverse = true, maxIter = 4).count()
+      }
+      time("between: full concurrent") {
+        algos.Algos.verticesBetween(gr.vertices.select("id"), gr.edges, from, to, 2, 4).count()
+      }
+      time("deepest: run only (acyclic)") {
+        graph.Descend.run(gr, gr.kind("region").select("id"), Nil, forward = false,
+          maxDepth = 4, checkpointEvery = 1, acyclic = true).count()
+      }
+      time("deepest: full") {
+        graph.Descend.deepest(gr, gr.kind("region").select("id"), Nil, forward = false,
+          maxDepth = 4, acyclic = true).count()
+      }
+      time("shortest_weighted") {
+        algos.Algos.weightedShortestPath(gr.edges,
+          gr.kind("region").where(col("r_name") === "ASIA").select("id"),
+          coalesce(col("quantity").cast("long"), lit(1L)), reverse = true, maxIter = 8).count()
+      }
+      // LSH parameterization sweep: recall must be EXACTLY complete for the
+      // oracled query; report sym-diff vs brute + wall time per config
+      val brute = graft.sim.Ann.cosinePairs(emb, "vec_id", "embedding", tauPm = 450)
+        .select("id_a", "id_b").localCheckpoint(false)
+      for ((nb, bands) <- Seq((16, 16), (32, 16), (24, 24))) {
+        time(s"lsh nb=$nb bands=$bands symdiff") {
+          val lsh = graft.sim.Ann.lshPairs(emb, "vec_id", "embedding", dim = 64,
+              tauPm = 450, numBits = nb, bands = bands)
+            .select("id_a", "id_b").localCheckpoint(false)
+          brute.exceptAll(lsh).count() + lsh.exceptAll(brute).count()
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -174,6 +174,13 @@ object Algos {
     // dedup shuffle, just one narrow materialization shared by the rounds
     val e = edges.select(col(from).as("__from"), col(to).as("__to"))
       .localCheckpoint(eager = false)
+    bfsOnPrepared(e, sources, maxIter)
+  }
+
+  /** BFS over an already-materialized (__from, __to) edge frame — lets
+    * callers running several passes over the same graph (verticesBetween)
+    * share ONE narrow edge materialization instead of one per pass. */
+  private def bfsOnPrepared(e: DataFrame, sources: DataFrame, maxIter: Int): DataFrame = {
     var dist = sources.select(col(sources.columns.head).as("id")).dropDuplicates("id")
       .withColumn("dist", lit(0)).localCheckpoint(eager = false)
     var frontier = dist
@@ -412,11 +419,25 @@ object Algos {
       .dropDuplicates("src", "dst")
   }
 
+  private val idomCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, Long, Int), scala.collection.mutable.HashMap[Long, Long]]()
+
   def immediateDominators(entry: Long, edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val es = reachableEdges(entry, edges).as[(Long, Long)].collect()
-    idomLocal(entry, es).toSeq.toDF("id", "idom")
+    idomMap(entry, edges).toSeq.toDF("id", "idom")
+  }
+
+  /** The idom map behind [[immediateDominators]] / [[dominatorDepth]] —
+    * memoized per (session, entry, plan) under scan sharing, because the
+    * dominator-tree queries (idom, depth) share the identical CHK solve. */
+  private def idomMap(entry: Long, edges: DataFrame): scala.collection.mutable.HashMap[Long, Long] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def solve() = idomLocal(entry, reachableEdges(entry, edges).as[(Long, Long)].collect())
+    if (!graft.graph.Tpch.shareScans) solve()
+    else idomCache.getOrElseUpdate(
+      (spark, entry, edges.queryExecution.analyzed.semanticHash()), solve())
   }
 
   /** Cooper–Harvey–Kennedy on reverse postorder, driver arrays. `es` must
@@ -467,8 +488,10 @@ object Algos {
   def dominatorDepth(entry: Long, edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val idom = immediateDominators(entry, edges).as[(Long, Long)].collect().toMap
-    def depth(v: Long): Int = if (v == entry) 0 else 1 + depth(idom(v))
+    val idom = idomMap(entry, edges)
+    // memoized depths: the naive per-vertex walk is quadratic on deep chains
+    val memo = scala.collection.mutable.HashMap[Long, Int](entry -> 0)
+    def depth(v: Long): Int = memo.getOrElseUpdate(v, 1 + depth(idom(v)))
     idom.keys.toSeq.map(v => (v, depth(v))).toDF("id", "depth")
   }
 
@@ -623,6 +646,46 @@ object Algos {
       .groupBy(col("v").as("id")).agg(sum(col("delta")).as("betweenness"))
   }
 
+  /** Closeness/farness centrality (the remaining member of the centrality
+    * family next to degree / betweenness / pagerank): one multi-source
+    * tagged BFS — rows (s, v, d) for every source simultaneously, each level
+    * one keyed join — then farness(s) = Σ_v d(s,v) and n_reach(s) by a
+    * single agg on the SOURCE tag. Integer-exact (farness, reach count), so
+    * callers derive closeness = 1/farness or the normalized variants without
+    * the engine baking in a float convention. `sources` bounds the work
+    * (sample for approximation, all vertices for exact). */
+  def closenessCentrality(edges: DataFrame, sources: DataFrame, directed: Boolean = false,
+      maxIter: Int = 100)(implicit spark: SparkSession): DataFrame = {
+    val e0 = edges.select("src", "dst").dropDuplicates("src", "dst")
+    val e = (if (directed) e0
+             else e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+               .dropDuplicates("src", "dst"))
+      .localCheckpoint(eager = false)
+    var frontier = sources.select(col(sources.columns.head).as("s")).dropDuplicates("s")
+      .withColumn("v", col("s")).withColumn("d", lit(0L))
+      .localCheckpoint(eager = false)
+    var acc = frontier
+    var visited = frontier.select("s", "v").localCheckpoint(eager = false)
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val next = frontier.join(e, frontier("v") === e("src"))
+        .select(col("s"), col("dst").as("v")).dropDuplicates("s", "v")
+        .join(visited, Seq("s", "v"), "left_anti")
+        .withColumn("d", lit(i + 1L))
+        .localCheckpoint(eager = true)
+      if (next.isEmpty) done = true
+      else {
+        acc = acc.unionByName(next)
+        visited = visited.unionByName(next.select("s", "v")).localCheckpoint(eager = false)
+        frontier = next
+      }
+      i += 1
+    }
+    acc.groupBy(col("s").as("id"))
+      .agg((count(lit(1)) - 1).as("n_reach"), sum(col("d")).as("farness"))
+  }
+
   /** Interval partition of a flow graph (fermor algo.clj `intervals`; the
     * Allen/Cocke interval analysis from Offner's notes p44): each interval
     * I(h) grows from its header h by absorbing nodes whose predecessors all
@@ -681,8 +744,13 @@ object Algos {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fwdF = Future { bfsDistances(vertices, edges, from, maxIter = fwdMaxIter) }
-    val bwdF = Future { bfsDistances(vertices, edges, to, reverse = true, maxIter = bwdMaxIter) }
+    // ONE narrow edge materialization; the reverse pass is a column swap
+    // over the same cached blocks (not a second checkpoint)
+    val eF = edges.select(col("src").as("__from"), col("dst").as("__to"))
+      .localCheckpoint(eager = false)
+    val eB = eF.select(col("__to").as("__from"), col("__from").as("__to"))
+    val fwdF = Future { bfsOnPrepared(eF, from, fwdMaxIter) }
+    val bwdF = Future { bfsOnPrepared(eB, to, bwdMaxIter) }
     val fwd = Await.result(fwdF, Duration.Inf)
     val bwd = Await.result(bwdF, Duration.Inf)
     fwd.select("id").join(bwd.select("id"), "id")

@@ -27,6 +27,36 @@ object Multimodal {
     }
   }
 
+  /** A codec SESSION — the expensive-to-open handle real codecs have
+    * (decoder contexts, GPU buffers, JNI state). The batched decode path
+    * opens one per batch instead of one per row; the stub records openings
+    * so specs can assert the amortization actually happens. */
+  final class CodecSession {
+    def decode(payload: Array[Byte]): (Int, Int, Int) = FakeCodec.decode(payload)
+  }
+
+  /** Batched columnar decode — the Arrow/`mapInPandas` shape on the JVM:
+    * each partition's rows drain through fixed-size batches, one
+    * [[CodecSession]] per batch, so per-call codec setup amortizes across
+    * `batchSize` rows exactly like pandas-batch UDFs amortize interpreter
+    * round-trips. Values are identical to [[extractMeta]] (the equality
+    * spec pins it); batching is purely an execution-shape choice. */
+  def extractMetaBatched(media: DataFrame, batchSize: Int = 256,
+      batchCounter: Option[org.apache.spark.util.LongAccumulator] = None)(
+      implicit spark: SparkSession): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.grouped(math.max(batchSize, 1)).flatMap { batch =>
+        batchCounter.foreach(_.add(1))
+        val session = new CodecSession
+        batch.iterator.map { r =>
+          val (w, h, f) = session.decode(r.payload)
+          MediaMeta(r.doc_id, r.payload.length.toLong, w, h, f)
+        }
+      }
+    }
+  }
+
   /** Attach a binary payload column (here: utf-8 of a text column — the
     * testdata has no true media; schema/partitioning are what matters). */
   def withPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =

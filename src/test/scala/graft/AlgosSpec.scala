@@ -163,6 +163,27 @@ class AlgosSpec extends AnyFunSuite {
     assert(deg === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("SCC guard: residualMax=0 forces the GraphX fallback, same components") {
+    val vs = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val a = Algos.stronglyConnectedComponents(vs, es).as[(Long, Long)].collect().toMap
+    val b = Algos.stronglyConnectedComponents(vs, es, residualMax = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
+  test("closenessCentrality: undirected path 1-2-3 farness/reach closed form") {
+    val es = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val c = Algos.closenessCentrality(es, Seq(1L, 2L, 3L).toDF("id"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(c(1L) === ((2L, 3L))) // d=1 to 2, d=2 to 3
+    assert(c(2L) === ((2L, 2L)))
+    // directed: 1 reaches {2,3}, 3 reaches nothing
+    val d = Algos.closenessCentrality(es, Seq(1L, 2L, 3L).toDF("id"), directed = true)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(d(1L) === ((2L, 3L)) && d(3L) === ((0L, 0L)))
+  }
+
   test("weightedShortestPath: a cheaper long path beats a short expensive edge") {
     // 1→2 costs 10 direct, but 3 via 1→3→2; relaxation must IMPROVE an
     // already-settled vertex and propagate the improvement (2→4)

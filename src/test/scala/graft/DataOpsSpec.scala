@@ -66,6 +66,12 @@ class DataOpsSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact))
     assert(exact.nonEmpty && lsh.nonEmpty)
+    // the ORACLED parameterization (16 two-bit bands) must be
+    // recall-complete: bucketed result == brute result, pair for pair
+    val full = Ann.lshPairs(vecs, "vec_id", "embedding", dim = 64, tauPm = 450,
+        numBits = 32, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(full === exact)
   }
 
   test("bruteTopK ranks by exact integer cosine with id tie-break") {
@@ -383,6 +389,21 @@ class DataOpsSpec extends AnyFunSuite {
     val meta = graft.multimodal.Multimodal.extractMeta(
       graft.multimodal.Multimodal.withPayload(docs, "doc_id", "text")).head()
     assert(meta.n_bytes === 6L && meta.width === 6 && meta.height === 42 && meta.n_frames === 6)
+  }
+
+  test("multimodal batched decode: identical values, one codec session per batch") {
+    import graft.multimodal.Multimodal
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.withPayload(docs, "doc_id", "text").repartition(2)
+    val rowWise = Multimodal.extractMeta(media).collect().toSet
+    val batches = spark.sparkContext.longAccumulator("codec_batches")
+    val batched = Multimodal.extractMetaBatched(media, batchSize = 16,
+      batchCounter = Some(batches)).collect().toSet
+    assert(batched === rowWise)
+    val n = rowWise.size
+    // ceil(rows/16) batches per partition: far fewer sessions than rows
+    assert(batches.value <= n / 16 + 2, s"batches=${batches.value} for $n rows")
+    assert(batches.value >= 1)
   }
 
   test("multimodal resize / frame-sample / embed: shapes and determinism") {

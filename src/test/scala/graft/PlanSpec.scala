@@ -59,6 +59,19 @@ class PlanSpec extends AnyFunSuite {
     assert(df.agg(sum("nq")).head().getLong(0) > 0L)
   }
 
+  test("bucketed ANN pairs plan contains no all-pairs join; brute baseline does") {
+    val lsh = SparkEntry.queries("q_ann_pairs_lsh")(spark, dir)
+    lsh.collect() // finalize AQE stages for THIS plan
+    val lshPlan = executedPlan(lsh)
+    assert(!lshPlan.contains("CartesianProduct") && !lshPlan.contains("BroadcastNestedLoopJoin"),
+      "bucketed path must be keyed joins only:\n" + lshPlan.take(3000))
+    // the contrast: the brute cosine query IS the all-pairs baseline
+    val brute = SparkEntry.queries("q_ann_pairs")(spark, dir)
+    brute.collect()
+    val brutePlan = executedPlan(brute)
+    assert(brutePlan.contains("CartesianProduct") || brutePlan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("lookahead compiles to a left-semi join, negLookahead to left-anti") {
     val g = Tpch.load(spark, dir)
     val semi = g.ofKind("customer").lookahead(_.in("order_customer")).df
