@@ -276,6 +276,16 @@ object SparkEntry {
       graft.algos.Algos.pageRank(gr.kind("nation").select("id"), adj, iters = 20)
         .select(col("id"), round(col("rank"), 4).as("rank"))
     }),
+    "q_shortest_parent" -> ((s, dir) => {
+      // fermor shortest-path returns the PATH, not just the cost — here the
+      // path tree as deterministic parent pointers: per vertex the
+      // lexicographically least (cost, parent).
+      implicit val sp: SparkSession = s
+      val gr = g(s, dir)
+      val asia = gr.kind("region").where(col("r_name") === "ASIA").select("id")
+      graft.algos.Algos.weightedShortestPathWithParent(gr.edges, asia,
+        coalesce(col("quantity").cast("long"), lit(1L)), reverse = true, maxIter = 10)
+    }),
     "q_closeness" -> ((s, dir) => {
       // Closeness (as exact integer farness + reach count) on the undirected
       // region↔nation star: a nation reaches its region at 1 and its k-1
@@ -753,13 +763,31 @@ object SparkEntry {
            res AS (SELECT id, min(cost)::BIGINT AS cost FROM walk
                    WHERE id >= 7000000000000 GROUP BY id)
          SELECT id, cost FROM res WHERE cost = (SELECT min(cost) FROM res)""",
+    "q_shortest_parent" ->
+      """WITH RECURSIVE e AS (
+           SELECT (2000000000000 + n_nationkey)::BIGINT AS src, (1000000000000 + n_regionkey)::BIGINT AS dst, 1::BIGINT AS w FROM nation
+           UNION ALL SELECT 3000000000000 + c_custkey, 2000000000000 + c_nationkey, 1 FROM customer
+           UNION ALL SELECT 4000000000000 + s_suppkey, 2000000000000 + s_nationkey, 1 FROM supplier
+           UNION ALL SELECT 6000000000000 + o_orderkey, 3000000000000 + o_custkey, 1 FROM orders
+           UNION ALL SELECT 7000000000000 + l_orderkey*8 + l_linenumber, 6000000000000 + l_orderkey, l_quantity::BIGINT FROM lineitem
+           UNION ALL SELECT 7000000000000 + l_orderkey*8 + l_linenumber, 4000000000000 + l_suppkey, l_quantity::BIGINT FROM lineitem),
+           walk(id, cost, pred) AS (
+             SELECT (1000000000000 + r_regionkey)::BIGINT, 0::BIGINT, NULL::BIGINT FROM region WHERE r_name = 'ASIA'
+             UNION
+             SELECT e.src, walk.cost + e.w, walk.id FROM walk JOIN e ON e.dst = walk.id),
+           m AS (SELECT id, min(cost) AS cost FROM walk GROUP BY id)
+         SELECT w.id, w.cost, min(w.pred)::BIGINT AS parent
+         FROM walk w JOIN m ON w.id = m.id AND w.cost = m.cost
+         GROUP BY w.id, w.cost""",
     "q_closeness" ->
       """WITH k AS (SELECT n_regionkey, count(*)::BIGINT AS kk FROM nation GROUP BY 1)
          SELECT (1000000000000 + r_regionkey)::BIGINT AS id,
-                coalesce(kk, 0) AS n_reach, coalesce(kk, 0) AS farness
+                coalesce(kk, 0) AS n_reach, coalesce(kk, 0) AS farness,
+                CASE WHEN coalesce(kk, 0) > 0 THEN 1 ELSE 0 END::BIGINT AS eccentricity
          FROM region LEFT JOIN k ON r_regionkey = k.n_regionkey
          UNION ALL
-         SELECT (2000000000000 + n_nationkey)::BIGINT, kk, (1 + 2*(kk-1))::BIGINT
+         SELECT (2000000000000 + n_nationkey)::BIGINT, kk, (1 + 2*(kk-1))::BIGINT,
+                CASE WHEN kk > 1 THEN 2 ELSE 1 END::BIGINT
          FROM nation JOIN k ON nation.n_regionkey = k.n_regionkey""",
     "q_betweenness" ->
       """WITH k AS (SELECT n_regionkey, count(*)::BIGINT AS kk FROM nation GROUP BY 1)

@@ -212,6 +212,49 @@ object Algos {
       reverse: Boolean = false, maxIter: Int = 50)(implicit spark: SparkSession): DataFrame =
     relaxLoop(edges, sources, cost, reverse, maxIter, accept = None)
 
+  /** [[weightedShortestPath]] + PARENT POINTERS — the reference's
+    * shortest-path returns the actual path; distributed, the path tree IS
+    * the parent column (walk it back with k joins, or emit it to callers
+    * as-is). Deterministic: per vertex the lexicographically least
+    * (cost, parent) pair — parent = the least-id predecessor among those on
+    * a minimal-cost path. Sources carry a null parent. */
+  def weightedShortestPathWithParent(edges: DataFrame, sources: DataFrame, cost: Column,
+      reverse: Boolean = false, maxIter: Int = 50)(implicit spark: SparkSession): DataFrame = {
+    val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
+    val e = edges.select(col(from).as("__from"), col(to).as("__to"), cost.cast("long").as("__w"))
+      .localCheckpoint(eager = false)
+    var dist = sources.select(col(sources.columns.head).as("id")).dropDuplicates("id")
+      .withColumn("cost", lit(0L)).withColumn("parent", lit(null).cast("long"))
+      .localCheckpoint(eager = false)
+    var frontier = dist
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val improved = e
+        .join(frontier.withColumnRenamed("id", "__from").drop("parent"), "__from")
+        .select(col("__to").as("id"),
+          struct((col("cost") + col("__w")).as("cost"), col("__from").as("parent")).as("m"))
+        .groupBy("id").agg(min(col("m")).as("m")) // lexicographic (cost, parent) min
+        .select(col("id"), col("m.cost").as("cost"), col("m.parent").as("parent"))
+        .join(dist.select(col("id"), col("cost").as("__oc"), col("parent").as("__op")),
+          Seq("id"), "left")
+        // improvement = strictly smaller (cost, parent): pred-only
+        // improvements still fire so the parent converges to the least id
+        .where(col("__oc").isNull || col("cost") < col("__oc") ||
+          (col("cost") === col("__oc") && col("parent") < col("__op")))
+        .select("id", "cost", "parent")
+        .localCheckpoint(eager = true)
+      if (improved.isEmpty) done = true
+      else {
+        dist = dist.join(improved.select("id"), Seq("id"), "left_anti")
+          .unionByName(improved).localCheckpoint(eager = false)
+        frontier = improved
+      }
+      i += 1
+    }
+    dist
+  }
+
   /** fermor `shortest-path`'s full contract: lowest-cost search for vertices
     * satisfying `accept` (a predicate Column over `id`), with early exit —
     * once the cheapest accepted cost B is known and the frontier's minimum
@@ -649,11 +692,12 @@ object Algos {
   /** Closeness/farness centrality (the remaining member of the centrality
     * family next to degree / betweenness / pagerank): one multi-source
     * tagged BFS — rows (s, v, d) for every source simultaneously, each level
-    * one keyed join — then farness(s) = Σ_v d(s,v) and n_reach(s) by a
-    * single agg on the SOURCE tag. Integer-exact (farness, reach count), so
-    * callers derive closeness = 1/farness or the normalized variants without
-    * the engine baking in a float convention. `sources` bounds the work
-    * (sample for approximation, all vertices for exact). */
+    * one keyed join — then farness(s) = Σ_v d(s,v), n_reach(s), and
+    * eccentricity(s) = max_v d(s,v) by a single agg on the SOURCE tag.
+    * Integer-exact, so callers derive closeness = 1/farness or the
+    * normalized variants without the engine baking in a float convention
+    * (and max eccentricity over all sources = the graph diameter).
+    * `sources` bounds the work (sample for approximation, all for exact). */
   def closenessCentrality(edges: DataFrame, sources: DataFrame, directed: Boolean = false,
       maxIter: Int = 100)(implicit spark: SparkSession): DataFrame = {
     val e0 = edges.select("src", "dst").dropDuplicates("src", "dst")
@@ -683,7 +727,8 @@ object Algos {
       i += 1
     }
     acc.groupBy(col("s").as("id"))
-      .agg((count(lit(1)) - 1).as("n_reach"), sum(col("d")).as("farness"))
+      .agg((count(lit(1)) - 1).as("n_reach"), sum(col("d")).as("farness"),
+        max(col("d")).as("eccentricity"))
   }
 
   /** Interval partition of a flow graph (fermor algo.clj `intervals`; the

@@ -172,16 +172,29 @@ class AlgosSpec extends AnyFunSuite {
     assert(a === b)
   }
 
-  test("closenessCentrality: undirected path 1-2-3 farness/reach closed form") {
+  test("closenessCentrality: undirected path 1-2-3 farness/reach/ecc closed form") {
     val es = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val c = Algos.closenessCentrality(es, Seq(1L, 2L, 3L).toDF("id"))
-      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(c(1L) === ((2L, 3L))) // d=1 to 2, d=2 to 3
-    assert(c(2L) === ((2L, 2L)))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(c(1L) === ((2L, 3L, 2L))) // d=1 to 2, d=2 to 3; ecc 2
+    assert(c(2L) === ((2L, 2L, 1L)))
     // directed: 1 reaches {2,3}, 3 reaches nothing
     val d = Algos.closenessCentrality(es, Seq(1L, 2L, 3L).toDF("id"), directed = true)
-      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(d(1L) === ((2L, 3L)) && d(3L) === ((0L, 0L)))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(d(1L) === ((2L, 3L, 2L)) && d(3L) === ((0L, 0L, 0L)))
+  }
+
+  test("weightedShortestPathWithParent: least-id parent, refined across rounds") {
+    // two cost-3 paths to 5: via 9 (2 hops, found round 2, parent 9) and via
+    // 2→3 (3 hops, found round 3, parent 3) — the parent must REFINE to 3
+    // on equal cost, and ties pick the least pred id
+    val es = Seq((1L, 9L, 2L), (9L, 5L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 5L, 1L))
+      .toDF("src", "dst", "w")
+    val r = Algos.weightedShortestPathWithParent(es, Seq(1L).toDF("id"), col("w"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), if (x.isNullAt(2)) -1L else x.getLong(2)))).toMap
+    assert(r(1L) === ((0L, -1L))) // source: null parent
+    assert(r(9L) === ((2L, 1L)) && r(2L) === ((1L, 1L)) && r(3L) === ((2L, 2L)))
+    assert(r(5L) === ((3L, 3L)))
   }
 
   test("weightedShortestPath: a cheaper long path beats a short expensive edge") {
