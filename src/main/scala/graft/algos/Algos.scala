@@ -310,6 +310,47 @@ object Algos {
     dist
   }
 
+  /** Materialize full paths from a parent-pointer tree (the output of
+    * [[weightedShortestPathWithParent]]): `maxHops` bounded prepend-joins —
+    * each round resolves one more ancestor, rows whose walk already reached
+    * a source (null parent) pass through unchanged. Paths run source→vertex.
+    * The path column is wide; reconstruct AFTER filtering to the vertices
+    * you need, not before. */
+  def shortestPathsFromParents(parentTree: DataFrame, maxHops: Int): DataFrame = {
+    var cur = parentTree.select(col("id"), col("cost"),
+      array(col("id")).as("path"), col("parent").as("p"))
+    var i = 0
+    while (i < maxHops) {
+      val t = parentTree.select(col("id").as("p"), col("parent").as("__pp"))
+      cur = cur.join(t, Seq("p"), "left")
+        .select(col("id"), col("cost"),
+          when(col("p").isNotNull, concat(array(col("p")), col("path")))
+            .otherwise(col("path")).as("path"),
+          when(col("p").isNotNull, col("__pp")).otherwise(lit(null).cast("long")).as("p"))
+        .localCheckpoint(eager = false) // cut the join-chain lineage
+      i += 1
+    }
+    cur.select("id", "cost", "path")
+  }
+
+  /** Incremental connected components over a GROWING edge set (the streaming
+    * maintenance shape: call from foreachBatch with the previous assignment):
+    * prior components enter as membership links (id → component), so each
+    * update runs CC over |V| + |batch| edges instead of the full history —
+    * the classic union-find-with-supernodes trick, distributed. Labels stay
+    * the global min id, so assignments are stable across batches. */
+  def incrementalCC(prev: DataFrame, batchEdges: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    val links = prev.select(col("id").as("src"), col("component").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val e = links.unionAll(batchEdges.select("src", "dst"))
+    val vs = prev.select("id")
+      .unionAll(batchEdges.select(col("src").as("id")))
+      .unionAll(batchEdges.select(col("dst").as("id")))
+      .dropDuplicates("id")
+    connectedComponents(vs, e)
+  }
+
   /** PageRank (capability class inherited from the reference's Pacer
     * lineage): GraphX static PageRank, fixed iterations. */
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int = 20)(

@@ -225,6 +225,31 @@ class AlgosSpec extends AnyFunSuite {
     assert(r === Map(2L -> 5L, 4L -> 5L))
   }
 
+  test("shortestPathsFromParents materializes source→vertex paths") {
+    val es = Seq((1L, 9L, 2L), (9L, 5L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 5L, 1L))
+      .toDF("src", "dst", "w")
+    val tree = Algos.weightedShortestPathWithParent(es, Seq(1L).toDF("id"), col("w"))
+    val paths = Algos.shortestPathsFromParents(tree, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    assert(paths(1L) === Seq(1L))
+    assert(paths(5L) === Seq(1L, 2L, 3L, 5L)) // the refined min-parent route
+    assert(paths(9L) === Seq(1L, 9L))
+  }
+
+  test("incrementalCC: batch-wise maintenance matches full recompute") {
+    val b1 = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val vs1 = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val cc1 = Algos.incrementalCC(
+      Seq.empty[(Long, Long)].toDF("id", "component"), b1).localCheckpoint(true)
+    assert(cc1.as[(Long, Long)].collect().toMap === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    // batch 2 bridges the components and adds a new vertex pair
+    val b2 = Seq((2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val cc2 = Algos.incrementalCC(cc1, b2)
+    val full = Algos.connectedComponents(
+      vs1.unionAll(Seq(10L, 11L).toDF("id")), b1.unionAll(b2))
+    assert(cc2.as[(Long, Long)].collect().toMap === full.as[(Long, Long)].collect().toMap)
+  }
+
   test("articulation/BCC: distributed per-component fallback matches the driver path") {
     // two components: path 1-2-3 (2 is articulation; each edge its own BCC)
     // and triangle 10-11-12 (no articulation; one BCC)

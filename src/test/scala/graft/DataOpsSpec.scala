@@ -184,6 +184,25 @@ class DataOpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming CC maintenance: foreachBatch keeps components current without replaying history") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    // state lives across batches as a checkpointed assignment frame
+    var assign = Seq.empty[(Long, Long)].toDF("id", "component").localCheckpoint(true)
+    val q = mem.toDS().toDF("src", "dst").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        assign = graft.algos.Algos.incrementalCC(assign, batch).localCheckpoint(true)
+      }.start()
+    mem.addData((1L, 2L), (3L, 4L))
+    q.processAllAvailable()
+    assert(assign.as[(Long, Long)].collect().toMap === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    mem.addData((2L, 3L)) // bridge: all four collapse to component 1
+    q.processAllAvailable()
+    q.stop()
+    assert(assign.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("stream-static enrichment: streaming events join a static dimension") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")

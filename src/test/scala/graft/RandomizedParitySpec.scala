@@ -83,6 +83,108 @@ class RandomizedParitySpec extends AnyFunSuite {
     }
   }
 
+  test("weighted shortest path matches naive Bellman-Ford on random weighted graphs") {
+    for (seed <- 31 to 38) {
+      val rnd = new scala.util.Random(seed)
+      val n = 9
+      val vs = (0L until n.toLong).toSeq
+      val es = Seq.fill(15)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, 1L + rnd.nextInt(5)))
+      val sources = vs.filter(_ % 4 == 0)
+      // naive Bellman-Ford (multi-source)
+      var dist = sources.map(_ -> 0L).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        es.foreach { case (u, v, w) =>
+          dist.get(u).foreach { du =>
+            if (!dist.get(v).exists(_ <= du + w)) { dist += v -> (du + w); changed = true }
+          }
+        }
+      }
+      val got = Algos.weightedShortestPath(es.toDF("src", "dst", "w"),
+          sources.toDF("id"), col("w"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === dist, s"seed=$seed es=$es")
+      // parent variant: same costs, and every parent is a valid optimal pred
+      val withP = Algos.weightedShortestPathWithParent(es.toDF("src", "dst", "w"),
+          sources.toDF("id"), col("w")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      assert(withP.map(t => t._1 -> t._2).toMap === dist, s"seed=$seed parent-costs")
+      withP.foreach { case (v, c, p) =>
+        p match {
+          case None => assert(sources.contains(v) && c === 0L)
+          case Some(pred) =>
+            val opts = es.filter(e => e._2 == v && dist.get(e._1).contains(c - e._3)).map(_._1)
+            assert(opts.nonEmpty && pred === opts.min, s"seed=$seed v=$v parent=$p opts=$opts")
+        }
+      }
+    }
+  }
+
+  test("closeness centrality matches naive undirected BFS sums on random graphs") {
+    for (seed <- 41 to 46) {
+      val (vs, es) = randomGraph(seed, n = 9, nEdges = 12)
+      val adj = (es ++ es.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      def bfs(s: Long): Map[Long, Long] = {
+        var dist = Map(s -> 0L); var frontier = Set(s); var d = 0L
+        while (frontier.nonEmpty) {
+          d += 1
+          val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty)) -- dist.keySet
+          next.foreach(v => dist += v -> d); frontier = next
+        }
+        dist
+      }
+      val naive = vs.map { s =>
+        val ds = bfs(s)
+        s -> ((ds.size - 1).toLong, ds.values.sum, if (ds.isEmpty) 0L else ds.values.max)
+      }.toMap
+      val got = Algos.closenessCentrality(es.toDF("src", "dst"), vs.toDF("id"))
+        .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === naive, s"seed=$seed es=$es")
+    }
+  }
+
+  test("distributed Brandes matches naive pair-dependency betweenness on random graphs") {
+    for (seed <- 51 to 55) {
+      val (vs, es0) = randomGraph(seed, n = 8, nEdges = 11)
+      val es = es0.filter(e => e._1 != e._2).distinct
+      val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      def bfs(s: Long): Map[Long, Long] = {
+        var dist = Map(s -> 0L); var frontier = Set(s); var d = 0L
+        while (frontier.nonEmpty) {
+          d += 1
+          val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty)) -- dist.keySet
+          next.foreach(v => dist += v -> d); frontier = next
+        }
+        dist
+      }
+      val dmap = vs.map(s => s -> bfs(s)).toMap
+      // sigma via DP in distance order
+      def sigma(s: Long): Map[Long, Double] = {
+        val ds = dmap(s)
+        val sig = scala.collection.mutable.HashMap(s -> 1.0)
+        ds.toSeq.filter(_._1 != s).sortBy(_._2).foreach { case (v, dv) =>
+          sig(v) = es.filter(e => e._2 == v && ds.get(e._1).contains(dv - 1))
+            .map(e => sig.getOrElse(e._1, 0.0)).sum
+        }
+        sig.toMap
+      }
+      val sig = vs.map(s => s -> sigma(s)).toMap
+      val naive = vs.map { v =>
+        v -> (for {
+          s <- vs if s != v; t <- vs if t != v && t != s
+          dst <- dmap(s).get(t)
+          dsv <- dmap(s).get(v) if dmap(v).get(t).exists(dvt => dsv + dvt == dst)
+        } yield sig(s)(v) * sig(v)(t) / sig(s)(t)).sum
+      }.toMap
+      val got = Algos.brandesBetweenness(es.toDF("src", "dst"), vs.toDF("id"), directed = true)
+        .as[(Long, Double)].collect().toMap
+      vs.foreach { v =>
+        assert(math.abs(got.getOrElse(v, 0.0) - naive(v)) < 1e-9, s"seed=$seed v=$v es=$es")
+      }
+    }
+  }
+
   test("prefix-filter jaccard finds exactly the naive all-pairs result") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("red", "blue", "fox", "dog", "run", "jump", "lazy", "quick")
