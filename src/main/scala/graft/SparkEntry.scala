@@ -349,6 +349,23 @@ object SparkEntry {
       val entry = Vid.tag("region") * Vid.SPAN + asiaKey(s, dir)
       graft.algos.Algos.dominatorDepth(entry, gr.transpose.edges)
     }),
+    "q_dom_frontier" -> ((s, dir) => {
+      // fermor dominance-frontiers, demo'd on a genuinely CFG-SIZED derived
+      // graph (k+2 vertices): ASIA region → its k nations → ONE shared join
+      // point (the region's min customer). The join point has k >= 2
+      // predecessors whose idom is the region, so DF(nation) = {join point}
+      // for every nation — a closed form the oracle states directly.
+      val rkey = asiaKey(s, dir)
+      val entry = Vid.tag("region") * Vid.SPAN + rkey
+      val an = Tpch.table(s, dir, "nation").where(col("n_regionkey") === rkey)
+        .select(Vid.vid("nation", col("n_nationkey")).as("nvid"), col("n_nationkey"))
+      val rn = an.select(lit(entry).as("src"), col("nvid").as("dst"))
+      val mc = Tpch.table(s, dir, "customer")
+        .join(an.select(col("n_nationkey")), col("c_nationkey") === col("n_nationkey"))
+        .agg(min(Vid.vid("customer", col("c_custkey"))).as("cvid"))
+      val nc = an.crossJoin(mc).select(col("nvid").as("src"), col("cvid").as("dst"))
+      graft.algos.Algos.dominanceFrontiers(entry, rn.unionByName(nc))
+    }),
     "q_label_prop" -> ((s, dir) => { // rows-only: community detection sanity
       implicit val sp: SparkSession = s
       val gr = g(s, dir)
@@ -862,6 +879,14 @@ object SparkEntry {
                                WHEN min(pn) = max(pn) THEN min(pn)
                                ELSE (SELECT 1000000000000 + r_regionkey FROM asia) END
                    FROM preds GROUP BY vid""",
+    "q_dom_frontier" ->
+      """WITH ak AS (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'),
+            an AS (SELECT n_nationkey FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM ak)),
+            mc AS (SELECT min(c_custkey) AS k FROM customer
+                   WHERE c_nationkey IN (SELECT n_nationkey FROM an))
+         SELECT (2000000000000 + n_nationkey)::BIGINT AS id,
+                (3000000000000 + (SELECT k FROM mc))::BIGINT AS frontier
+         FROM an""",
     "q_dom_depth" ->
       """WITH asia AS (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'),
             an AS (SELECT n_nationkey FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM asia)),

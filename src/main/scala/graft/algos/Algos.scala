@@ -506,6 +506,26 @@ object Algos {
   private val idomCache =
     scala.collection.concurrent.TrieMap[(SparkSession, Long, Int), scala.collection.mutable.HashMap[Long, Long]]()
 
+  /** Driver-side collect of the entry's reachable flow subgraph, GUARDED: a
+    * loud failure beats an OOM'd driver. The DFS-order analyses this feeds
+    * (dominators, numberings, loop forest, intervals, frontiers) are
+    * CFG-scale by nature; an entry whose flow subgraph exceeds `maxEdges`
+    * is the caller using a compiler analysis on a fact table — fail with
+    * the actionable message rather than collapse. */
+  private[graft] def collectReachable(entry: Long, edges: DataFrame,
+      maxEdges: Long = 10000000L): Array[(Long, Long)] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = reachableEdges(entry, edges)
+    val n = e.count()
+    if (n > maxEdges)
+      throw new IllegalStateException(
+        s"flow subgraph of entry $entry has $n edges > maxEdges=$maxEdges: " +
+          "driver-side DFS analyses are CFG-scale; restrict the entry's subgraph " +
+          "(edgeSubgraph/filter) or raise maxEdges explicitly")
+    e.as[(Long, Long)].collect()
+  }
+
   def immediateDominators(entry: Long, edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -518,7 +538,7 @@ object Algos {
   private def idomMap(entry: Long, edges: DataFrame): scala.collection.mutable.HashMap[Long, Long] = {
     val spark = edges.sparkSession
     import spark.implicits._
-    def solve() = idomLocal(entry, reachableEdges(entry, edges).as[(Long, Long)].collect())
+    def solve() = idomLocal(entry, collectReachable(entry, edges))
     if (!graft.graph.Tpch.shareScans) solve()
     else idomCache.getOrElseUpdate(
       (spark, entry, edges.queryExecution.analyzed.semanticHash()), solve())
@@ -586,7 +606,7 @@ object Algos {
   def postOrderNumbering(entry: Long, edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val es = reachableEdges(entry, edges).as[(Long, Long)].collect()
+    val es = collectReachable(entry, edges)
     val succ = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.sorted }
     val order = scala.collection.mutable.ArrayBuffer[Long]()
     val seen = scala.collection.mutable.HashSet[Long]()
@@ -610,7 +630,7 @@ object Algos {
   def loopForest(entry: Long, edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val es = reachableEdges(entry, edges).as[(Long, Long)].collect()
+    val es = collectReachable(entry, edges)
     val idom = idomLocal(entry, es)
     def dominates(h: Long, v0: Long): Boolean = {
       var v = v0
@@ -782,7 +802,7 @@ object Algos {
   def intervals(entry: Long, edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val es = reachableEdges(entry, edges).as[(Long, Long)].collect()
+    val es = collectReachable(entry, edges)
     val succ = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.sorted }
     val preds = es.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).distinct }
     val assigned = scala.collection.mutable.HashMap[Long, Long]()
@@ -996,7 +1016,7 @@ object Algos {
   def dominanceFrontiers(entry: Long, edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val es = reachableEdges(entry, edges).as[(Long, Long)].collect()
+    val es = collectReachable(entry, edges)
     val idomMap = idomLocal(entry, es)
     val preds = es.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).distinct }
     val df = scala.collection.mutable.HashMap[Long, Set[Long]]().withDefaultValue(Set.empty)

@@ -225,6 +225,16 @@ class AlgosSpec extends AnyFunSuite {
     assert(r === Map(2L -> 5L, 4L -> 5L))
   }
 
+  test("driver-side DFS analyses fail loudly above the collect guard") {
+    val es = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Algos.collectReachable(1L, es, maxEdges = 1L)
+    }
+    assert(ex.getMessage.contains("maxEdges"))
+    // under the guard it still works
+    assert(Algos.collectReachable(1L, es, maxEdges = 10L).length === 2)
+  }
+
   test("shortestPathsFromParents materializes source→vertex paths") {
     val es = Seq((1L, 9L, 2L), (9L, 5L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 5L, 1L))
       .toDF("src", "dst", "w")
