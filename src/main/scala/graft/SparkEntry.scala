@@ -286,6 +286,33 @@ object SparkEntry {
       graft.algos.Algos.weightedShortestPathWithParent(gr.edges, asia,
         coalesce(col("quantity").cast("long"), lit(1L)), reverse = true, maxIter = 10)
     }),
+    "q_brandes" -> ((s, dir) => {
+      // Distributed Brandes itself under an oracle: on the region↔nation
+      // star every nation→sibling shortest path passes through the region
+      // hub, so δ sums are INTEGERS with a closed form — betweenness(region)
+      // = k(k-1), betweenness(nation) = 0 (exact in doubles; cast long).
+      implicit val sp: SparkSession = s
+      val gr = g(s, dir)
+      val nr = gr.edges.where(col("label") === "nation_region").select("src", "dst")
+      graft.algos.Algos.brandesBetweenness(nr, gr.kind("region").select("id")
+          .unionAll(gr.kind("nation").select("id")))
+        .select(col("id"), col("betweenness").cast("long").as("betweenness"))
+    }),
+    "q_cc_incremental" -> ((s, dir) => {
+      // The STREAMING-maintenance form of connected components, verified
+      // against the same closed-form oracle as q_cc: feed the order_customer
+      // edges in two batches (orderkey parity); the second update sees only
+      // membership links + its batch, never the first batch's edges.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val gr = g(s, dir)
+      val oc = gr.edges.where(col("label") === "order_customer").select("src", "dst")
+      val h1 = oc.where(pmod(col("src"), lit(2)) === 0)
+      val h2 = oc.where(pmod(col("src"), lit(2)) === 1)
+      val empty = Seq.empty[(Long, Long)].toDF("id", "component")
+      graft.algos.Algos.incrementalCC(
+        graft.algos.Algos.incrementalCC(empty, h1).localCheckpoint(false), h2)
+    }),
     "q_closeness" -> ((s, dir) => {
       // Closeness (as exact integer farness + reach count) on the undirected
       // region↔nation star: a nation reaches its region at 1 and its k-1
@@ -796,6 +823,16 @@ object SparkEntry {
          SELECT w.id, w.cost, min(w.pred)::BIGINT AS parent
          FROM walk w JOIN m ON w.id = m.id AND w.cost = m.cost
          GROUP BY w.id, w.cost""",
+    "q_brandes" ->
+      """WITH k AS (SELECT n_regionkey, count(*)::BIGINT AS kk FROM nation GROUP BY 1)
+         SELECT (1000000000000 + r_regionkey)::BIGINT AS id,
+                (coalesce(kk, 0) * (coalesce(kk, 0) - 1))::BIGINT AS betweenness
+         FROM region LEFT JOIN k ON r_regionkey = k.n_regionkey
+         UNION ALL
+         SELECT (2000000000000 + n_nationkey)::BIGINT, 0 FROM nation""",
+    "q_cc_incremental" ->
+      """SELECT (6000000000000 + o_orderkey)::BIGINT AS id, (3000000000000 + o_custkey)::BIGINT AS component FROM orders
+         UNION ALL SELECT 3000000000000 + c_custkey, 3000000000000 + c_custkey FROM customer""",
     "q_closeness" ->
       """WITH k AS (SELECT n_regionkey, count(*)::BIGINT AS kk FROM nation GROUP BY 1)
          SELECT (1000000000000 + r_regionkey)::BIGINT AS id,
