@@ -571,6 +571,13 @@ object SparkEntry {
           (col("alpha") * 100).divide(col("n_toks")).cast("long").as("tok_len_x100"),
           (col("stops") * 10000).divide(col("n_toks")).cast("long").as("stop_bp"))
     }),
+    "q_repetition" -> ((s, dir) => {
+      import graft.functions.TextOps
+      val toks = TextOps.tokens(col("text"))
+      Tpch.table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.repetitionBp(toks, 3).as("rep3_bp"),
+          TextOps.repetitionBp(toks, 1).as("rep1_bp"))
+    }),
     "q_tfidf" -> ((s, dir) =>
       graft.functions.TextOps.tfidfTopTerms(Tpch.table(s, dir, "documents"),
         "doc_id", "text", k = 3)),
@@ -1066,6 +1073,18 @@ object SparkEntry {
          FROM b WHERE len > 0 AND n_toks > 0""",
     "q_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents",
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
+            g3 AS (SELECT doc_id, count(*)::BIGINT AS tot, count(DISTINCT s)::BIGINT AS dis
+                   FROM (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+                         FROM t, unnest(generate_series(1, greatest(len(ts) - 2, 0))) u(i)) x
+                   GROUP BY doc_id),
+            g1 AS (SELECT doc_id, count(*)::BIGINT AS tot, count(DISTINCT s)::BIGINT AS dis
+                   FROM (SELECT doc_id, unnest(ts) AS s FROM t) x GROUP BY doc_id)
+         SELECT t.doc_id,
+                coalesce(((g3.tot - g3.dis) * 10000) // g3.tot, 0) AS rep3_bp,
+                coalesce(((g1.tot - g1.dis) * 10000) // g1.tot, 0) AS rep1_bp
+         FROM t LEFT JOIN g3 ON t.doc_id = g3.doc_id LEFT JOIN g1 ON t.doc_id = g1.doc_id""",
     "q_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t
                        FROM documents),

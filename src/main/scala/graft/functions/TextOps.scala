@@ -49,6 +49,20 @@ object TextOps {
     } // foldRight => earlier entries win ties (en > de > es > fr > zh)
   }
 
+  /** Within-document repetition ratio in basis points — the standard
+    * training-data quality filter for degenerate/templated text: of all word
+    * k-gram instances, the fraction that are repeats of an earlier gram
+    * (10000 · (total - distinct) / total, floor). 0 = no repetition. */
+  def repetitionBp(toks: Column, k: Int): Column = {
+    val total = greatest(size(toks) - (k - 1), lit(0))
+    val grams = transform(sequence(lit(1), total),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
+    when(total > 0,
+      ((total - size(array_distinct(grams))).cast("long") * 10000)
+        .divide(total.cast("long")).cast("long"))
+      .otherwise(lit(0L))
+  }
+
   /** Aggressively normalized fingerprint: md5 of lowercased alnum-only text
     * (fermor-style document identity; a SQL-portable digest stands in for a
     * rolling hash). */
