@@ -94,26 +94,40 @@ object Ann {
 
   /** Bucketed approximate neighbor pairs: equi-join on LSH signature bands,
     * exact integer-cosine rescore. The scale path: shuffle is keyed by
-    * (band, bits), never all-pairs. */
+    * (band, bits), never all-pairs.
+    *
+    * Pair dedup is SHUFFLE-FREE: a pair sharing k bands would surface k
+    * times, so each join row keeps only the occurrence at the pair's LOWEST
+    * shared band — computable from the two signatures already on the row
+    * (first zero `rows`-bit slice of sig_a XOR sig_b), a scalar predicate
+    * instead of a dropDuplicates exchange over the whole candidate stream. */
   def lshPairs(vecs: DataFrame, idCol: String, embCol: String, dim: Int,
       tauPm: Int, numBits: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numBits / bands
     val qd = withQuantNorm(vecs, idCol, embCol, dim)
       .withColumn("sig", lshSignature(col("q"), dim, numBits))
-    val banded = qd.select(col("id"), col("q"), col("nq"),
+    val banded = qd.select(col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * rows).bitwiseAND((1L << rows) - 1).as("bits"))
       }: _*)).as("bk"))
     val t2 = lit(tauPm.toLong * tauPm)
-    // Narrow candidate shuffle: band-join and dedup on ids only; vectors are
-    // joined back afterwards (the wide columns never ride through the
-    // pair-dedup shuffle).
-    val keys = banded.select(col("id"), col("bk"))
-    val cands = keys.as("a").join(keys.as("b"),
+    // Narrow candidate generation: ids + 64-bit sigs only; vectors are
+    // joined back afterwards (wide columns never ride the band join).
+    val mask = (1L << rows) - 1
+    val firstShared = {
+      val x = col("a.sig").bitwiseXOR(col("b.sig"))
+      // statically unrolled when-chain over constant shifts: pure codegen'd
+      // bit arithmetic (a transform/array_position formulation would be a
+      // CodegenFallback evaluated per joined row — 10× slower here)
+      (0 until bands).foldRight(lit(-1)) { case (b2, acc) =>
+        when(shiftright(x, b2 * rows).bitwiseAND(lit(mask)) === 0, lit(b2)).otherwise(acc)
+      }
+    }
+    val cands = banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .where(col("a.bk.band") === firstShared)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
     cands
       .join(qd.select(col("id").as("id_a"), col("q").as("qa"), col("nq").as("na")), "id_a")
       .join(qd.select(col("id").as("id_b"), col("q").as("qb"), col("nq").as("nb")), "id_b")
