@@ -80,7 +80,23 @@ object ScaleProbe {
       },
       "descend_deepest" -> { g =>
         graft.graph.Descend.deepest(g,
-          g.kind("customer").select("id"), Nil, forward = false, maxDepth = 2).count()
+          g.kind("customer").select("id"), Nil, forward = false, maxDepth = 2,
+          acyclic = true).count()
+      },
+      "weighted_sp" -> { g =>
+        implicit val sp: SparkSession = spark
+        graft.algos.Algos.weightedShortestPath(g.edges,
+          g.kind("customer").select("id").limit(1000),
+          lit(1L), reverse = true, maxIter = 2).count()
+      },
+      "brandes_sampled" -> { g =>
+        // sampled-source Brandes: the standard approximation regime — work
+        // scales in (sources × edges), so fixed sources should stay ~flat-
+        // to-linear as the fact side grows
+        implicit val sp: SparkSession = spark
+        graft.algos.Algos.brandesBetweenness(
+          g.edges.where(col("label") === "order_customer"),
+          g.kind("customer").select("id").limit(50), directed = false, maxIter = 4).count()
       })
 
     val results = probes.map { case (name, p) =>
