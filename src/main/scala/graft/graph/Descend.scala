@@ -99,6 +99,17 @@ object Descend {
       .select("id", "depth")
   }
 
+  /** fermor `deepest-paths`: like [[deepest]] but keeping the full path to
+    * each terminal element (path-carrying mode, so no acyclic shortcut). */
+  def deepestPaths(g: PropertyGraph, start: DataFrame, labels: Seq[String], forward: Boolean,
+      maxDepth: Int): DataFrame = {
+    val e0 = if (labels.isEmpty) g.edges else g.edges.where(col("label").isin(labels: _*))
+    val tails = e0.select(col(if (forward) "src" else "dst").as("id")).distinct()
+    run(g, start, labels, forward, maxDepth, checkpointEvery = 1)
+      .join(tails, Seq("id"), "left_anti")
+      .select("id", "depth", "path")
+  }
+
   /** fermor `all-paths-to`: every cycle-free path from start landing on a
     * vertex satisfying `target`. */
   def allPathsTo(g: PropertyGraph, start: DataFrame, labels: Seq[String], forward: Boolean,

@@ -169,6 +169,13 @@ final case class Traversal(g: PropertyGraph, df: DataFrame) {
   /** fermor `distinct-in`: de-duplicate the frontier by id (+carried keys). */
   def distinctIds: Traversal = Traversal(g, df.dropDuplicates("id" +: carried))
 
+  /** fermor `distinct-by`: de-duplicate by an arbitrary key expression,
+    * keeping a deterministic representative (min id per key). */
+  def distinctBy(key: Column): Traversal = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key).orderBy(col("id").asc)
+    Traversal(g, df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn"))
+  }
+
   /** Top-k per group ordered by `order` (fermor in-sorted / out-sorted /
     * fast-sort-by + drop/take, made deterministic & distributed via a window). */
   def topKPerGroup(groupCol: String, k: Int)(order: Column*): Traversal = {

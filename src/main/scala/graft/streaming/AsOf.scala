@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** As-of join (latest right row with ts <= left ts, per key) — the
   * event-attribution operator Spark SQL lacks natively.
@@ -36,5 +38,71 @@ object AsOf {
       .withColumn(s"asof_$rValueCol", last(col("__rv"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .drop("__side", "__rv")
+  }
+
+  // ---- stream-stream as-of -----------------------------------------------
+
+  /** One tagged input event: side 0 = right (the attribution source, e.g. a
+    * click carrying `value`), side 1 = left (the event to attribute, e.g. a
+    * purchase identified by `id`). */
+  case class AsOfEvent(key: Long, eventTime: Timestamp, side: Int, id: Long, value: Double)
+
+  case class AsOfMatch(key: Long, left_ts: Long, left_id: Long, asof_value: Option[Double])
+
+  // parallel primitive arrays (plain unsafe-array serialization), and PUBLIC:
+  // the state encoder's generated code constructs the class reflectively and
+  // cannot see a private nested case class
+  case class AsOfBuf(leftTs: Array[Long], leftId: Array[Long],
+      rightTs: Array[Long], rightV: Array[Double])
+
+  /** STREAM-STREAM as-of join, exact under out-of-order arrival: both sides
+    * buffer in per-key state and a left event is emitted only once the
+    * WATERMARK passes its timestamp — after which no right row at or below
+    * it can still arrive (rows older than the watermark are dropped by
+    * definition), so the match is final. This is the semantics the batch
+    * [[viaWindow]] computes offline, held online; a "latest right seen so
+    * far" shortcut would mis-attribute any left whose true match arrives
+    * late. State is bounded: pending lefts (unemitted only) + rights newer
+    * than the watermark + the single latest right at-or-below it.
+    * Emission is Append-mode with EventTimeTimeout so flushes also happen
+    * on watermark advance alone. */
+  def streamingAsOf(events: Dataset[AsOfEvent], delay: String = "30 minutes")(
+      implicit spark: SparkSession): Dataset[AsOfMatch] = {
+    import spark.implicits._
+    events.withWatermark("eventTime", delay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfBuf, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (k, evs, state: GroupState[AsOfBuf]) =>
+          val st0 = state.getOption.getOrElse(
+            AsOfBuf(Array.empty, Array.empty, Array.empty, Array.empty))
+          var lefts = st0.leftTs.zip(st0.leftId).toBuffer
+          var rights = st0.rightTs.zip(st0.rightV).toBuffer
+          evs.foreach { e =>
+            val t = e.eventTime.getTime / 1000
+            if (e.side == 1) lefts += ((t, e.id)) else rights += ((t, e.value))
+          }
+          val wm = state.getCurrentWatermarkMs() / 1000
+          val (ready, pending) = lefts.partition(_._1 < wm)
+          val out = ready.sortBy(l => (l._1, l._2)).map { case (lt, lid) =>
+            val m = rights.filter(_._1 <= lt)
+            AsOfMatch(k, lt, lid,
+              if (m.isEmpty) None else Some(m.maxBy(r => (r._1, r._2))._2))
+          }
+          // prune rights: anything below the watermark can only ever match as
+          // "the latest right at-or-below" — keep exactly one such
+          val (fresh, old) = rights.partition(_._1 >= wm)
+          val keptRights = fresh ++ old.sortBy(r => (r._1, r._2)).lastOption.toList
+          if (pending.isEmpty && keptRights.isEmpty) state.remove()
+          else {
+            state.update(AsOfBuf(pending.map(_._1).toArray, pending.map(_._2).toArray,
+              keptRights.map(_._1).toArray, keptRights.map(_._2).toArray))
+            // wake when the watermark passes the earliest pending left
+            val target = pending.map(_._1).minOption
+              .map(_ * 1000 + 1000).getOrElse(state.getCurrentWatermarkMs() + 60000)
+            state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }
   }
 }

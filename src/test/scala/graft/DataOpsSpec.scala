@@ -309,6 +309,33 @@ class DataOpsSpec extends AnyFunSuite {
     assert(rows(0L) === 3L && rows(3600L) === 1L)
   }
 
+  test("stream-stream as-of join attributes LATE-arriving rights exactly") {
+    import graft.streaming.AsOf
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AsOf.AsOfEvent]
+    val q = AsOf.streamingAsOf(mem.toDS())
+      .writeStream.format("memory").queryName("ss_asof").outputMode("append").start()
+    def t(min: Long) = new Timestamp(min * 60000L)
+    // click v=1.0 @30min, purchase id=500 @100min (same key)
+    mem.addData(AsOf.AsOfEvent(7L, t(30), 0, 0L, 1.0), AsOf.AsOfEvent(7L, t(100), 1, 500L, 0.0))
+    q.processAllAvailable()
+    // LATE click v=2.0 @95min — above the watermark (70min), below the
+    // purchase: the ONLINE-latest shortcut would have already attributed 1.0
+    mem.addData(AsOf.AsOfEvent(7L, t(95), 0, 0L, 2.0))
+    q.processAllAvailable()
+    assert(spark.table("ss_asof").count() === 0L) // purchase not final yet
+    // push the watermark past the purchase; extra batch fires the timeout
+    mem.addData(AsOf.AsOfEvent(8L, t(300), 0, 0L, 9.0))
+    q.processAllAvailable()
+    mem.addData(AsOf.AsOfEvent(8L, t(400), 0, 0L, 9.0))
+    q.processAllAvailable()
+    val rows = spark.table("ss_asof")
+      .select("key", "left_ts", "left_id", "asof_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), Option(r.get(3)))).toSet
+    q.stop()
+    assert(rows === Set((7L, 6000L, 500L, Some(2.0))))
+  }
+
   test("custom AsOfJoinExec matches the window-composed as-of join") {
     val ev = graft.graph.Tpch.events(spark, "/root/testdata/sf0.01")
       .withColumn("t_us", unix_micros(col("ts")))

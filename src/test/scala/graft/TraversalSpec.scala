@@ -291,6 +291,22 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.count() === 2) // one edge → two vertex elements (bag)
   }
 
+  test("distinctBy dedups on a key expression keeping the min-id representative") {
+    val t = jobGraph.from(jobGraph.kind("job")).tag("jv").inE("created").outV
+      .distinctBy(col("id")) // several jobs share a creator company
+    val rows = t.df.select("id", "jv").as[(Long, Long)].collect().toSet
+    assert(rows.map(_._1) === Set(blueprints, rexster))
+    assert(rows === Set((blueprints, blueprintsJob1), (rexster, rexsterJob1)))
+  }
+
+  test("deepestPaths keeps the full path to each terminal element") {
+    val rows = Descend.deepestPaths(jobGraph, Seq(bob).toDF("id"), Nil,
+        forward = true, maxDepth = 3)
+      .select("id", "path").as[(Long, Seq[Long])].collect().toMap
+    assert(rows(blueprintsJob1) === Seq(bob, appBob1, blueprintsJob1))
+    assert(rows(blueprintsJob2) === Seq(bob, appBob2, blueprintsJob2))
+  }
+
   test("Descend acyclic mode matches the path-carrying mode on a DAG") {
     val full = Descend.all(jobGraph, jobGraph.kind("person").select("id"), Nil,
       forward = true, maxDepth = 2)
