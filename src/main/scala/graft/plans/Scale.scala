@@ -46,4 +46,26 @@ object Scale {
     * the co-location check for bucketed joins. */
   def isShuffleFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  /** Persist a whole [[graft.graph.PropertyGraph]] as bucketed tables — the
+    * graph SINK for repeated-traversal workloads: kind tables bucket on
+    * `id`, the edge table buckets on `src`, so after [[loadGraph]] a
+    * frontier⋈edges hop and an edges⋈kind props join both co-locate with no
+    * Exchange (ScaleSpec proves the plan shape). At 100 TB this turns every
+    * traversal's per-hop shuffle into a bucket-local sort-merge. */
+  def writeGraph(g: graft.graph.PropertyGraph, prefix: String, buckets: Int): Unit = {
+    g.kinds.foreach { case (k, df) => saveBucketed(df, s"${prefix}_k_$k", "id", buckets) }
+    saveBucketed(g.edges, s"${prefix}_edges", "src", buckets)
+  }
+
+  /** Load a graph previously stored by [[writeGraph]]. */
+  def loadGraph(spark: SparkSession, prefix: String): graft.graph.PropertyGraph = {
+    val catalog = spark.catalog
+    val kindTables = catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(s"${prefix}_k_"))
+    val kinds = kindTables.map { t =>
+      t.stripPrefix(s"${prefix}_k_") -> spark.table(t)
+    }.toMap
+    graft.graph.PropertyGraph(kinds, spark.table(s"${prefix}_edges"))
+  }
 }

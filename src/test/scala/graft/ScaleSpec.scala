@@ -54,6 +54,33 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("writeGraph/loadGraph round-trips a property graph with shuffle-free hops") {
+    val gr = graph.Tpch.load(spark, "/root/testdata/sf0.001")
+    val small = graph.PropertyGraph(
+      Map("customer" -> gr.kind("customer"), "nation" -> gr.kind("nation")),
+      gr.edges.where(col("label") === "customer_nation"))
+    spark.catalog.listTables().collect().map(_.name).filter(_.startsWith("sg_"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq("sg_k_customer", "sg_k_nation", "sg_edges").foreach { t =>
+      val dir = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    }
+    Scale.writeGraph(small, "sg", 8)
+    val loaded = Scale.loadGraph(spark, "sg")
+    assert(loaded.kinds.keySet === Set("customer", "nation"))
+    assert(loaded.edges.count() === small.edges.count())
+    // a frontier hop over the loaded graph co-locates: no shuffle exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hop = loaded.kind("customer").select("id")
+        .join(loaded.edges, col("id") === col("src"))
+      assert(hop.count() > 0L)
+      assert(Scale.isShuffleFree(hop),
+        "loaded-graph hop should have no Exchange:\n" + hop.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed TPC-H edge storage: a traversal hop runs with no exchange") {
     // SURVEY §7 storage demo: persist the property-graph tables bucketed on
     // the hop key; a frontier⋈edges traversal hop then needs no shuffle at
