@@ -163,6 +163,19 @@ class AlgosSpec extends AnyFunSuite {
     assert(deg === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("new algorithms handle empty sources / empty edge sets") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val noW = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    val vs = Seq(1L, 2L).toDF("id")
+    assert(Algos.weightedShortestPath(noW, vs, col("w")).as[(Long, Long)].collect().toMap
+      === Map(1L -> 0L, 2L -> 0L)) // sources only, cost 0
+    assert(Algos.weightedShortestPath(Seq((1L, 2L, 3L)).toDF("src", "dst", "w"),
+      Seq.empty[Long].toDF("id"), col("w")).isEmpty)
+    assert(Algos.closenessCentrality(noEdges, vs).as[(Long, Long, Long, Long)]
+      .collect().toSet === Set((1L, 0L, 0L, 0L), (2L, 0L, 0L, 0L)))
+    assert(Algos.brandesBetweenness(noEdges, vs).as[(Long, Double)].collect().isEmpty)
+  }
+
   test("SCC guard: residualMax=0 forces the GraphX fallback, same components") {
     val vs = Seq(1L, 2L, 3L, 4L).toDF("id")
     val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")

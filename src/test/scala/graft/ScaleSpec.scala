@@ -81,6 +81,25 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("date-partitioned edge log: a date filter prunes partitions at the scan") {
+    // the streaming-graph storage layout: edges land in a dt=... partitioned
+    // log; traversals over a time slice must touch only that slice's files
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_edges").toFile.getAbsolutePath
+    val edges = (1 to 300).map(i => (i.toLong, (i % 50).toLong, f"2026-01-${i % 3 + 1}%02d"))
+      .toDF("src", "dst", "dt")
+    edges.write.mode("overwrite").partitionBy("dt").parquet(dir)
+    val sliced = spark.read.parquet(dir).where(col("dt") === "2026-01-02")
+    val plan = sliced.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("dt"),
+      "expected the dt predicate to prune at the scan:\n" + plan.take(1500))
+    assert(sliced.count() === 100L)
+    // and the pruned slice feeds a normal traversal hop
+    val g = graph.PropertyGraph(
+      Map("v" -> (0L to 300L).toDF("id")),
+      sliced.withColumn("label", lit("e")))
+    assert(g.from((1L to 300L).toDF("id")).out("e").count() === 100L)
+  }
+
   test("bucketed TPC-H edge storage: a traversal hop runs with no exchange") {
     // SURVEY §7 storage demo: persist the property-graph tables bucketed on
     // the hop key; a frontier⋈edges traversal hop then needs no shuffle at
