@@ -316,8 +316,9 @@ object Algos {
     * a source (null parent) pass through unchanged. Paths run source→vertex.
     * The path column is wide; reconstruct AFTER filtering to the vertices
     * you need, not before. */
-  def shortestPathsFromParents(parentTree: DataFrame, maxHops: Int): DataFrame = {
-    var cur = parentTree.select(col("id"), col("cost"),
+  def shortestPathsFromParents(parentTree: DataFrame, maxHops: Int,
+      targets: Option[DataFrame] = None): DataFrame = {
+    var cur = targets.getOrElse(parentTree).select(col("id"), col("cost"),
       array(col("id")).as("path"), col("parent").as("p"))
     var i = 0
     while (i < maxHops) {
@@ -331,6 +332,22 @@ object Algos {
       i += 1
     }
     cur.select("id", "cost", "path")
+  }
+
+  /** The reference shortest-path's FULL return contract (algo.clj:92-125:
+    * "returns a vector of vertices on the path" to the first accepted
+    * vertex): relax to a parent tree, pick the minimal-cost accepted
+    * vertices (the deterministic set form of "first"), and reconstruct only
+    * THEIR paths. Empty result = no accepted vertex reachable (the
+    * reference's nil). */
+  def shortestPathTo(edges: DataFrame, sources: DataFrame, cost: Column, accept: Column,
+      reverse: Boolean = false, maxIter: Int = 50, maxHops: Int = 50)(
+      implicit spark: SparkSession): DataFrame = {
+    val tree = weightedShortestPathWithParent(edges, sources, cost, reverse, maxIter)
+      .localCheckpoint(eager = false)
+    val hits = tree.where(accept).localCheckpoint(eager = false)
+    val best = hits.join(hits.agg(min(col("cost")).as("cost")), Seq("cost"), "left_semi")
+    shortestPathsFromParents(tree, maxHops, Some(best))
   }
 
   /** Incremental connected components over a GROWING edge set (the streaming

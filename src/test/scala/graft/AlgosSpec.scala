@@ -259,6 +259,19 @@ class AlgosSpec extends AnyFunSuite {
     assert(paths(9L) === Seq(1L, 9L))
   }
 
+  test("shortestPathTo returns the vertex path to the cheapest accepted vertex") {
+    val es = Seq((1L, 9L, 2L), (9L, 5L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 5L, 1L),
+      (1L, 7L, 10L)).toDF("src", "dst", "w")
+    val r = Algos.shortestPathTo(es, Seq(1L).toDF("id"), col("w"),
+        accept = col("id").isin(5L, 7L))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getSeq[Long](2)))).toMap
+    // 5 at cost 3 beats 7 at cost 10; path follows the least-id parent tree
+    assert(r === Map(5L -> ((3L, Seq(1L, 2L, 3L, 5L)))))
+    // unreachable accept set -> empty (the reference's nil)
+    assert(Algos.shortestPathTo(es, Seq(1L).toDF("id"), col("w"),
+      accept = col("id") === 99L).isEmpty)
+  }
+
   test("incrementalCC: batch-wise maintenance matches full recompute") {
     val b1 = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
     val vs1 = Seq(1L, 2L, 3L, 4L).toDF("id")
