@@ -122,21 +122,15 @@ object Dedup {
   }
 
   /** MinHash signature column: array of `numPerm` minima of affine permuted
-    * 64-bit shingle hashes ((a_i*h + b_i), Long wraparound — deterministic). */
-  private val MersennePrime = 2147483647L // 2^31 - 1
+    * 31-bit shingle hashes — ONE native pass over the hash array
+    * ([[org.apache.spark.sql.graft.MinHashSigs]]). The expression references
+    * its input exactly once, so the hash transform needs no checkpoint to
+    * avoid per-permutation re-evaluation (the old declarative form was
+    * numPerm interpreted array_min(transform(…)) traversals). */
+  private val MersennePrime = org.apache.spark.sql.graft.MinHashSigs.MersennePrime
 
-  /** Affine perms over an ALREADY-MATERIALIZED 31-bit hash array column.
-    * The caller must materialize the hashes (checkpoint) first: Catalyst has
-    * no let-binding, so handing an inline hash expression here would
-    * re-evaluate the string hashes once per permutation. */
-  private def minhashSigFromHashes(hashedArr: Column, numPerm: Int): Column = {
-    val perms = (0 until numPerm).map { i =>
-      val a = (0x9E3779B9L * (2 * i + 1)) % MersennePrime
-      val b = (0xC2B2AE3DL * (i + 1)) % MersennePrime
-      array_min(transform(hashedArr, h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
-    }
-    array(perms: _*)
-  }
+  private def minhashSigFromHashes(hashedArr: Column, numPerm: Int): Column =
+    graft.functions.NativeOps.minhashSigs(hashedArr, numPerm)
 
   /** MinHash + LSH near-dup candidate pairs, exact-Jaccard rescored.
     * bands×rows = numPerm; docs sharing ≥1 band bucket become candidates
@@ -148,9 +142,12 @@ object Dedup {
     val withSig = docs.select(col(idCol).as("id"),
         graft.functions.NativeOps.wordShingles(col(textCol), k).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("hs", transform(col("sh"), x => pmod(xxhash64(x), lit(MersennePrime))))
-      .localCheckpoint(false) // materialize string hashes once (see minhashSigFromHashes)
-      .withColumn("sig", minhashSigFromHashes(col("hs"), numPerm))
+      .localCheckpoint(false) // sh feeds sig + shl + the rescore join-back
+      // hash transform inlined: the native one-pass signature references it
+      // exactly once (the old per-permutation formulation needed a
+      // checkpointed hash column to avoid 64 re-evaluations)
+      .withColumn("sig", minhashSigFromHashes(
+        transform(col("sh"), x => pmod(xxhash64(x), lit(MersennePrime))), numPerm))
       .withColumn("shl", array_sort(col("sh"))) // lex-sorted for merge rescore
       .localCheckpoint(false) // reused by band-join sides and array join-back
     // Narrow candidate generation: band-join and pair-dedup on ids only; the
@@ -178,10 +175,9 @@ object Dedup {
   }
 
   /** MinHash band-bucket keys as ONE self-contained expression over a text
-    * column — for STREAMING callers, where localCheckpoint boundaries are
-    * unavailable, so the hash array re-evaluates per permutation (Catalyst
-    * has no let-binding). Fine at per-micro-batch row counts; the batch path
-    * ([[minhashLsh]]) keeps its checkpointed single-evaluation pipeline. */
+    * column — usable by STREAMING callers, where localCheckpoint boundaries
+    * are unavailable: the native one-pass signature references the hash
+    * transform exactly once, so no materialization is needed anywhere. */
   private[graft] def bandKeyArray(text: Column, k: Int, numPerm: Int, bands: Int): Column = {
     val rows = numPerm / bands
     val hs = transform(graft.functions.NativeOps.wordShingles(text, k),

@@ -17,4 +17,9 @@ object NativeOps {
   /** Codegen'd merge-scan |A ∩ B| over lex-sorted distinct array<string>. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.SortedIntersectCount.column(a, b)
+
+  /** All numPerm MinHash minima in one codegen'd pass over a 31-bit hash
+    * array (vs numPerm interpreted array_min(transform(…)) expressions). */
+  def minhashSigs(hashes: Column, numPerm: Int): Column =
+    org.apache.spark.sql.graft.MinHashSigs.column(hashes, numPerm)
 }

@@ -110,6 +110,25 @@ class DataOpsSpec extends AnyFunSuite {
     got.foreach { case (n, ref) => assert(n === ref) }
   }
 
+  test("native MinHashSigs matches the declarative per-permutation formulation") {
+    val M = org.apache.spark.sql.graft.MinHashSigs.MersennePrime
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hashed = docs.select(col("doc_id"),
+        expr(s"transform(filter(split(text, ' '), t -> length(t) > 0), x -> pmod(xxhash64(x), ${M}L))").as("hs"))
+      .where(size(col("hs")) > 0)
+      .localCheckpoint(false)
+    val declarative = hashed.select(col("doc_id"), array((0 until 16).map { i =>
+        val a = (0x9E3779B9L * (2 * i + 1)) % M
+        val b = (0xC2B2AE3DL * (i + 1)) % M
+        array_min(transform(col("hs"), h => pmod(h * lit(a) + lit(b), lit(M))))
+      }: _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val native = hashed.select(col("doc_id"),
+        graft.functions.NativeOps.minhashSigs(col("hs"), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native === declarative)
+  }
+
   test("SimHashAgg matches the declarative 64-column formulation") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val toks = docs.select(col("doc_id").as("id"),
