@@ -22,4 +22,9 @@ object NativeOps {
     * array (vs numPerm interpreted array_min(transform(…)) expressions). */
   def minhashSigs(hashes: Column, numPerm: Int): Column =
     org.apache.spark.sql.graft.MinHashSigs.column(hashes, numPerm)
+
+  /** Packed random-hyperplane sign bits in one codegen'd pass over a
+    * quantized vector (vs numBits interpreted zip_with/aggregate passes). */
+  def hyperplaneSig(q: Column, weights: Array[Array[Long]]): Column =
+    org.apache.spark.sql.graft.HyperplaneSig.column(q, weights)
 }

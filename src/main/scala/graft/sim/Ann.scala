@@ -73,24 +73,18 @@ object Ann {
       .select(col("id_q"), col("id_n"), col("score"), col("rn"))
   }
 
-  /** Random-hyperplane LSH signature (numBits planes). Plane weights are
-    * deterministic pseudo-random ints derived from xxhash64(plane, dim) —
-    * reproducible across runs and engines. */
-  def lshSignature(qe: Column, dim: Int, numBits: Int): Column = {
-    // One zip_with/aggregate per plane (compact expression trees): an
-    // expanded dim×numBits sum would exceed the JVM's 64 KB method limit and
-    // knock the whole stage out of codegen. Signatures are computed once per
-    // input row (not per pair), so lambda-eval cost is irrelevant here.
-    val bits = (0 until numBits).map { p =>
-      val ws = (0 until dim).map { i =>
-        (scala.util.hashing.MurmurHash3.productHash((p, i)) % 1001).toLong
-      }
-      val proj = aggregate(
-        zip_with(qe, typedLit(ws), (x, w) => x * w), lit(0L), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+  /** Deterministic pseudo-random plane weights (MurmurHash3 of
+    * (plane, dim-index) mod 1001) — reproducible across runs and engines. */
+  private[graft] def planeWeights(dim: Int, numBits: Int): Array[Array[Long]] =
+    Array.tabulate(numBits, dim) { (p, i) =>
+      (scala.util.hashing.MurmurHash3.productHash((p, i)) % 1001).toLong
     }
-    bits.reduce(_.bitwiseOR(_))
-  }
+
+  /** Random-hyperplane LSH signature (numBits planes): one native codegen'd
+    * pass over the quantized vector ([[graft.functions.NativeOps.hyperplaneSig]]
+    * — the numBits zip_with/aggregate formulation was CodegenFallback). */
+  def lshSignature(qe: Column, dim: Int, numBits: Int): Column =
+    graft.functions.NativeOps.hyperplaneSig(qe, planeWeights(dim, numBits))
 
   /** Bucketed approximate neighbor pairs: equi-join on LSH signature bands,
     * exact integer-cosine rescore. The scale path: shuffle is keyed by

@@ -1,0 +1,70 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+
+/** Random-hyperplane LSH signature over a quantized array<long> vector: all
+  * `numBits` plane projections in ONE pass, sign bits packed into a long
+  * (SURVEY.md §2.4 — the candidate-key derivation of the bucketed ANN path).
+  *
+  * The declarative form is numBits separate aggregate(zip_with(…))
+  * expressions — CodegenFallback, boxed, numBits traversals per row. Plane
+  * weights are the SAME deterministic pseudo-random ints as the declarative
+  * formulation (MurmurHash3 of (plane, dim-index), mod 1001), embedded as a
+  * reference object, so signatures are bit-identical (spec-pinned). */
+case class HyperplaneSig(child: Expression, weights: Array[Array[Long]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    var sig = 0L
+    var p = 0
+    while (p < weights.length) {
+      val w = weights(p)
+      val n = math.min(xs.numElements(), w.length)
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += xs.getLong(i) * w(i); i += 1 }
+      if (acc > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val wRef = ctx.addReferenceObj("hyperplaneW", weights, "long[][]")
+      val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val sig = ctx.freshName("sig"); val w = ctx.freshName("w")
+      s"""
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $wRef.length; $p++) {
+         |  final long[] $w = $wRef[$p];
+         |  final int $n = java.lang.Math.min($a.numElements(), $w.length);
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getLong($i) * $w[$i];
+         |  }
+         |  if ($acc > 0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+object HyperplaneSig {
+  def column(q: Column, weights: Array[Array[Long]]): Column =
+    ExpressionUtils.column(HyperplaneSig(ExpressionUtils.expression(q), weights))
+}

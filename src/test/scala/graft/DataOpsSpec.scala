@@ -110,6 +110,23 @@ class DataOpsSpec extends AnyFunSuite {
     got.foreach { case (n, ref) => assert(n === ref) }
   }
 
+  test("native HyperplaneSig matches the declarative per-plane formulation") {
+    val dim = 64; val numBits = 16
+    val qd = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), Ann.quantize(col("embedding")).as("q"))
+      .localCheckpoint(false)
+    val ws = Ann.planeWeights(dim, numBits)
+    val declarative = qd.select(col("vec_id"), (0 until numBits).map { p =>
+        val proj = expr(s"aggregate(zip_with(q, array(${ws(p).mkString(",")}), (x, w) -> x * w), 0L, (acc, v) -> acc + v)")
+        when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_)).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val native = qd.select(col("vec_id"),
+        graft.functions.NativeOps.hyperplaneSig(col("q"), ws).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(native === declarative)
+  }
+
   test("native MinHashSigs matches the declarative per-permutation formulation") {
     val M = org.apache.spark.sql.graft.MinHashSigs.MersennePrime
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
