@@ -220,29 +220,41 @@ object Algos {
     * a minimal-cost path. Sources carry a null parent. */
   def weightedShortestPathWithParent(edges: DataFrame, sources: DataFrame, cost: Column,
       reverse: Boolean = false, maxIter: Int = 50)(implicit spark: SparkSession): DataFrame = {
+    // Two phases, not a fatter loop: (1) the plain cost relaxation to its
+    // fixpoint (narrow 2-column rounds), then (2) ONE post-pass join derives
+    // parents from the optimality invariant — p is an optimal predecessor of
+    // v iff cost(p) + w(p,v) = cost(v) — taking min(p) for determinism.
+    // Carrying parents through the loop would instead fire extra
+    // "refinement" rounds whenever an equal-cost smaller-id predecessor
+    // appears late (strictly more rounds, wider shuffles, same answer).
     val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
     val e = edges.select(col(from).as("__from"), col(to).as("__to"), cost.cast("long").as("__w"))
       .localCheckpoint(eager = false)
+    val dist = bfsRelax(e, sources, maxIter)
+    val parents = e
+      .join(dist.select(col("id").as("__from"), col("cost").as("__pc")), "__from")
+      .join(dist.select(col("id").as("__to"), col("cost").as("__tc")), "__to")
+      .where(col("__pc") + col("__w") === col("__tc"))
+      .groupBy(col("__to").as("id")).agg(min(col("__from")).as("parent"))
+    // sources keep a null parent: with strictly positive costs no incoming
+    // edge can satisfy the invariant at cost 0
+    dist.join(parents, Seq("id"), "left")
+  }
+
+  private def bfsRelax(e: DataFrame, sources: DataFrame, maxIter: Int): DataFrame = {
     var dist = sources.select(col(sources.columns.head).as("id")).dropDuplicates("id")
-      .withColumn("cost", lit(0L)).withColumn("parent", lit(null).cast("long"))
-      .localCheckpoint(eager = false)
+      .withColumn("cost", lit(0L)).localCheckpoint(eager = false)
     var frontier = dist
     var done = false
     var i = 0
     while (!done && i < maxIter) {
       val improved = e
-        .join(frontier.withColumnRenamed("id", "__from").drop("parent"), "__from")
-        .select(col("__to").as("id"),
-          struct((col("cost") + col("__w")).as("cost"), col("__from").as("parent")).as("m"))
-        .groupBy("id").agg(min(col("m")).as("m")) // lexicographic (cost, parent) min
-        .select(col("id"), col("m.cost").as("cost"), col("m.parent").as("parent"))
-        .join(dist.select(col("id"), col("cost").as("__oc"), col("parent").as("__op")),
-          Seq("id"), "left")
-        // improvement = strictly smaller (cost, parent): pred-only
-        // improvements still fire so the parent converges to the least id
-        .where(col("__oc").isNull || col("cost") < col("__oc") ||
-          (col("cost") === col("__oc") && col("parent") < col("__op")))
-        .select("id", "cost", "parent")
+        .join(frontier.withColumnRenamed("id", "__from"), "__from")
+        .select(col("__to").as("id"), (col("cost") + col("__w")).as("cost"))
+        .groupBy("id").agg(min(col("cost")).as("cost"))
+        .join(dist.withColumnRenamed("cost", "__old"), Seq("id"), "left")
+        .where(col("__old").isNull || col("cost") < col("__old"))
+        .select("id", "cost")
         .localCheckpoint(eager = true)
       if (improved.isEmpty) done = true
       else {
@@ -276,6 +288,7 @@ object Algos {
     // them; one narrow materialization shared by all rounds
     val e = edges.select(col(from).as("__from"), col(to).as("__to"), cost.cast("long").as("__w"))
       .localCheckpoint(eager = false)
+    if (accept.isEmpty) return bfsRelax(e, sources, maxIter)
     var dist = sources.select(col(sources.columns.head).as("id")).dropDuplicates("id")
       .withColumn("cost", lit(0L)).localCheckpoint(eager = false)
     var frontier = dist
