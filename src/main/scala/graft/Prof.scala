@@ -61,6 +61,13 @@ object Prof {
     time("minhash") {
       graft.dedup.Dedup.minhashLsh(docs, "doc_id", "text", 3, 64, 16, 5000).count()
     }
+    time("minhash==jaccard symdiff") {
+      val mh = graft.dedup.Dedup.minhashLsh(docs, "doc_id", "text", 3, 64, 16, 5000)
+        .select("id_a", "id_b").localCheckpoint(false)
+      val jc = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 5000)
+        .select("id_a", "id_b").localCheckpoint(false)
+      mh.exceptAll(jc).count() + jc.exceptAll(mh).count()
+    }
     val emb = graph.Tpch.table(spark, dir, "embeddings")
     time("ann_topk") {
       graft.sim.Ann.bruteTopK(emb, "vec_id", "embedding", 3, _.where(col("id") < 100)).count()
