@@ -283,8 +283,11 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       val gr = g(s, dir)
       val asia = gr.kind("region").where(col("r_name") === "ASIA").select("id")
+      // same maxIter as q_shortest_weighted: the parent post-pass derivation
+      // adds no rounds, and the aligned bound lets both queries share one
+      // cached relaxation fixpoint under scan sharing
       graft.algos.Algos.weightedShortestPathWithParent(gr.edges, asia,
-        coalesce(col("quantity").cast("long"), lit(1L)), reverse = true, maxIter = 10)
+        coalesce(col("quantity").cast("long"), lit(1L)), reverse = true, maxIter = 8)
     }),
     "q_brandes" -> ((s, dir) => {
       // Distributed Brandes itself under an oracle: on the region↔nation

@@ -228,9 +228,9 @@ object Algos {
     // "refinement" rounds whenever an equal-cost smaller-id predecessor
     // appears late (strictly more rounds, wider shuffles, same answer).
     val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
-    val e = edges.select(col(from).as("__from"), col(to).as("__to"), cost.cast("long").as("__w"))
-      .localCheckpoint(eager = false)
-    val dist = bfsRelax(e, sources, maxIter)
+    val eRaw = edges.select(col(from).as("__from"), col(to).as("__to"), cost.cast("long").as("__w"))
+    val e = eRaw.localCheckpoint(eager = false)
+    val dist = bfsRelax(e, eRaw, sources, maxIter)
     val parents = e
       .join(dist.select(col("id").as("__from"), col("cost").as("__pc")), "__from")
       .join(dist.select(col("id").as("__to"), col("cost").as("__tc")), "__to")
@@ -241,7 +241,26 @@ object Algos {
     dist.join(parents, Seq("id"), "left")
   }
 
-  private def bfsRelax(e: DataFrame, sources: DataFrame, maxIter: Int): DataFrame = {
+  /** Plain cost-relaxation fixpoint, memoized per (session, prepared-edge
+    * plan, source plan, bound) under scan sharing: the cost-only and
+    * parent-deriving shortest-path queries over the same weighted graph
+    * share one fixpoint (the prepared edge frame already embeds cost and
+    * direction, so its semantic hash is the complete cache key). */
+  private val relaxCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, Int, Int, Int), DataFrame]()
+
+  /** `eKey` must be the PRE-checkpoint edge plan: a localCheckpoint wraps a
+    * fresh RDD per call, so its semantic hash never repeats across queries
+    * and would defeat the cache. */
+  private def bfsRelax(e: DataFrame, eKey: DataFrame, sources: DataFrame,
+      maxIter: Int): DataFrame =
+    if (!graft.graph.Tpch.shareScans) bfsRelaxImpl(e, sources, maxIter)
+    else relaxCache.getOrElseUpdate(
+      (e.sparkSession, eKey.queryExecution.analyzed.semanticHash(),
+        sources.queryExecution.analyzed.semanticHash(), maxIter),
+      bfsRelaxImpl(e, sources, maxIter).localCheckpoint(eager = false))
+
+  private def bfsRelaxImpl(e: DataFrame, sources: DataFrame, maxIter: Int): DataFrame = {
     var dist = sources.select(col(sources.columns.head).as("id")).dropDuplicates("id")
       .withColumn("cost", lit(0L)).localCheckpoint(eager = false)
     var frontier = dist
@@ -286,9 +305,9 @@ object Algos {
     val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
     // parallel edges are fine un-deduped: the per-round min-merge collapses
     // them; one narrow materialization shared by all rounds
-    val e = edges.select(col(from).as("__from"), col(to).as("__to"), cost.cast("long").as("__w"))
-      .localCheckpoint(eager = false)
-    if (accept.isEmpty) return bfsRelax(e, sources, maxIter)
+    val eRaw = edges.select(col(from).as("__from"), col(to).as("__to"), cost.cast("long").as("__w"))
+    val e = eRaw.localCheckpoint(eager = false)
+    if (accept.isEmpty) return bfsRelax(e, eRaw, sources, maxIter)
     var dist = sources.select(col(sources.columns.head).as("id")).dropDuplicates("id")
       .withColumn("cost", lit(0L)).localCheckpoint(eager = false)
     var frontier = dist
