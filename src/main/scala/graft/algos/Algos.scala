@@ -329,9 +329,11 @@ object Algos {
           .unionByName(improved).localCheckpoint(eager = false)
         frontier = improved
         accept.foreach { pred =>
-          val acc = improved.where(pred).agg(min(col("cost"))).head()
-          if (!acc.isNullAt(0)) bestAccepted = math.min(bestAccepted, acc.getLong(0))
-          val frontierMin = improved.agg(min(col("cost"))).head().getLong(0)
+          // one combined agg job on the already-materialized frontier
+          val row = improved.agg(min(col("cost")),
+            min(when(pred, col("cost")))).head()
+          if (!row.isNullAt(1)) bestAccepted = math.min(bestAccepted, row.getLong(1))
+          val frontierMin = row.getLong(0)
           // strictly positive costs: every future relaxation strictly exceeds
           // the frontier minimum, so the accepted set at bestAccepted is final
           if (frontierMin >= bestAccepted) done = true
