@@ -85,9 +85,14 @@ object ScaleProbe {
       },
       "weighted_sp" -> { g =>
         implicit val sp: SparkSession = spark
-        graft.algos.Algos.weightedShortestPath(g.edges,
+        // bypass the scan-sharing relax memo: the probe must measure the
+        // fixpoint COMPUTE, not a cache hit on the repeat run
+        val prev = Tpch.shareScans
+        Tpch.shareScans = false
+        try graft.algos.Algos.weightedShortestPath(g.edges,
           g.kind("customer").select("id").limit(1000),
           lit(1L), reverse = true, maxIter = 2).count()
+        finally Tpch.shareScans = prev
       },
       "brandes_sampled" -> { g =>
         // sampled-source Brandes: the standard approximation regime — work
