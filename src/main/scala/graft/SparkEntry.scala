@@ -471,7 +471,10 @@ object SparkEntry {
       val from = Tpch.table(s, dir, "customer")
         .join(asiaNations.select(col("n_nationkey")), col("c_nationkey") === col("n_nationkey"))
         .select(Vid.vid("customer", col("c_custkey")).as("id"))
-      val to = s.range(1).select(lit(Vid.tag("region") * Vid.SPAN + rkey).as("id"))
+      // `to` uses the SAME source plan as q_sssp so the backward pass hits
+      // the shared BFS memo (the between query genuinely reuses the sssp
+      // distance tree — cross-query intermediate sharing, like reachCache)
+      val to = gr.kind("region").where(col("r_name") === "ASIA").select("id")
       // the FK graph's diameter bounds both passes: customer→nation→region
       // forward (2), region←…←lineitem backward (4) — saved rounds are saved
       // frontier materializations

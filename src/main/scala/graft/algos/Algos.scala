@@ -167,14 +167,28 @@ object Algos {
     * the visited set, so per-round work tracks frontier size — the same
     * shape GraphX Pregel computes, without the RDD conversion and
     * vertex-state machinery, and AQE-planned per round. */
+  /** Memoized per (session, edge plan, source plan, direction, bound) under
+    * scan sharing: different queries over the same graph genuinely reuse the
+    * same BFS tree (q_between's backward pass IS q_sssp's distance table).
+    * Keys hash the CALLER's plans — pre-checkpoint, so they repeat. */
+  private val bfsCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, Int, Int, Boolean, Int), DataFrame]()
+
   def bfsDistances(vertices: DataFrame, edges: DataFrame, sources: DataFrame,
       reverse: Boolean = false, maxIter: Int = 1000)(implicit spark: SparkSession): DataFrame = {
-    val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
-    // duplicate edges are harmless (per-round dropDuplicates on ids): no
-    // dedup shuffle, just one narrow materialization shared by the rounds
-    val e = edges.select(col(from).as("__from"), col(to).as("__to"))
-      .localCheckpoint(eager = false)
-    bfsOnPrepared(e, sources, maxIter)
+    def run(): DataFrame = {
+      val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
+      // duplicate edges are harmless (per-round dropDuplicates on ids): no
+      // dedup shuffle, just one narrow materialization shared by the rounds
+      val e = edges.select(col(from).as("__from"), col(to).as("__to"))
+        .localCheckpoint(eager = false)
+      bfsOnPrepared(e, sources, maxIter)
+    }
+    if (!graft.graph.Tpch.shareScans) run()
+    else bfsCache.getOrElseUpdate(
+      (spark, edges.queryExecution.analyzed.semanticHash(),
+        sources.queryExecution.analyzed.semanticHash(), reverse, maxIter),
+      run().localCheckpoint(eager = false))
   }
 
   /** BFS over an already-materialized (__from, __to) edge frame — lets
@@ -901,13 +915,11 @@ object Algos {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    // ONE narrow edge materialization; the reverse pass is a column swap
-    // over the same cached blocks (not a second checkpoint)
-    val eF = edges.select(col("src").as("__from"), col("dst").as("__to"))
-      .localCheckpoint(eager = false)
-    val eB = eF.select(col("__to").as("__from"), col("__from").as("__to"))
-    val fwdF = Future { bfsOnPrepared(eF, from, fwdMaxIter) }
-    val bwdF = Future { bfsOnPrepared(eB, to, bwdMaxIter) }
+    // both passes go through the memoizing bfsDistances: under scan sharing
+    // a pass whose (edges, sources, direction) another query already ran
+    // (e.g. the backward pass = the sssp distance table) is free
+    val fwdF = Future { bfsDistances(vertices, edges, from, maxIter = fwdMaxIter) }
+    val bwdF = Future { bfsDistances(vertices, edges, to, reverse = true, maxIter = bwdMaxIter) }
     val fwd = Await.result(fwdF, Duration.Inf)
     val bwd = Await.result(bwdF, Duration.Inf)
     fwd.select("id").join(bwd.select("id"), "id")
