@@ -598,6 +598,14 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, dir) =>
       graft.dedup.Dedup.ngramJaccardPairs(Tpch.table(s, dir, "documents"), "doc_id", "text",
         k = 3, minBp = 5000)),
+    "q_contamination" -> ((s, dir) => {
+      // decontamination screen: corpus docs sharing >= 5 word-3-gram
+      // shingles with a probe set (here: the first 10 docs standing in for
+      // a benchmark suite); probe side broadcast — the corpus never shuffles
+      val docs = Tpch.table(s, dir, "documents")
+      graft.dedup.Dedup.contamination(docs, docs.where(col("doc_id") < 10),
+        "doc_id", "text", k = 3, minShared = 5L)
+    }),
     "q_dedup_clusters" -> ((s, dir) =>
       graft.dedup.Dedup.clusters(Tpch.table(s, dir, "documents"), "doc_id", "text",
         k = 3, minBp = 5000)),
@@ -1124,6 +1132,14 @@ object SparkEntry {
                 (i * 10000) // (na.n + nb.n - i) AS j_bp
          FROM inter JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id
          WHERE i * 10000 >= 5000 * (na.n + nb.n - i)""",
+    "q_contamination" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
+            sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+                   FROM toks, unnest(generate_series(1, greatest(len(ts) - 2, 0))) t(i)),
+            pr AS (SELECT doc_id AS probe_id, s FROM sh WHERE doc_id < 10)
+         SELECT d.doc_id, p.probe_id, count(*)::BIGINT AS shared_n
+         FROM sh d JOIN pr p ON d.s = p.s AND d.doc_id <> p.probe_id
+         GROUP BY 1, 2 HAVING count(*) >= 5""",
     "q_dedup_minhash" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
             sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s

@@ -174,6 +174,26 @@ object Dedup {
       .select("id_a", "id_b", "i", "union_n")
   }
 
+  /** Benchmark-contamination screen — the decontamination primitive of
+    * training-data pipelines: flag documents sharing at least `minShared`
+    * distinct word-k-gram shingles with any probe document (eval/benchmark
+    * text). The probe side is small by nature (a benchmark suite), so its
+    * exploded shingle table BROADCASTS and the screen is a map-side hash
+    * join over the corpus — no shuffle of the 100 TB side at all. Returns
+    * (doc_id, probe_id, shared_n = |shingle ∩|, exact). */
+  def contamination(docs: DataFrame, probes: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minShared: Long = 5L): DataFrame = {
+    def sh(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      explode(graft.functions.NativeOps.wordShingles(col(textCol), k)).as("s"))
+    // per-doc shingles are DISTINCT (wordShingles), so join rows per
+    // (doc, probe) = shared distinct shingles and a plain count is |∩|
+    sh(docs, "doc_id")
+      .join(broadcast(sh(probes, "probe_id")), "s")
+      .where(col("doc_id") =!= col("probe_id"))
+      .groupBy("doc_id", "probe_id").agg(count(lit(1)).as("shared_n"))
+      .where(col("shared_n") >= minShared)
+  }
+
   /** MinHash band-bucket keys as ONE self-contained expression over a text
     * column — usable by STREAMING callers, where localCheckpoint boundaries
     * are unavailable: the native one-pass signature references the hash

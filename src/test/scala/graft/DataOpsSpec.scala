@@ -42,6 +42,15 @@ class DataOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("contamination screen flags probe-overlapping docs via a broadcast join") {
+    val probes = Seq((100L, base)).toDF("doc_id", "text")
+    val hits = Dedup.contamination(docs, probes, "doc_id", "text", k = 3, minShared = 5L)
+    val flagged = hits.select("doc_id").as[Long].collect().toSet
+    assert(flagged === Set(1L, 2L, 4L)) // exact copy + near-dup; unrelated passes
+    // the corpus side must NOT shuffle: probe shingles broadcast
+    assert(hits.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("dedup clusters: transitive near-dups share one keeper") {
     // 1~2 and 1~4 are near-dups => cluster {1,2,4} keeps 1; 3 is singleton
     val rows = Dedup.clusters(docs, "doc_id", "text", k = 3, minBp = 5000)
