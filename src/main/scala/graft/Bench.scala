@@ -33,9 +33,18 @@ object Bench {
       System.gc()
       name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Round to ms: 17-digit doubles ballooned the line past the driver's
+    // stdout tail-capture window (BENCH_r03 recorded parsed:null). Also
+    // persist the full JSON to a file so the number survives any capture.
+    def ms(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    try {
+      val p = java.nio.file.Paths.get("bench_out.json")
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // file write is belt-and-braces only
     spark.stop()
   }
 }
