@@ -203,10 +203,17 @@ object Dedup {
     val hs = transform(graft.functions.NativeOps.wordShingles(text, k),
       x => pmod(xxhash64(x), lit(MersennePrime)))
     val sig = minhashSigFromHashes(hs, numPerm)
-    array((0 until bands).map { bidx =>
+    val keys = array((0 until bands).map { bidx =>
       xxhash64(lit(bidx),
         concat_ws(",", (0 until rows).map(r => element_at(sig, bidx * rows + r + 1)): _*))
     }: _*)
+    // A doc with fewer than k tokens has NO shingles; the minimum over an
+    // empty set is the constant MersennePrime, so every short doc would share
+    // one signature and LSH would declare them all near-duplicates. The batch
+    // path filters size(sh) > 0 before banding (minhashLsh:144); mirror that
+    // here by emitting no band keys at all.
+    when(size(graft.functions.NativeOps.wordShingles(text, k)) >= lit(1), keys)
+      .otherwise(array().cast("array<bigint>"))
   }
 
   /** 64-bit SimHash per doc: per-token xxhash64; each output bit is the sign

@@ -37,9 +37,17 @@ object StreamDedup {
   def bandVerdicts(docs: Dataset[Doc], k: Int = 3, numPerm: Int = 16, bands: Int = 4)(
       implicit spark: SparkSession): Dataset[BandVerdict] = {
     import spark.implicits._
-    val keyed = docs
-      .select(col("doc_id"),
-        explode(graft.dedup.Dedup.bandKeyArray(col("text"), k, numPerm, bands)).as("band_key"))
+    val banded = docs.select(col("doc_id"),
+      graft.dedup.Dedup.bandKeyArray(col("text"), k, numPerm, bands).as("bks"))
+    // Sub-k-token docs have no shingles → no band keys (matching the batch
+    // path's size(sh) > 0 filter). They bypass the state store entirely and
+    // pass through with a self-owned verdict (keep=true downstream) — the
+    // union keeps the query single-stateful-operator.
+    val shorts = banded.where(size(col("bks")) === 0)
+      .select(col("doc_id"), lit(0L).as("band_key"), col("doc_id").as("first_id"))
+      .as[BandVerdict]
+    val keyed = banded.where(size(col("bks")) > 0)
+      .select(col("doc_id"), explode(col("bks")).as("band_key"))
       .as[(Long, Long)]
     keyed.groupByKey(_._2)
       .flatMapGroupsWithState[Long, BandVerdict](
@@ -50,6 +58,7 @@ object StreamDedup {
           if (!state.exists) state.update(first)
           ids.iterator.map(id => BandVerdict(id, bkey, first))
       }
+      .union(shorts)
   }
 
   /** Stage 2 — collapse band verdicts to per-document keep/drop (run inside
@@ -66,11 +75,16 @@ object StreamDedup {
     * one signature; state is bounded by the watermark delay. The trade:
     * coarser matching (all-band agreement), but zero custom state code. */
   def signatureDedup(docs: DataFrame, k: Int = 3, numPerm: Int = 16,
-      delay: String = "10 minutes"): DataFrame =
+      delay: String = "10 minutes"): DataFrame = {
+    // Sub-k-token docs have no signature (bandKeyArray → empty array, whose
+    // concat_ws is "" for every such doc); fall back to exact-text identity
+    // for them so only literal duplicates collapse, never all short docs.
+    val bks = graft.dedup.Dedup.bandKeyArray(col("text"), k, numPerm, bands = 1)
     docs.withWatermark("ts", delay)
       .withColumn("sig_key",
-        xxhash64(concat_ws(",",
-          graft.dedup.Dedup.bandKeyArray(col("text"), k, numPerm, bands = 1))))
+        when(size(bks) > 0, xxhash64(concat_ws(",", bks)))
+          .otherwise(xxhash64(lit("__graft_short__"), col("text"))))
       .dropDuplicatesWithinWatermark("sig_key")
       .drop("sig_key")
+  }
 }

@@ -429,6 +429,42 @@ class DataOpsSpec extends AnyFunSuite {
     assert(!keep(2L))            // near-dup: >=1 band collides
   }
 
+  test("streaming near-dup filter passes distinct sub-k-token docs through (batch-parity)") {
+    // Docs shorter than the shingle width have NO shingles; the batch path
+    // filters them out of LSH (they can never be near-dup candidates). The
+    // streaming path must not collapse them onto the empty-set signature.
+    import graft.streaming.StreamDedup
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDedup.Doc]
+    val q = StreamDedup.bandVerdicts(mem.toDS())
+      .writeStream.format("memory").queryName("nd_short").outputMode("append").start()
+    def t(min: Long) = new Timestamp(min * 60000L)
+    mem.addData(StreamDedup.Doc(1L, t(0), "hi"), StreamDedup.Doc(2L, t(1), "yo there"))
+    q.processAllAvailable()
+    mem.addData(StreamDedup.Doc(3L, t(2), "ok bye"))
+    q.processAllAvailable()
+    val keep = StreamDedup.collapseVerdicts(spark.table("nd_short"))
+      .as[(Long, Boolean)].collect().toMap
+    q.stop()
+    assert(keep === Map(1L -> true, 2L -> true, 3L -> true))
+  }
+
+  test("signature dedup keeps distinct short docs, drops exact short re-deliveries") {
+    import graft.streaming.StreamDedup
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDedup.Doc]
+    val q = StreamDedup.signatureDedup(mem.toDS().toDF())
+      .writeStream.format("memory").queryName("sig_short").outputMode("append").start()
+    def t(min: Long) = new Timestamp((60 + min) * 60000L)
+    mem.addData(StreamDedup.Doc(1L, t(0), "hi"), StreamDedup.Doc(2L, t(1), "yo there"))
+    q.processAllAvailable()
+    mem.addData(StreamDedup.Doc(3L, t(2), "hi")) // exact duplicate of doc 1's text
+    q.processAllAvailable()
+    val kept = spark.table("sig_short").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(kept === Set(1L, 2L))
+  }
+
   test("signature dedup within watermark collapses exact re-deliveries, keeps distinct docs") {
     import graft.streaming.StreamDedup
     implicit val sqlCtx = spark.sqlContext
