@@ -424,10 +424,11 @@ object SparkEntry {
       val ev = Tpch.events(s, dir)
         .select(col("user_id"), col("event_type"), date_trunc("hour", col("ts")).as("h"))
         .distinct()
-      val a = ev.select(col("user_id").as("u1"), col("event_type"), col("h"))
-      val b = ev.select(col("user_id").as("u2"), col("event_type"), col("h"))
-      val edges = a.join(b, Seq("event_type", "h")).where(col("u1") < col("u2"))
-        .select(Vid.vid("user", col("u1")).as("src"), Vid.vid("user", col("u2")).as("dst"))
+      // Guarded co-occurrence: a hot (event_type, hour) bucket's m² fan-out
+      // is salted across reducers instead of landing on one straggler.
+      val edges = graft.plans.Scale
+        .cooccurrencePairs(ev, Seq("event_type", "h"), "user_id")
+        .select(Vid.vid("user", col("i1")).as("src"), Vid.vid("user", col("i2")).as("dst"))
         .distinct()
         .withColumn("label", lit("cooccur"))
       graft.algos.Algos.degrees(edges)
@@ -642,7 +643,13 @@ object SparkEntry {
       // similarity gap), so the candidate set degrades toward n²/2; it
       // degrades as a KEYED join (AQE-splittable), never a cartesian, and
       // with a real similarity gap the same plan prunes (the recall spec's
-      // planted-pair case).
+      // planted-pair case). Round-4 measured variants (sf0.1, warm): narrow
+      // band join + 2 rescore join-backs 2.15 s; a-side payload + 1
+      // join-back 2.2 s; both-sides payload + 0 join-backs 5.8 s (wide rows
+      // through the 30M-row band-join filter). Kept: 1 join-back + long
+      // (non-struct) band key. The floor is the band join itself — a sound
+      // norm prune does not exist for scale-invariant cosine, and wider
+      // bands break the recall-completeness the oracle depends on.
       graft.sim.Ann.lshPairs(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, tauPm = 450, numBits = 32, bands = 16)
         .select("id_a", "id_b", "dot")),

@@ -14,12 +14,48 @@ object Scale {
     * replicated `salt` times. The shuffle key becomes (key, salt), so one
     * hot key spreads over `salt` reducers instead of one straggler.
     * Results are bag-identical to a plain inner join on `key`. */
-  def skewJoin(left: DataFrame, right: DataFrame, key: String, salt: Int = 16): DataFrame = {
+  def skewJoin(left: DataFrame, right: DataFrame, key: String, salt: Int = 16): DataFrame =
+    skewJoin(left, right, Seq(key), salt)
+
+  /** Multi-column-key variant of [[skewJoin]]. */
+  def skewJoin(left: DataFrame, right: DataFrame, keys: Seq[String], salt: Int): DataFrame = {
     val lSalted = left.withColumn("__salt",
       pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salt)).cast("int"))
     val rReplicated = right.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
-    lSalted.join(rReplicated, Seq(key, "__salt")).drop("__salt")
+    lSalted.join(rReplicated, keys :+ "__salt").drop("__salt")
+  }
+
+  /** All unordered within-bucket pairs — the guarded form of the quadratic
+    * co-occurrence self-join. The output is inherently O(m²) per bucket; the
+    * scale hazard is one HOT bucket's m² landing on a single reducer. A
+    * bucket-cardinality pre-aggregate splits the input: buckets at or below
+    * `hotThreshold` members take the plain self-join, hotter buckets go
+    * through the salted join so their fan-out spreads over `salt` reducers.
+    * The union is bag-identical to the unguarded self-join.
+    *
+    * Returns `bucketCols :+ "i1" :+ "i2"` with `i1 < i2`. */
+  def cooccurrencePairs(items: DataFrame, bucketCols: Seq[String], itemCol: String,
+      hotThreshold: Int = 1000, salt: Int = 16): DataFrame = {
+    // The input feeds five plan references (count agg + two sides × two
+    // branches); checkpoint once so upstream work isn't re-derived per ref.
+    val its = items.localCheckpoint(false)
+    // Only the HOT bucket keys are materialized and broadcast: there can be
+    // at most |items|/hotThreshold of them, so the split is two broadcast
+    // (anti/semi) probes — no shuffle-join of per-row counts back onto items.
+    val hotKeys = broadcast(its.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("__bn")).where(col("__bn") > hotThreshold)
+      .select(bucketCols.map(col): _*))
+    def side(df: DataFrame, as: String) =
+      df.select(bucketCols.map(col) :+ col(itemCol).as(as): _*)
+    def pairs(joined: DataFrame) =
+      joined.where(col("i1") < col("i2"))
+        .select(bucketCols.map(col) :+ col("i1") :+ col("i2"): _*)
+    val cold = its.join(hotKeys, bucketCols, "left_anti")
+    val hot = its.join(hotKeys, bucketCols, "left_semi")
+    val coldPairs = pairs(side(cold, "i1").join(side(cold, "i2"), bucketCols))
+    val hotPairs = pairs(skewJoin(side(hot, "i1"), side(hot, "i2"), bucketCols, salt))
+    coldPairs.unionByName(hotPairs)
   }
 
   /** Two-phase skew-resistant aggregation: partial aggregate on

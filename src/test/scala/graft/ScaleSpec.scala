@@ -31,6 +31,28 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("cooccurrencePairs routes a planted hot bucket through the salted path, bag-identically") {
+    // One hot bucket (60 members > threshold 10) among many cold ones.
+    val items = ((1 to 60).map(i => ("hot", "h0", i.toLong)) ++
+      (1 to 30).map(i => (s"cold${i % 6}", "h1", i.toLong))).toDF("et", "h", "u")
+    def naive = {
+      val a = items.select(col("et"), col("h"), col("u").as("i1"))
+      val b = items.select(col("et"), col("h"), col("u").as("i2"))
+      a.join(b, Seq("et", "h")).where(col("i1") < col("i2"))
+    }
+    val expect = naive.groupBy("et").count().as[(String, Long)].collect().toMap
+    val guarded = Scale.cooccurrencePairs(items, Seq("et", "h"), "u", hotThreshold = 10)
+    val got = guarded.groupBy("et").count().as[(String, Long)].collect().toMap
+    assert(got === expect)                       // hot bucket: 60*59/2 = 1770 pairs
+    assert(expect("hot") === 1770L)
+    // the guard is wired in: the plan carries the salted branch, and the hot
+    // branch actually produced the hot bucket's pairs (cold branch alone
+    // cannot: its filter excludes __bn > 10)
+    assert(guarded.queryExecution.executedPlan.toString.contains("__salt"))
+    val pairRows = guarded.as[(String, String, Long, Long)].collect()
+    assert(pairRows.toSet === naive.as[(String, String, Long, Long)].collect().toSet)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("id", "pa")
     val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("id", "pb")
