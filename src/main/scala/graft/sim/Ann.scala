@@ -94,20 +94,38 @@ object Ann {
     * times, so each join row keeps only the occurrence at the pair's LOWEST
     * shared band — computable from the two signatures already on the row
     * (first zero `rows`-bit slice of sig_a XOR sig_b), a scalar predicate
-    * instead of a dropDuplicates exchange over the whole candidate stream. */
+    * instead of a dropDuplicates exchange over the whole candidate stream.
+    *
+    * Rescore fetch: the a-side carries its packed (q, nq) payload THROUGH
+    * the band join, so only the b-side needs a join-back — ONE candidate-
+    * stream shuffle instead of two. The payload rides the band explode
+    * (`bands`×N wide rows) on one side only; that trade wins whenever the
+    * candidate count exceeds bands×N — exactly the degraded no-similarity-
+    * gap regime — and with a strong gap the candidate stream is small, so
+    * the extra band-shuffle width is bounded either way.
+    *
+    * No norm prefilter: cosine is scale-invariant, so NO |a|·|b| window on
+    * sorted norms can prune soundly (any norm pair admits cos >= tau), and a
+    * Cauchy-Schwarz prefix bound is vacuous at the low thresholds this data
+    * needs — both would either break the oracle's recall-completeness or
+    * prune nothing. The sound levers are banding and the first-shared-band
+    * dedup above. */
   def lshPairs(vecs: DataFrame, idCol: String, embCol: String, dim: Int,
       tauPm: Int, numBits: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numBits / bands
     val qd = withQuantNorm(vecs, idCol, embCol, dim)
       .withColumn("sig", lshSignature(col("q"), dim, numBits))
-    val banded = qd.select(col("id"), col("sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * rows).bitwiseAND((1L << rows) - 1).as("bits"))
-      }: _*)).as("bk"))
+    val qp = qd.select(col("id"), col("sig"), struct(col("q"), col("nq")).as("p"))
+    // Flattened long band key (band << rows | bits): a primitive equi-join
+    // key hashes/compares cheaper than a struct across the ~bands×collisions
+    // joined rows, which dominate this operator's cost.
+    def banded(withPayload: Boolean) =
+      qp.select(Seq(col("id"), col("sig")) ++ (if (withPayload) Seq(col("p")) else Nil) :+
+        explode(array((0 until bands).map { b =>
+          lit(b.toLong << rows).bitwiseOR(
+            shiftright(col("sig"), b * rows).bitwiseAND((1L << rows) - 1))
+        }: _*)).as("bk"): _*)
     val t2 = lit(tauPm.toLong * tauPm)
-    // Narrow candidate generation: ids + 64-bit sigs only; vectors are
-    // joined back afterwards (wide columns never ride the band join).
     val mask = (1L << rows) - 1
     val firstShared = {
       val x = col("a.sig").bitwiseXOR(col("b.sig"))
@@ -118,15 +136,16 @@ object Ann {
         when(shiftright(x, b2 * rows).bitwiseAND(lit(mask)) === 0, lit(b2)).otherwise(acc)
       }
     }
-    val cands = banded.as("a").join(banded.as("b"),
+    val cands = banded(withPayload = true).as("a")
+      .join(banded(withPayload = false).as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .where(col("a.bk.band") === firstShared)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .where(shiftright(col("a.bk"), rows).cast("int") === firstShared)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.p").as("pa"))
     cands
-      .join(qd.select(col("id").as("id_a"), col("q").as("qa"), col("nq").as("na")), "id_a")
-      .join(qd.select(col("id").as("id_b"), col("q").as("qb"), col("nq").as("nb")), "id_b")
-      .withColumn("dot", dotQ(col("qa"), col("qb"), dim))
-      .where(col("dot") > 0 && lit(1000000L) * col("dot") * col("dot") >= t2 * col("na") * col("nb"))
+      .join(qp.select(col("id").as("id_b"), col("p").as("pb")), "id_b")
+      .withColumn("dot", dotQ(col("pa.q"), col("pb.q"), dim))
+      .where(col("dot") > 0 &&
+        lit(1000000L) * col("dot") * col("dot") >= t2 * col("pa.nq") * col("pb.nq"))
       .select("id_a", "id_b", "dot")
   }
 
