@@ -461,6 +461,21 @@ object SparkEntry {
       val vs = gr.kind("customer").select("id").unionAll(gr.kind("nation").select("id"))
       graft.algos.Algos.nontrivialSccs(vs, edges2)
     }),
+    "q_all_cycles" -> ((s, dir) => {
+      // fermor `all-cycles` (core.clj): every path returning to its origin,
+      // on the nation same-region adjacency clique — closed-form 2- and
+      // 3-cycles (per region: every ordered pair and ordered distinct triple).
+      val n = Tpch.table(s, dir, "nation")
+      val a = n.select(col("n_nationkey").as("k1"), col("n_regionkey").as("rk"))
+      val b = n.select(col("n_nationkey").as("k2"), col("n_regionkey").as("rk"))
+      val adj = a.join(b, "rk").where(col("k1") =!= col("k2"))
+        .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
+        .withColumn("label", lit("adj"))
+      val nv = n.select(Vid.vid("nation", col("n_nationkey")).as("id"))
+      val gr = graft.graph.PropertyGraph(Map("nation" -> nv), adj)
+      Descend.allCycles(gr, nv, Nil, forward = true, maxDepth = 3)
+        .select(col("origin"), array_join(col("path"), "->").as("path_str"), col("depth"))
+    }),
     "q_between" -> ((s, dir) => {
       // fermor non-loop-vertices-between: forward-reachable(from) ∩
       // backward-reachable(to) — two distributed BFS passes. Here: vertices
@@ -1006,6 +1021,20 @@ object SparkEntry {
                 (2000000000000 + c_nationkey)::BIGINT AS component FROM mc
          UNION ALL
          SELECT 3000000000000 + k, 2000000000000 + c_nationkey FROM mc""",
+    "q_all_cycles" ->
+      """WITH nv AS (SELECT n_nationkey AS k, n_regionkey AS rk,
+                            (2000000000000 + n_nationkey)::BIGINT AS v FROM nation)
+         SELECT a.v AS origin,
+                a.v::VARCHAR || '->' || b.v::VARCHAR || '->' || a.v::VARCHAR AS path_str,
+                2 AS depth
+         FROM nv a JOIN nv b ON a.rk = b.rk AND a.k <> b.k
+         UNION ALL
+         SELECT a.v,
+                a.v::VARCHAR || '->' || b.v::VARCHAR || '->' || c.v::VARCHAR
+                  || '->' || a.v::VARCHAR,
+                3
+         FROM nv a JOIN nv b ON a.rk = b.rk AND a.k <> b.k
+                   JOIN nv c ON a.rk = c.rk AND c.k <> a.k AND c.k <> b.k""",
     "q_articulation" ->
       """SELECT (3000000000000 + c_custkey)::BIGINT AS id FROM customer
          WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 2""",

@@ -138,10 +138,16 @@ object Descend {
         .withColumn("path", concat(col("path"), array(col("id"))))
         .select("origin", "path", "depth")
       acc = if (acc == null) closed else acc.unionByName(closed)
+      // same per-level materialization as all/deepest: the frontier feeds
+      // both the next expansion and (via stepped) the closed-cycle branch,
+      // so without it level k is re-derived O(k) times and lineage grows
+      // quadratically with depth
       frontier = stepped
         .where(!array_contains(col("path"), col("id")))
         .withColumn("path", concat(col("path"), array(col("id"))))
+        .localCheckpoint(true)
       d += 1
+      if (d <= maxDepth && frontier.isEmpty) d = maxDepth + 1 // exhausted early
     }
     acc
   }

@@ -109,6 +109,22 @@ final case class PropertyGraph(
     copy(edges = edges.unionByName(rows, allowMissingColumns = true)
       .dropDuplicates("src", "dst", "label"))
 
+  /** fermor graph.clj:323 `add-unique-weighted-edge`: adding an edge whose
+    * (src, dst, label) already exists SUMS its weight into the existing one
+    * instead of duplicating (addEdges) or dropping (addUniqueEdges). Weights
+    * are forced to double; a null/missing weight takes `defaultWeight`, as
+    * the reference's builder does. Any other edge-property columns keep
+    * their deterministic minimum across the combined rows (the reference's
+    * weighted builder carries no other document fields). */
+  def addUniqueWeightedEdges(rows: DataFrame, weightCol: String = "weight",
+      defaultWeight: Double = 1.0): PropertyGraph = {
+    val all = edges.unionByName(rows, allowMissingColumns = true)
+      .withColumn(weightCol, coalesce(col(weightCol).cast("double"), lit(defaultWeight)))
+    val others = all.columns.filterNot(Set("src", "dst", "label", weightCol).contains)
+    val aggs = sum(col(weightCol)).as(weightCol) +: others.map(c => min(col(c)).as(c))
+    copy(edges = all.groupBy("src", "dst", "label").agg(aggs.head, aggs.tail: _*))
+  }
+
   /** Bag-exact graph equality (fermor graph.clj `graph-equality` /
     * `document-equality?`): same kinds, same vertex rows (documents
     * included), same edge multiset. Distributed via exceptAll both ways —
@@ -139,7 +155,11 @@ final case class PropertyGraph(
         case (Some(a), Some(b)) =>
           val tagged = a.withColumn("__pri", lit(0))
             .unionByName(b.withColumn("__pri", lit(1)), allowMissingColumns = true)
-          val w = Window.partitionBy("id").orderBy(col("__pri").desc)
+          // second sort key: if an INPUT carries duplicate rows for one id,
+          // the survivor is still deterministic (stable row-hash tiebreak),
+          // not a partitioning accident
+          val rowHash = xxhash64(tagged.columns.filter(_ != "__pri").sorted.map(col): _*)
+          val w = Window.partitionBy("id").orderBy(col("__pri").desc, rowHash.asc)
           tagged.withColumn("__rn", row_number().over(w))
             .where(col("__rn") === 1).drop("__pri", "__rn")
         case (Some(a), None) => a
@@ -149,6 +169,71 @@ final case class PropertyGraph(
       k -> m
     }.toMap
     PropertyGraph(mergedKinds, edges.unionByName(other.edges, allowMissingColumns = true))
+  }
+
+  /** fermor graph.clj `merge-with` (:531): merge graphs resolving conflicts
+    * with caller-supplied functions instead of later-wins. The Clojure form
+    * passes whole conflicting documents to a binary fn; the relational form
+    * is a PER-COLUMN resolver map — e.g. `"weight" -> (a, b) => a + b`,
+    * `"tags" -> (a, b) => array_union(a, b)` — applied where an id (for
+    * vertices) or a (src, dst, label) triple (for edges) exists in BOTH
+    * graphs. Columns without a resolver take the later graph's value
+    * (`merge` at graph.clj:555 is exactly this specialization); rows present
+    * on one side only pass through.
+    *
+    * Edge identity note: the reference's adjacency maps hold ONE edge
+    * document per (from, to) per label, so edge conflict resolution is
+    * defined on that key; parallel duplicates of a triple WITHIN one input
+    * are first collapsed deterministically (stable-hash survivor) before
+    * cross-graph resolution. Plain [[merge]] instead keeps the full edge
+    * bag. */
+  def mergeWith(other: PropertyGraph,
+      resolveDoc: Map[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column] = Map.empty,
+      resolveEdge: Map[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column] = Map.empty): PropertyGraph = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    // full-outer keyed join; per non-key column: one-sided rows pass through,
+    // both-sided rows resolve (custom fn or later-wins)
+    def resolveJoin(a: DataFrame, b: DataFrame, keys: Seq[String],
+        resolve: Map[String, (Column, Column) => Column]): DataFrame = {
+      val la = a.as("l"); val rb = b.as("r")
+      val cond = keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+      val joined = la.join(rb, cond, "full_outer")
+      val inL = a.columns.toSet; val inR = b.columns.toSet
+      val lPresent = col(s"l.${keys.head}").isNotNull
+      val rPresent = col(s"r.${keys.head}").isNotNull
+      val keyCols = keys.map(k => coalesce(col(s"l.$k"), col(s"r.$k")).as(k))
+      val valCols = (a.columns ++ b.columns).distinct.filterNot(keys.contains).map { c =>
+        val out =
+          if (inL(c) && inR(c))
+            when(!rPresent, col(s"l.$c"))
+              .when(!lPresent, col(s"r.$c"))
+              .otherwise(resolve.get(c).map(f => f(col(s"l.$c"), col(s"r.$c")))
+                .getOrElse(col(s"r.$c")))
+          else if (inL(c)) col(s"l.$c") else col(s"r.$c")
+        out.as(c)
+      }
+      joined.select(keyCols ++ valCols: _*)
+    }
+    def dedupTriples(e: DataFrame): DataFrame = {
+      val keys = Seq("src", "dst", "label")
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(xxhash64(e.columns.sorted.map(col): _*).asc)
+      e.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    }
+    val mergedKinds = (kinds.keySet ++ other.kinds.keySet).map { k =>
+      val m = (kinds.get(k), other.kinds.get(k)) match {
+        case (Some(a), Some(b)) => resolveJoin(a, b, Seq("id"), resolveDoc)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (None, None) => throw new IllegalStateException(s"unreachable kind $k")
+      }
+      k -> m
+    }.toMap
+    val mergedEdges =
+      resolveJoin(dedupTriples(edges), dedupTriples(other.edges),
+        Seq("src", "dst", "label"), resolveEdge)
+    PropertyGraph(mergedKinds, mergedEdges)
   }
 
   /** Reverse every edge (fermor core.clj `transpose`). Column swap only —

@@ -183,6 +183,19 @@ final case class Traversal(g: PropertyGraph, df: DataFrame) {
     Traversal(g, df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn"))
   }
 
+  /** fermor core.clj:811 `sorted-section`: run a sub-traversal from each
+    * element and emit its results ORDERED within that element's section
+    * ("mostly just an example of how to use sections to do sorting"). The
+    * lazy-seq model sorts each section in memory; the relational form tags
+    * the source id as the section anchor, runs the sub-route set-wise, and a
+    * per-anchor window materializes the order as a `section_rank` column
+    * (row order alone carries no meaning in a distributed result). */
+  def sortedSection(f: Traversal => Traversal)(order: Column*): Traversal = {
+    val sec = f(tag("section_of"))
+    val w = Window.partitionBy(col("section_of")).orderBy(order: _*)
+    Traversal(g, sec.df.withColumn("section_rank", row_number().over(w)))
+  }
+
   /** Reverse accumulated paths (fermor `reverse-paths`). */
   def reversePaths: Traversal =
     Traversal(g, df.withColumn("path", reverse(col("path"))))

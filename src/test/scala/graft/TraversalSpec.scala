@@ -269,6 +269,74 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.edges.count() === 2) // edge BAG union: parallel edges kept
   }
 
+  test("merge survivor among same-priority duplicate ids is partitioning-independent") {
+    // one input carries TWO rows for id 1: the winner must be the same
+    // whatever the physical layout (stable-hash tiebreak, not "first seen")
+    def b(parts: Int) = PropertyGraph(
+      Map("v" -> Seq((1L, "x"), (1L, "y")).toDF("id", "name").repartition(parts)),
+      Seq.empty[(Long, Long, String)].toDF("src", "dst", "label"))
+    val a = PropertyGraph(Map("v" -> Seq((2L, "base")).toDF("id", "name")),
+      Seq.empty[(Long, Long, String)].toDF("src", "dst", "label"))
+    val winners = Seq(1, 3, 7).map { p =>
+      a.merge(b(p)).kind("v").as[(Long, String)].collect().toMap.apply(1L)
+    }
+    assert(winners.distinct.size === 1)
+  }
+
+  test("mergeWith resolves conflicts with per-column functions (fermor merge-with)") {
+    val a = PropertyGraph(
+      Map("v" -> Seq((1L, "alice", 10L), (2L, "bob", 5L)).toDF("id", "name", "score")),
+      Seq((1L, 2L, "knows", 2L)).toDF("src", "dst", "label", "weight"))
+    val b = PropertyGraph(
+      Map("v" -> Seq((1L, "ALICE", 7L), (3L, "carol", 1L)).toDF("id", "name", "score")),
+      Seq((1L, 2L, "knows", 3L), (2L, 3L, "knows", 9L)).toDF("src", "dst", "label", "weight"))
+    val m = a.mergeWith(b,
+      resolveDoc = Map("score" -> ((x, y) => x + y)),           // sum on conflict
+      resolveEdge = Map("weight" -> ((x, y) => greatest(x, y))))
+    val docs = m.kind("v").as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(docs(1L) === (("ALICE", 17L))) // name: later-wins default; score: summed
+    assert(docs(2L) === (("bob", 5L)))    // left-only passes through
+    assert(docs(3L) === (("carol", 1L)))  // right-only passes through
+    val es = m.edges.as[(Long, Long, String, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(es((1L, 2L, "knows")) === 3L)  // conflicting triple: greatest(2, 3)
+    assert(es((2L, 3L, "knows")) === 9L)  // one-sided triple passes through
+    assert(m.edges.count() === 2)
+  }
+
+  test("mergeWith collapses within-input parallel duplicates of a triple deterministically") {
+    val a = PropertyGraph(Map("v" -> Seq((1L, "a")).toDF("id", "name")),
+      Seq((1L, 2L, "e", 5L), (1L, 2L, "e", 5L)).toDF("src", "dst", "label", "w"))
+    val b = PropertyGraph(Map("v" -> Seq((1L, "b")).toDF("id", "name")),
+      Seq((1L, 2L, "e", 7L)).toDF("src", "dst", "label", "w"))
+    val m = a.mergeWith(b, resolveEdge = Map("w" -> ((x, y) => x + y)))
+    val es = m.edges.as[(Long, Long, String, Long)].collect()
+    assert(es.length === 1 && es.head._4 === 12L) // 5 (collapsed) + 7
+  }
+
+  test("sortedSection ranks each element's sub-route within its own section") {
+    val t = jobGraph.from(jobGraph.kind("person"))
+      .sortedSection(_.out("completes"))(col("id").desc)
+    val rows = t.df.select("section_of", "id", "section_rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(rows === Set(
+      (bob, appBob2, 1), (bob, appBob1, 2),           // desc within Bob's section
+      (stephen, appStephen2, 1), (stephen, appStephen1, 2)))
+  }
+
+  test("addUniqueWeightedEdges sums weight on re-added triples, defaults missing weights") {
+    val g0 = PropertyGraph(Map("v" -> Seq(1L, 2L, 3L).toDF("id")),
+      Seq((1L, 2L, "e", 2.0)).toDF("src", "dst", "label", "weight"))
+    val g1 = g0.addUniqueWeightedEdges(
+      Seq((1L, 2L, "e", Some(3.0)), (2L, 3L, "e", None))
+        .toDF("src", "dst", "label", "weight"))
+    val es = g1.edges.select("src", "dst", "label", "weight")
+      .as[(Long, Long, String, Double)].collect().map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(es.size === 2)
+    assert(es((1L, 2L, "e")) === 5.0)  // 2 + 3 summed into the existing edge
+    assert(es((2L, 3L, "e")) === 1.0)  // null weight -> defaultWeight
+  }
+
   test("pathEdges recovers edge rows (with labels) along accumulated paths") {
     val e = jobGraph.from(Seq(bob).toDF("id")).withPaths
       .out("completes").out("appliesTo")
