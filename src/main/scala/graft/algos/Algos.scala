@@ -378,6 +378,10 @@ object Algos {
           when(col("p").isNotNull, col("__pp")).otherwise(lit(null).cast("long")).as("p"))
         .localCheckpoint(eager = false) // cut the join-chain lineage
       i += 1
+      // all walks terminated (every pending parent null): the remaining
+      // rounds would be no-op joins — stop. The frame is checkpointed, so
+      // the probe materializes work the next round needed anyway.
+      if (i < maxHops && cur.where(col("p").isNotNull).isEmpty) i = maxHops
     }
     cur.select("id", "cost", "path")
   }
@@ -658,9 +662,19 @@ object Algos {
     val spark = edges.sparkSession
     import spark.implicits._
     val idom = idomMap(entry, edges)
-    // memoized depths: the naive per-vertex walk is quadratic on deep chains
+    // memoized depths via an ITERATIVE chain walk: recursion here would blow
+    // the JVM stack on a deep linear CFG (10⁵-block chain) before the memo
+    // could help
     val memo = scala.collection.mutable.HashMap[Long, Int](entry -> 0)
-    def depth(v: Long): Int = memo.getOrElseUpdate(v, 1 + depth(idom(v)))
+    def depth(v0: Long): Int = memo.getOrElse(v0, {
+      val chain = scala.collection.mutable.ArrayBuffer[Long]()
+      var v = v0
+      while (!memo.contains(v)) { chain += v; v = idom(v) }
+      var d = memo(v)
+      var j = chain.length - 1
+      while (j >= 0) { d += 1; memo(chain(j)) = d; j -= 1 }
+      memo(v0)
+    })
     idom.keys.toSeq.map(v => (v, depth(v))).toDF("id", "depth")
   }
 

@@ -259,6 +259,14 @@ class AlgosSpec extends AnyFunSuite {
     assert(paths(9L) === Seq(1L, 9L))
   }
 
+  test("dominatorDepth survives a 100k-deep linear CFG without stack overflow") {
+    val n = 100000
+    val es = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val depth = Algos.dominatorDepth(1L, es).as[(Long, Int)].collect().toMap
+    assert(depth.size === n)
+    assert(depth(1L) === 0 && depth(n.toLong) === n - 1 && depth(50000L) === 49999)
+  }
+
   test("shortestPathTo returns the vertex path to the cheapest accepted vertex") {
     val es = Seq((1L, 9L, 2L), (9L, 5L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 5L, 1L),
       (1L, 7L, 10L)).toDF("src", "dst", "w")
