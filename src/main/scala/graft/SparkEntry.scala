@@ -678,7 +678,22 @@ object SparkEntry {
     "q_event_window" -> ((s, dir) =>
       graft.streaming.Sessionize.hourlyWindow(Tpch.events(s, dir))),
     "q_sessionize" -> ((s, dir) =>
-      graft.streaming.Sessionize.batch(Tpch.events(s, dir)))
+      graft.streaming.Sessionize.batch(Tpch.events(s, dir))),
+    "q_edge_log_prune" -> ((s, dir) => {
+      // Date-partitioned edge-log storage (SURVEY §4): the event log lands
+      // partitioned by day; a one-week slice query must touch only that
+      // slice's files — the dt predicate shows up as PartitionFilters at
+      // the scan (PlanSpec pins it), so at 100 TB the query costs the
+      // slice, not the log.
+      val log = s"/tmp/graft_edge_log_${Integer.toHexString(dir.hashCode)}"
+      Tpch.events(s, dir)
+        .select(col("user_id"), col("value"), to_date(col("ts")).as("dt"))
+        .write.mode("overwrite").partitionBy("dt").parquet(log)
+      s.read.parquet(log)
+        .where(col("dt") >= lit("2024-01-08") && col("dt") <= lit("2024-01-14"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1254,6 +1269,12 @@ object SparkEntry {
                            THEN 1 ELSE 0 END AS ns
                     FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          SELECT user_id, sum(ns)::BIGINT AS n_sessions, count(*) AS n_events
-         FROM x GROUP BY 1"""
+         FROM x GROUP BY 1""",
+    "q_edge_log_prune" ->
+      """SELECT user_id, count(*) AS n_events,
+                sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+         GROUP BY 1"""
   )
 }

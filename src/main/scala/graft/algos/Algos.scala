@@ -566,10 +566,95 @@ object Algos {
       else { visited = visited.unionByName(next).localCheckpoint(eager = false); frontier = next }
       i += 1
     }
-    // an edge is in the flow subgraph iff its src is reachable (its dst then
-    // is too, by following that very edge)
-    e.join(visited.select(col("id").as("src")), Seq("src"), "left_semi")
-      .dropDuplicates("src", "dst")
+    if (done)
+      // an edge is in the flow subgraph iff its src is reachable (its dst
+      // then is too, by following that very edge)
+      e.join(visited.select(col("id").as("src")), Seq("src"), "left_semi")
+        .dropDuplicates("src", "dst")
+    else {
+      // Deep subgraph (diameter > maxIter): per-hop BFS rounds scale with
+      // DEPTH, so switch to the depth-independent path — restrict to the
+      // entry's weak component with alternating-star CC (O(log² n) rounds
+      // however deep the graph is), guarded-collect that slice, and finish
+      // directed reachability with a driver BFS. The weak component bounds
+      // the reachable set from above, so the guard contract is unchanged:
+      // a component too big to collect fails loudly, it never OOMs.
+      val comp = ccAlternating(e)
+      val cRow = comp.where(col("id") === entry).select("component").collect()
+      val c = if (cRow.isEmpty) entry else cRow.head.getLong(0)
+      val members = comp.where(col("component") === c).select(col("id").as("src"))
+      val sub = e.join(members, Seq("src"), "left_semi").dropDuplicates("src", "dst")
+        .localCheckpoint(eager = true)
+      val n = sub.count()
+      if (n > 10000000L)
+        throw new IllegalStateException(
+          s"entry $entry sits in a weak component with $n edges and depth > $maxIter: " +
+            "too deep for distributed BFS and too big to collect; restrict the " +
+            "subgraph (edgeSubgraph/filter) before the flow analysis")
+      val adj = sub.as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val vis = scala.collection.mutable.HashSet[Long](entry)
+      val stack = scala.collection.mutable.ArrayDeque[Long](entry)
+      while (stack.nonEmpty) {
+        val u = stack.removeLast()
+        adj.getOrElse(u, Array.empty[Long]).foreach(v => if (vis.add(v)) stack += v)
+      }
+      sub.join(vis.toSeq.toDF("src"), Seq("src"), "left_semi")
+    }
+  }
+
+  /** Weakly-connected components by the alternating large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): converges in O(log² n) rounds regardless of graph
+    * DIAMETER. This is the scale path where Pregel min-propagation — one
+    * superstep per hop — takes 10⁵ rounds on a 10⁵-deep chain; here each
+    * round is one groupBy + one keyed join per star phase. Component id is
+    * the component's min vertex id (same contract as
+    * [[connectedComponents]]); isolated vertices don't appear. */
+  def ccAlternating(edges: DataFrame, maxRounds: Int = 200): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def canon(df: DataFrame) = df
+      .select(greatest(col("src"), col("dst")).as("hi"), least(col("src"), col("dst")).as("lo"))
+      .where(col("hi") =!= col("lo")).dropDuplicates("hi", "lo")
+    // cheap multiset signature for the convergence test; summed in 31-bit
+    // space so ANSI mode cannot overflow (n·2³¹ ≪ 2⁶³)
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(pmod(xxhash64(col("hi"), col("lo")), lit(2147483647L)))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var e = canon(edges).localCheckpoint(eager = true)
+    var s = sig(e)
+    var stable = false
+    var r = 0
+    while (!stable && r < maxRounds) {
+      // large-star: every neighbor v > u re-links to u's minimum neighbor
+      // (or u itself) — preserves connectivity, pulls stars flat
+      val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = nbrs.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = nbrs.join(mins, Seq("u")).where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .where(col("hi") =!= col("lo")).dropDuplicates("hi", "lo")
+      // small-star: each node's ≤-neighborhood all links to its minimum
+      val mins2 = ls.groupBy("hi").agg(min("lo").as("m"))
+      val ss = ls.join(mins2, Seq("hi")).where(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionAll(mins2.select(col("hi"), col("m").as("lo")))
+        .where(col("hi") =!= col("lo")).dropDuplicates("hi", "lo")
+        .localCheckpoint(eager = true)
+      val s2 = sig(ss)
+      stable = s2 == s
+      s = s2
+      e = ss
+      r += 1
+    }
+    // converged star forest: every edge points (member → component min);
+    // roots map to themselves. min() keeps the map deterministic even if
+    // maxRounds cut convergence short.
+    e.select(col("hi").as("id"), col("lo").as("component"))
+      .unionByName(e.select(col("lo").as("id"), col("lo").as("component")))
+      .groupBy("id").agg(min("component").as("component"))
   }
 
   private val idomCache =

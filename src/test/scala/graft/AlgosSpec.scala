@@ -259,6 +259,25 @@ class AlgosSpec extends AnyFunSuite {
     assert(paths(9L) === Seq(1L, 9L))
   }
 
+  test("ccAlternating matches Pregel CC on a multi-component graph") {
+    val es = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L))
+      .toDF("src", "dst")
+    val vs = es.select(col("src").as("id")).unionAll(es.select(col("dst").as("id")))
+      .dropDuplicates("id")
+    val pregel = Algos.connectedComponents(vs, es).as[(Long, Long)].collect().toMap
+    val alt = Algos.ccAlternating(es).as[(Long, Long)].collect().toMap
+    assert(alt === pregel)
+  }
+
+  test("ccAlternating converges in log rounds on a 10k-deep chain") {
+    // the case Pregel min-propagation cannot finish: diameter = n
+    val n = 10000
+    val es = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val cc = Algos.ccAlternating(es).as[(Long, Long)].collect()
+    assert(cc.length === n)
+    assert(cc.forall(_._2 === 1L))
+  }
+
   test("dominatorDepth survives a 100k-deep linear CFG without stack overflow") {
     val n = 100000
     val es = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")

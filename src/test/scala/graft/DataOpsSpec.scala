@@ -381,6 +381,55 @@ class DataOpsSpec extends AnyFunSuite {
     assert(rows === Set((7L, 6000L, 500L, Some(2.0))))
   }
 
+  test("stream-stream as-of matches the ORACLED batch as-of on the events table") {
+    // Batch-shadow oracle bridge: q_asof's viaWindow path is hash-matched
+    // against DuckDB's ASOF JOIN by the correctness gate; replaying the same
+    // events table through the stream-stream operator and matching viaWindow
+    // exactly puts the streaming tier under that same oracle, one hop
+    // removed. Granularity is the streaming op's (epoch seconds).
+    import graft.streaming.AsOf
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.graph.Tpch.events(spark, "/root/testdata/sf0.001")
+      .withColumn("t_s", expr("unix_micros(ts) div 1000000"))
+      .where(col("event_type").isin("purchase", "click"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_s"), col("event_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy("user_id", "t_s").agg(max(col("value")).as("click_value"))
+    val expected = AsOf.viaWindow(purchases, clicks, "user_id", "t_s", "click_value")
+      .select("user_id", "t_s", "event_id", "asof_click_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    // replay the SAME rows through the streaming operator; one batch, so
+    // nothing is watermark-late, then two dummy batches advance the
+    // watermark past every purchase and fire the flush timeouts
+    val replay = ev
+      .select(col("user_id"), col("t_s"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
+        col("event_id"), col("value"))
+      .collect().map(r => AsOf.AsOfEvent(r.getLong(0), new Timestamp(r.getLong(1) * 1000L),
+        r.getInt(2), r.getLong(3), r.getDouble(4)))
+    val mem = MemoryStream[AsOf.AsOfEvent]
+    val q = AsOf.streamingAsOf(mem.toDS())
+      .writeStream.format("memory").queryName("ss_asof_bridge").outputMode("append").start()
+    mem.addData(replay.toSeq)
+    q.processAllAvailable()
+    val horizon = replay.map(_.eventTime.getTime).max
+    mem.addData(AsOf.AsOfEvent(-1L, new Timestamp(horizon + 86400000L), 0, 0L, 0.0))
+    q.processAllAvailable()
+    mem.addData(AsOf.AsOfEvent(-1L, new Timestamp(horizon + 2 * 86400000L), 0, 0L, 0.0))
+    q.processAllAvailable()
+    val got = spark.table("ss_asof_bridge")
+      .select("key", "left_ts", "left_id", "asof_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    q.stop()
+    assert(got.size === expected.size, s"streaming emitted ${got.size} vs batch ${expected.size}")
+    assert(got === expected)
+  }
+
   test("custom AsOfJoinExec matches the window-composed as-of join") {
     val ev = graft.graph.Tpch.events(spark, "/root/testdata/sf0.01")
       .withColumn("t_us", unix_micros(col("ts")))

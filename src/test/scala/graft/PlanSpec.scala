@@ -72,6 +72,17 @@ class PlanSpec extends AnyFunSuite {
     assert(brutePlan.contains("CartesianProduct") || brutePlan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_edge_log_prune: the date slice prunes partitions at the scan") {
+    val q = SparkEntry.queries("q_edge_log_prune")(spark, dir)
+    val plan = executedPlan(q)
+    assert(plan.contains("PartitionFilters") && plan.contains("dt"),
+      "expected the dt predicate as a partition filter at the scan:\n" + plan.take(2000))
+    // the slice is a strict subset: the scan must NOT read all partitions
+    val partLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(partLine.contains("2024-01-08") || partLine.contains("dt"), partLine)
+    assert(q.count() > 0L)
+  }
+
   test("lookahead compiles to a left-semi join, negLookahead to left-anti") {
     val g = Tpch.load(spark, dir)
     val semi = g.ofKind("customer").lookahead(_.in("order_customer")).df
