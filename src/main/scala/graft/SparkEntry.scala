@@ -152,6 +152,14 @@ object SparkEntry {
         .in("order_customer").props("orders")
         .groupCount(col("o_orderpriority"))
     }),
+    "q_group_by_count" -> ((s, dir) => {
+      // fermor group-by-count>1: invert the frequency map — which customer
+      // counts are shared by MORE than one nation, and by which nations
+      g(s, dir).ofKind("customer").out("customer_nation")
+        .groupByCountGt1(col("id"))
+        .select(col("n"),
+          array_join(transform(col("keys"), _.cast("string")), ",").as("keys_str"))
+    }),
     "q_topk_per_group" -> ((s, dir) => {
       g(s, dir).ofKind("nation").props("nation")
         .in("customer_nation").props("customer")
@@ -759,6 +767,11 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE c_acctbal > 5000 GROUP BY 1""",
+    "q_group_by_count" ->
+      """WITH gc AS (SELECT (2000000000000 + c_nationkey)::BIGINT AS k, count(*) AS n
+                     FROM customer GROUP BY 1)
+         SELECT n, string_agg(k::VARCHAR, ',' ORDER BY k) AS keys_str
+         FROM gc WHERE n > 1 GROUP BY 1""",
     "q_topk_per_group" ->
       """SELECT n_name, c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey
          QUALIFY row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC) <= 3""",

@@ -157,6 +157,20 @@ final case class Traversal(g: PropertyGraph, df: DataFrame) {
   def groupCount(key: Column): DataFrame =
     df.groupBy(key).agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
 
+  /** fermor `group-by-count` (core.clj:1492): invert [[groupCount]] —
+    * {count → all keys with that count}. The key set is sorted so the
+    * distributed result is deterministic (the reference returns a set). */
+  def groupByCount(key: Column): DataFrame =
+    df.groupBy(key.as("k")).agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .groupBy("n").agg(sort_array(collect_list(col("k"))).as("keys"))
+
+  /** fermor `group-by-count>1` (core.clj:1522): [[groupByCount]] restricted
+    * to repeated keys — the "what occurs more than once" probe. */
+  def groupByCountGt1(key: Column): DataFrame =
+    df.groupBy(key.as("k")).agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .where(col("n") > 1)
+      .groupBy("n").agg(sort_array(collect_list(col("k"))).as("keys"))
+
   /** fermor `index-by` / `index-by-multi`: build a keyed lookup from the
     * route. A distributed index IS a keyed DataFrame — usable as a join
     * target (exact lookups stay distributed; no driver-side map). */
@@ -216,6 +230,27 @@ final case class Traversal(g: PropertyGraph, df: DataFrame) {
   /** Drop cycle-closing elements (fermor `no-cycle`). */
   def noCycle: Traversal =
     where(array_position(slice(col("path"), lit(1), size(col("path")) - 1), col("id")) === 0)
+
+  /** fermor path.clj:335 `cyclic-path?`: keep elements whose path traversed
+    * some EDGE more than once (the reference's "good indicator" of being in
+    * a cycle — a repeated consecutive hop pair). Pairs are normalized
+    * (least, greatest) so the same edge counts in either direction, matching
+    * the undirected edge identity used by [[pathEdges]]. */
+  def cyclicPaths: Traversal = {
+    val hops = zip_with(
+      slice(col("path"), lit(1), size(col("path")) - 1),
+      slice(col("path"), lit(2), size(col("path")) - 1),
+      (a, b) => struct(least(a, b).as("lo"), greatest(a, b).as("hi")))
+    Traversal(g, df.where(size(hops) =!= size(array_distinct(hops))))
+  }
+
+  /** fermor path.clj:267 `same-path?` as a set operation: pairs of elements
+    * (this × other) whose accumulated paths are IDENTICAL. An equi-join on
+    * the path arrays — hash-joinable key, never a cross product. */
+  def samePathPairs(other: Traversal): DataFrame =
+    df.select(col("id").as("id_a"), col("path"))
+      .join(other.df.select(col("id").as("id_b"), col("path")), Seq("path"))
+      .select(col("id_a"), col("id_b"), col("path"))
 
   /** fermor `subgraph` (core.clj:1559): the graph induced by the edges along
     * the route's accumulated paths (requires [[withPaths]]). Our paths hold

@@ -244,6 +244,42 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.noCycle.df.select("id").as[Long].collect().toSeq === Seq(4L))
   }
 
+  test("cyclicPaths keeps only routes that re-traversed an edge") {
+    // 1->2->3->1->2: the 1->2 edge repeats (4 hops from 1 on the cycle);
+    // 4 is reached over distinct edges only
+    val c = cyclic.from(Seq(1L).toDF("id")).withPaths.out("e").out("e").out("e").out("e")
+    val cyc = c.cyclicPaths.df.select("path").as[Seq[Long]].collect().toSet
+    assert(cyc === Set(Seq(1L, 2L, 3L, 1L, 2L)))
+    // 3 hops (1->2->3->1) repeats a VERTEX but no edge: cyclic-path? is false
+    val three = cyclic.from(Seq(1L).toDF("id")).withPaths.out("e").out("e").out("e")
+    assert(three.cyclicPaths.df.isEmpty)
+  }
+
+  test("samePathPairs equi-joins identical accumulated paths") {
+    val t = jobGraph.from(Seq(bob, stephen).toDF("id")).withPaths.out("completes")
+    val pairs = t.samePathPairs(t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // each application route's path is unique → only the identity pairs
+    assert(pairs === Set(appBob1, appBob2, appStephen1, appStephen2).map(x => (x, x)))
+  }
+
+  test("groupByCount inverts the frequency map; Gt1 keeps repeated keys") {
+    val t = jobGraph.from(Seq(bob, stephen).toDF("id")).out("completes")
+    // bob and stephen each completed 2 applications → {2 -> [bob's apps? no:
+    // keys are the SOURCE persons when counting by origin} — count apps per
+    // person via the edge route's src tag
+    val inv = jobGraph.ofKind("person").tag("p").out("completes")
+      .groupByCount(col("p")).as[(Long, Seq[Long])].collect().toMap
+    assert(inv === Map(2L -> Seq(bob, stephen)))
+    val gt1 = jobGraph.ofKind("person").tag("p").out("completes")
+      .groupByCountGt1(col("p")).as[(Long, Seq[Long])].collect().toMap
+    assert(gt1 === Map(2L -> Seq(bob, stephen)))
+    // rexster created only 1 job → its count-1 group is filtered out
+    val co = jobGraph.ofKind("company").tag("c").out("created")
+      .groupByCountGt1(col("c")).as[(Long, Seq[Long])].collect().toMap
+    assert(co === Map(3L -> Seq(blueprints)))
+  }
+
   test("SQL extension registers long_array_dot for pure-SQL users") {
     // (a fresh session would use .withExtensions(new GraftExtensions);
     // the shared test session registers on its registry directly)
