@@ -110,6 +110,28 @@ object Descend {
       .select("id", "depth", "path")
   }
 
+  /** fermor `all-with-cycles` (core.clj:1112): like [[all]] but revisits are
+    * allowed — the depth bound alone limits the walk, so every path instance
+    * within maxDepth is counted (bag semantics on cyclic graphs). */
+  def allWithCycles(g: PropertyGraph, start: DataFrame, labels: Seq[String], forward: Boolean,
+      maxDepth: Int): DataFrame =
+    run(g, start, labels, forward, maxDepth, allowCycles = true, checkpointEvery = 1)
+      .select("id", "depth")
+
+  /** fermor `all-paths` (core.clj:1138): every cycle-free path from start,
+    * at every depth (not just the ones landing on a target — see
+    * [[allPathsTo]] for that form). */
+  def allPaths(g: PropertyGraph, start: DataFrame, labels: Seq[String], forward: Boolean,
+      maxDepth: Int): DataFrame =
+    run(g, start, labels, forward, maxDepth, checkpointEvery = 1).select("path", "depth")
+
+  /** fermor `all-paths-with-cycles` (core.clj:1180): path-carrying walk with
+    * revisits allowed, depth-bounded. */
+  def allPathsWithCycles(g: PropertyGraph, start: DataFrame, labels: Seq[String],
+      forward: Boolean, maxDepth: Int): DataFrame =
+    run(g, start, labels, forward, maxDepth, allowCycles = true, checkpointEvery = 1)
+      .select("path", "depth")
+
   /** fermor `all-paths-to`: every cycle-free path from start landing on a
     * vertex satisfying `target`. */
   def allPathsTo(g: PropertyGraph, start: DataFrame, labels: Seq[String], forward: Boolean,

@@ -244,6 +244,30 @@ final case class Traversal(g: PropertyGraph, df: DataFrame) {
     Traversal(g, df.where(size(hops) =!= size(array_distinct(hops))))
   }
 
+  /** fermor path.clj:307 `path?` / `has-path?`: is path tracking on. */
+  def hasPaths: Boolean = df.columns.contains("path")
+
+  /** fermor path.clj:287 `no-path` / :317 `no-path!`: drop accumulated paths
+    * (narrows every downstream shuffle by the array column). */
+  def noPath: Traversal = Traversal(g, df.drop("path"))
+
+  /** fermor core.clj:1308 `with-set`: use THIS route's id set to constrain a
+    * derived route — `(with-set filter f2 r)` relationally is a left-semi
+    * join of f2(r) against r's ids. Stays a keyed join at any scale; the
+    * reference's driver-side `into #{}` set is exactly what a 100 TB route
+    * cannot do. */
+  def withSetFilter(f2: Traversal => Traversal): Traversal = {
+    val ids = df.select("id").dropDuplicates("id")
+    Traversal(g, f2(this).df.join(ids, Seq("id"), "left_semi"))
+  }
+
+  /** `(with-set remove f2 r)`: the left-anti form (the Gremlin recommender's
+    * "drop products the person already bought" step). */
+  def withSetRemove(f2: Traversal => Traversal): Traversal = {
+    val ids = df.select("id").dropDuplicates("id")
+    Traversal(g, f2(this).df.join(ids, Seq("id"), "left_anti"))
+  }
+
   /** fermor path.clj:267 `same-path?` as a set operation: pairs of elements
     * (this × other) whose accumulated paths are IDENTICAL. An equi-join on
     * the path arrays — hash-joinable key, never a cross product. */

@@ -280,6 +280,34 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(co === Map(3L -> Seq(blueprints)))
   }
 
+  test("withSet filter/remove constrain a derived route by the origin id set") {
+    // people whose 2-hop route lands back on a person (none: bipartite-ish)
+    val people = jobGraph.ofKind("person")
+    // filter: applications completed by people, restricted to... people → ∅
+    assert(ids(people.withSetFilter(_.out("completes"))) === Set.empty)
+    // remove: the same route minus the origin set = all applications
+    assert(ids(people.withSetRemove(_.out("completes"))) ===
+      Set(appBob1, appBob2, appStephen1, appStephen2))
+  }
+
+  test("noPath drops tracking; hasPaths reports it; cycle-allowing descents") {
+    val t = jobGraph.ofKind("person").withPaths.out("completes")
+    assert(t.hasPaths && !t.noPath.hasPaths)
+    // allWithCycles on the 3-cycle: depth-bounded bag walks revisit freely
+    val rows = Descend.allWithCycles(cyclic, Seq(1L).toDF("id"), Nil,
+        forward = true, maxDepth = 4)
+      .groupBy("depth").count().as[(Int, Long)].collect().toMap
+    // d0:{1} d1:{2} d2:{3} d3:{1,4} d4:{2} (from the revisited 1)
+    assert(rows === Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 2L, 4 -> 1L))
+    val paths = Descend.allPaths(cyclic, Seq(1L).toDF("id"), Nil, forward = true, maxDepth = 3)
+      .select("path").as[Seq[Long]].collect().toSet
+    assert(paths.contains(Seq(1L, 2L, 3L, 4L)) && !paths.exists(p => p.length > 4))
+    val cpaths = Descend.allPathsWithCycles(cyclic, Seq(1L).toDF("id"), Nil,
+        forward = true, maxDepth = 4)
+      .select("path").as[Seq[Long]].collect().toSet
+    assert(cpaths.contains(Seq(1L, 2L, 3L, 1L, 2L)))
+  }
+
   test("SQL extension registers long_array_dot for pure-SQL users") {
     // (a fresh session would use .withExtensions(new GraftExtensions);
     // the shared test session registers on its registry directly)
