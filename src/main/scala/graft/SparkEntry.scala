@@ -320,9 +320,13 @@ object SparkEntry {
       val oc = gr.edges.where(col("label") === "order_customer").select("src", "dst")
       val h1 = oc.where(pmod(col("src"), lit(2)) === 0)
       val h2 = oc.where(pmod(col("src"), lit(2)) === 1)
-      val empty = Seq.empty[(Long, Long)].toDF("id", "component")
+      // seed = every vertex as a singleton (vertices arrive before edges in
+      // the stream): without it, a customer with no orders yet never enters
+      // the edge-endpoint universe and goes missing vs q_cc's vertex set
+      val seed = gr.kind("customer").select("id").unionAll(gr.kind("orders").select("id"))
+        .withColumn("component", col("id"))
       graft.algos.Algos.incrementalCC(
-        graft.algos.Algos.incrementalCC(empty, h1).localCheckpoint(false), h2)
+        graft.algos.Algos.incrementalCC(seed, h1).localCheckpoint(false), h2)
     }),
     "q_closeness" -> ((s, dir) => {
       // Closeness (as exact integer farness + reach count) on the undirected

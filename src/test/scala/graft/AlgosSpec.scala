@@ -311,6 +311,14 @@ class AlgosSpec extends AnyFunSuite {
     val full = Algos.connectedComponents(
       vs1.unionAll(Seq(10L, 11L).toDF("id")), b1.unionAll(b2))
     assert(cc2.as[(Long, Long)].collect().toMap === full.as[(Long, Long)].collect().toMap)
+    // an EDGE-LESS vertex survives only if seeded as a singleton before the
+    // batches (the q_cc_incremental bootstrap): edge-endpoint universes
+    // alone would drop it, diverging from a full recompute's vertex set
+    val seed = Seq((99L, 99L)).toDF("id", "component")
+    val cc3 = Algos.incrementalCC(Algos.incrementalCC(seed, b1).localCheckpoint(true), b2)
+    val full3 = Algos.connectedComponents(
+      vs1.unionAll(Seq(10L, 11L, 99L).toDF("id")), b1.unionAll(b2))
+    assert(cc3.as[(Long, Long)].collect().toMap === full3.as[(Long, Long)].collect().toMap)
   }
 
   test("articulation/BCC: distributed per-component fallback matches the driver path") {
