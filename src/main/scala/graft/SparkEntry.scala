@@ -623,6 +623,28 @@ object SparkEntry {
     // ---- §2.4 dedup -----------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       graft.dedup.Dedup.exact(Tpch.table(s, dir, "documents"), "doc_id", "text")),
+    "q_pipeline_clean" -> ((s, dir) => {
+      // The pretraining-clean pipeline as ONE declarative plan: exact-dedup
+      // keepers → quality gate → language ID → per-language corpus stats.
+      // Every stage is an independently-oracled operator; composing them in
+      // a single Catalyst plan keeps the corpus at ONE scan with all the
+      // stage predicates fused into it — the shape a 100 TB clean run needs.
+      import graft.functions.TextOps
+      val docs = Tpch.table(s, dir, "documents")
+      val keepers = graft.dedup.Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      docs.join(keepers, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len"),
+          length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).cast("long").as("alpha"),
+          TextOps.tokens(col("text")).as("ts"))
+        .withColumn("n_toks", size(col("ts")).cast("long"))
+        .where(col("len") > 0 && col("n_toks") > 0)
+        .where((col("alpha") * 10000).divide(col("len")).cast("long") >= lit(5000L))
+        .select(TextOps.langId(col("ts")).as("lang"), col("n_toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    }),
     "q_dedup_jaccard" -> ((s, dir) =>
       graft.dedup.Dedup.ngramJaccardPairs(Tpch.table(s, dir, "documents"), "doc_id", "text",
         k = 3, minBp = 5000)),
@@ -1189,6 +1211,32 @@ object SparkEntry {
          QUALIFY rn <= 3""",
     "q_dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY 1",
+    "q_pipeline_clean" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            b AS (SELECT doc_id,
+                    length(text)::BIGINT AS len,
+                    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::BIGINT AS alpha,
+                    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+                  FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)),
+            q AS (SELECT doc_id, ts, len(ts)::BIGINT AS n_toks FROM b
+                  WHERE len > 0 AND len(ts) > 0 AND (alpha * 10000) // len >= 5000),
+            sc AS (SELECT n_toks,
+                     len(list_filter(ts, x -> x IN ('the','a'))) AS c_en,
+                     len(list_filter(ts, x -> x IN ('table','join'))) AS c_de,
+                     len(list_filter(ts, x -> x IN ('row','column'))) AS c_es,
+                     len(list_filter(ts, x -> x IN ('filter','merge'))) AS c_fr,
+                     len(list_filter(ts, x -> x IN ('window','batch'))) AS c_zh
+                   FROM q),
+            l AS (SELECT n_toks,
+                    CASE WHEN greatest(c_en,c_de,c_es,c_fr,c_zh) = 0 THEN 'und'
+                         WHEN c_en = greatest(c_en,c_de,c_es,c_fr,c_zh) THEN 'en'
+                         WHEN c_de = greatest(c_en,c_de,c_es,c_fr,c_zh) THEN 'de'
+                         WHEN c_es = greatest(c_en,c_de,c_es,c_fr,c_zh) THEN 'es'
+                         WHEN c_fr = greatest(c_en,c_de,c_es,c_fr,c_zh) THEN 'fr'
+                         ELSE 'zh' END AS lang
+                  FROM sc)
+         SELECT lang, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens
+         FROM l GROUP BY 1""",
     "q_dedup_jaccard" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
             sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
