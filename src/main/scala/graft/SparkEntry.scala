@@ -623,6 +623,26 @@ object SparkEntry {
     // ---- §2.4 dedup -----------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       graft.dedup.Dedup.exact(Tpch.table(s, dir, "documents"), "doc_id", "text")),
+    "q_hash_sample" -> ((s, dir) => {
+      // deterministic 4/16 content-hash sample of the corpus: reproducible
+      // across engines/runs/cluster sizes (no RNG, no partition sensitivity)
+      import graft.functions.TextOps
+      graft.pipeline.Corpus.hashSample(
+          Tpch.table(s, dir, "documents"), col("doc_id"), keep16 = 4)
+        .select(size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    }),
+    "q_pack" -> ((s, dir) => {
+      // sequence packing for pretraining: concat-and-chunk documents into
+      // 2000-token context bins inside 8 hash shards (shard-local windows,
+      // never a global sort)
+      import graft.functions.TextOps
+      val toks = Tpch.table(s, dir, "documents")
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      graft.pipeline.Corpus.packBins(toks, "doc_id", "n_toks", targetTokens = 2000L, shards = 8)
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    }),
     "q_pipeline_clean" -> ((s, dir) => {
       // The pretraining-clean pipeline as ONE declarative plan: exact-dedup
       // keepers → quality gate → language ID → per-language corpus stats.
@@ -1211,6 +1231,21 @@ object SparkEntry {
          QUALIFY rn <= 3""",
     "q_dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY 1",
+    "q_hash_sample" ->
+      """SELECT count(*) AS n_docs,
+                sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0)))::BIGINT AS n_tokens
+         FROM documents
+         WHERE substring(md5(doc_id::VARCHAR), 1, 1) IN ('0','1','2','3')""",
+    "q_pack" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                      len(list_filter(string_split(text, ' '), x -> len(x) > 0))::BIGINT AS n_toks
+                    FROM documents),
+            c AS (SELECT shard, n_toks,
+                    coalesce(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+                  FROM t)
+         SELECT shard, (start_tok // 2000)::BIGINT AS bin, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens
+         FROM c GROUP BY 1, 2""",
     "q_pipeline_clean" ->
       """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
             b AS (SELECT doc_id,

@@ -22,6 +22,28 @@ class DataOpsSpec extends AnyFunSuite {
   lazy val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
     .toDF("doc_id", "text")
 
+  test("Corpus.hashSample is partition-insensitive; packBins chunks by preceding cumsum") {
+    import graft.pipeline.Corpus
+    import graft.functions.TextOps
+    val corpus = (1L to 400L).map(i => (i, "tok " * (i % 7 + 1).toInt)).toDF("doc_id", "text")
+    val a = Corpus.hashSample(corpus, col("doc_id"), 4).select("doc_id").as[Long].collect().toSet
+    val b = Corpus.hashSample(corpus.repartition(7), col("doc_id"), 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b && a.nonEmpty)
+    assert(a.size > 40 && a.size < 160, s"~25% sample expected, got ${a.size}/400")
+    val toks = corpus.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n"))
+    val packed = Corpus.packBins(toks, "doc_id", "n", targetTokens = 10L, shards = 4)
+      .select("shard", "doc_id", "n", "bin").as[(Long, Long, Long, Long)].collect()
+    assert(packed.length === 400)
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, _, n, bin) =>
+        assert(bin === cum / 10L); cum += n
+      }
+    }
+  }
+
   test("exact dedup groups identical texts") {
     val ex = Dedup.exact(docs, "doc_id", "text").where(col("n") > 1).collect()
     assert(ex.length === 1 && ex.head.getAs[Long]("keep_id") === 1L)
