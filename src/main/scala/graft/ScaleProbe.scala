@@ -94,6 +94,20 @@ object ScaleProbe {
           lit(1L), reverse = true, maxIter = 2).count()
         finally Tpch.shareScans = prev
       },
+      "cc_alternating" -> { g =>
+        // the diameter-independent CC: round count stays O(log² n), so wall
+        // growth should track the per-round shuffle volume (≈ linear)
+        graft.algos.Algos.ccAlternating(
+          g.edges.where(col("label") === "order_customer").select("src", "dst")).count()
+      },
+      "pack_bins" -> { g =>
+        // sequence packing: shard-partitioned window cumsum — fact-linear
+        // sort work spread over fixed shard count
+        val toks = g.kind("lineitem").select(col("id").as("doc_id"))
+          .withColumn("n", pmod(col("doc_id"), lit(97L)) + 1)
+        graft.pipeline.Corpus.packBins(toks, "doc_id", "n", 2000L, 32)
+          .groupBy("shard", "bin").count().count()
+      },
       "brandes_sampled" -> { g =>
         // sampled-source Brandes: the standard approximation regime — work
         // scales in (sources × edges), so fixed sources should stay ~flat-
