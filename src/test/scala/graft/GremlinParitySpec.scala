@@ -50,6 +50,84 @@ class GremlinParitySpec extends AnyFunSuite {
     assert(counts === expected)
   }
 
+  test("cypher subquery example: coactors + directors per role (fermor cypher_examples)") {
+    // The movie query cypher_examples.clj builds toward (its Neo4j subquery
+    // flagship): for each (actor, movie) role — coactors whose name
+    // contains 'T' (distinct, excluding self) and each director of the
+    // movie with their full filmography. Here the whole thing is ONE
+    // declarative plan: semi-structured per-role arrays built by
+    // grouped sorted collect_list, every step a keyed join.
+    val people = Seq((1L, "Alice"), (2L, "Tom"), (3L, "Tina"), (4L, "Dan"), (5L, "Don"))
+      .toDF("id", "name")
+    val movies = Seq((101L, "Matrix"), (102L, "Speed"), (103L, "Heat")).toDF("id", "title")
+    val acted = Seq((1L, 101L), (2L, 101L), (3L, 101L), (1L, 102L), (2L, 102L), (5L, 103L))
+      .toDF("src", "dst").withColumn("label", lit("acted_in"))
+    val directed = Seq((4L, 101L), (4L, 103L), (5L, 102L))
+      .toDF("src", "dst").withColumn("label", lit("directed"))
+    val g = PropertyGraph(Map("person" -> people, "movie" -> movies),
+      acted.unionByName(directed))
+    // roles: (actor a, movie m)
+    val roles = g.ofKind("person").tag("a").out("acted_in").df
+      .select(col("a"), col("id").as("m"))
+    val cast = acted.select(col("dst").as("m"), col("src").as("co"))
+    val coactors = roles.join(cast, "m").where(col("co") =!= col("a"))
+      .join(people.select(col("id").as("co"), col("name").as("co_name")), "co")
+      .where(col("co_name").contains("T"))
+      .groupBy("a", "m").agg(sort_array(collect_set(col("co_name"))).as("coactors"))
+    val filmography = directed.select(col("src").as("d"), col("dst").as("m2"))
+      .join(movies.select(col("id").as("m2"), col("title").as("t2")), "m2")
+      .groupBy("d").agg(sort_array(collect_set(col("t2"))).as("movies"))
+    val directors = directed.select(col("dst").as("m"), col("src").as("d"))
+      .join(people.select(col("id").as("d"), col("name").as("d_name")), "d")
+      .join(filmography, "d")
+      .groupBy("m").agg(sort_array(collect_list(struct(col("d_name"), col("movies"))))
+        .as("directors"))
+    val out = roles
+      .join(people.select(col("id").as("a"), col("name").as("a_name")), "a")
+      .join(movies.select(col("id").as("m"), col("title").as("m_title")), "m")
+      .join(coactors, Seq("a", "m"), "left")
+      .join(directors, Seq("m"), "left")
+      .select(col("a_name"), col("m_title"),
+        coalesce(col("coactors"), array().cast("array<string>")).as("coactors"),
+        col("directors"))
+      .as[(String, String, Seq[String], Seq[(String, Seq[String])])]
+      .collect().toSet
+    val matrixDirs = Seq(("Dan", Seq("Heat", "Matrix")))
+    val speedDirs = Seq(("Don", Seq("Speed")))
+    assert(out === Set(
+      ("Alice", "Matrix", Seq("Tina", "Tom"), matrixDirs),
+      ("Tom", "Matrix", Seq("Tina"), matrixDirs),
+      ("Tina", "Matrix", Seq("Tom"), matrixDirs),
+      ("Alice", "Speed", Seq("Tom"), speedDirs),
+      ("Tom", "Speed", Seq.empty[String], speedDirs),
+      ("Don", "Heat", Seq.empty[String], Seq(("Dan", Seq("Heat", "Matrix"))))))
+  }
+
+  test("cypher hyperedge example: common groups via shared roles (fermor cypher_examples)") {
+    // the Neo4j hyperedges cookbook pattern: (user)->(hyperedge)->(group)
+    // and (hyperedge)->(role); common groups of two users counted by shared
+    // (group, role) pairs — relationally an intersect of two keyed routes
+    val hrig = Seq((1L, 11L), (1L, 12L), (2L, 13L), (2L, 14L))
+      .toDF("src", "dst").withColumn("label", lit("hasRoleInGroup"))
+    val hg = Seq((11L, 21L), (12L, 22L), (13L, 21L), (14L, 22L))
+      .toDF("src", "dst").withColumn("label", lit("hasGroup"))
+    val hr = Seq((11L, 31L), (12L, 32L), (13L, 31L), (14L, 33L))
+      .toDF("src", "dst").withColumn("label", lit("hasRole"))
+    val g = PropertyGraph(Map("v" -> (1L to 33L).toDF("id")),
+      hrig.unionByName(hg).unionByName(hr))
+    def rolePairs(u: Long) = {
+      val he = g.from(Seq(u).toDF("id")).out("hasRoleInGroup").df.select(col("id").as("he"))
+      he.join(hg.select(col("src").as("he"), col("dst").as("grp")), "he")
+        .join(hr.select(col("src").as("he"), col("dst").as("role")), "he")
+        .select("grp", "role")
+    }
+    val common = rolePairs(1L).intersect(rolePairs(2L))
+      .groupBy("grp").agg(count(lit(1)).as("n_roles"))
+      .as[(Long, Long)].collect().toMap
+    // users share role 31 in group 21; their group-22 roles differ (32 vs 33)
+    assert(common === Map(21L -> 1L))
+  }
+
   test("cycle detection (fermor find-all-cycles)") {
     val ids = Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L)
     val es = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "d", "c" -> "d")
