@@ -102,12 +102,25 @@ final case class PropertyGraph(
     vertices.join(ids.dropDuplicates("id"), Seq("id"), "left_semi")
   }
 
-  /** fermor graph.clj `add-unique-edge`: union new edges, dropping rows that
-    * duplicate an existing (src, dst, label) triple — unlike [[addEdges]],
-    * which keeps parallel edges (fermor `add-parallel-edge`). */
-  def addUniqueEdges(rows: DataFrame): PropertyGraph =
-    copy(edges = edges.unionByName(rows, allowMissingColumns = true)
-      .dropDuplicates("src", "dst", "label"))
+  /** fermor graph.clj `add-unique-edge`: one edge per (src, dst, label)
+    * triple — a re-added triple REPLACES the existing edge's document (the
+    * reference's later-wins semantics, see its edge-flavours test), unlike
+    * [[addEdges]], which keeps parallel edges (fermor `add-parallel-edge`).
+    * The survivor is picked by a deterministic priority window (new batch
+    * over existing, then max remaining columns): a DataFrame batch is a
+    * SET, so the reference's within-seq ordering maps to call order here —
+    * partitioning never changes the result. */
+  def addUniqueEdges(rows: DataFrame): PropertyGraph = {
+    val keyCols = Seq("src", "dst", "label")
+    val all = edges.withColumn("__prio", lit(0))
+      .unionByName(rows.withColumn("__prio", lit(1)), allowMissingColumns = true)
+    val others = all.columns.filterNot((keyCols :+ "__prio").toSet)
+    val order = col("__prio").desc +: others.map(c => col(c).desc_nulls_last)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    copy(edges = all.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .drop("__rn", "__prio"))
+  }
 
   /** fermor graph.clj:323 `add-unique-weighted-edge`: adding an edge whose
     * (src, dst, label) already exists SUMS its weight into the existing one

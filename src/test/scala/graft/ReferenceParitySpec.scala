@@ -202,4 +202,42 @@ class ReferenceParitySpec extends AnyFunSuite {
       7L -> 4L, 1L -> 1L, 4L -> 3L, 6L -> 4L, 3L -> 1L,
       2L -> 1L, 9L -> 8L, 5L -> 4L, 10L -> 8L, 8L -> 7L))
   }
+
+  test("edge flavours: unique/parallel/weighted builders (fermor edge-flavours)") {
+    // core_test.clj:167 — the three edge builders on one graph. ids:
+    // a=1 b=2 c=3 x=24 y=25. Within-seq ordering maps to CALL order here
+    // (a DataFrame batch is a set); weighted sums are order-free either way.
+    import graft.graph.PropertyGraph
+    val vs = Seq(1L, 2L, 3L, 24L, 25L).toDF("id")
+    val base = PropertyGraph(Map("v" -> vs),
+      Seq.empty[(Long, Long, String)].toDF("src", "dst", "label"))
+    // :normal (add-unique-edge): the later add REPLACES the triple's doc
+    val n1 = Seq((1L, 2L, "normal", Some(9L), None: Option[Long]),
+        (2L, 3L, "normal", Some(7L), None: Option[Long]))
+      .toDF("src", "dst", "label", "k", "x")
+    val n2 = Seq((1L, 2L, "normal", None: Option[Long], Some(1L)),
+        (2L, 3L, "normal", None: Option[Long], None: Option[Long]))
+      .toDF("src", "dst", "label", "k", "x")
+    val gN = base.addUniqueEdges(n1).addUniqueEdges(n2)
+    val normalDocs = gN.edges.select("src", "k", "x")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(normalDocs === Set((1L, None, Some(1L)), (2L, None, None)))
+    // :p (add-parallel-edge): every instance kept — the reference's
+    // {:parallel/count 7 ...} indexed docs are our 7 bag rows
+    val p = Seq((1L, 2L, 10L), (2L, 3L, 11L), (2L, 3L, 11L), (1L, 2L, 2L), (1L, 2L, 0L),
+        (24L, 25L, 0L), (1L, 2L, 3L), (1L, 2L, 4L), (1L, 2L, 2L), (1L, 2L, 9L))
+      .toDF("src", "dst", "x").withColumn("label", lit("p"))
+    val gP = base.addEdges(p)
+    val counts = gP.edges.groupBy("src", "dst").count()
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(counts === Map((1L, 2L) -> 7L, (2L, 3L) -> 2L, (24L, 25L) -> 1L))
+    // :w (add-unique-weighted-edge): re-added triples SUM the weight —
+    // reference expects #{11.0 23.0}
+    val w = Seq((1L, 2L, 10.0), (2L, 3L, 11.0), (1L, 2L, 2.0), (1L, 2L, 2.0),
+        (1L, 2L, 2.0), (1L, 2L, 2.0), (1L, 2L, 5.0))
+      .toDF("src", "dst", "weight").withColumn("label", lit("w"))
+    val gW = base.addUniqueWeightedEdges(w)
+    val weights = gW.edges.select("weight").as[Double].collect().toSet
+    assert(weights === Set(23.0, 11.0))
+  }
 }
