@@ -203,6 +203,36 @@ class ReferenceParitySpec extends AnyFunSuite {
       2L -> 1L, 9L -> 8L, 5L -> 4L, 10L -> 8L, 8L -> 7L))
   }
 
+  test("loom digraph protocol surface (fermor loom_test digraph-test)") {
+    // loom_test.clj:108 g1: edges 1→2 1→3 2→3 plus isolated node 4 — the
+    // protocol assertions (nodes/edges/has-*/successors/degrees/transpose)
+    // through our PropertyGraph + Traversal equivalents and the GraphX
+    // adapter that plays loom's role
+    import graft.graph.PropertyGraph
+    val g1 = PropertyGraph(Map("v" -> Seq(1L, 2L, 3L, 4L).toDF("id")),
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst").withColumn("label", lit("e")))
+    assert(g1.vertices.select("id").as[Long].collect().toSet === Set(1L, 2L, 3L, 4L))
+    assert(g1.edges.select("src", "dst").as[(Long, Long)].collect().toSet ===
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(g1.hasVertex(4L) && !g1.hasVertex(5L))
+    assert(!g1.edge(1L, 2L, "e").isEmpty && g1.edge(2L, 1L, "e").isEmpty)
+    def succ(g: PropertyGraph, v: Long) =
+      g.from(Seq(v).toDF("id")).out("e").df.select("id").as[Long].collect().toSet
+    assert(succ(g1, 1L) === Set(2L, 3L) && succ(g1, 3L) === Set.empty && succ(g1, 4L) === Set.empty)
+    val deg = graft.algos.Algos.degrees(g1.edges, "out").as[(Long, Long)].collect().toMap
+    assert(deg.getOrElse(1L, 0L) === 2L && deg.getOrElse(3L, 0L) === 0L)
+    val indeg = graft.algos.Algos.degrees(g1.edges, "in").as[(Long, Long)].collect().toMap
+    assert(indeg.getOrElse(3L, 0L) === 2L && indeg.getOrElse(1L, 0L) === 0L)
+    val g6 = g1.transpose
+    assert(g6.edges.select("src", "dst").as[(Long, Long)].collect().toSet ===
+      Set((2L, 1L), (3L, 1L), (3L, 2L)))
+    assert(succ(g6, 3L) === Set(1L, 2L) && succ(g6, 1L) === Set.empty)
+    val gx = g1.toGraphX(spark)
+    assert(gx.edges.map(e => (e.srcId, e.dstId)).collect().toSet ===
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(gx.vertices.keys.collect().toSet === Set(1L, 2L, 3L, 4L))
+  }
+
   test("edge flavours: unique/parallel/weighted builders (fermor edge-flavours)") {
     // core_test.clj:167 — the three edge builders on one graph. ids:
     // a=1 b=2 c=3 x=24 y=25. Within-seq ordering maps to CALL order here
