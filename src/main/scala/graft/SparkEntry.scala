@@ -643,6 +643,22 @@ object SparkEntry {
         .groupBy("shard", "bin")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
     }),
+    "q_length_stats" -> ((s, dir) => {
+      // corpus length-distribution stats per language: exact interpolated
+      // percentiles (Spark `percentile` == DuckDB `quantile_cont`, both the
+      // linear-interpolation R-7 estimate), scaled to integer x100 so the
+      // comparison is float-order-free. The distribution shape drives
+      // context-window and packing decisions in a training pipeline.
+      import graft.functions.TextOps
+      Tpch.table(s, dir, "documents")
+        .select(TextOps.langId(TextOps.tokens(col("text"))).as("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+        .groupBy("lang")
+        .agg(expr("round(percentile(n_toks, 0.5) * 100)").cast("long").as("p50_x100"),
+          expr("round(percentile(n_toks, 0.9) * 100)").cast("long").as("p90_x100"),
+          max(col("n_toks")).as("max_toks"),
+          count(lit(1)).as("n_docs"))
+    }),
     "q_pipeline_clean" -> ((s, dir) => {
       // The pretraining-clean pipeline as ONE declarative plan: exact-dedup
       // keepers → quality gate → language ID → per-language corpus stats.
@@ -1246,6 +1262,28 @@ object SparkEntry {
                   FROM t)
          SELECT shard, (start_tok // 2000)::BIGINT AS bin, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens
          FROM c GROUP BY 1, 2""",
+    "q_length_stats" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
+            sc AS (SELECT doc_id, len(ts)::BIGINT AS n_toks,
+                     len(list_filter(ts, x -> x IN ('the','a'))) AS c_en,
+                     len(list_filter(ts, x -> x IN ('table','join'))) AS c_de,
+                     len(list_filter(ts, x -> x IN ('row','column'))) AS c_es,
+                     len(list_filter(ts, x -> x IN ('filter','merge'))) AS c_fr,
+                     len(list_filter(ts, x -> x IN ('window','batch'))) AS c_zh
+                   FROM t),
+            l AS (SELECT n_toks,
+                    CASE WHEN greatest(c_en,c_de,c_es,c_fr,c_zh) = 0 THEN 'und'
+                         WHEN c_en = greatest(c_en,c_de,c_es,c_fr,c_zh) THEN 'en'
+                         WHEN c_de = greatest(c_en,c_de,c_es,c_fr,c_zh) THEN 'de'
+                         WHEN c_es = greatest(c_en,c_de,c_es,c_fr,c_zh) THEN 'es'
+                         WHEN c_fr = greatest(c_en,c_de,c_es,c_fr,c_zh) THEN 'fr'
+                         ELSE 'zh' END AS lang
+                  FROM sc)
+         SELECT lang,
+                round(quantile_cont(n_toks, 0.5) * 100)::BIGINT AS p50_x100,
+                round(quantile_cont(n_toks, 0.9) * 100)::BIGINT AS p90_x100,
+                max(n_toks) AS max_toks, count(*) AS n_docs
+         FROM l GROUP BY 1""",
     "q_pipeline_clean" ->
       """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
             b AS (SELECT doc_id,
