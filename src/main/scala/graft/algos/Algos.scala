@@ -592,12 +592,25 @@ object Algos {
       val sub = e.join(members, Seq("src"), "left_semi").dropDuplicates("src", "dst")
         .localCheckpoint(eager = true)
       val n = sub.count()
-      if (n > 10000000L)
+      // 2M edges ≈ tens of MB as primitive arrays below — comfortably
+      // inside a default driver heap, unlike the boxed-tuple groupBy this
+      // replaced, whose object graph at the old 10M guard could itself OOM
+      // the driver the guard claims to protect
+      if (n > 2000000L)
         throw new IllegalStateException(
           s"entry $entry sits in a weak component with $n edges and depth > $maxIter: " +
             "too deep for distributed BFS and too big to collect; restrict the " +
             "subgraph (edgeSubgraph/filter) before the flow analysis")
-      val adj = sub.as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val rows = sub.select(col("src"), col("dst")).collect()
+      val adjB = new scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuilder.ofLong]()
+      var i = 0
+      while (i < rows.length) {
+        val row = rows(i)
+        adjB.getOrElseUpdate(row.getLong(0), new scala.collection.mutable.ArrayBuilder.ofLong) += row.getLong(1)
+        i += 1
+      }
+      val adj = new scala.collection.mutable.LongMap[Array[Long]](adjB.size)
+      adjB.foreach { case (k, b) => adj(k) = b.result() }
       val vis = scala.collection.mutable.HashSet[Long](entry)
       val stack = scala.collection.mutable.ArrayDeque[Long](entry)
       while (stack.nonEmpty) {
@@ -650,7 +663,16 @@ object Algos {
         .where(col("hi") =!= col("lo")).dropDuplicates("hi", "lo")
         .localCheckpoint(eager = true)
       val s2 = sig(ss)
-      stable = s2 == s
+      // signature match is only a fast PRE-check — confirm the fixpoint
+      // exactly before stopping. Both sides are deduplicated canonical edge
+      // sets with equal counts when the signatures match, so one-sided
+      // exceptAll emptiness proves set equality; a signature collision can
+      // therefore never terminate the loop on an unconverged forest. Costs
+      // one extra job only on rounds whose signatures agree (≈ once, at
+      // convergence). Both inputs are localCheckpointed, so exceptAll sees
+      // distinct plans (Catalyst rejects except over a re-projection of the
+      // same plan).
+      stable = s2 == s && ss.exceptAll(e).isEmpty
       s = s2
       e = ss
       r += 1

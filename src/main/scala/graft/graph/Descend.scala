@@ -136,7 +136,8 @@ object Descend {
     * vertex satisfying `target`. */
   def allPathsTo(g: PropertyGraph, start: DataFrame, labels: Seq[String], forward: Boolean,
       maxDepth: Int, target: DataFrame => DataFrame): DataFrame =
-    target(run(g, start, labels, forward, maxDepth)).select("path", "depth")
+    target(run(g, start, labels, forward, maxDepth, checkpointEvery = 1))
+      .select("path", "depth")
 
   /** fermor `all-cycles`: paths that return to their origin. Expansion allows
     * revisits only of the path head; emits paths whose last hop closed the

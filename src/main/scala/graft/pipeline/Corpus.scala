@@ -39,7 +39,10 @@ object Corpus {
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
       .withColumn("__start", coalesce(sum(col(tokCol)).over(w), lit(0L)))
-      .withColumn("bin", (col("__start") / targetTokens).cast("long"))
+      // `div` is exact integer floor division — `/` on two longs is DOUBLE
+      // division in Spark, whose rounding can flip the bin at per-shard
+      // cumsums approaching 2⁵³
+      .withColumn("bin", expr(s"__start div ${targetTokens}L"))
       .drop("__start")
   }
 }

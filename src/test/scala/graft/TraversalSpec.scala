@@ -308,6 +308,25 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cpaths.contains(Seq(1L, 2L, 3L, 1L, 2L)))
   }
 
+  test("allPathsTo is per-level checkpointed: deep chain stays linear") {
+    // 20-deep chain. Level k feeds BOTH the result union and level k+1, so
+    // without checkpointEvery=1 Catalyst re-derives level k O(k) times and
+    // lineage grows quadratically with depth — the run would take minutes
+    // here instead of seconds (the same bug class all/deepest/allCycles
+    // were fixed for; this spec pins allPathsTo to the fixed path).
+    val n = 21
+    val chain = PropertyGraph(
+      Map("n" -> (1L to n.toLong).toDF("id")),
+      (1L until n.toLong).map(i => (i, i + 1, "e")).toDF("src", "dst", "label"))
+    val t0 = System.nanoTime()
+    val paths = Descend.allPathsTo(chain, Seq(1L).toDF("id"), Nil, forward = true,
+        maxDepth = n - 1, target = _.where(col("id") === n.toLong))
+      .select("path").as[Seq[Long]].collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(paths.toSeq === Seq(1L to n.toLong))
+    assert(secs < 120, s"20-deep allPathsTo took ${secs}s — lineage is growing quadratically again")
+  }
+
   test("SQL extension registers long_array_dot for pure-SQL users") {
     // (a fresh session would use .withExtensions(new GraftExtensions);
     // the shared test session registers on its registry directly)
