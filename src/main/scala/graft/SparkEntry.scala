@@ -766,6 +766,13 @@ object SparkEntry {
       graft.streaming.Sessionize.hourlyWindow(Tpch.events(s, dir))),
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.batch(Tpch.events(s, dir))),
+    "q_enrich" -> ((s, dir) =>
+      // stream-static enrichment, batch shadow: the SAME declarative plan
+      // (broadcast dim join + segment rollup) runs unchanged over a
+      // readStream source — DataOpsSpec replays this table through a
+      // MemoryStream and asserts equality with this oracled result
+      graft.streaming.Sessionize.enrichBySegment(Tpch.events(s, dir),
+        Tpch.table(s, dir, "customer"))),
     "q_edge_log_prune" -> ((s, dir) => {
       // Date-partitioned edge-log storage (SURVEY §4): the event log lands
       // partitioned by day; a one-week slice query must touch only that
@@ -1426,6 +1433,11 @@ object SparkEntry {
                 sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+         GROUP BY 1""",
+    "q_enrich" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_events,
+                sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+         FROM events LEFT JOIN customer ON user_id = c_custkey
          GROUP BY 1"""
   )
 }

@@ -36,6 +36,20 @@ object Sessionize {
         sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
       .select(unix_timestamp(col("w.start")).as("hour_ts"), col("n_events"), col("value_cents"))
 
+  /** Stream-static enrichment: events (batch OR streaming — the plan is the
+    * same declarative broadcast join + rollup either way) joined to the
+    * customer dimension, rolled up by market segment with exact cents.
+    * Events whose user has no dimension row keep a NULL segment (left
+    * join) — an enrichment must never drop facts. The dim side broadcasts:
+    * at 100 TB the fact stream never shuffles for the join. */
+  def enrichBySegment(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+        broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        events("user_id") === col("c_custkey"), "left")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+
   // ---- streaming side ---------------------------------------------------
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)

@@ -69,6 +69,18 @@ object StreamDedup {
     verdicts.groupBy("doc_id")
       .agg(min((col("first_id") === col("doc_id")).cast("int")).cast("boolean").as("keep"))
 
+  /** Streaming EXACT dedup: the online form of [[graft.dedup.Dedup.exact]] —
+    * md5 content identity, first arrival claims the key, re-deliveries
+    * within the watermark delay are dropped. State is one entry per
+    * distinct content hash, bounded by the watermark (the batch path's
+    * groupBy(h) key space becomes the state-store key space — same
+    * partitioning, shards horizontally). */
+  def exactDedup(docs: Dataset[Doc], delay: String = "10 minutes"): DataFrame =
+    docs.toDF()
+      .withWatermark("ts", delay)
+      .withColumn("h", md5(col("text")))
+      .dropDuplicatesWithinWatermark("h")
+
   /** One-operator alternative: treat the FULL minhash signature as a dedup
     * key and let Spark's own watermarked dedup state handle it — near-dups
     * (which agree on all `numPerm` minima at high similarity) collapse to

@@ -625,4 +625,153 @@ class DataOpsSpec extends AnyFunSuite {
       Multimodal.embed(media).toDF(), "doc_id", "embedding", k = 1, querySide = identity)
     assert(ann.count() <= 2)
   }
+
+  // ---- oracle bridges: replay the REAL tables through each streaming ----
+  // ---- operator and assert equality with its DuckDB-oracled batch shadow
+
+  test("event-time sessionization matches the ORACLED batch sessionize on the events table") {
+    // Batch-shadow oracle bridge (same pattern as the stream-stream as-of
+    // bridge above): q_sessionize's batch path is hash-matched against
+    // DuckDB by the correctness gate; replaying the same events table
+    // through streamingEventTime and recovering identical per-user
+    // (n_sessions, n_events) puts the event-time stateful operator under
+    // that same oracle, one hop removed.
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.graph.Tpch.events(spark, "/root/testdata/sf0.001")
+    val expected = Sessionize.batch(ev, gapSec = 1800)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val replay = ev.select("user_id", "ts", "value").collect()
+      .map(r => Sessionize.Event(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val mem = MemoryStream[Sessionize.Event]
+    val q = Sessionize.streamingEventTime(mem.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("et_sess_bridge").outputMode("append").start()
+    // one batch → nothing is watermark-late; then sentinel events for an
+    // unused user push the watermark past every open session's
+    // last + gap, and the extra batch fires the EventTimeTimeouts
+    mem.addData(replay.toSeq)
+    q.processAllAvailable()
+    val horizon = replay.map(_.ts.getTime).max
+    mem.addData(Sessionize.Event(-1L, new Timestamp(horizon + 86400000L), 0.0))
+    q.processAllAvailable()
+    mem.addData(Sessionize.Event(-1L, new Timestamp(horizon + 2 * 86400000L), 0.0))
+    q.processAllAvailable()
+    val got = spark.table("et_sess_bridge").where(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    q.stop()
+    assert(got === expected)
+  }
+
+  test("file-source streaming matches the ORACLED hourly window on the events table") {
+    // q_event_window's hourlyWindow is DuckDB-oracled; the IDENTICAL
+    // declarative plan over a file-source readStream (two parquet drops,
+    // one file per trigger) must produce the identical result — exact
+    // integer cents, so no float-summation-order caveat.
+    val ev = graft.graph.Tpch.events(spark, "/root/testdata/sf0.001")
+    val expected = Sessionize.hourlyWindow(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_fsb_stream").toFile.getAbsolutePath
+    val cp = java.nio.file.Files.createTempDirectory("graft_fsb_cp").toFile.getAbsolutePath
+    def half(p: Int) = ev.where(col("event_id") % 2 === p).select("user_id", "ts", "value")
+    half(0).coalesce(1).write.mode("append").parquet(dir)
+    half(1).coalesce(1).write.mode("append").parquet(dir)
+    val in = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = Sessionize.hourlyWindow(in)
+      .writeStream.format("memory").queryName("fs_hourly_bridge")
+      .option("checkpointLocation", cp).outputMode("complete").start()
+    q.processAllAvailable()
+    val got = spark.table("fs_hourly_bridge")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got === expected)
+  }
+
+  test("streaming exact dedup matches the ORACLED batch exact dedup on the documents table") {
+    // Dedup.exact is DuckDB-oracled (q_dedup_exact); re-deliver the whole
+    // documents table a second time through the streaming filter and assert
+    // the admitted set covers exactly the batch keeper key space, once each.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamDedup
+    val docsT = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val expectedKeys = Dedup.exact(docsT, "doc_id", "text")
+      .select("h").as[String].collect().toSet
+    def replayAt(min: Long) = docsT.select("doc_id", "text").collect()
+      .map(r => StreamDedup.Doc(r.getLong(0), new Timestamp(min * 60000L), r.getString(1)))
+    val mem = MemoryStream[StreamDedup.Doc]
+    val q = StreamDedup.exactDedup(mem.toDS(), delay = "1 hour")
+      .writeStream.format("memory").queryName("exact_dedup_bridge").outputMode("append").start()
+    mem.addData(replayAt(1).toSeq)
+    q.processAllAvailable()
+    mem.addData(replayAt(2).toSeq) // full re-delivery, within the watermark
+    q.processAllAvailable()
+    val got = spark.table("exact_dedup_bridge").select("h").as[String].collect()
+    q.stop()
+    assert(got.length === got.distinct.length, "a content key was admitted twice")
+    assert(got.toSet === expectedKeys)
+  }
+
+  test("streaming near-dup filter is recall-complete vs the ORACLED exact-Jaccard pairs") {
+    // Ground truth = ngramJaccardPairs (DuckDB-oracled as q_dedup_jaccard):
+    // every document with a lower-id exact near-duplicate (J >= 0.5) MUST be
+    // dropped by the streaming band filter at q_dedup_minhash's verified
+    // recall-complete banding (64 perms × 16 bands). Precision direction:
+    // every drop must be explained by a band collision with a lower id —
+    // the streaming state machine admits exactly the batch band-min docs.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamDedup
+    val docsT = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val truth = Dedup.ngramJaccardPairs(docsT, "doc_id", "text", k = 3, minBp = 5000)
+      .select(greatest(col("id_a"), col("id_b")).as("hi")).as[Long].collect().toSet
+    assert(truth.nonEmpty, "testdata lost its planted near-dups; bridge is vacuous")
+    val replay = docsT.select("doc_id", "text").collect()
+      .map(r => StreamDedup.Doc(r.getLong(0), new Timestamp(60000L), r.getString(1)))
+    val mem = MemoryStream[StreamDedup.Doc]
+    val q = StreamDedup.bandVerdicts(mem.toDS(), k = 3, numPerm = 64, bands = 16)
+      .writeStream.format("memory").queryName("neardup_bridge").outputMode("append").start()
+    mem.addData(replay.toSeq)
+    q.processAllAvailable()
+    val kept = StreamDedup.collapseVerdicts(spark.table("neardup_bridge"))
+      .where(col("keep")).select("doc_id").as[Long].collect().toSet
+    q.stop()
+    val wronglyKept = truth.intersect(kept)
+    assert(wronglyKept.isEmpty,
+      s"docs with a lower-id exact near-dup admitted by the streaming filter: $wronglyKept")
+    // precision: a dropped doc must be non-minimal in at least one of its
+    // band buckets (computed from the same bandKeyArray, batch-side)
+    val bandMin = docsT
+      .select(col("doc_id"), explode(Dedup.bandKeyArray(col("text"), 3, 64, 16)).as("bk"))
+      .groupBy("bk").agg(min("doc_id").as("own"))
+    val expectedDrops = docsT
+      .select(col("doc_id"), explode(Dedup.bandKeyArray(col("text"), 3, 64, 16)).as("bk"))
+      .join(bandMin, "bk").where(col("own") < col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    val allIds = docsT.select("doc_id").as[Long].collect().toSet
+    assert(allIds.diff(kept) === expectedDrops)
+  }
+
+  test("stream-static enrichment matches the ORACLED batch enrichment on the events table") {
+    // q_enrich (broadcast dim join + segment rollup) is DuckDB-oracled; the
+    // SAME enrichBySegment plan over a MemoryStream replay of the events
+    // table must produce the identical rollup.
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.graph.Tpch.events(spark, "/root/testdata/sf0.001")
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val expected = Sessionize.enrichBySegment(ev, cust)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    val replay = ev.select("user_id", "ts", "value").collect()
+      .map(r => Sessionize.Event(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val mem = MemoryStream[Sessionize.Event]
+    val q = Sessionize.enrichBySegment(mem.toDS().toDF(), cust)
+      .writeStream.format("memory").queryName("enrich_bridge").outputMode("complete").start()
+    mem.addData(replay.toSeq)
+    q.processAllAvailable()
+    val got = spark.table("enrich_bridge")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got === expected)
+  }
 }
