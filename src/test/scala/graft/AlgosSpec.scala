@@ -143,6 +143,115 @@ class AlgosSpec extends AnyFunSuite {
     assert(intra.sum / intra.size < inter.sum / inter.size) // clusters separate
   }
 
+  test("force layout: FA2 trajectory matches an independently-transcribed scalar model") {
+    // Hand-transcribed FA2 step (force_atlas.clj equations written directly
+    // here, NOT calling into ForceLayout): 2 vertices + 1 edge, so the
+    // operator's grid-centroid repulsion is exactly pairwise (the only peer
+    // centroid IS the other vertex) and every force is checkable in closed
+    // form. Covers: degree-mass repulsion with the reference's symmetric
+    // double application (net 4·coeff·m²/d² lin / 40·coeff·m²/d² local),
+    // anisotropic strong gravity (0.75 on y), short-edge-reversal
+    // attraction, swinging/traction controller with speed-efficiency decay
+    // and capped rise, hash-rotated swing-damped deltas, and the
+    // iteration-schedule regimes (lin→local repulsion at 250, annealed
+    // repulsion coefficient) via startIter.
+    val vs = Seq(1L, 2L).toDF("id")
+    val es = Seq((1L, 2L)).toDF("src", "dst")
+    // initial state per the documented hash init (the only part shared with
+    // the operator — the dynamics below are independent)
+    val init = spark.range(1, 3).select(col("id"),
+        (pmod(xxhash64(col("id")), lit(100000L)) / 1000.0) - 50.0,
+        (pmod(xxhash64(col("id") + 1), lit(100000L)) / 1000.0) - 50.0,
+        lit(500.0) + pmod(xxhash64(col("id") + 2), lit(500L)).cast("double"))
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+
+    def simulate(startIter: Int, iters: Int, gravityDefault: Double): Map[Long, (Double, Double)] = {
+      val m = 2.0 // mass = 1 + degree, degree 1 each
+      val ids = init.map(_._1)
+      val x = init.map(_._2); val y = init.map(_._3)
+      val vx = Array(x(0) * init(0)._4, x(1) * init(1)._4)
+      val vy = Array(y(0) * init(0)._4, y(1) * init(1)._4)
+      val pvx = vx.clone(); val pvy = vy.clone()
+      var speed = 1.0; var se = 1.0; var traction = 3500.0 * 2
+      def clampD(v: Double, lo: Double, hi: Double) = math.max(lo, math.min(hi, v))
+      for (it <- startIter until (startIter + iters)) {
+        val friction = clampD(1.0 - 0.05 * (traction / math.pow(2.0, 1.8)), 0.2, 0.95)
+        val gravity = if (it > 150 && it < 450) -0.04 else gravityDefault
+        val repScale = if (it == 0) 4.0 else clampD(50.0 / it, 0.2, 4.0)
+        val coeff = 25.0
+        val dx = x(0) - x(1); val dy = y(0) - y(1)
+        val d = math.hypot(dx, dy); val dc = math.max(d, 0.01)
+        val repF =
+          if (d <= 0.0001) 0.0
+          else if (it < 250) 4.0 * coeff * repScale * m * m / (dc * dc)
+          else if (d < 40.0) 40.0 * coeff * repScale * m * m / (dc * dc)
+          else 0.0
+        val sgn = if (d > 0.01) -1.0 else 1.0
+        val fvx = Array(
+          vx(0) + dx * repF + sgn * dx * coeff + gravity * coeff * m * x(0),
+          vx(1) - dx * repF - sgn * dx * coeff + gravity * coeff * m * x(1))
+        val fvy = Array(
+          vy(0) + dy * repF + sgn * dy * coeff + gravity * coeff * m * 0.75 * y(0),
+          vy(1) - dy * repF - sgn * dy * coeff + gravity * coeff * m * 0.75 * y(1))
+        val swinging = (0 to 1).map(v => m * math.hypot(pvx(v) - fvx(v), pvy(v) - fvy(v))).sum
+        val newTraction = (0 to 1).map(v => 0.5 * m * math.hypot(pvx(v) + fvx(v), pvy(v) + fvy(v))).sum
+        // controller (force-atlas:149-180, Gephi speed<1000 branch)
+        val ct0 = 0.02 * math.min(10.0, 0.05 * math.sqrt(2.0) * newTraction / 4.0)
+        val sw = math.max(swinging, 1e-12)
+        val (se1, ct) =
+          if (swinging / math.max(newTraction, 1e-12) > 2.0)
+            (if (se > 0.05) se * 0.5 else se, math.max(ct0, 0.02))
+          else (se, ct0)
+        val target = ct * se1 * newTraction / sw
+        se = if (ct * newTraction < swinging) { if (se1 > 0.05) se1 * 0.7 else se1 }
+          else if (speed < 1000.0) se1 * 1.3 else se1
+        speed = speed + math.min(target - speed, 0.5 * speed)
+        traction = newTraction
+        for (v <- 0 to 1) {
+          val rot = (((ids(v) & 0xffffL) * 2654435761L + it.toLong * 40503L) & 0x3ffL) / 1024.0 * 0.05
+          val rvx = fvx(v) * math.cos(rot) - fvy(v) * math.sin(rot)
+          val rvy = fvx(v) * math.sin(rot) + fvy(v) * math.cos(rot)
+          val swv = m * math.hypot(pvx(v) - rvx, pvy(v) - rvy)
+          val fac = speed / (1.0 + math.sqrt(speed * swv))
+          x(v) += rvx * fac; y(v) += rvy * fac
+          pvx(v) = rvx; pvy(v) = rvy
+          vx(v) = rvx * friction; vy(v) = rvy * friction
+        }
+      }
+      ids.indices.map(v => ids(v) -> (x(v), y(v))).toMap
+    }
+
+    def close(a: Map[Long, (Double, Double)], b: Map[Long, (Double, Double)]): Unit =
+      a.foreach { case (id, (ax, ay)) =>
+        val (bx, by) = b(id)
+        assert(math.abs(ax - bx) <= 1e-6 * math.max(1.0, math.abs(ax)), s"x($id): $ax vs $bx")
+        assert(math.abs(ay - by) <= 1e-6 * math.max(1.0, math.abs(ay)), s"y($id): $ay vs $by")
+      }
+
+    def layout(startIter: Int, iters: Int, grav: Double) =
+      graft.algos.ForceLayout.run(vs, es, iters = iters, defaultGravity = grav,
+          startIter = startIter)
+        .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    close(layout(0, 3, -0.04), simulate(0, 3, -0.04))        // lin regime + gravity
+    close(layout(500, 2, 0.0), simulate(500, 2, 0.0))        // local regime, annealed floor
+    close(layout(200, 2, 0.0), simulate(200, 2, 0.0))        // gravity window active
+  }
+
+  test("force layout: distributed path matches the driver-array path") {
+    val vs = (1L to 6L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val local = toMap(graft.algos.ForceLayout.run(vs, es, iters = 4))
+    val dist = toMap(graft.algos.ForceLayout.run(vs, es, iters = 4, localMax = 0))
+    local.foreach { case (id, (lx, ly)) =>
+      val (dx2, dy2) = dist(id)
+      assert(math.abs(lx - dx2) <= 1e-6 * math.max(1.0, math.abs(lx)), s"x($id)")
+      assert(math.abs(ly - dy2) <= 1e-6 * math.max(1.0, math.abs(ly)), s"y($id)")
+    }
+  }
+
   test("pushDown propagates a root value to all descendants (fermor prewalk-reduce)") {
     // FK-direction edges child→parent; pushDown walks dst→src
     val es = Seq((10L, 1L), (11L, 1L), (20L, 10L), (21L, 10L), (22L, 11L))
