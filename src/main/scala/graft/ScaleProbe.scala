@@ -128,6 +128,47 @@ object ScaleProbe {
     val worst = results.maxBy(_._4)
     println(f"[scale] data ${k}x -> worst time-ratio ${worst._4}%.2f (${worst._1}); " +
       "ratios at or below the data factor indicate shuffle-linear plans")
+
+    // --- co-occurrence guard probe (SURVEY §4): planted hot bucket ---------
+    // items = orders bucketed modularly, plus ONE planted hot bucket holding
+    // ~1% of all rows (every o_orderkey % 100 == 0; the key shift in
+    // replicate() is a multiple of 100, so the hot bucket's membership grows
+    // with the data factor — 1.5k rows at 1x, 12k at 8x => 72M pairs). This
+    // fan-out skew is INVISIBLE to AQE's skew-join splitter: the hot
+    // partition's shuffle INPUT is a few hundred KB, far under the skew
+    // threshold, yet the unguarded self-join makes a single task emit the
+    // whole m² pair set. Scale.cooccurrencePairs routes buckets past
+    // hotThreshold through the salted join, spreading the m² over salt²
+    // reducers. Bag-identity of the two paths is spec'd in ScaleSpec; here
+    // we time them. Expect: guarded time-ratio tracks the pair-count growth
+    // spread over all cores; unguarded pays the same growth on ONE core.
+    def itemsOf(orders: DataFrame): DataFrame =
+      orders.select(col("o_orderkey").as("item"),
+        when(pmod(col("o_orderkey"), lit(100L)) === 0, lit(-1L))
+          .otherwise(pmod(col("o_orderkey"), lit(100000L))).as("bucket"))
+        .localCheckpoint(true)
+    def unguarded(its: DataFrame): Long = {
+      val a = its.select(col("bucket"), col("item").as("i1"))
+      val b = its.select(col("bucket"), col("item").as("i2"))
+      a.join(b, "bucket").where(col("i1") < col("i2")).count()
+    }
+    def guarded(its: DataFrame): Long =
+      graft.plans.Scale.cooccurrencePairs(its, Seq("bucket"), "item",
+        hotThreshold = 1000, salt = 16).count()
+    val items1 = itemsOf(orders1); val itemsK = itemsOf(ordersK)
+    val cooccur = Seq[(String, DataFrame => Long)](
+      "cooccur_unguarded" -> unguarded, "cooccur_guarded" -> guarded)
+    val cres = cooccur.map { case (name, f) =>
+      val (t1, n1) = minTime(f(items1))
+      val (tK, nK) = minTime(f(itemsK))
+      val ratio = tK / math.max(t1, 1e-9)
+      println(f"[scale] $name%-18s 1x: $t1%6.2f s (n=$n1%9d)   ${k}x: $tK%6.2f s (n=$nK%9d)   time-ratio: $ratio%5.2f")
+      (name, tK, nK)
+    }
+    assert(cres(0)._3 == cres(1)._3, "guarded co-occurrence must be bag-identical to unguarded")
+    println(f"[scale] hot-bucket guard at ${k}x: guarded ${cres(1)._2}%.2f s vs unguarded ${cres(0)._2}%.2f s " +
+      f"(speedup ${cres(0)._2 / math.max(cres(1)._2, 1e-9)}%.2f x on the same ${cres(0)._3} pairs)")
+
     spark.stop()
   }
 }

@@ -81,6 +81,20 @@ final case class PropertyGraph(
   def edgeSubgraph(labels: String*): PropertyGraph =
     copy(edges = edges.where(col("label").isin(labels: _*)))
 
+  /** fermor graph.clj:75 `remove-all-edges`: drop every edge carrying one of
+    * the given labels — the complement of [[edgeSubgraph]], same pure
+    * pushed-down filter. */
+  def removeEdgeLabels(labels: String*): PropertyGraph =
+    copy(edges = edges.where(!col("label").isin(labels: _*)))
+
+  /** Remove specific edges by (src, dst, label) triple — the per-edge form
+    * of [[removeEdgeLabels]] (the reference deletes per-label edge graphs;
+    * per-edge removal falls out of its linear builder). Anti-join, so the
+    * removal set can itself be a huge DataFrame. */
+  def removeEdges(rows: DataFrame): PropertyGraph =
+    copy(edges = edges.join(rows.select("src", "dst", "label"),
+      Seq("src", "dst", "label"), "left_anti"))
+
   /** Distinct edge labels present (fermor graph.clj `labels`). */
   def labels: Seq[String] =
     edges.select("label").distinct().collect().map(_.getString(0)).sorted.toSeq
@@ -268,6 +282,29 @@ final case class PropertyGraph(
   def from(ids: DataFrame): Traversal =
     if (ids.columns.contains("id")) Traversal(this, ids)
     else Traversal(this, ids.withColumnRenamed(ids.columns.head, "id"))
+
+  /** fermor core.clj:848 `lookahead-element`: the per-element arity of
+    * lookahead — returns the element iff the sub-traversal rooted at it is
+    * non-empty. Compiles to the SAME left-semi plan as the route-level
+    * [[Traversal.lookahead]], just on a one-row frontier, so the migration
+    * path for filter-heavy per-element reference code is a direct rename. */
+  def lookaheadElement(e: Long)(f: Traversal => Traversal): Option[Long] =
+    lookaheadElementCount(e, None, None)(f)
+
+  /** The {min,max} arity of [[lookaheadElement]] (core.clj:852): the element
+    * survives iff its sub-route's cardinality lies in [min, max] (either
+    * bound optional, both inclusive — the reference's `take`-based
+    * short-circuit is a lazy-seq economy; the relational count is one agg). */
+  def lookaheadElementCount(e: Long, min: Option[Long], max: Option[Long])(
+      f: Traversal => Traversal): Option[Long] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val one = from(Seq(e).toDF("id"))
+    val kept =
+      if (min.isEmpty && max.isEmpty) one.lookahead(f)
+      else one.lookaheadCount(min, max)(f)
+    if (kept.df.limit(1).count() > 0) Some(e) else None
+  }
 
   /** Register the graph as SQL temp views (`g_vertices`, `g_edges`,
     * `g_<kind>`) so traversals can be written in plain Spark SQL — the

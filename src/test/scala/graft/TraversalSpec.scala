@@ -88,6 +88,21 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids(t) === Set(blueprints))
   }
 
+  test("lookaheadElement: per-element arity returns the element or None") {
+    // core.clj:848 contract: (lookahead-element f e) => e when (f e) is
+    // non-empty, else nil — here: did this job receive a Stephen application?
+    val sub = (t: Traversal) => t.in("appliesTo").in("completes").where(col("id") === stephen)
+    assert(jobGraph.lookaheadElement(rexsterJob1)(sub) === Some(rexsterJob1))
+    assert(jobGraph.lookaheadElement(blueprintsJob1)(sub) === None)
+    // {min,max} arity (core.clj:852): blueprints created 3 jobs, rexster 1
+    assert(jobGraph.lookaheadElementCount(blueprints, Some(3L), None)(_.out("created"))
+      === Some(blueprints))
+    assert(jobGraph.lookaheadElementCount(rexster, Some(3L), None)(_.out("created")) === None)
+    assert(jobGraph.lookaheadElementCount(blueprints, None, Some(2L))(_.out("created")) === None)
+    assert(jobGraph.lookaheadElementCount(rexster, Some(1L), Some(2L))(_.out("created"))
+      === Some(rexster))
+  }
+
   test("withPaths accumulates the traversal path") {
     val paths = jobGraph.from(Seq(stephen).toDF("id")).withPaths
       .out("completes").out("appliesTo")
@@ -128,6 +143,19 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(jobGraph.sameAs(jobGraph))
     assert(!jobGraph.sameAs(m))
     assert(!jobGraph.sameAs(g2))
+  }
+
+  test("removeEdgeLabels / removeEdges drop edges without touching vertices") {
+    // graph.clj:75 remove-all-edges: every 'completes' edge gone, rest intact
+    val noCompletes = jobGraph.removeEdgeLabels("completes")
+    assert(noCompletes.labels === Seq("appliesTo", "created"))
+    assert(noCompletes.edges.count() === jobGraph.edges.count() - 4)
+    assert(noCompletes.kind("person").count() === 2) // vertices untouched
+    // per-edge form: remove one specific triple
+    val one = Seq((bob, appBob1, "completes")).toDF("src", "dst", "label")
+    val g2 = jobGraph.removeEdges(one)
+    assert(g2.edges.count() === jobGraph.edges.count() - 1)
+    assert(ids(g2.from(Seq(bob).toDF("id")).out("completes")) === Set(appBob2))
   }
 
   test("withVertexProps merges updated documents (fermor set-document)") {
