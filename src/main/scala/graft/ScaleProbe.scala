@@ -131,20 +131,23 @@ object ScaleProbe {
 
     // --- co-occurrence guard probe (SURVEY §4): planted hot bucket ---------
     // items = orders bucketed modularly, plus ONE planted hot bucket holding
-    // ~1% of all rows (every o_orderkey % 100 == 0; the key shift in
-    // replicate() is a multiple of 100, so the hot bucket's membership grows
-    // with the data factor — 1.5k rows at 1x, 12k at 8x => 72M pairs). This
+    // ~4% of all rows (every o_orderkey % 25 == 0; the key shift in
+    // replicate() is a multiple of 25, so the hot bucket's membership grows
+    // with the data factor — 6k rows at 1x, 48k at 8x => 1.15G pairs). This
     // fan-out skew is INVISIBLE to AQE's skew-join splitter: the hot
     // partition's shuffle INPUT is a few hundred KB, far under the skew
     // threshold, yet the unguarded self-join makes a single task emit the
-    // whole m² pair set. Scale.cooccurrencePairs routes buckets past
-    // hotThreshold through the salted join, spreading the m² over salt²
-    // reducers. Bag-identity of the two paths is spec'd in ScaleSpec; here
-    // we time them. Expect: guarded time-ratio tracks the pair-count growth
-    // spread over all cores; unguarded pays the same growth on ONE core.
+    // whole m² pair set — below ~300M pairs one in-memory codegen task
+    // absorbs that (the guard's constant factors then dominate); past it the
+    // single task becomes the straggler the guard exists for.
+    // Scale.cooccurrencePairs routes buckets past hotThreshold through the
+    // salted join, bounding max-task fan-out at m²/salt. Bag-identity of the
+    // two paths is spec'd in ScaleSpec; here we time them. Expect: the
+    // guarded time-ratio tracks pair growth spread over all cores, the
+    // unguarded ratio tracks pair growth on ONE core (64× pairs at 8x).
     def itemsOf(orders: DataFrame): DataFrame =
       orders.select(col("o_orderkey").as("item"),
-        when(pmod(col("o_orderkey"), lit(100L)) === 0, lit(-1L))
+        when(pmod(col("o_orderkey"), lit(25L)) === 0, lit(-1L))
           .otherwise(pmod(col("o_orderkey"), lit(100000L))).as("bucket"))
         .localCheckpoint(true)
     def unguarded(its: DataFrame): Long = {
@@ -154,7 +157,7 @@ object ScaleProbe {
     }
     def guarded(its: DataFrame): Long =
       graft.plans.Scale.cooccurrencePairs(its, Seq("bucket"), "item",
-        hotThreshold = 1000, salt = 16).count()
+        hotThreshold = 1000, salt = 32).count()
     val items1 = itemsOf(orders1); val itemsK = itemsOf(ordersK)
     val cooccur = Seq[(String, DataFrame => Long)](
       "cooccur_unguarded" -> unguarded, "cooccur_guarded" -> guarded)

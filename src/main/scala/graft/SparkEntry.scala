@@ -637,6 +637,23 @@ object SparkEntry {
       Tpch.table(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
     }),
+    "q_pii_scrub" -> ((s, dir) => {
+      // PII redaction over the corpus. The testdata text carries no PII, so
+      // the query plants a synthetic contact suffix on every doc INSIDE the
+      // query (the oracle plants the identical suffix): the scrubber must
+      // redact exactly the email + both phone shapes, and must leave the
+      // 500 real document bodies byte-identical.
+      import graft.functions.TextOps
+      Tpch.table(s, dir, "documents").select(col("doc_id"),
+        TextOps.scrubPii(concat(col("text"),
+          lit(" contact: alice.smith+test@example-mail.co or +1 (415) 555-0173, fallback 415-555-0199"))).as("scrubbed"))
+    }),
+    "q_boilerplate" -> ((s, dir) =>
+      // C4-style boilerplate inventory: word-3-grams in >= 5 distinct docs.
+      // One explode + one gram-keyed count-distinct shuffle; the qualifying
+      // tail is tiny, which is what licenses stripBoilerplate's broadcast.
+      graft.functions.TextOps.boilerplateGrams(
+        Tpch.table(s, dir, "documents"), "doc_id", "text", k = 3, minDf = 5L)),
     // ---- §2.4 dedup -----------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       graft.dedup.Dedup.exact(Tpch.table(s, dir, "documents"), "doc_id", "text")),
@@ -1241,6 +1258,21 @@ object SparkEntry {
          FROM b WHERE len > 0 AND n_toks > 0""",
     "q_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents",
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    text || ' contact: alice.smith+test@example-mail.co or +1 (415) 555-0173, fallback 415-555-0199',
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+         FROM documents""",
+    "q_boilerplate" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
+            g AS (SELECT DISTINCT doc_id, gram
+                  FROM (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+                        FROM t, unnest(generate_series(1, greatest(len(ts) - 2, 0))) u(i)))
+         SELECT gram, count(DISTINCT doc_id)::BIGINT AS df FROM g GROUP BY 1
+         HAVING count(DISTINCT doc_id) >= 5""",
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
             g3 AS (SELECT doc_id, count(*)::BIGINT AS tot, count(DISTINCT s)::BIGINT AS dis

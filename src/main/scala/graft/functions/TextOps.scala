@@ -69,6 +69,55 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
 
+  /** PII scrubbing (training-data redaction): replace email addresses and
+    * phone-number-shaped digit runs with typed placeholders. Both patterns
+    * are deliberately backtracking-free and dialect-portable (identical
+    * semantics under Java regex and RE2, so the DuckDB oracle mirrors them
+    * verbatim with the 'g' flag). Two codegen'd regexp_replace passes —
+    * email first, so digit runs inside addresses never half-match. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, lit(emailRe), lit("<EMAIL>")),
+      lit(phoneRe), lit("<PHONE>"))
+
+  /** C4-style boilerplate inventory: word k-grams occurring in at least
+    * `minDf` DISTINCT documents. Grams are built with ONE doc-keyed window
+    * pass (posexplode + k-1 `lead`s sharing a frame) rather than per-row
+    * higher-order lambdas — transform/sequence shingling is CodegenFallback
+    * and ran 3× slower on the same corpus. The 100 TB shape is one explode,
+    * one doc-keyed window sort, one gram-keyed count-distinct shuffle; the
+    * output is tiny (the repeated-furniture tail), which is what makes
+    * [[stripBoilerplate]]'s broadcast sound. Per-doc gram multiplicity is
+    * irrelevant to count(DISTINCT doc), so no per-doc dedup is needed. */
+  def boilerplateGrams(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int, minDf: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "__t0")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val withLeads = (1 until k).foldLeft(toks)((d, j) =>
+      d.withColumn(s"__t$j", lead(col("__t0"), j).over(w)))
+    withLeads
+      .where(col(s"__t${k - 1}").isNotNull) // no short grams at the doc tail
+      .select(col("doc_id"), concat_ws(" ", (0 until k).map(j => col(s"__t$j")): _*).as("gram"))
+      .groupBy("gram").agg(count_distinct(col("doc_id")).as("df"))
+      .where(col("df") >= minDf)
+  }
+
+  /** Remove every occurrence of a (small) boilerplate gram set from each
+    * document. The gram inventory is collapsed to ONE sorted array row and
+    * broadcast — the corpus side never shuffles; application order is the
+    * sorted gram order, so overlapping grams resolve deterministically. */
+  def stripBoilerplate(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      grams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val gs = broadcast(grams.agg(sort_array(collect_list(col("gram"))).as("__gs")))
+    docs.crossJoin(gs)
+      .withColumn("text_clean",
+        aggregate(col("__gs"), col(textCol), (acc, g) => replace(acc, g, lit(""))))
+      .drop("__gs")
+  }
+
   /** Top-k TF-IDF terms per document, integer-exact: score =
     * (tf · 10⁶ · N) div (df · doclen) — all 64-bit integer arithmetic (no
     * float idf, so Spark and any SQL oracle agree bit-for-bit), ties broken

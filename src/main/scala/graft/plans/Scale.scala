@@ -17,12 +17,25 @@ object Scale {
   def skewJoin(left: DataFrame, right: DataFrame, key: String, salt: Int = 16): DataFrame =
     skewJoin(left, right, Seq(key), salt)
 
-  /** Multi-column-key variant of [[skewJoin]]. */
+  /** Multi-column-key variant of [[skewJoin]].
+    *
+    * The salted sides are repartitioned with an EXPLICIT partition count
+    * (REPARTITION_BY_NUM), which AQE never coalesces. Without it the whole
+    * point of salting can be silently undone: AQE's partition coalescing is
+    * byte-based and blind to join FAN-OUT, so a hot bucket whose shuffle
+    * input is a few MB — but whose self-join output is 10⁹ rows — gets its
+    * salt² reducers merged back into one task, re-serializing exactly the m²
+    * the salt was spreading (measured in ScaleProbe: the coalesced salted
+    * join ran no faster than the unguarded one; pinned, it tracks cores). */
   def skewJoin(left: DataFrame, right: DataFrame, keys: Seq[String], salt: Int): DataFrame = {
+    val n = left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val saltKeys = (keys :+ "__salt").map(col)
     val lSalted = left.withColumn("__salt",
       pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salt)).cast("int"))
+      .repartition(n, saltKeys: _*)
     val rReplicated = right.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
+      .repartition(n, saltKeys: _*)
     lSalted.join(rReplicated, keys :+ "__salt").drop("__salt")
   }
 

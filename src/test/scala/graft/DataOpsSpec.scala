@@ -22,6 +22,39 @@ class DataOpsSpec extends AnyFunSuite {
   lazy val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
     .toDF("doc_id", "text")
 
+  test("scrubPii redacts emails and phone shapes, leaves clean text intact") {
+    import graft.functions.TextOps
+    val rows = Seq(
+      (1L, "write to bob.jones+spam@mail.example.org today"),
+      (2L, "call +1 (415) 555-0173 or 415-555-0199 now"),
+      (3L, "no pii here at all"),
+      (4L, "mixed: a@b.io then 020 7946 0958 done"))
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"), TextOps.scrubPii(col("text")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "write to <EMAIL> today")
+    assert(out(2L) === "call <PHONE> or <PHONE> now")
+    assert(out(3L) === "no pii here at all")
+    assert(out(4L) === "mixed: <EMAIL> then <PHONE> done")
+  }
+
+  test("boilerplateGrams finds repeated furniture; stripBoilerplate removes every occurrence") {
+    import graft.functions.TextOps
+    val boiler = "subscribe to our newsletter now"
+    // the per-doc token $i sits within k-1 tokens of the boiler boundary, so
+    // every boundary-crossing 5-gram is doc-unique; only the boiler survives
+    val corpus = (1L to 6L).map(i => (i, s"unique body filler words $i $boiler"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((7L, "free standing document")).toDF("doc_id", "text"))
+    val grams = TextOps.boilerplateGrams(corpus, "doc_id", "text", k = 5, minDf = 6L)
+    assert(grams.select("gram").as[String].collect().toSet === Set(boiler))
+    // broadcast-strip: the gram vanishes from every doc, bodies untouched
+    val stripped = TextOps.stripBoilerplate(corpus, "doc_id", "text", grams)
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    assert((1L to 6L).forall(i => stripped(i) === s"unique body filler words $i "))
+    assert(stripped(7L) === "free standing document")
+  }
+
   test("Corpus.hashSample is partition-insensitive; packBins chunks by preceding cumsum") {
     import graft.pipeline.Corpus
     import graft.functions.TextOps

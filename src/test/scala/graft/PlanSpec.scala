@@ -83,6 +83,28 @@ class PlanSpec extends AnyFunSuite {
     assert(q.count() > 0L)
   }
 
+  test("stripBoilerplate never shuffles the corpus side") {
+    import graft.functions.TextOps
+    val docs = Tpch.table(spark, dir, "documents")
+    val grams = TextOps.boilerplateGrams(docs, "doc_id", "text", k = 3, minDf = 5L)
+    val stripped = TextOps.stripBoilerplate(docs, "doc_id", "text", grams)
+    stripped.collect() // finalize AQE stages
+    val plan = executedPlan(stripped)
+    // the inventory collapses to one broadcast row; the docs scan feeds a
+    // BroadcastNestedLoopJoin (1-row build side: a constant-cost probe, not
+    // an all-pairs hazard) with NO Exchange on the corpus branch
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "expected a broadcast of the 1-row gram inventory:\n" + plan.take(2000))
+    // in the printed tree the streamed corpus child (`:-`) sits between the
+    // BNLJ line and the build-side BroadcastExchange; the gram inventory
+    // branch below it shuffles legitimately (count-distinct on gram, doc_id)
+    val start = plan.indexOf("BroadcastNestedLoopJoin")
+    val end = plan.indexOf("BroadcastQueryStage", start) max plan.indexOf("BroadcastExchange", start)
+    val corpusBranch = plan.substring(start, if (end > start) end else plan.length)
+    assert(!corpusBranch.contains("Exchange hashpartitioning"),
+      "corpus side of the strip join must not shuffle:\n" + corpusBranch.take(2000))
+  }
+
   test("lookahead compiles to a left-semi join, negLookahead to left-anti") {
     val g = Tpch.load(spark, dir)
     val semi = g.ofKind("customer").lookahead(_.in("order_customer")).df
