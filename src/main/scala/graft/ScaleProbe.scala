@@ -172,6 +172,30 @@ object ScaleProbe {
     println(f"[scale] hot-bucket guard at ${k}x: guarded ${cres(1)._2}%.2f s vs unguarded ${cres(0)._2}%.2f s " +
       f"(speedup ${cres(0)._2 / math.max(cres(1)._2, 1e-9)}%.2f x on the same ${cres(0)._3} pairs)")
 
+    // --- LLM-pipeline probes (SURVEY §2.4 at scale) ------------------------
+    // documents is tiny at sf0.1 (5k rows), so replicate k² (64×) for signal.
+    // Copies keep their text (more volume, same distinct-content space —
+    // dedup group sizes and gram dfs grow with the data factor, output keys
+    // don't), which is exactly the regime a keyed-aggregation plan must
+    // absorb: linear scan+shuffle growth, bounded output.
+    val kk = k * k
+    val docs1 = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").localCheckpoint(true)
+    val docsK = (0 until kk).map(i =>
+        docs1.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_.unionByName(_)).localCheckpoint(true)
+    val pipeProbes: Seq[(String, DataFrame => Long)] = Seq(
+      "dedup_exact" -> (d => graft.dedup.Dedup.exact(d, "doc_id", "text").count()),
+      "tfidf_top3" -> (d => graft.functions.TextOps.tfidfTopTerms(d, "doc_id", "text", 3).count()),
+      "boilerplate_df" -> (d => graft.functions.TextOps
+        .boilerplateGrams(d, "doc_id", "text", k = 3, minDf = 5L).count()))
+    pipeProbes.foreach { case (name, f) =>
+      val (t1, n1) = minTime(f(docs1))
+      val (tK, nK) = minTime(f(docsK))
+      val ratio = tK / math.max(t1, 1e-9)
+      println(f"[scale] $name%-18s 1x: $t1%6.2f s (n=$n1%9d)   ${kk}x: $tK%6.2f s (n=$nK%9d)   time-ratio: $ratio%5.2f")
+    }
+
     spark.stop()
   }
 }

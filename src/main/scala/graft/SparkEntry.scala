@@ -1410,7 +1410,7 @@ object SparkEntry {
          FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id""",
     "q_ann_pairs" ->
       """WITH qv AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
-                       round(unnest(embedding) * 1000)::BIGINT AS q FROM embeddings),
+                       round(unnest(embedding)::DOUBLE * 1000)::BIGINT AS q FROM embeddings),
             norms AS (SELECT vec_id, sum(q*q)::BIGINT AS nq FROM qv GROUP BY 1),
             dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.q*b.q)::BIGINT AS dot
                      FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
@@ -1419,7 +1419,7 @@ object SparkEntry {
          WHERE dot > 0 AND 1000000 * dot * dot >= 450 * 450 * na.nq * nb.nq""",
     "q_ann_pairs_lsh" ->
       """WITH qv AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
-                       round(unnest(embedding) * 1000)::BIGINT AS q FROM embeddings),
+                       round(unnest(embedding)::DOUBLE * 1000)::BIGINT AS q FROM embeddings),
             norms AS (SELECT vec_id, sum(q*q)::BIGINT AS nq FROM qv GROUP BY 1),
             dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.q*b.q)::BIGINT AS dot
                      FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
@@ -1428,7 +1428,7 @@ object SparkEntry {
          WHERE dot > 0 AND 1000000 * dot * dot >= 450 * 450 * na.nq * nb.nq""",
     "q_ann_topk" ->
       """WITH qv AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
-                       round(unnest(embedding) * 1000)::BIGINT AS q FROM embeddings),
+                       round(unnest(embedding)::DOUBLE * 1000)::BIGINT AS q FROM embeddings),
             norms AS (SELECT vec_id, sum(q*q)::BIGINT AS nq FROM qv GROUP BY 1),
             dots AS (SELECT a.vec_id AS id_q, b.vec_id AS id_n, sum(a.q*b.q)::BIGINT AS dot
                      FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id < 100 AND a.vec_id <> b.vec_id

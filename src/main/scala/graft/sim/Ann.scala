@@ -19,9 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Integer milli-quantized copy of an array<float> column. */
+  /** Integer milli-quantized copy of an array<float> column. The float
+    * element is EXPLICITLY widened to double before scaling: engines
+    * disagree on float×int promotion (Spark multiplies in double; DuckDB
+    * keeps float32, where e.g. 0.31949999f·1000 lands exactly on 319.5 and
+    * rounds up) — pinning double on both sides makes the quantization a
+    * fact of the data, not of the engine (found by a full-corpus sf0.1
+    * cross-check: one component of one vector flipped a top-k score). */
   def quantize(emb: Column): Column =
-    transform(emb, x => round(x * 1000).cast("long"))
+    transform(emb, x => round(x.cast("double") * 1000).cast("long"))
 
   /** Integer dot product via the native [[graft.functions.LongArrayDot]]
     * Catalyst expression: a codegen'd primitive loop — no per-row
