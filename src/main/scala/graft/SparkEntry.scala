@@ -38,6 +38,15 @@ object SparkEntry {
   private def edgeLogPath(s: SparkSession, dir: String): String =
     edgeLogCache.getOrElseUpdate((s, dir), {
       val log = s"/tmp/graft_edge_log_${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      // each driver writes its own appId-unique copy, so reap it at JVM
+      // exit — otherwise every Bench/Verify run leaks a full events copy
+      // into /tmp until the disk fills
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
+        }
+        rm(new java.io.File(log))
+      }))
       Tpch.events(s, dir)
         .select(col("user_id"), col("value"), to_date(col("ts")).as("dt"))
         .write.mode("overwrite").partitionBy("dt").parquet(log)

@@ -592,22 +592,21 @@ object Algos {
       val sub = e.join(members, Seq("src"), "left_semi").dropDuplicates("src", "dst")
         .localCheckpoint(eager = true)
       val n = sub.count()
-      // 2M edges ≈ tens of MB as primitive arrays below — comfortably
-      // inside a default driver heap, unlike the boxed-tuple groupBy this
-      // replaced, whose object graph at the old 10M guard could itself OOM
-      // the driver the guard claims to protect
-      if (n > 2000000L)
+      // guard matches collectReachable's documented 10M contract; the
+      // adjacency below is primitive (LongMap[Array[Long]] ≈ 16 B/edge =
+      // ~160 MB at the guard), and the rows stream partition-at-a-time via
+      // toLocalIterator so no full boxed Row array ever materializes — the
+      // two concerns (contract regression / driver OOM) are both closed
+      if (n > 10000000L)
         throw new IllegalStateException(
           s"entry $entry sits in a weak component with $n edges and depth > $maxIter: " +
             "too deep for distributed BFS and too big to collect; restrict the " +
             "subgraph (edgeSubgraph/filter) before the flow analysis")
-      val rows = sub.select(col("src"), col("dst")).collect()
       val adjB = new scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuilder.ofLong]()
-      var i = 0
-      while (i < rows.length) {
-        val row = rows(i)
+      val it = sub.select(col("src"), col("dst")).toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
         adjB.getOrElseUpdate(row.getLong(0), new scala.collection.mutable.ArrayBuilder.ofLong) += row.getLong(1)
-        i += 1
       }
       val adj = new scala.collection.mutable.LongMap[Array[Long]](adjB.size)
       adjB.foreach { case (k, b) => adj(k) = b.result() }

@@ -135,10 +135,20 @@ object ForceLayout {
     val idc = col(vertices.columns.head).as("id")
     // optional edge weights (e-weight on the reference's EDoc; 1.0 when the
     // caller's edges carry none) — raised to the edge-weight-influence power
-    // on the reference's schedule (0 below iter 250 ⇒ weights inert there)
-    val wc = if (edges.columns.contains("weight")) col("weight").cast("double") else lit(1.0)
+    // on the reference's schedule (0 below iter 250 ⇒ weights inert there).
+    // NULL weights coalesce to 1.0: otherwise the driver path would crash
+    // decoding null into Double while the distributed sum would silently
+    // drop the edge's attraction — the paths must stay identical.
+    val wc =
+      if (edges.columns.contains("weight"))
+        coalesce(col("weight").cast("double"), lit(1.0))
+      else lit(1.0)
+    // checkpoint: the doubled edge list feeds the attraction join EVERY
+    // iteration (plus the degree agg) — without this the upstream edges
+    // plan re-executes `iters` times
     val e2 = edges.select(col("src"), col("dst"), wc.as("w"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"), wc.as("w")))
+      .localCheckpoint(false)
     val deg = e2.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
     // initial state mirrors attach-vertex-documents (graph.clj:86-103):
     // position in [-50,50)², velocity = position × (500 + hash-in-[0,500)),

@@ -83,9 +83,10 @@ final case class PropertyGraph(
 
   /** fermor graph.clj:75 `remove-all-edges`: drop every edge carrying one of
     * the given labels — the complement of [[edgeSubgraph]], same pure
-    * pushed-down filter. */
+    * pushed-down filter. NULL labels are explicitly kept: `NOT IN` alone is
+    * three-valued and would silently drop them. */
   def removeEdgeLabels(labels: String*): PropertyGraph =
-    copy(edges = edges.where(!col("label").isin(labels: _*)))
+    copy(edges = edges.where(col("label").isNull || !col("label").isin(labels: _*)))
 
   /** Remove specific edges by (src, dst, label) triple — the per-edge form
     * of [[removeEdgeLabels]] (the reference deletes per-label edge graphs;

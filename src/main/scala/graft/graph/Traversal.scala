@@ -126,16 +126,28 @@ final case class Traversal(g: PropertyGraph, df: DataFrame) {
 
   /** fermor core.clj:834 `lookahead` with {min,max} cardinality bounds:
     * count sub-route matches per origin (map-side partial agg), range-filter,
-    * then semi-join. */
+    * then semi-join. When the bounds admit cardinality ZERO (no min, or
+    * min <= 0 — the reference's max-only branch keeps empty sub-routes,
+    * `count <= max`), the count table can't represent the absent origins, so
+    * the zero-admissible form left-joins the counts and coalesces to 0
+    * instead of semi-joining. */
   def lookaheadCount(min: Option[Long], max: Option[Long])(f: Traversal => Traversal): Traversal = {
     val sub = f(Traversal(g, df.select(col("id"), col("id").as("__origin"))))
     val counts = sub.df.groupBy("__origin")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
-    val ok = counts
-      .where(min.map(col("__n") >= _).getOrElse(lit(true)) &&
-             max.map(col("__n") <= _).getOrElse(lit(true)))
-      .select(col("__origin").as("id"))
-    Traversal(g, df.join(ok, Seq("id"), "left_semi"))
+    if (min.exists(_ > 0)) {
+      val ok = counts
+        .where(col("__n") >= min.get &&
+               max.map(col("__n") <= _).getOrElse(lit(true)))
+        .select(col("__origin").as("id"))
+      Traversal(g, df.join(ok, Seq("id"), "left_semi"))
+    } else {
+      // counts is keyed by __origin (one row per id), so this left join
+      // preserves the frontier's bag cardinality
+      val withN = df.join(counts.withColumnRenamed("__origin", "id"), Seq("id"), "left")
+        .withColumn("__n", coalesce(col("__n"), lit(0L)))
+      Traversal(g, withN.where(max.map(col("__n") <= _).getOrElse(lit(true))).drop("__n"))
+    }
   }
 
   /** fermor core.clj:895 `branch` + merge: run each sub-traversal from the

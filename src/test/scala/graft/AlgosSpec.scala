@@ -243,13 +243,26 @@ class AlgosSpec extends AnyFunSuite {
       .toDF("src", "dst")
     def toMap(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-    val local = toMap(graft.algos.ForceLayout.run(vs, es, iters = 4))
-    val dist = toMap(graft.algos.ForceLayout.run(vs, es, iters = 4, localMax = 0))
-    local.foreach { case (id, (lx, ly)) =>
-      val (dx2, dy2) = dist(id)
-      assert(math.abs(lx - dx2) <= 1e-6 * math.max(1.0, math.abs(lx)), s"x($id)")
-      assert(math.abs(ly - dy2) <= 1e-6 * math.max(1.0, math.abs(ly)), s"y($id)")
+    def check(iters: Int, startIter: Int, grav: Double,
+        edges: org.apache.spark.sql.DataFrame): Unit = {
+      val local = toMap(graft.algos.ForceLayout.run(vs, edges, iters = iters,
+        defaultGravity = grav, startIter = startIter))
+      val dist = toMap(graft.algos.ForceLayout.run(vs, edges, iters = iters,
+        defaultGravity = grav, startIter = startIter, localMax = 0))
+      local.foreach { case (id, (lx, ly)) =>
+        val (dx2, dy2) = dist(id)
+        assert(math.abs(lx - dx2) <= 1e-6 * math.max(1.0, math.abs(lx)), s"x($id) @$startIter")
+        assert(math.abs(ly - dy2) <= 1e-6 * math.max(1.0, math.abs(ly)), s"y($id) @$startIter")
+      }
     }
+    check(4, 0, 0.0, es) // linear-repulsion regime, ewi=0, no gravity
+    // local-repulsion regime + weight^0.5 schedule + gravity window + a
+    // NULL weight (must act as 1.0 on BOTH paths, not crash/drop)
+    val weighted = Seq((1L, 2L, Some(2.0)), (2L, 3L, Some(0.5)), (3L, 1L, None),
+      (4L, 5L, Some(1.5)), (5L, 6L, Some(1.0)), (6L, 4L, Some(3.0)), (3L, 4L, Some(1.0)))
+      .toDF("src", "dst", "weight")
+    check(3, 300, -0.04, weighted)
+    check(2, 500, 0.0, weighted) // annealed coefficient floor regime
   }
 
   test("pushDown propagates a root value to all descendants (fermor prewalk-reduce)") {

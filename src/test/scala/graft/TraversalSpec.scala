@@ -86,6 +86,19 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = jobGraph.from(jobGraph.kind("company"))
       .lookaheadCount(Some(3), None)(_.out("created"))
     assert(ids(t) === Set(blueprints))
+    // max-only admits cardinality ZERO (core.clj:846 `count <= max`):
+    // people who completed at most 1 application — nobody completed any
+    // from the application frontier, so ALL its elements survive max-only
+    val zeroOk = jobGraph.from(jobGraph.kind("application"))
+      .lookaheadCount(None, Some(1))(_.out("completes"))
+    assert(ids(zeroOk) === Set(appBob1, appBob2, appStephen1, appStephen2))
+    // ... and the at-least form still drops them all
+    val zeroDrop = jobGraph.from(jobGraph.kind("application"))
+      .lookaheadCount(Some(1), None)(_.out("completes"))
+    assert(ids(zeroDrop) === Set.empty[Long])
+    // element arity: max-only keeps an element with an empty sub-route
+    assert(jobGraph.lookaheadElementCount(appBob1, None, Some(2L))(_.out("completes"))
+      === Some(appBob1))
   }
 
   test("lookaheadElement: per-element arity returns the element or None") {
@@ -156,6 +169,12 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val g2 = jobGraph.removeEdges(one)
     assert(g2.edges.count() === jobGraph.edges.count() - 1)
     assert(ids(g2.from(Seq(bob).toDF("id")).out("completes")) === Set(appBob2))
+    // NULL-labeled edges survive removeEdgeLabels (three-valued NOT IN trap)
+    val withNull = jobGraph.addEdges(
+      Seq((bob, stephen, Option.empty[String])).toDF("src", "dst", "label"))
+    val g3 = withNull.removeEdgeLabels("completes")
+    assert(g3.edges.where(col("label").isNull).count() === 1)
+    assert(g3.edges.count() === withNull.edges.count() - 4)
   }
 
   test("withVertexProps merges updated documents (fermor set-document)") {
