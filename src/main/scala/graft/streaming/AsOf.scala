@@ -21,23 +21,34 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object AsOf {
 
   /** `l` keeps all its columns plus `asof_<rValueCol>` from the matching
-    * right row (null when none). `ts` must be a long column in both. */
+    * right row (null when none). `ts` must be a long column in both.
+    *
+    * The right value rides inside a STRUCT marker: right rows carry a
+    * non-null struct (whatever the value inside), left rows carry a null
+    * struct — so `last(ignoreNulls)` skips exactly the left placeholders
+    * and a genuinely NULL-valued right row still wins as "the latest right
+    * row" (bare `last(value, ignoreNulls)` would skip it and mis-attribute
+    * an older value; AsOfJoinExec holds the row itself, so the tiers must
+    * agree on this). The right-side projection is built in ONE select —
+    * a withColumn per payload column is a quadratic analysis anti-pattern. */
   def viaWindow(l: DataFrame, r: DataFrame, key: String, ts: String, rValueCol: String): DataFrame = {
     val payload = l.columns.filterNot(c => c == key || c == ts)
+    val markerType = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("v", r.schema(rValueCol).dataType)))
     val lt = l
       .withColumn("__side", lit(1))
-      .withColumn("__rv", lit(null).cast(r.schema(rValueCol).dataType))
-    val rt0 = r.select(col(key), col(ts), col(rValueCol))
-    val rt = payload.foldLeft(
-        rt0.withColumn("__side", lit(0)).withColumnRenamed(rValueCol, "__rv")) {
-      (d, c) => d.withColumn(c, lit(null).cast(l.schema(c).dataType))
-    }
+      .withColumn("__r", lit(null).cast(markerType))
+    val rt = r.select(
+      Seq(col(key), col(ts), lit(0).as("__side"),
+        struct(col(rValueCol).as("v")).as("__r")) ++
+        payload.map(c => lit(null).cast(l.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lt.unionByName(rt.select(lt.columns.map(col): _*))
-      .withColumn(s"asof_$rValueCol", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .drop("__side", "__rv")
+      .withColumn(s"asof_$rValueCol", col("__asof.v"))
+      .drop("__side", "__r", "__asof")
   }
 
   // ---- stream-stream as-of -----------------------------------------------
@@ -47,6 +58,9 @@ object AsOf {
     * purchase identified by `id`). */
   case class AsOfEvent(key: Long, eventTime: Timestamp, side: Int, id: Long, value: Double)
 
+  /** `left_ts` is epoch MILLIS — full event-time precision. (An earlier
+    * form truncated to seconds, which let a right event from later in the
+    * same second attribute to an earlier left.) */
   case class AsOfMatch(key: Long, left_ts: Long, left_id: Long, asof_value: Option[Double])
 
   // parallel primitive arrays (plain unsafe-array serialization), and PUBLIC:
@@ -79,10 +93,12 @@ object AsOf {
           var lefts = st0.leftTs.zip(st0.leftId).toBuffer
           var rights = st0.rightTs.zip(st0.rightV).toBuffer
           evs.foreach { e =>
-            val t = e.eventTime.getTime / 1000
+            // full MILLIS precision: truncating to seconds would let a right
+            // from later in the same second attribute to an earlier left
+            val t = e.eventTime.getTime
             if (e.side == 1) lefts += ((t, e.id)) else rights += ((t, e.value))
           }
-          val wm = state.getCurrentWatermarkMs() / 1000
+          val wm = state.getCurrentWatermarkMs()
           val (ready, pending) = lefts.partition(_._1 < wm)
           val out = ready.sortBy(l => (l._1, l._2)).map { case (lt, lid) =>
             val m = rights.filter(_._1 <= lt)
@@ -97,10 +113,13 @@ object AsOf {
           else {
             state.update(AsOfBuf(pending.map(_._1).toArray, pending.map(_._2).toArray,
               keptRights.map(_._1).toArray, keptRights.map(_._2).toArray))
-            // wake when the watermark passes the earliest pending left
-            val target = pending.map(_._1).minOption
-              .map(_ * 1000 + 1000).getOrElse(state.getCurrentWatermarkMs() + 60000)
-            state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
+            // wake when the watermark passes the earliest pending left; a
+            // key holding only buffered rights needs NO timeout — its kept
+            // right can never expire, and re-arming would wake every such
+            // group on every watermark advance forever just to do nothing
+            pending.map(_._1).minOption.foreach { mn =>
+              state.setTimeoutTimestamp(math.max(mn + 1, state.getCurrentWatermarkMs() + 1))
+            }
           }
           out.iterator
       }

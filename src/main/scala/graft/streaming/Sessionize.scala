@@ -56,10 +56,15 @@ object Sessionize {
   case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
   case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
 
-  /** Streaming sessionization over a (possibly unbounded) event stream.
-    * State per user survives micro-batches; ProcessingTimeTimeout keeps the
-    * example simple (an event-time variant would pair a watermark with
-    * EventTimeTimeout). */
+  /** Streaming sessionization over an event stream — the DIDACTIC variant:
+    * cumulative per-user (n_sessions, n_events) in Update mode. Per-user
+    * state is never expired BY DESIGN: the cumulative counts cannot be
+    * dropped without resetting a returning user, so this variant is only
+    * appropriate for bounded key spaces. (A ProcessingTimeTimeout TTL is
+    * NOT used deliberately — with the default as-fast-as-possible trigger
+    * it busy-loops empty micro-batches until the TTL. The production shape
+    * for unbounded streams is [[streamingEventTime]] below, whose state is
+    * watermark-bounded and removed at session close.) */
   def streaming(events: Dataset[Event], gapSec: Long = 1800)(
       implicit spark: SparkSession): Dataset[SessionUpdate] = {
     import spark.implicits._
@@ -81,48 +86,68 @@ object Sessionize {
 
   case class OpenSession(startTs: Long, lastTs: Long, nEvents: Long)
   case class ClosedSession(user_id: Long, start_ts: Long, end_ts: Long, n_events: Long)
+  // parallel arrays (encoder-friendly): the per-user set of OPEN session
+  // fragments, kept sorted by startTs
+  case class OpenSessions(startTs: Array[Long], lastTs: Array[Long], nEvents: Array[Long])
 
   /** Event-time streaming sessionization: sessions close when EVENT TIME
     * (not wall clock) passes last-event + gap, driven by the watermark via
     * `EventTimeTimeout` — the production shape for out-of-order streams
     * (the ProcessingTimeTimeout variant above is the didactic one). Emits
-    * one row per CLOSED session. */
+    * one row per CLOSED session.
+    *
+    * State is a SET of open fragments, not a single open session: an
+    * out-of-order (but above-watermark) event far before the open session
+    * must start its own fragment — not force the open one closed — because
+    * later events may yet BRIDGE the two (batch semantics would merge
+    * them). Each arriving event joins the fragment whose interval
+    * [start-gap, last+gap] contains it, then adjacent fragments within gap
+    * merge; ONLY the watermark closes a fragment (once wm > last+gap, no
+    * admissible future event can join or bridge it — any such event has
+    * ts >= wm > last+gap on the right, and bridging from the left would
+    * need ts <= last+gap too). */
   def streamingEventTime(events: Dataset[Event], gapSec: Long = 1800)(
       implicit spark: SparkSession): Dataset[ClosedSession] = {
     import spark.implicits._
     events.withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[OpenSessions, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (uid, evs, state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val st = state.get
-            state.remove()
-            Iterator(ClosedSession(uid, st.startTs, st.lastTs, st.nEvents))
-          } else {
-            val sorted = evs.toSeq.sortBy(_.ts.getTime)
-            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
-            var st = state.getOption.orNull
-            sorted.foreach { e =>
-              val t = e.ts.getTime / 1000
-              // membership = distance to the session INTERVAL
-              // [startTs - gap, lastTs + gap]: a late-but-above-watermark
-              // event before the open session extends its start BACKWARD
-              // (min), not just its end — the emitted session can never
-              // report a start later than its earliest event
-              if (st == null) st = OpenSession(t, t, 1L)
-              else if (t > st.lastTs + gapSec || t < st.startTs - gapSec) {
-                closed += ClosedSession(uid, st.startTs, st.lastTs, st.nEvents)
-                st = OpenSession(t, t, 1L)
-              } else st = OpenSession(math.min(st.startTs, t), math.max(st.lastTs, t), st.nEvents + 1)
+        case (uid, evs, state: GroupState[OpenSessions]) =>
+          var frags = state.getOption
+            .map(s => s.startTs.indices.map(i => (s.startTs(i), s.lastTs(i), s.nEvents(i))).toBuffer)
+            .getOrElse(scala.collection.mutable.Buffer.empty[(Long, Long, Long)])
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime / 1000
+            val i = frags.indexWhere(f => t >= f._1 - gapSec && t <= f._2 + gapSec)
+            if (i < 0) {
+              val at = frags.indexWhere(_._1 > t)
+              frags.insert(if (at < 0) frags.length else at, (t, t, 1L))
+            } else
+              frags(i) = (math.min(frags(i)._1, t), math.max(frags(i)._2, t), frags(i)._3 + 1)
+            // merge any now-adjacent fragments (one event can bridge two)
+            var j = 0
+            while (j + 1 < frags.length) {
+              if (frags(j + 1)._1 - frags(j)._2 <= gapSec) {
+                frags(j) = (frags(j)._1, math.max(frags(j)._2, frags(j + 1)._2),
+                  frags(j)._3 + frags(j + 1)._3)
+                frags.remove(j + 1)
+              } else j += 1
             }
-            state.update(st)
-            // close when the watermark passes last-event + gap (never set a
-            // timeout at/below the current watermark — Spark rejects it)
-            val wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(math.max(st.lastTs * 1000 + gapSec * 1000, wm + 1))
-            closed.iterator
           }
+          val wm = state.getCurrentWatermarkMs()
+          val (done, open) = frags.partition(f => f._2 * 1000 + gapSec * 1000 < wm)
+          val closed = done.sortBy(_._1).map(f => ClosedSession(uid, f._1, f._2, f._3))
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(open.map(_._1).toArray, open.map(_._2).toArray,
+              open.map(_._3).toArray))
+            // wake when the watermark passes the EARLIEST fragment's close
+            // point (never set a timeout at/below the watermark)
+            state.setTimeoutTimestamp(
+              math.max(open.map(_._2).min * 1000 + gapSec * 1000, wm + 1))
+          }
+          closed.iterator
       }
   }
 

@@ -74,7 +74,10 @@ object StreamDedup {
     * within the watermark delay are dropped. State is one entry per
     * distinct content hash, bounded by the watermark (the batch path's
     * groupBy(h) key space becomes the state-store key space — same
-    * partitioning, shards horizontally). */
+    * partitioning, shards horizontally). The content-identity column `h`
+    * stays in the output ON PURPOSE: the batch operator exposes it too
+    * (its oracle groups by `md5(text) AS h`), and the bridge spec matches
+    * keeper key spaces through it. */
   def exactDedup(docs: Dataset[Doc], delay: String = "10 minutes"): DataFrame =
     docs.toDF()
       .withWatermark("ts", delay)

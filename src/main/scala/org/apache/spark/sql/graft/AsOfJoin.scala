@@ -63,24 +63,39 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan, keyName: String, tsNa
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val nullRight = new GenericInternalRow(rWidth)
       val joined = new JoinedRow
+      // materialize each JoinedRow as an UnsafeRow: operators that consume
+      // this plan's output directly (collect, exchange) require UnsafeRow —
+      // without this the node only worked under a downstream Project
+      val toUnsafe = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+        output.map(_.dataType).toArray)
       val rBuf = rIter.buffered
       var heldKey: Long = 0L
       var held: InternalRow = null // last right row with key == heldKey and ts <= current left ts
       lIter.map { lRow =>
-        val k = lRow.getLong(lKeyIdx)
-        val t = lRow.getLong(lTsIdx)
-        if (held != null && heldKey != k) held = null
-        // advance right side through all rows with (key < k) or (key == k && ts <= t)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val peek = rBuf.head
-          val rk = peek.getLong(rKeyIdx)
-          val rt = peek.getLong(rTsIdx)
-          if (rk < k) { rBuf.next() } // different key: discard, nothing held
-          else if (rk == k && rt <= t) { held = rBuf.next().copy(); heldKey = rk }
-          else advancing = false
+        // SQL convention: NULL keys/timestamps match nothing. Without the
+        // explicit checks, getLong reads NULL as 0 and silently joins
+        // null-key rows to real key 0 (Ascending ordering clusters nulls
+        // first, so they'd all masquerade as the head key).
+        if (lRow.isNullAt(lKeyIdx) || lRow.isNullAt(lTsIdx)) toUnsafe(joined(lRow, nullRight))
+        else {
+          val k = lRow.getLong(lKeyIdx)
+          val t = lRow.getLong(lTsIdx)
+          if (held != null && heldKey != k) held = null
+          // advance right side through all rows with (key < k) or (key == k && ts <= t)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val peek = rBuf.head
+            if (peek.isNullAt(rKeyIdx) || peek.isNullAt(rTsIdx)) { rBuf.next() }
+            else {
+              val rk = peek.getLong(rKeyIdx)
+              val rt = peek.getLong(rTsIdx)
+              if (rk < k) { rBuf.next() } // different key: discard, nothing held
+              else if (rk == k && rt <= t) { held = rBuf.next().copy(); heldKey = rk }
+              else advancing = false
+            }
+          }
+          toUnsafe(joined(lRow, if (held != null && heldKey == k) held else nullRight))
         }
-        joined(lRow, if (held != null && heldKey == k) held else nullRight)
       }
     }
   }
@@ -99,11 +114,23 @@ object AsOfStrategy extends SparkStrategy {
 object AsOfJoinHelper {
   /** Build a DataFrame over the custom logical node, registering the
     * strategy on the session (idempotent). `key` and `ts` must be long
-    * columns present in BOTH inputs with the same names. */
+    * columns present in BOTH inputs with the same names.
+    *
+    * Self-join safety: Spark's DeduplicateRelations rule only rewrites ITS
+    * join node types, so a custom BinaryNode over two plans derived from the
+    * same DataFrame would carry duplicate exprIds across left.output and
+    * right.output (ambiguous downstream resolution). When the outputs
+    * overlap, the right side is re-projected through explicit aliases,
+    * which mint fresh exprIds. */
   def asofJoin(l: DataFrame, r: DataFrame, key: String, ts: String): DataFrame = {
     val spark = l.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfStrategy
-    Dataset.ofRows(spark, AsOfJoin(l.queryExecution.analyzed, r.queryExecution.analyzed, key, ts))
+    val lPlan = l.queryExecution.analyzed
+    val rSafe =
+      if (lPlan.outputSet.intersect(r.queryExecution.analyzed.outputSet).nonEmpty)
+        r.select(r.columns.map(c => org.apache.spark.sql.functions.col(c).as(c)): _*)
+      else r
+    Dataset.ofRows(spark, AsOfJoin(lPlan, rSafe.queryExecution.analyzed, key, ts))
   }
 }

@@ -62,6 +62,20 @@ case class HyperplaneSig(child: Expression, weights: Array[Array[Long]])
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
     copy(child = newChild)
+
+  // case-class equality over Array fields is REFERENCE equality, under which
+  // two signatures built from separately-constructed (identical) weight
+  // matrices never compare equal — defeating common-subexpression
+  // elimination and exchange reuse for exactly the expensive expression this
+  // operator exists to compute once. Compare the matrices structurally.
+  override def equals(other: Any): Boolean = other match {
+    case h: HyperplaneSig => child == h.child &&
+      weights.length == h.weights.length &&
+      weights.indices.forall(i => java.util.Arrays.equals(weights(i), h.weights(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + weights.toSeq.map(java.util.Arrays.hashCode).hashCode()
 }
 
 object HyperplaneSig {

@@ -409,6 +409,55 @@ class DataOpsSpec extends AnyFunSuite {
     assert(rows(0L) === 3L && rows(3600L) === 1L)
   }
 
+  test("as-of join: NULL-valued right rows still win; NULL keys match nothing; self-join dedups") {
+    import graft.streaming.AsOf
+    import org.apache.spark.sql.graft.AsOfJoinHelper
+    // the latest right row (t=20) carries a NULL value: correct as-of
+    // attribution is NULL, not the older 5.0
+    val l = Seq((1L, 25L, 100L)).toDF("k", "t", "event_id")
+    val r = Seq((1L, 10L, Option(5.0)), (1L, 20L, Option.empty[Double])).toDF("k", "t", "v")
+    assert(AsOf.viaWindow(l, r, "k", "t", "v").select("asof_v").head().isNullAt(0))
+    val cust = AsOfJoinHelper.asofJoin(l, r, "k", "t").collect()
+    assert(cust.length === 1 && cust.head.isNullAt(5)) // right v is NULL
+    // NULL key on either side matches nothing (no masquerading as key 0)
+    val lN = Seq((Option(0L), 25L, 1L), (Option.empty[Long], 30L, 2L)).toDF("k", "t", "event_id")
+    val rN = Seq((Option(0L), 10L, 7.0), (Option.empty[Long], 5L, 9.0)).toDF("k", "t", "v")
+    val byId = AsOfJoinHelper.asofJoin(lN, rN, "k", "t").collect()
+      .map(row => row.getLong(2) -> (if (row.isNullAt(5)) None else Some(row.getDouble(5)))).toMap
+    assert(byId(1L) === Some(7.0) && byId(2L) === None)
+    // self-as-of-join: right derived from the same DataFrame (duplicate
+    // exprIds without dedup) — each left matches its own latest-at-or-before
+    val base = Seq((1L, 10L, 2.0), (1L, 25L, 3.0)).toDF("k", "t", "v")
+    val sj = AsOfJoinHelper.asofJoin(base.select("k", "t"), base, "k", "t").collect()
+      .map(row => row.getLong(1) -> row.getDouble(4)).toMap
+    assert(sj === Map(10L -> 2.0, 25L -> 3.0))
+  }
+
+  test("event-time sessionization: a late fragment BRIDGES instead of forcing a close") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val q = Sessionize.streamingEventTime(mem.toDS(), gapSec = 300)
+      .writeStream.format("memory").queryName("ss_frag").outputMode("append").start()
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    mem.addData(Sessionize.Event(1L, ts(3600), 1.0), Sessionize.Event(1L, ts(3700), 1.0))
+    q.processAllAvailable() // watermark -> 3100 (10 min delay)
+    // above-watermark event >gap BEFORE the open session: a single-open-
+    // session state would close [3600,3700] NOW and could never merge it
+    mem.addData(Sessionize.Event(1L, ts(3200), 1.0))
+    q.processAllAvailable()
+    mem.addData(Sessionize.Event(1L, ts(3350), 1.0)) // bridges the fragments
+    q.processAllAvailable()
+    assert(spark.table("ss_frag").count() === 0L) // nothing closed yet
+    mem.addData(Sessionize.Event(2L, ts(10000), 1.0))
+    q.processAllAvailable()
+    mem.addData(Sessionize.Event(2L, ts(20000), 1.0)) // advance wm, fire timeout
+    q.processAllAvailable()
+    val rows = spark.table("ss_frag").where(col("user_id") === 1L)
+      .select("start_ts", "end_ts", "n_events").as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(rows === Set((3200L, 3700L, 4L))) // ONE merged session, as batch would give
+  }
+
   test("stream-stream as-of join attributes LATE-arriving rights exactly") {
     import graft.streaming.AsOf
     implicit val sqlCtx = spark.sqlContext
@@ -433,7 +482,7 @@ class DataOpsSpec extends AnyFunSuite {
       .select("key", "left_ts", "left_id", "asof_value")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), Option(r.get(3)))).toSet
     q.stop()
-    assert(rows === Set((7L, 6000L, 500L, Some(2.0))))
+    assert(rows === Set((7L, 6000000L, 500L, Some(2.0)))) // left_ts in millis
   }
 
   test("stream-stream as-of matches the ORACLED batch as-of on the events table") {
@@ -478,7 +527,7 @@ class DataOpsSpec extends AnyFunSuite {
     val got = spark.table("ss_asof_bridge")
       .select("key", "left_ts", "left_id", "asof_value")
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      .map(r => (r.getLong(0), r.getLong(1) / 1000L, r.getLong(2), // millis -> t_s
         Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
     q.stop()
     assert(got.size === expected.size, s"streaming emitted ${got.size} vs batch ${expected.size}")
