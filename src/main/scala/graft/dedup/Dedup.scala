@@ -24,7 +24,7 @@ object Dedup {
     * shared-shingle equi-join → exact |∩|/|∪| in integer basis points.
     * Pairs with j_bp = 10000*|∩|/|∪| (floor) >= minBp. */
   private val pairsCache =
-    scala.collection.concurrent.TrieMap[(org.apache.spark.sql.SparkSession, Int, String, String, Int, Int), DataFrame]()
+    scala.collection.concurrent.TrieMap[(org.apache.spark.sql.SparkSession, Int, Int, String, String, Int, Int), DataFrame]()
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minBp: Int = 5000): DataFrame =
@@ -34,8 +34,14 @@ object Dedup {
       // under the multi-query scan-sharing regime the pair table is an
       // intermediate index shared by the pair query and the clustering
       // query — compute it once per (input plan, parameters)
-      // session-keyed: a dead session's cached plan must never be reused
-      val key = (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(), idCol, textCol, k, minBp)
+      // session-keyed: a dead session's cached plan must never be reused.
+      // TWO independent plan hashes (semantic + textual) make a collision
+      // returning another query's pairs ~2⁻⁶⁴; the size bound keeps a
+      // long-lived driver from pinning unbounded checkpointed plans.
+      val plan = docs.queryExecution.analyzed
+      val key = (docs.sparkSession, plan.semanticHash(), plan.toString.hashCode,
+        idCol, textCol, k, minBp)
+      if (pairsCache.size > 32) pairsCache.clear()
       pairsCache.getOrElseUpdate(key,
         ngramJaccardPairsImpl(docs, idCol, textCol, k, minBp).localCheckpoint(eager = false))
     }
@@ -64,8 +70,11 @@ object Dedup {
       .agg(transform(array_sort(collect_list(struct(col("df"), col("s")))),
         x => x.getField("s")).as("sh"))
       .withColumn("n", size(col("sh")))
+      // n is widened to LONG before every scale-up below: int*int products
+      // (n·minBp, n·10⁴) wrap past n ≈ 215k shingles — exactly the very-long
+      // documents near-dup detection most needs to keep
       .withColumn("plen",
-        col("n") - floor((col("n") * minBp + 9999) / 10000).cast("int") + 1)
+        (col("n") - expr(s"(cast(n as bigint) * $minBp + 9999) div 10000") + 1).cast("int"))
       // shl: the same shingles LEX-sorted, for the merge-scan rescore
       // (array_sort = Spark's string order = the order the native
       // SortedIntersectCount merge expects)
@@ -82,10 +91,10 @@ object Dedup {
       .toDF("id", "n", "pos", "s") // pos is 0-based
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
-        col("b.n") * 10000 >= lit(minBp) * col("a.n") &&
-        col("a.n") * 10000 >= lit(minBp) * col("b.n") &&
-        (least(col("a.n") - col("a.pos") - 1, col("b.n") - col("b.pos") - 1) + 1) *
-          lit(10000 + minBp) >= lit(minBp) * (col("a.n") + col("b.n")))
+        col("b.n").cast("long") * 10000L >= lit(minBp.toLong) * col("a.n") &&
+        col("a.n").cast("long") * 10000L >= lit(minBp.toLong) * col("b.n") &&
+        (least(col("a.n") - col("a.pos") - 1, col("b.n") - col("b.pos") - 1) + 1).cast("long") *
+          lit((10000 + minBp).toLong) >= lit(minBp.toLong) * (col("a.n").cast("long") + col("b.n")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cands
@@ -138,6 +147,9 @@ object Dedup {
     * filters to >= minBp. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerm: Int = 64, bands: Int = 16, minBp: Int = 5000): DataFrame = {
+    require(numPerm % bands == 0,
+      s"numPerm ($numPerm) must be divisible by bands ($bands) — otherwise " +
+        s"${numPerm % bands} permutations would be silently ignored")
     val rows = numPerm / bands
     val withSig = docs.select(col(idCol).as("id"),
         graft.functions.NativeOps.wordShingles(col(textCol), k).as("sh"))
@@ -166,11 +178,12 @@ object Dedup {
       .join(arrs.select(col("id").as("id_a"), col("shl").as("sha"), col("n").as("na")), "id_a")
       .join(arrs.select(col("id").as("id_b"), col("shl").as("shb"), col("n").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"), col("na"), col("nb"),
-        graft.functions.NativeOps.sortedIntersectCount(col("sha"), col("shb"))
-          .cast("int").as("i"))
+        // stays LONG end-to-end: a downcast here re-introduced the int
+        // wrap the long-typed jaccard path deliberately avoids
+        graft.functions.NativeOps.sortedIntersectCount(col("sha"), col("shb")).as("i"))
       .localCheckpoint(false) // boundary: `i` referenced by filter + outputs
-      .withColumn("union_n", col("na") + col("nb") - col("i"))
-      .where(col("i") * 10000 >= lit(minBp) * col("union_n"))
+      .withColumn("union_n", col("na").cast("long") + col("nb") - col("i"))
+      .where(col("i") * 10000L >= lit(minBp.toLong) * col("union_n"))
       .select("id_a", "id_b", "i", "union_n")
   }
 
@@ -181,15 +194,19 @@ object Dedup {
     * exploded shingle table BROADCASTS and the screen is a map-side hash
     * join over the corpus — no shuffle of the 100 TB side at all. Returns
     * (doc_id, probe_id, shared_n = |shingle ∩|, exact). */
+  /** `excludeSameId = true` suits probes drawn FROM the corpus (skip each
+    * doc's trivial self-hit). Pass FALSE when probes are an external
+    * benchmark file: its id space is unrelated to the corpus, and an
+    * accidental id collision would otherwise silently hide a genuinely
+    * contaminated document. */
   def contamination(docs: DataFrame, probes: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, minShared: Long = 5L): DataFrame = {
+      k: Int = 3, minShared: Long = 5L, excludeSameId: Boolean = true): DataFrame = {
     def sh(df: DataFrame, as: String) = df.select(col(idCol).as(as),
       explode(graft.functions.NativeOps.wordShingles(col(textCol), k)).as("s"))
     // per-doc shingles are DISTINCT (wordShingles), so join rows per
     // (doc, probe) = shared distinct shingles and a plain count is |∩|
-    sh(docs, "doc_id")
-      .join(broadcast(sh(probes, "probe_id")), "s")
-      .where(col("doc_id") =!= col("probe_id"))
+    val hits = sh(docs, "doc_id").join(broadcast(sh(probes, "probe_id")), "s")
+    (if (excludeSameId) hits.where(col("doc_id") =!= col("probe_id")) else hits)
       .groupBy("doc_id", "probe_id").agg(count(lit(1)).as("shared_n"))
       .where(col("shared_n") >= minShared)
   }
@@ -199,6 +216,7 @@ object Dedup {
     * are unavailable: the native one-pass signature references the hash
     * transform exactly once, so no materialization is needed anywhere. */
   private[graft] def bandKeyArray(text: Column, k: Int, numPerm: Int, bands: Int): Column = {
+    require(numPerm % bands == 0, s"numPerm ($numPerm) must be divisible by bands ($bands)")
     val rows = numPerm / bands
     val hs = transform(graft.functions.NativeOps.wordShingles(text, k),
       x => pmod(xxhash64(x), lit(MersennePrime)))
@@ -228,14 +246,22 @@ object Dedup {
       .agg(org.apache.spark.sql.graft.SimHashAgg.column(col("th")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHam. Candidates via
-    * 4×16-bit band exact-match (pigeonhole: ham<=3 ⇒ ≥1 band equal), then
-    * exact popcount rescore. */
+    * (maxHam+1)-band exact-match — the pigeonhole bound: ham <= maxHam
+    * differing bits cannot touch all maxHam+1 bands, so a qualifying pair
+    * always shares at least one band verbatim (a fixed 4-band split was
+    * only complete for ham <= 3 and silently lost pairs beyond it). Bands
+    * split the 64 bits as evenly as possible; exact popcount rescores. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHam: Int = 3): DataFrame = {
+    require(maxHam >= 0 && maxHam < 64, s"maxHam must be in [0, 64), got $maxHam")
+    val nBands = maxHam + 1
+    val bounds = (0 to nBands).map(b => b * 64 / nBands) // even-ish split of 64 bits
     val sh = simhash(docs, idCol, textCol)
     val banded = sh.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map { b =>
+      explode(array((0 until nBands).map { b =>
+        val lo = bounds(b); val width = bounds(b + 1) - lo
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bits"))
+          shiftright(col("simhash"), lo).bitwiseAND(mask).as("bits"))
       }: _*)).as("bk"))
     banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))

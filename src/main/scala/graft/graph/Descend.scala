@@ -70,8 +70,15 @@ object Descend {
       frontier =
         if (checkpointEvery > 0 && d % checkpointEvery == 0) next.localCheckpoint(eager = true)
         else next
-      acc = acc.unionByName(emit(frontier))
-      d += 1
+      // eager mode has the frontier materialized, so emptiness is a cheap
+      // metadata check — without it every exhausted level still runs a
+      // checkpoint job joining an empty frontier against the edge table
+      if (checkpointEvery > 0 && d % checkpointEvery == 0 && frontier.isEmpty)
+        d = maxDepth + 1
+      else {
+        acc = acc.unionByName(emit(frontier))
+        d += 1
+      }
     }
     acc
   }
@@ -152,7 +159,11 @@ object Descend {
       .withColumn("origin", col("id"))
       .withColumn("depth", lit(0))
       .withColumn("path", array(col("id")))
-    var acc: DataFrame = null
+    // seeded with an empty result of the output schema, so maxDepth < 1
+    // returns an empty DataFrame like every other Descend entry point
+    // (acc was previously null in that case — NPE at the caller's first op)
+    var acc: DataFrame = frontier
+      .select("origin", "path", "depth").where(lit(false))
     var d = 1
     while (d <= maxDepth) {
       val stepped = frontier.join(e, frontier("id") === e("__from"))
@@ -160,7 +171,7 @@ object Descend {
       val closed = stepped.where(col("id") === col("origin"))
         .withColumn("path", concat(col("path"), array(col("id"))))
         .select("origin", "path", "depth")
-      acc = if (acc == null) closed else acc.unionByName(closed)
+      acc = acc.unionByName(closed)
       // same per-level materialization as all/deepest: the frontier feeds
       // both the next expansion and (via stepped) the closed-cycle branch,
       // so without it level k is re-derived O(k) times and lineage grows

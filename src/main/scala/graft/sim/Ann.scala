@@ -47,18 +47,42 @@ object Ann {
       .withColumn("nq", dotQ(col("q"), col("q"), dim))
       .localCheckpoint(false)
 
+  /** The threshold test 10⁶·dot² >= τ²·|a|²·|b|² in DECIMAL(38,0): exact at
+    * any magnitude the quantization can produce (per-component |x| up to
+    * ~10³ keeps every product under 10³⁸). Pure LONG cross-multiplication
+    * overflows past L2 norm ≈ 1.75 — i.e. on any UNNORMALIZED embedding —
+    * and under ANSI mode that's a query-killing error, not even a wrong
+    * answer. Decimal math costs a few extra ns on the candidate rows only;
+    * the dot product itself stays a primitive long loop. */
+  private def cosAtLeastTau(dot: Column, na: Column, nb: Column, t2: Column): Column = {
+    val dec = "decimal(38,0)"
+    lit(1000000L).cast(dec) * dot.cast(dec) * dot.cast(dec) >=
+      t2.cast(dec) * na.cast(dec) * nb.cast(dec)
+  }
+
   /** All pairs (id_a < id_b) with cosine >= tau, exactly, on quantized
-    * vectors. tauPm is cosine in per-mille (450 = 0.45). */
+    * vectors. tauPm is cosine in per-mille (450 = 0.45). `querySide`
+    * restricts EITHER member of the pair: candidates are generated with the
+    * query filter on one side and the pair normalized to (id_a < id_b)
+    * afterwards, so a qualifying (query, non-query) pair is found whichever
+    * member has the lower id (a one-sided `id_a < id_b` join silently
+    * dropped pairs whose query member had the HIGHER id). */
   def cosinePairs(vecs: DataFrame, idCol: String, embCol: String, tauPm: Int,
       querySide: DataFrame => DataFrame = identity, dim: Int = 64): DataFrame = {
     val qd = withQuantNorm(vecs, idCol, embCol, dim)
-    val a = querySide(qd).select(col("id").as("id_a"), col("q").as("qa"), col("nq").as("na"))
-    val b = qd.select(col("id").as("id_b"), col("q").as("qb"), col("nq").as("nb"))
-    val t2 = lit(tauPm.toLong * tauPm) // tau² in 1e6 units; 10⁶·dot² < 2^63 for unit vecs
-    a.join(b, col("id_a") < col("id_b"))
+    val a = querySide(qd).select(col("id").as("id_q"), col("q").as("qa"), col("nq").as("nqa"))
+    val b = qd.select(col("id").as("id_o"), col("q").as("qb"), col("nq").as("nqo"))
+    val t2 = lit(tauPm.toLong * tauPm) // tau² in 1e6 units
+    a.join(b, col("id_q") =!= col("id_o"))
       .withColumn("dot", dotQ(col("qa"), col("qb"), dim))
-      .where(col("dot") > 0 && lit(1000000L) * col("dot") * col("dot") >= t2 * col("na") * col("nb"))
-      .select("id_a", "id_b", "dot", "na", "nb")
+      .where(col("dot") > 0 && cosAtLeastTau(col("dot"), col("nqa"), col("nqo"), t2))
+      .select(
+        least(col("id_q"), col("id_o")).as("id_a"),
+        greatest(col("id_q"), col("id_o")).as("id_b"),
+        col("dot"),
+        when(col("id_q") < col("id_o"), col("nqa")).otherwise(col("nqo")).as("na"),
+        when(col("id_q") < col("id_o"), col("nqo")).otherwise(col("nqa")).as("nb"))
+      .dropDuplicates("id_a", "id_b") // identity querySide yields each pair twice
   }
 
   /** Brute-force top-k positive-cosine neighbors for a query subset.
@@ -118,6 +142,9 @@ object Ann {
     * dedup above. */
   def lshPairs(vecs: DataFrame, idCol: String, embCol: String, dim: Int,
       tauPm: Int, numBits: Int = 16, bands: Int = 4): DataFrame = {
+    require(numBits % bands == 0,
+      s"numBits ($numBits) must be divisible by bands ($bands) — otherwise " +
+        s"${numBits % bands} signature bits would be silently ignored")
     val rows = numBits / bands
     val qd = withQuantNorm(vecs, idCol, embCol, dim)
       .withColumn("sig", lshSignature(col("q"), dim, numBits))
@@ -150,8 +177,7 @@ object Ann {
     cands
       .join(qp.select(col("id").as("id_b"), col("p").as("pb")), "id_b")
       .withColumn("dot", dotQ(col("pa.q"), col("pb.q"), dim))
-      .where(col("dot") > 0 &&
-        lit(1000000L) * col("dot") * col("dot") >= t2 * col("pa.nq") * col("pb.nq"))
+      .where(col("dot") > 0 && cosAtLeastTau(col("dot"), col("pa.nq"), col("pb.nq"), t2))
       .select("id_a", "id_b", "dot")
   }
 

@@ -22,6 +22,28 @@ class DataOpsSpec extends AnyFunSuite {
   lazy val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
     .toDF("doc_id", "text")
 
+  test("cosinePairs: query member on EITHER side; decimal threshold survives big norms") {
+    import graft.sim.Ann
+    // v1 ~ v3 (cosine 1), v2 orthogonal-ish; components of magnitude 100 =>
+    // nq ~ 2e10 per vector: the old pure-long cross-multiplication of
+    // 10^6*dot^2 vs t2*na*nb overflows Long here (norm >> 1.75)
+    val vecs = Seq(
+      (1L, Array.fill(64)(100.0f)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 100.0f else -100.0f)),
+      (3L, Array.fill(64)(100.0f)))
+      .toDF("vec_id", "embedding")
+    // querySide keeps only the HIGHEST id (3): the (1,3) pair's query member
+    // has the higher id, which the one-sided id_a < id_b join used to drop
+    val pairs = Ann.cosinePairs(vecs, "vec_id", "embedding", tauPm = 900,
+        querySide = _.where(col("id") === 3L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 3L)))
+    // identity querySide: each unordered pair exactly once
+    val all = Ann.cosinePairs(vecs, "vec_id", "embedding", tauPm = 900)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(all.size === all.toSet.size && all.toSet === Set((1L, 3L)))
+  }
+
   test("scrubPii redacts emails and phone shapes, leaves clean text intact") {
     import graft.functions.TextOps
     val rows = Seq(
@@ -53,6 +75,20 @@ class DataOpsSpec extends AnyFunSuite {
       .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
     assert((1L to 6L).forall(i => stripped(i) === s"unique body filler words $i "))
     assert(stripped(7L) === "free standing document")
+  }
+
+  test("contamination finds external probes sharing a corpus doc's id") {
+    import graft.dedup.Dedup
+    val doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq((7L, doc), (8L, "totally unrelated words here now then")).toDF("doc_id", "text")
+    val probes = Seq((7L, doc)).toDF("doc_id", "text") // benchmark file reusing id 7
+    // excludeSameId=true (the probes-from-corpus mode) hides the hit...
+    assert(Dedup.contamination(corpus, probes, "doc_id", "text", minShared = 3L).count() === 0)
+    // ...external-probe mode must flag it
+    val hit = Dedup.contamination(corpus, probes, "doc_id", "text",
+      minShared = 3L, excludeSameId = false).select("doc_id", "probe_id")
+      .as[(Long, Long)].collect().toSet
+    assert(hit === Set((7L, 7L)))
   }
 
   test("Corpus.hashSample is partition-insensitive; packBins chunks by preceding cumsum") {

@@ -227,6 +227,9 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cycles = Descend.allCycles(cyclic, cyclic.kind("n"), Nil, forward = true, maxDepth = 5)
       .select("path").as[Seq[Long]].collect().toSet
     assert(cycles === Set(Seq(1L, 2L, 3L, 1L), Seq(2L, 3L, 1L, 2L), Seq(3L, 1L, 2L, 3L)))
+    // maxDepth < 1 returns an EMPTY frame (was null -> caller NPE)
+    assert(Descend.allCycles(cyclic, cyclic.kind("n"), Nil, forward = true, maxDepth = 0)
+      .count() === 0L)
   }
 
   test("deepest emits only childless path-ends (fermor deepest)") {
