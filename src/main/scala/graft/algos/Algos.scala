@@ -191,10 +191,13 @@ object Algos {
       bfsOnPrepared(e, sources, maxIter)
     }
     if (!graft.graph.Tpch.shareScans) run()
-    else bfsCache.getOrElseUpdate(
+    else {
+      if (bfsCache.size > 64) bfsCache.clear() // bound: never pin plans forever
+      bfsCache.getOrElseUpdate(
       (spark, edges.queryExecution.analyzed.semanticHash(),
         sources.queryExecution.analyzed.semanticHash(), reverse, maxIter),
-      run().localCheckpoint(eager = false))
+        run().localCheckpoint(eager = false))
+    }
   }
 
   /** BFS over an already-materialized (__from, __to) edge frame — lets
@@ -275,10 +278,13 @@ object Algos {
   private def bfsRelax(e: DataFrame, eKey: DataFrame, sources: DataFrame,
       maxIter: Int): DataFrame =
     if (!graft.graph.Tpch.shareScans) bfsRelaxImpl(e, sources, maxIter)
-    else relaxCache.getOrElseUpdate(
-      (e.sparkSession, eKey.queryExecution.analyzed.semanticHash(),
-        sources.queryExecution.analyzed.semanticHash(), maxIter),
-      bfsRelaxImpl(e, sources, maxIter).localCheckpoint(eager = false))
+    else {
+      if (relaxCache.size > 64) relaxCache.clear() // bound: never pin plans forever
+      relaxCache.getOrElseUpdate(
+        (e.sparkSession, eKey.queryExecution.analyzed.semanticHash(),
+          sources.queryExecution.analyzed.semanticHash(), maxIter),
+        bfsRelaxImpl(e, sources, maxIter).localCheckpoint(eager = false))
+    }
 
   private def bfsRelaxImpl(e: DataFrame, sources: DataFrame, maxIter: Int): DataFrame = {
     var dist = sources.select(col(sources.columns.head).as("id")).dropDuplicates("id")
@@ -466,8 +472,14 @@ object Algos {
 
   /** Topological levels on a DAG (fermor postwalk / reverse-postwalk family):
     * level(v) = length of the longest path from any source to v. Bounded
-    * DataFrame fixpoint — maxIter caps the join chain (DAG depth). */
-  def topoLevels(vertices: DataFrame, edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    * DataFrame fixpoint — maxIter caps the join chain, and is BY CONTRACT a
+    * level cap: vertices deeper than maxIter report level <= maxIter+1
+    * (callers that know the exact depth pass it to skip the detection
+    * round). Pass `requireConverged = true` to instead fail loudly when the
+    * DAG is deeper than the bound — the safe default for unknown inputs,
+    * where a silent cap would return plausible but wrong levels. */
+  def topoLevels(vertices: DataFrame, edges: DataFrame, maxIter: Int = 10,
+      requireConverged: Boolean = false): DataFrame = {
     // parallel edges can't change a max-level fixpoint, and each round
     // dedups its frontier — no dedup shuffle, one narrow materialization
     val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
@@ -493,6 +505,11 @@ object Algos {
       else rounds += frontier.withColumn("level", lit(i + 1))
       i += 1
     }
+    if (requireConverged && !done && !frontier.isEmpty)
+      throw new IllegalStateException(
+        s"topoLevels did not converge within maxIter=$maxIter rounds: the DAG is " +
+          "deeper than the bound, so capped levels would be silently wrong — raise " +
+          "maxIter (or pass requireConverged = false to accept the level cap)")
     rounds.reduce(_.unionByName(_)).groupBy("id").agg(max(col("level")).as("level"))
   }
 
@@ -544,6 +561,7 @@ object Algos {
       // loop forest) — extract it once per (session, entry, semantic plan);
       // session-keyed so a dead session's plans are never resurrected
       val key = (edges.sparkSession, entry, edges.queryExecution.analyzed.semanticHash())
+      if (reachCache.size > 64) reachCache.clear() // bound: never pin plans forever
       reachCache.getOrElseUpdate(key,
         reachableEdgesImpl(entry, edges, maxIter).localCheckpoint(eager = false))
     }
@@ -721,8 +739,11 @@ object Algos {
     import spark.implicits._
     def solve() = idomLocal(entry, collectReachable(entry, edges))
     if (!graft.graph.Tpch.shareScans) solve()
-    else idomCache.getOrElseUpdate(
-      (spark, entry, edges.queryExecution.analyzed.semanticHash()), solve())
+    else {
+      if (idomCache.size > 64) idomCache.clear() // bound: never pin plans forever
+      idomCache.getOrElseUpdate(
+        (spark, entry, edges.queryExecution.analyzed.semanticHash()), solve())
+    }
   }
 
   /** Cooper–Harvey–Kennedy on reverse postorder, driver arrays. `es` must

@@ -23,12 +23,16 @@ final case class PropertyGraph(
     kinds: Map[String, DataFrame],
     edges: DataFrame) {
 
-  /** Unified (id, kind) vertex view. Narrow: two columns only. */
+  /** Unified (id, kind) vertex view. Narrow: two columns only. A graph with
+    * zero kind tables has an EMPTY vertex set, not an empty-reduce crash. */
   lazy val vertices: DataFrame =
-    kinds.toSeq
-      .sortBy(_._1)
-      .map { case (k, df) => df.select(col("id"), lit(k).as("kind")) }
-      .reduce(_.unionAll(_))
+    if (kinds.isEmpty)
+      edges.select(col("src").as("id"), lit("").as("kind")).where(lit(false))
+    else
+      kinds.toSeq
+        .sortBy(_._1)
+        .map { case (k, df) => df.select(col("id"), lit(k).as("kind")) }
+        .reduce(_.unionAll(_))
 
   def kind(name: String): DataFrame = kinds(name)
 
@@ -57,8 +61,16 @@ final case class PropertyGraph(
     * (outer-join semantics: unmatched vertices keep their old values). */
   def withVertexProps(kindName: String, updates: DataFrame): PropertyGraph = {
     val old = kinds(kindName)
+    // ONE update row per id: duplicate ids in `updates` would fan the left
+    // join out and duplicate vertex rows. The survivor is deterministic
+    // (stable row-hash, the same tiebreak merge uses), not a partitioning
+    // accident.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(xxhash64(updates.columns.sorted.map(col): _*).asc)
+    val up1 = updates.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
     val overlap = updates.columns.filter(c => c != "id" && old.columns.contains(c))
-    val renamedNew = overlap.foldLeft(updates)((d, c) => d.withColumnRenamed(c, "__new_" + c))
+    val renamedNew = overlap.foldLeft(up1)((d, c) => d.withColumnRenamed(c, "__new_" + c))
     val joined = old.join(renamedNew, Seq("id"), "left")
     val merged = overlap.foldLeft(joined)((d, c) =>
       d.withColumn(c, coalesce(col("__new_" + c), col(c))).drop("__new_" + c))
@@ -127,14 +139,22 @@ final case class PropertyGraph(
     * partitioning never changes the result. */
   def addUniqueEdges(rows: DataFrame): PropertyGraph = {
     val keyCols = Seq("src", "dst", "label")
-    val all = edges.withColumn("__prio", lit(0))
+    // scope the uniquing to triples the BATCH mentions: the reference's
+    // add-unique-edge only affects the added triple — pre-existing parallel
+    // edges of untouched triples must survive (a global window silently
+    // collapsed them)
+    val batchKeys = rows.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+    val untouched = edges.join(batchKeys, keyCols, "left_anti")
+    val touched = edges.join(batchKeys, keyCols, "left_semi")
+    val all = touched.withColumn("__prio", lit(0))
       .unionByName(rows.withColumn("__prio", lit(1)), allowMissingColumns = true)
     val others = all.columns.filterNot((keyCols :+ "__prio").toSet)
     val order = col("__prio").desc +: others.map(c => col(c).desc_nulls_last)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy(order: _*)
-    copy(edges = all.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-      .drop("__rn", "__prio"))
+    val resolved = all.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .drop("__rn", "__prio")
+    copy(edges = untouched.unionByName(resolved, allowMissingColumns = true))
   }
 
   /** fermor graph.clj:323 `add-unique-weighted-edge`: adding an edge whose
@@ -146,11 +166,23 @@ final case class PropertyGraph(
     * weighted builder carries no other document fields). */
   def addUniqueWeightedEdges(rows: DataFrame, weightCol: String = "weight",
       defaultWeight: Double = 1.0): PropertyGraph = {
-    val all = edges.unionByName(rows, allowMissingColumns = true)
+    val keyCols = Seq("src", "dst", "label")
+    // combine ONLY triples the batch mentions: a global groupBy silently
+    // merged unrelated pre-existing parallel edges (summing their weights)
+    // and coerced every unrelated null weight to defaultWeight
+    val batchKeys = rows.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+    val untouched0 = edges.join(batchKeys, keyCols, "left_anti")
+    val untouched = // unify the weight type for the union; values untouched
+      if (untouched0.columns.contains(weightCol))
+        untouched0.withColumn(weightCol, col(weightCol).cast("double"))
+      else untouched0
+    val touched = edges.join(batchKeys, keyCols, "left_semi")
+    val all = touched.unionByName(rows, allowMissingColumns = true)
       .withColumn(weightCol, coalesce(col(weightCol).cast("double"), lit(defaultWeight)))
-    val others = all.columns.filterNot(Set("src", "dst", "label", weightCol).contains)
+    val others = all.columns.filterNot((keyCols :+ weightCol).toSet)
     val aggs = sum(col(weightCol)).as(weightCol) +: others.map(c => min(col(c)).as(c))
-    copy(edges = all.groupBy("src", "dst", "label").agg(aggs.head, aggs.tail: _*))
+    val combined = all.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    copy(edges = untouched.unionByName(combined, allowMissingColumns = true))
   }
 
   /** Bag-exact graph equality (fermor graph.clj `graph-equality` /
@@ -224,12 +256,16 @@ final case class PropertyGraph(
     // both-sided rows resolve (custom fn or later-wins)
     def resolveJoin(a: DataFrame, b: DataFrame, keys: Seq[String],
         resolve: Map[String, (Column, Column) => Column]): DataFrame = {
-      val la = a.as("l"); val rb = b.as("r")
+      // explicit presence markers: testing keys.head IS NOT NULL contradicts
+      // the null-safe <=> join — a row whose first key column is NULL would
+      // read as "absent" on both sides and bypass the resolver
+      val la = a.withColumn("__lp", lit(true)).as("l")
+      val rb = b.withColumn("__rp", lit(true)).as("r")
       val cond = keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
       val joined = la.join(rb, cond, "full_outer")
       val inL = a.columns.toSet; val inR = b.columns.toSet
-      val lPresent = col(s"l.${keys.head}").isNotNull
-      val rPresent = col(s"r.${keys.head}").isNotNull
+      val lPresent = col("l.__lp").isNotNull
+      val rPresent = col("r.__rp").isNotNull
       val keyCols = keys.map(k => coalesce(col(s"l.$k"), col(s"r.$k")).as(k))
       val valCols = (a.columns ++ b.columns).distinct.filterNot(keys.contains).map { c =>
         val out =

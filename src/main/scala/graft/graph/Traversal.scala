@@ -75,6 +75,11 @@ final case class Traversal(g: PropertyGraph, df: DataFrame) {
   private def edgeHop(labels: Seq[String], dir: String): EdgeTraversal = {
     val anchor = if (dir == "out") "src" else "dst"
     val e = edgesFor(labels)
+    val clash = carried.toSet.intersect(e.columns.toSet + "__dir")
+    require(clash.isEmpty,
+      s"carried column(s) ${clash.mkString(", ")} collide with edge columns on an " +
+        "edge hop — rename the carried column (tag/withColumn) before outE/inE/bothE, " +
+        "or downstream references to the duplicated name become ambiguous")
     val renamed = e.columns.foldLeft(e)((d, c) => d.withColumnRenamed(c, "__e_" + c))
     val joined = df.join(renamed, df("id") === renamed("__e_" + anchor))
     val edgeCols = e.columns.toSeq.map(c => joined("__e_" + c).as(c))
@@ -196,9 +201,13 @@ final case class Traversal(g: PropertyGraph, df: DataFrame) {
   def distinctIds: Traversal = Traversal(g, df.dropDuplicates("id" +: carried))
 
   /** fermor `distinct-by`: de-duplicate by an arbitrary key expression,
-    * keeping a deterministic representative (min id per key). */
+    * keeping a deterministic representative (min id per key; among same-id
+    * ties the LEXICOGRAPHICALLY SMALLEST carried tuple survives — without a
+    * tiebreak, which path/tag survives would be a partitioning accident). */
   def distinctBy(key: Column): Traversal = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(key).orderBy(col("id").asc)
+    val tie = df.columns.sorted.filterNot(_ == "id").map(c => col(c).asc_nulls_last)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+      .orderBy(col("id").asc +: tie: _*)
     Traversal(g, df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn"))
   }
 

@@ -182,6 +182,34 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val g2 = jobGraph.withVertexProps("person", updates)
     val names = g2.kind("person").select("id", "name").as[(Long, String)].collect().toMap
     assert(names(bob) === "Robert" && names(stephen) === "Stephen")
+    // duplicate update rows for one id must NOT fan the vertex out
+    val dup = Seq((bob, "Rob"), (bob, "Bobby")).toDF("id", "name")
+    val g3 = jobGraph.withVertexProps("person", dup)
+    assert(g3.kind("person").where(col("id") === bob).count() === 1)
+  }
+
+  test("unique-edge builders only touch triples the batch mentions") {
+    // two PARALLEL (bob -> appBob2, 'likes') edges, legal via addEdges
+    val base = jobGraph.addEdges(Seq(
+      (bob, appBob2, "likes"), (bob, appBob2, "likes")).toDF("src", "dst", "label"))
+    def parallelCount(g: graft.graph.PropertyGraph) =
+      g.edges.where(col("src") === bob && col("dst") === appBob2 && col("label") === "likes").count()
+    assert(parallelCount(base) === 2)
+    // a batch NOT naming that triple must leave both parallel edges intact
+    val unrelated = Seq((stephen, appStephen1, "likes")).toDF("src", "dst", "label")
+    assert(parallelCount(base.addUniqueEdges(unrelated)) === 2)
+    val gw = base.addUniqueWeightedEdges(
+      Seq((stephen, appStephen1, "likes", 2.0)).toDF("src", "dst", "label", "weight"))
+    assert(parallelCount(gw) === 2)
+    // ... while a batch naming it still collapses to one (later-wins)
+    assert(parallelCount(base.addUniqueEdges(
+      Seq((bob, appBob2, "likes")).toDF("src", "dst", "label"))) === 1)
+  }
+
+  test("vertices of a kind-less graph is empty, not a crash") {
+    val g0 = graft.graph.PropertyGraph(Map.empty, jobGraph.edges)
+    assert(g0.vertices.count() === 0L)
+    assert(!g0.hasVertex(bob))
   }
 
   test("goOn/goBack and followedForward on edge routes") {
