@@ -434,7 +434,7 @@ object SparkEntry {
       val nc = an.crossJoin(mc).select(col("nvid").as("src"), col("cvid").as("dst"))
       graft.algos.Algos.dominanceFrontiers(entry, rn.unionByName(nc))
     }),
-    "q_label_prop" -> ((s, dir) => { // rows-only: community detection sanity
+    "q_label_prop" -> ((s, dir) => { // deterministic sync LPA; oracle unrolls the rounds
       implicit val sp: SparkSession = s
       val gr = g(s, dir)
       val n = Tpch.table(s, dir, "nation")
@@ -442,7 +442,7 @@ object SparkEntry {
       val b = n.select(col("n_nationkey").as("k2"), col("n_regionkey").as("rk"))
       val adj = a.join(b, "rk").where(col("k1") =!= col("k2"))
         .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
-      graft.algos.Algos.labelPropagation(gr.kind("nation").select("id"), adj, iters = 8)
+      graft.algos.Algos.labelPropagationSync(gr.kind("nation").select("id"), adj, iters = 4)
     }),
     "q_asof" -> ((s, dir) => {
       // as-of join: each purchase event gets the most recent prior click
@@ -573,7 +573,9 @@ object SparkEntry {
       val edges = rn.unionByName(nc).unionByName(back1).unionByName(back2)
       graft.algos.Algos.loopForest(entry, edges)
     }),
-    "q_ann_ivf" -> ((s, dir) => // rows-only: IVF-flat scale path, recall spec vs brute
+    "q_ann_ivf" -> ((s, dir) => // IVF-flat scale path; the deterministic lowest-id
+      // leader quantizer makes cell assignment + probing SQL-expressible, so the
+      // whole index->probe->rescore pipeline runs under a DuckDB oracle
       graft.sim.Ann.ivfTopK(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
         querySide = _.where(col("id") < 100), nlist = 16, nprobe = 4)),
     "q_articulation" -> ((s, dir) => {
@@ -749,15 +751,19 @@ object SparkEntry {
         k = 3, numPerm = 64, bands = 16, minBp = 5000)
         .select(col("id_a"), col("id_b"), col("i").cast("long").as("i"),
           col("union_n").cast("long").as("union_n"))),
-    "q_dedup_simhash" -> ((s, dir) => // rows-only: hamming<=3 via 4x16 bands
-      graft.dedup.Dedup.simhashPairs(Tpch.table(s, dir, "documents"), "doc_id", "text", maxHam = 3)),
+    "q_dedup_simhash" -> ((s, dir) => // hamming<=3 via pigeonhole bands; md5-portable
+      // token hash so the full signature->band->popcount pipeline is oracled
+      graft.dedup.Dedup.simhashPairs(Tpch.table(s, dir, "documents"), "doc_id", "text",
+        maxHam = 3, portable = true)),
     // ---- §2.4 similarity search ----------------------------------------
     "q_ann_pairs" -> ((s, dir) =>
       graft.sim.Ann.cosinePairs(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding", tauPm = 450)),
     "q_ann_topk" -> ((s, dir) =>
       graft.sim.Ann.bruteTopK(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
         querySide = _.where(col("id") < 100))),
-    "q_ann_lsh" -> ((s, dir) => // rows-only: bucketed scale path, exact rescore
+    "q_ann_lsh" -> ((s, dir) => // bucketed scale path, exact rescore; the oracle
+      // replays the deterministic hyperplane signatures (weights inlined as a
+      // VALUES table) and the band-share predicate in closed form
       graft.sim.Ann.lshPairs(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, tauPm = 450)),
     "q_ann_pairs_lsh" -> ((s, dir) =>
@@ -812,9 +818,134 @@ object SparkEntry {
     })
   )
 
+  /** DuckDB mirror of [[graft.dedup.Dedup.portableHash64]] for a token
+    * expression: same md5-hex big-endian parse, same signed top-nibble
+    * placement — bit-identical 64-bit values on both engines. */
+  private def duckHash64(tok: String): String =
+    s"""('0x'||substr(md5($tok),1,15))::BIGINT
+       | + CASE WHEN ('0x'||substr(md5($tok),16,1))::BIGINT >= 8
+       |        THEN (('0x'||substr(md5($tok),16,1))::BIGINT - 16) * 1152921504606846976
+       |        ELSE ('0x'||substr(md5($tok),16,1))::BIGINT * 1152921504606846976 END""".stripMargin
+
+  /** q_dedup_simhash oracle: replays the ENTIRE SimHash pipeline in SQL —
+    * portable token hash, per-bit ±1 sums (sign of sum = signature bit,
+    * ties → 0, matching SimHashAgg), signed 64-bit packing (bit 63 via
+    * Long.MinValue so no unsigned overflow), then exact hamming ≤ 3 via
+    * bit_count(xor). Banding needs no mirror: the (maxHam+1)-band pigeonhole
+    * candidate pass is recall-COMPLETE for ham ≤ maxHam by construction, so
+    * the result set is exactly the ham-thresholded pair set. */
+  private def simhashOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+       |           FROM documents),
+       |     h AS (SELECT doc_id, ${duckHash64("tok")} AS th FROM t),
+       |     b AS (SELECT doc_id, j,
+       |             CASE WHEN sum(CASE WHEN (th >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+       |           FROM h, (SELECT unnest(generate_series(0, 63)) AS j) js GROUP BY 1, 2),
+       |     sig AS (SELECT doc_id,
+       |               sum(CASE WHEN j = 63 THEN (-9223372036854775807 - 1) * bit
+       |                        ELSE bit * (1::BIGINT << j) END)::BIGINT AS s
+       |             FROM b GROUP BY 1)
+       |SELECT a.doc_id AS id_a, c.doc_id AS id_b, bit_count(xor(a.s, c.s))::INT AS ham
+       |FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+       |WHERE bit_count(xor(a.s, c.s)) <= 3""".stripMargin
+
+  /** q_ann_lsh oracle: the deterministic hyperplane weights (MurmurHash3 of
+    * (plane, dim-index) mod 1001 — compile-time constants) are INLINED as a
+    * VALUES table, so DuckDB recomputes the exact 16-bit signatures; the
+    * 4-band candidate condition collapses to an OR of band equalities over
+    * all id-ordered pairs (the Spark side's first-shared-band dedup only
+    * de-duplicates the same set); rescore is the shared integer-cosine
+    * threshold. Signatures are 16-bit non-negative, so the shifts are safe
+    * in both engines. */
+  private def annLshOracleSql: String = {
+    val w = graft.sim.Ann.planeWeights(64, 16)
+    val values = (0 until 16).flatMap(p => (0 until 64).map(i => s"($p,${i + 1},${w(p)(i)})"))
+      .mkString(", ")
+    s"""WITH qv AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
+       |              round(unnest(embedding)::DOUBLE * 1000)::BIGINT AS q FROM embeddings),
+       |     norms AS (SELECT vec_id, sum(q*q)::BIGINT AS nq FROM qv GROUP BY 1),
+       |     w(p, i, wt) AS (VALUES $values),
+       |     proj AS (SELECT qv.vec_id, w.p, sum(qv.q * w.wt)::BIGINT AS acc
+       |              FROM qv JOIN w ON qv.i = w.i GROUP BY 1, 2),
+       |     sig AS (SELECT vec_id, sum(CASE WHEN acc > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS s
+       |             FROM proj GROUP BY 1),
+       |     cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |              FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+       |              WHERE (a.s & 15) = (b.s & 15) OR ((a.s >> 4) & 15) = ((b.s >> 4) & 15)
+       |                 OR ((a.s >> 8) & 15) = ((b.s >> 8) & 15) OR ((a.s >> 12) & 15) = ((b.s >> 12) & 15)),
+       |     dots AS (SELECT c.id_a, c.id_b, sum(a.q * b.q)::BIGINT AS dot
+       |              FROM cand c JOIN qv a ON a.vec_id = c.id_a JOIN qv b ON b.vec_id = c.id_b AND a.i = b.i
+       |              GROUP BY 1, 2)
+       |SELECT id_a, id_b, dot
+       |FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
+       |WHERE dot > 0 AND 1000000 * dot * dot >= 450 * 450 * na.nq * nb.nq""".stripMargin
+  }
+
+  /** q_ann_ivf oracle: leaders are the 16 lowest vec_ids (the deterministic
+    * "sampled leaders" quantizer), so cell assignment (argmax integer cosine
+    * vs leaders, tie → lowest leader), nprobe=4 probing, and the exact
+    * top-3 rescore all replay in SQL. Leader scores can be NEGATIVE, where
+    * float-double division then truncation-toward-zero (Spark's
+    * long.divide.cast) differs from floor division — trunc() mirrors it
+    * exactly; the final rescore filters dot > 0, so `//` is safe there. */
+  private def annIvfOracleSql: String =
+    s"""WITH qv AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
+       |              round(unnest(embedding)::DOUBLE * 1000)::BIGINT AS q FROM embeddings),
+       |     norms AS (SELECT vec_id, sum(q*q)::BIGINT AS nq FROM qv GROUP BY 1),
+       |     l AS (SELECT vec_id AS lid FROM embeddings ORDER BY vec_id LIMIT 16),
+       |     ld AS (SELECT v.vec_id AS id, lq.vec_id AS lid, sum(v.q * lq.q)::BIGINT AS ldot
+       |            FROM qv v JOIN qv lq ON v.i = lq.i AND lq.vec_id IN (SELECT lid FROM l)
+       |            GROUP BY 1, 2),
+       |     lsc AS (SELECT ld.id, ld.lid,
+       |               trunc((ld.ldot * 1000000)::DOUBLE
+       |                     / greatest(floor(sqrt((nv.nq * nl.nq)::DOUBLE))::BIGINT, 1))::BIGINT AS lscore
+       |             FROM ld JOIN norms nv ON ld.id = nv.vec_id JOIN norms nl ON ld.lid = nl.vec_id),
+       |     rk AS (SELECT id, lid AS cell,
+       |              row_number() OVER (PARTITION BY id ORDER BY lscore DESC, lid ASC) AS lrn FROM lsc),
+       |     indexed AS (SELECT id AS id_n, cell FROM rk WHERE lrn = 1),
+       |     probes AS (SELECT id AS id_q, cell FROM rk WHERE id < 100 AND lrn <= 4),
+       |     cand AS (SELECT DISTINCT p.id_q, x.id_n FROM probes p JOIN indexed x USING (cell)
+       |              WHERE p.id_q <> x.id_n),
+       |     sc AS (SELECT c.id_q, c.id_n, sum(a.q * b.q)::BIGINT AS dot
+       |            FROM cand c JOIN qv a ON a.vec_id = c.id_q JOIN qv b ON b.vec_id = c.id_n AND a.i = b.i
+       |            GROUP BY 1, 2),
+       |     fin AS (SELECT id_q, id_n,
+       |               (dot * 1000000) // floor(sqrt((na.nq * nb.nq)::DOUBLE))::BIGINT AS score
+       |             FROM sc JOIN norms na ON id_q = na.vec_id JOIN norms nb ON id_n = nb.vec_id
+       |             WHERE dot > 0)
+       |SELECT id_q, id_n, score,
+       |       row_number() OVER (PARTITION BY id_q ORDER BY score DESC, id_n ASC)::INT AS rn
+       |FROM fin QUALIFY rn <= 3""".stripMargin
+
+  /** q_label_prop oracle: the synchronous LPA rounds of
+    * [[graft.algos.Algos.labelPropagationSync]] unrolled as chained CTEs —
+    * each round recomputes (dst, label) counts from the PREVIOUS round only,
+    * argmax with (count DESC, label ASC) tie-break, keep-own-label when no
+    * in-neighbors. Vertex ids use the §3 vid arithmetic inline. */
+  private def labelPropOracleSql(iters: Int): String = {
+    val init = "l0 AS (SELECT 2000000000000 + n_nationkey AS id, 2000000000000 + n_nationkey AS lbl FROM nation)"
+    val e = """e AS (SELECT 2000000000000 + a.n_nationkey AS src, 2000000000000 + b.n_nationkey AS dst
+              |      FROM nation a JOIN nation b
+              |      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""c$r AS (SELECT e.dst AS id, l.lbl, count(*) AS n
+         |        FROM e JOIN l${r - 1} l ON e.src = l.id GROUP BY 1, 2),
+         |b$r AS (SELECT id, lbl FROM (SELECT id, lbl,
+         |          row_number() OVER (PARTITION BY id ORDER BY n DESC, lbl ASC) AS rn FROM c$r)
+         |        WHERE rn = 1),
+         |l$r AS (SELECT p.id, coalesce(b.lbl, p.lbl) AS lbl
+         |        FROM l${r - 1} p LEFT JOIN b$r b ON p.id = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $e,\n$init,\n$rounds\nSELECT id, lbl AS community FROM l$iters"
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_simhash" -> simhashOracleSql,
+    "q_ann_lsh" -> annLshOracleSql,
+    "q_ann_ivf" -> annIvfOracleSql,
+    "q_label_prop" -> labelPropOracleSql(4),
     "q_out" ->
       "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
     "q_out_path2" ->

@@ -457,6 +457,41 @@ object Algos {
       .run(buildGraph(vertices, edges), iters).vertices.toDF("id", "community")
   }
 
+  /** DETERMINISTIC synchronous label propagation (fermor/gremlin community
+    * recipe, made engine-portable): every vertex starts labeled with its own
+    * id; each round, all vertices SIMULTANEOUSLY adopt the most frequent
+    * label among their in-neighbors (ties → smallest label; no neighbors →
+    * keep the current label). Unlike GraphX's LPA (whose hash-map tie-break
+    * is an iteration-order accident), every round here is a pure function of
+    * the previous labeling, so a fixed `iters` yields one exact answer that
+    * a SQL oracle can replay round by round (q_label_prop unrolls it as
+    * chained CTEs in DuckDB).
+    *
+    * Scale shape: per round, one (dst,label) count aggregation, one argmax
+    * window keyed by dst, one label join-back — all shuffles keyed by vertex
+    * id, per-round cost linear in |E|. Labels are checkpointed each round so
+    * the plan doesn't nest `iters` deep. */
+  def labelPropagationSync(vertices: DataFrame, edges: DataFrame, iters: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    val idc = vertices.columns.head
+    var labels = vertices.select(col(idc).cast("long").as("id"))
+      .withColumn("lbl", col("id")).localCheckpoint(false)
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val cnt = e.join(labels.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("id"), col("lbl")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("n").desc, col("lbl").asc)
+      val best = cnt.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("id"), col("lbl").as("nl"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
+        .localCheckpoint(false)
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
+
   /** In/out/both degree per vertex (fermor out-edge-count / in-edge-count /
     * both-edge-count, and the gremlin degree-centrality recipe). */
   def degrees(edges: DataFrame, direction: String = "both"): DataFrame = {

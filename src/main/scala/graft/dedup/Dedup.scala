@@ -234,14 +234,34 @@ object Dedup {
       .otherwise(array().cast("array<bigint>"))
   }
 
-  /** 64-bit SimHash per doc: per-token xxhash64; each output bit is the sign
-    * of the sum of ±1 contributions across tokens. One custom imperative
-    * aggregate ([[org.apache.spark.sql.graft.SimHashAgg]]) instead of 64
-    * declarative sum(when(bit(j)…)) columns. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Engine-portable 64-bit token hash, assembled from the md5 hex digest:
+    * bits 0-59 from the first 15 hex chars (big-endian), bits 60-63 from the
+    * 16th. The top-nibble placement is done with SIGNED arithmetic (CASE on
+    * nibble >= 8 → subtract 2⁶⁴) so neither engine ever parses an unsigned
+    * value past Long.MaxValue — DuckDB mirrors the exact same three-step
+    * formula with ('0x'||substr(md5(t),…))::BIGINT, making the hash a fact
+    * of the token bytes rather than of the engine (xxhash64, the default
+    * production hash below, has no DuckDB counterpart). */
+  def portableHash64(t: Column): Column = {
+    val lo = conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+    val hi = conv(substring(md5(t), 16, 1), 16, 10).cast("long")
+    val p60 = lit(1152921504606846976L) // 2^60
+    lo + when(hi >= 8, (hi - 16) * p60).otherwise(hi * p60)
+  }
+
+  /** 64-bit SimHash per doc: per-token 64-bit hash; each output bit is the
+    * sign of the sum of ±1 contributions across tokens. One custom
+    * imperative aggregate ([[org.apache.spark.sql.graft.SimHashAgg]])
+    * instead of 64 declarative sum(when(bit(j)…)) columns.
+    *
+    * `portable = true` swaps xxhash64 for [[portableHash64]] so the whole
+    * signature (and therefore the pair set) is reproducible in the DuckDB
+    * oracle; the aggregation pipeline is identical either way. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame =
     docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("ts"))
       .select(col("id"), explode(col("ts")).as("t"))
-      .withColumn("th", xxhash64(col("t")))
+      .withColumn("th", if (portable) portableHash64(col("t")) else xxhash64(col("t")))
       .groupBy("id")
       .agg(org.apache.spark.sql.graft.SimHashAgg.column(col("th")).as("simhash"))
 
@@ -251,11 +271,12 @@ object Dedup {
     * always shares at least one band verbatim (a fixed 4-band split was
     * only complete for ham <= 3 and silently lost pairs beyond it). Bands
     * split the 64 bits as evenly as possible; exact popcount rescores. */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHam: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHam: Int = 3,
+      portable: Boolean = false): DataFrame = {
     require(maxHam >= 0 && maxHam < 64, s"maxHam must be in [0, 64), got $maxHam")
     val nBands = maxHam + 1
     val bounds = (0 to nBands).map(b => b * 64 / nBands) // even-ish split of 64 bits
-    val sh = simhash(docs, idCol, textCol)
+    val sh = simhash(docs, idCol, textCol, portable)
     val banded = sh.select(col("id"), col("simhash"),
       explode(array((0 until nBands).map { b =>
         val lo = bounds(b); val width = bounds(b + 1) - lo
