@@ -758,6 +758,23 @@ object SparkEntry {
     // ---- §2.4 similarity search ----------------------------------------
     "q_ann_pairs" -> ((s, dir) =>
       graft.sim.Ann.cosinePairs(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding", tauPm = 450)),
+    "q_semdedup" -> ((s, dir) => { // SemDeDup: IVF cells -> within-cell cosine
+      // pairs -> transitive closure -> min-id representative per group
+      implicit val sp: SparkSession = s
+      graft.sim.Ann.semanticDedup(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
+        tauPm = 450, nlist = 16)
+    }),
+    "q_mixture_sample" -> ((s, dir) => // data mixing: per-language keep rates,
+      // pure integer hash predicate — zero shuffle, reproducible anywhere
+      graft.pipeline.Corpus.mixtureSample(Tpch.table(s, dir, "documents"),
+        col("lang"), col("doc_id"),
+        Seq("en" -> 2500, "de" -> 10000, "es" -> 5000), defaultBp = 1250)
+        .select("doc_id", "lang")),
+    "q_domain_cap" -> ((s, dir) => // per-source quota: deterministic hash-order
+      // top-5 per domain, two-phase so a hot domain never owns one reducer
+      graft.pipeline.Corpus.domainCap(Tpch.table(s, dir, "documents"),
+        col("source"), col("doc_id"), cap = 5)
+        .select(col("doc_id"), col("source"), col("rk"))),
     "q_ann_topk" -> ((s, dir) =>
       graft.sim.Ann.bruteTopK(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
         querySide = _.where(col("id") < 100))),
@@ -881,29 +898,35 @@ object SparkEntry {
        |WHERE dot > 0 AND 1000000 * dot * dot >= 450 * 450 * na.nq * nb.nq""".stripMargin
   }
 
-  /** q_ann_ivf oracle: leaders are the 16 lowest vec_ids (the deterministic
-    * "sampled leaders" quantizer), so cell assignment (argmax integer cosine
-    * vs leaders, tie → lowest leader), nprobe=4 probing, and the exact
-    * top-3 rescore all replay in SQL. Leader scores can be NEGATIVE, where
+  /** Shared CTE prefix for the IVF-cell oracles (q_ann_ivf, q_semdedup):
+    * leaders are the 16 lowest vec_ids (the deterministic "sampled leaders"
+    * quantizer), so cell assignment (argmax integer cosine vs leaders, tie →
+    * lowest leader) replays in SQL. Leader scores can be NEGATIVE, where
     * float-double division then truncation-toward-zero (Spark's
     * long.divide.cast) differs from floor division — trunc() mirrors it
-    * exactly; the final rescore filters dot > 0, so `//` is safe there. */
+    * exactly. */
+  private def ivfCellCtes: String =
+    s"""qv AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
+       |         round(unnest(embedding)::DOUBLE * 1000)::BIGINT AS q FROM embeddings),
+       |norms AS (SELECT vec_id, sum(q*q)::BIGINT AS nq FROM qv GROUP BY 1),
+       |ldr AS (SELECT vec_id AS lid FROM embeddings ORDER BY vec_id LIMIT 16),
+       |ld AS (SELECT v.vec_id AS id, lq.vec_id AS lid, sum(v.q * lq.q)::BIGINT AS ldot
+       |       FROM qv v JOIN qv lq ON v.i = lq.i AND lq.vec_id IN (SELECT lid FROM ldr)
+       |       GROUP BY 1, 2),
+       |lsc AS (SELECT ld.id, ld.lid,
+       |          trunc((ld.ldot * 1000000)::DOUBLE
+       |                / greatest(floor(sqrt((nv.nq * nl.nq)::DOUBLE))::BIGINT, 1))::BIGINT AS lscore
+       |        FROM ld JOIN norms nv ON ld.id = nv.vec_id JOIN norms nl ON ld.lid = nl.vec_id),
+       |rnk AS (SELECT id, lid AS cell,
+       |          row_number() OVER (PARTITION BY id ORDER BY lscore DESC, lid ASC) AS lrn FROM lsc)""".stripMargin
+
+  /** q_ann_ivf oracle: IVF cells from [[ivfCellCtes]], nprobe=4 probing, and
+    * the exact top-3 rescore; the rescore filters dot > 0, so `//` is safe
+    * there. */
   private def annIvfOracleSql: String =
-    s"""WITH qv AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
-       |              round(unnest(embedding)::DOUBLE * 1000)::BIGINT AS q FROM embeddings),
-       |     norms AS (SELECT vec_id, sum(q*q)::BIGINT AS nq FROM qv GROUP BY 1),
-       |     l AS (SELECT vec_id AS lid FROM embeddings ORDER BY vec_id LIMIT 16),
-       |     ld AS (SELECT v.vec_id AS id, lq.vec_id AS lid, sum(v.q * lq.q)::BIGINT AS ldot
-       |            FROM qv v JOIN qv lq ON v.i = lq.i AND lq.vec_id IN (SELECT lid FROM l)
-       |            GROUP BY 1, 2),
-       |     lsc AS (SELECT ld.id, ld.lid,
-       |               trunc((ld.ldot * 1000000)::DOUBLE
-       |                     / greatest(floor(sqrt((nv.nq * nl.nq)::DOUBLE))::BIGINT, 1))::BIGINT AS lscore
-       |             FROM ld JOIN norms nv ON ld.id = nv.vec_id JOIN norms nl ON ld.lid = nl.vec_id),
-       |     rk AS (SELECT id, lid AS cell,
-       |              row_number() OVER (PARTITION BY id ORDER BY lscore DESC, lid ASC) AS lrn FROM lsc),
-       |     indexed AS (SELECT id AS id_n, cell FROM rk WHERE lrn = 1),
-       |     probes AS (SELECT id AS id_q, cell FROM rk WHERE id < 100 AND lrn <= 4),
+    s"""WITH $ivfCellCtes,
+       |     indexed AS (SELECT id AS id_n, cell FROM rnk WHERE lrn = 1),
+       |     probes AS (SELECT id AS id_q, cell FROM rnk WHERE id < 100 AND lrn <= 4),
        |     cand AS (SELECT DISTINCT p.id_q, x.id_n FROM probes p JOIN indexed x USING (cell)
        |              WHERE p.id_q <> x.id_n),
        |     sc AS (SELECT c.id_q, c.id_n, sum(a.q * b.q)::BIGINT AS dot
@@ -916,6 +939,27 @@ object SparkEntry {
        |SELECT id_q, id_n, score,
        |       row_number() OVER (PARTITION BY id_q ORDER BY score DESC, id_n ASC)::INT AS rn
        |FROM fin QUALIFY rn <= 3""".stripMargin
+
+  /** q_semdedup oracle: the same IVF cells, exact integer-cosine >= tau
+    * pairs WITHIN each cell, recursive transitive closure (the
+    * q_dedup_clusters idiom), cluster = min member, keep = representative. */
+  private def semdedupOracleSql: String =
+    s"""WITH RECURSIVE $ivfCellCtes,
+       |     cells AS (SELECT id, cell FROM rnk WHERE lrn = 1),
+       |     dots AS (SELECT ca.id AS id_a, cb.id AS id_b, sum(a.q * b.q)::BIGINT AS dot
+       |              FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.id < cb.id
+       |              JOIN qv a ON a.vec_id = ca.id JOIN qv b ON b.vec_id = cb.id AND a.i = b.i
+       |              GROUP BY 1, 2),
+       |     pairs AS (SELECT id_a, id_b
+       |               FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
+       |               WHERE dot > 0 AND 1000000 * dot * dot >= 450 * 450 * na.nq * nb.nq),
+       |     e AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |     reach(a, b) AS (SELECT a, b FROM e
+       |                     UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+       |     lbl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+       |SELECT c.id, c.cell, coalesce(lb.cluster, c.id) AS cluster,
+       |       (c.id = coalesce(lb.cluster, c.id))::INT AS keep
+       |FROM cells c LEFT JOIN lbl lb ON c.id = lb.id""".stripMargin
 
   /** q_label_prop oracle: the synchronous LPA rounds of
     * [[graft.algos.Algos.labelPropagationSync]] unrolled as chained CTEs —
@@ -945,7 +989,18 @@ object SparkEntry {
     "q_dedup_simhash" -> simhashOracleSql,
     "q_ann_lsh" -> annLshOracleSql,
     "q_ann_ivf" -> annIvfOracleSql,
+    "q_semdedup" -> semdedupOracleSql,
     "q_label_prop" -> labelPropOracleSql(4),
+    "q_mixture_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT * 10000 <
+               CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 10000 WHEN 'es' THEN 5000
+                         ELSE 1250 END * 65536""",
+    "q_domain_cap" ->
+      """SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id)::INT AS rk
+         FROM documents QUALIFY rk <= 5""",
     "q_out" ->
       "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
     "q_out_path2" ->

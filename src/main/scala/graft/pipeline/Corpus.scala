@@ -45,4 +45,52 @@ object Corpus {
       .withColumn("bin", expr(s"__start div ${targetTokens}L"))
       .drop("__start")
   }
+
+  /** Deterministic MIXTURE sampling: per-stratum keep rates, one scan, zero
+    * shuffle — the "data mixing" step of corpus assembly (e.g. up-weight
+    * code, down-weight web crawl). A row is kept iff its 16-bit content-hash
+    * bucket clears the stratum's rate: h16·10000 < bp·65536, where h16 is
+    * the first 4 md5 hex digits of the key — pure integer comparison, so the
+    * decision is a fact of (key, rate) reproducible across engines, runs,
+    * and cluster sizes, and REFINABLE: raising a stratum's bp only ADDS rows
+    * (the kept set at rate r is a subset of rate r' > r), which is what an
+    * iterating mixture search needs. Strata not listed get `defaultBp`.
+    *
+    * Scale: a pure scan predicate (no RNG, no per-stratum pass, no shuffle);
+    * at 100 TB this is exactly as expensive as reading the data. */
+  def mixtureSample(df: DataFrame, stratum: Column, key: Column,
+      ratesBp: Seq[(String, Int)], defaultBp: Int = 0): DataFrame = {
+    require((defaultBp +: ratesBp.map(_._2)).forall(bp => bp >= 0 && bp <= 10000),
+      s"rates are basis points in [0, 10000]")
+    val h16 = conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+    val bp = ratesBp.foldRight(lit(defaultBp).cast("long")) { case ((s, r), acc) =>
+      when(stratum === s, lit(r.toLong)).otherwise(acc)
+    }
+    df.where(h16 * 10000L < bp * 65536L)
+  }
+
+  /** Per-domain QUOTA cap (RefinedWeb/C4-style source balancing): keep at
+    * most `cap` documents per domain, chosen by deterministic content-hash
+    * order (md5 of the id, then the id — an unbiased, re-runnable "random"
+    * sample with no RNG). Output keeps the input columns plus the kept
+    * row's per-domain rank `rk` (1..cap).
+    *
+    * Scale: computed in TWO phases so a hot domain (a crawl's top site can
+    * be 1%+ of all rows) never lands on one reducer as a whole: phase 1
+    * ranks within (domain, salt) — `salts` independent partitions, each
+    * keeping at most `cap` — then phase 2 ranks the surviving ≤ salts·cap
+    * rows per domain globally. Both phases are keyed window sorts; the
+    * final per-domain reducer sees salts·cap rows, not the domain's total. */
+  def domainCap(df: DataFrame, domain: Column, id: Column, cap: Int,
+      salts: Int = 16): DataFrame = {
+    require(cap > 0 && salts > 0)
+    val ordH = substring(md5(id.cast("string")), 1, 8)
+    val salt = pmod(conv(substring(md5(id.cast("string")), 9, 4), 16, 10).cast("long"),
+      lit(salts.toLong))
+    val w1 = Window.partitionBy(domain, salt).orderBy(ordH.asc, id.asc)
+    val w2 = Window.partitionBy(domain).orderBy(ordH.asc, id.asc)
+    df.withColumn("__rk1", row_number().over(w1)).where(col("__rk1") <= cap)
+      .drop("__rk1")
+      .withColumn("rk", row_number().over(w2)).where(col("rk") <= cap)
+  }
 }

@@ -193,23 +193,34 @@ object Ann {
     * cells, so candidate generation is an equi-join on the cell id — the
     * same narrow shuffle shape as the LSH path, but with data-adaptive cells
     * (IVF-flat, the standard ANN index layout). */
+  /** The deterministic "sampled leaders" coarse quantizer shared by
+    * [[ivfTopK]] and [[semanticDedup]]: the `nlist` lowest-id vectors. */
+  private def leadersOf(qd: DataFrame, nlist: Int): DataFrame =
+    qd.orderBy(col("id").asc).limit(nlist)
+      .select(col("id").as("lid"), col("q").as("lq"), col("nq").as("ln"))
+      .localCheckpoint(false)
+
+  /** Integer-cosine leader ranking (deterministic tie-break on lid): every
+    * row of `side` scored against every (broadcast) leader; `lrn` = 1 is the
+    * cell assignment, `lrn` <= nprobe the probe set. */
+  private def rankedCells(side: DataFrame, leaders: DataFrame, idAs: String,
+      dim: Int): DataFrame = {
+    val scored = side.crossJoin(broadcast(leaders))
+      .withColumn("ldot", dotQ(col("q"), col("lq"), dim))
+      .withColumn("lsq", floor(sqrt(col("nq").cast("double") * col("ln").cast("double"))).cast("long"))
+      .withColumn("lscore", (col("ldot") * 1000000L).divide(greatest(col("lsq"), lit(1L))).cast("long"))
+    val w = Window.partitionBy("id").orderBy(col("lscore").desc, col("lid").asc)
+    scored.withColumn("lrn", row_number().over(w))
+      .select(col("id").as(idAs), col("lid").as("cell"), col("lrn"))
+  }
+
   def ivfTopK(vecs: DataFrame, idCol: String, embCol: String, k: Int,
       querySide: DataFrame => DataFrame, nlist: Int = 16, nprobe: Int = 2,
       dim: Int = 64): DataFrame = {
     val qd = withQuantNorm(vecs, idCol, embCol, dim)
-    val leaders = qd.orderBy(col("id").asc).limit(nlist)
-      .select(col("id").as("lid"), col("q").as("lq"), col("nq").as("ln"))
-      .localCheckpoint(false)
-    // integer cosine score against each leader; deterministic tie-break on lid
-    def ranked(side: DataFrame, idAs: String): DataFrame = {
-      val scored = side.crossJoin(broadcast(leaders))
-        .withColumn("ldot", dotQ(col("q"), col("lq"), dim))
-        .withColumn("lsq", floor(sqrt(col("nq").cast("double") * col("ln").cast("double"))).cast("long"))
-        .withColumn("lscore", (col("ldot") * 1000000L).divide(greatest(col("lsq"), lit(1L))).cast("long"))
-      val w = Window.partitionBy("id").orderBy(col("lscore").desc, col("lid").asc)
-      scored.withColumn("lrn", row_number().over(w))
-        .select(col("id").as(idAs), col("lid").as("cell"), col("lrn"))
-    }
+    val leaders = leadersOf(qd, nlist)
+    def ranked(side: DataFrame, idAs: String): DataFrame =
+      rankedCells(side, leaders, idAs, dim)
     val indexed = ranked(qd, "id_n").where(col("lrn") === 1).drop("lrn")
     val probes = ranked(querySide(qd), "id_q").where(col("lrn") <= nprobe).drop("lrn")
     val cands = probes.join(indexed, "cell")
@@ -225,5 +236,41 @@ object Ann {
     val w = Window.partitionBy("id_q").orderBy(col("score").desc, col("id_n").asc)
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("id_q"), col("id_n"), col("score"), col("rn"))
+  }
+
+  /** SemDeDup-style SEMANTIC dedup: partition the collection into IVF cells
+    * (the same deterministic lowest-id leader quantizer as [[ivfTopK]]),
+    * find exact integer-cosine >= tau pairs WITHIN each cell, connect them
+    * transitively, and keep the minimum id of each duplicate group.
+    * Output: (id, cell, cluster, keep) for every vector — cluster = min
+    * member of the near-dup group (own id if unique), keep = 1 iff this id
+    * is its group's representative.
+    *
+    * Scale: the pair join is keyed by cell — candidate generation is an
+    * equi-join whose per-cell fan-out is (n/nlist)², tunable by nlist, never
+    * the global n²; the closure runs on the (tiny) pair graph only. The
+    * within-cell restriction is the SemDeDup trade stated honestly: a
+    * cross-cell near-dup pair is missed by design (the paper's recall knob
+    * is cluster count), and the ORACLE replays the same cells, so the
+    * contract is exact. */
+  def semanticDedup(vecs: DataFrame, idCol: String, embCol: String, tauPm: Int,
+      nlist: Int = 16, dim: Int = 64)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val qd = withQuantNorm(vecs, idCol, embCol, dim)
+    val cells = rankedCells(qd, leadersOf(qd, nlist), "id", dim)
+      .where(col("lrn") === 1).drop("lrn")
+    val sided = cells.join(qd, "id").localCheckpoint(false)
+    val t2 = lit(tauPm.toLong * tauPm)
+    val pairs = sided.as("a").join(sided.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("dot", dotQ(col("a.q"), col("b.q"), dim))
+      .where(col("dot") > 0 && cosAtLeastTau(col("dot"), col("a.nq"), col("b.nq"), t2))
+      .select(col("a.id").as("src"), col("b.id").as("dst"))
+    val cc = graft.algos.Algos.connectedComponents(
+      cells.select(col("id")), pairs)
+    cells.join(cc, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("component"), col("id")).as("cluster"),
+        (coalesce(col("component"), col("id")) === col("id")).cast("int").as("keep"))
   }
 }

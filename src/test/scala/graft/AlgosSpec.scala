@@ -496,4 +496,22 @@ class AlgosSpec extends AnyFunSuite {
     assert(enum_(0L) === 13L && enum_(1L) === 7L)
     assert(brandes(0L) === 6.0)
   }
+
+  test("labelPropagationSync: one round matches the hand-computed argmax; runs are deterministic") {
+    // two triangles {1,2,3} and {4,5,6} bridged by 3-6, undirected
+    val uni = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 6L))
+      .toDF("src", "dst")
+    val es = uni.unionByName(uni.select(col("dst").as("src"), col("src").as("dst")))
+    val vs = (1L to 6L).toDF("id")
+    // round 1 from self-labels: every vertex adopts the MIN neighbor label
+    // (all counts tie at 1)
+    val r1 = Algos.labelPropagationSync(vs, es, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 4L, 6L -> 3L))
+    // fixed iteration count => one exact deterministic answer
+    val a = Algos.labelPropagationSync(vs, es, iters = 4).as[(Long, Long)].collect().toSet
+    val b = Algos.labelPropagationSync(vs.repartition(3), es.repartition(5), iters = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
 }

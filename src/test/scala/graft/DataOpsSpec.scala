@@ -892,4 +892,82 @@ class DataOpsSpec extends AnyFunSuite {
     q.stop()
     assert(got === expected)
   }
+
+  test("portable simhash: identical docs pair at hamming 0; pipeline matches xxhash64 shape") {
+    // the md5-derived portable hash changes the SIGNATURES but not the
+    // contract: identical texts share a signature (ham 0) under any hash,
+    // and unrelated docs stay out at a tight threshold
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHam = 6, portable = true)
+      .as[(Long, Long, Int)].collect().map(r => ((r._1, r._2), r._3)).toMap
+    assert(pairs((1L, 4L)) === 0)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // determinism: a second evaluation is bit-identical
+    val again = Dedup.simhashPairs(docs, "doc_id", "text", maxHam = 6, portable = true)
+      .as[(Long, Long, Int)].collect().map(r => ((r._1, r._2), r._3)).toMap
+    assert(again === pairs)
+  }
+
+  test("mixtureSample: per-stratum rates are monotone-refinable and partition-insensitive") {
+    import graft.pipeline.Corpus
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def kept(rates: Seq[(String, Int)], default: Int, df: org.apache.spark.sql.DataFrame = corpus) =
+      Corpus.mixtureSample(df, col("lang"), col("doc_id"), rates, default)
+        .select("doc_id").as[Long].collect().toSet
+    val low = kept(Seq("en" -> 2500), 0)
+    val high = kept(Seq("en" -> 7500), 0)
+    // raising a stratum's rate only ADDS rows (subset property an iterating
+    // mixture search depends on)
+    assert(low.subsetOf(high) && low.size < high.size)
+    // rate 10000 keeps the whole stratum; rate 0 drops it entirely
+    val en = corpus.where(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    assert(kept(Seq("en" -> 10000), 0) === en)
+    assert(kept(Seq.empty, 0).isEmpty)
+    // pure hash predicate: physical partitioning cannot change the sample
+    assert(kept(Seq("en" -> 2500), 0, corpus.repartition(7)) === low)
+  }
+
+  test("domainCap: two-phase result equals the single-window reference for any salts") {
+    import graft.pipeline.Corpus
+    import org.apache.spark.sql.expressions.Window
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ordH = substring(md5(col("doc_id").cast("string")), 1, 8)
+    val ref = corpus.withColumn("rk",
+        row_number().over(Window.partitionBy(col("source")).orderBy(ordH.asc, col("doc_id").asc)))
+      .where(col("rk") <= 3)
+      .select("doc_id", "source", "rk").as[(Long, String, Int)].collect().toSet
+    for (salts <- Seq(1, 2, 16)) {
+      val got = Corpus.domainCap(corpus, col("source"), col("doc_id"), cap = 3, salts = salts)
+        .select("doc_id", "source", "rk").as[(Long, String, Int)].collect().toSet
+      assert(got === ref, s"salts=$salts")
+    }
+    // every domain respects the cap
+    val counts = Corpus.domainCap(corpus, col("source"), col("doc_id"), cap = 3)
+      .groupBy("source").count().as[(String, Long)].collect()
+    assert(counts.forall(_._2 <= 3))
+  }
+
+  test("semanticDedup: within-cell near-dup groups collapse to the min-id representative") {
+    // nlist=2 => leaders are v1 (direction A) and v2 (direction B); v3, v4
+    // are near-A (cell 1), v5 near-B (cell 2), v6 anti-A (own best leader is
+    // still A-side but negative dot => no pair can form with dot > 0)
+    val a = Array.tabulate(64)(i => if (i < 32) 1.0f else 0.0f)
+    val b = Array.tabulate(64)(i => if (i >= 32) 1.0f else 0.0f)
+    def mix(base: Array[Float], eps: Float, at: Int): Array[Float] = {
+      val v = base.clone(); v(at) = v(at) + eps; v
+    }
+    val vecs = Seq(
+      (1L, a), (2L, b), (3L, mix(a, 0.1f, 0)), (4L, mix(a, 0.1f, 1)),
+      (5L, mix(b, 0.1f, 62)), (6L, a.map(-_)))
+      .toDF("vec_id", "embedding")
+    val out = graft.sim.Ann.semanticDedup(vecs, "vec_id", "embedding",
+        tauPm = 900, nlist = 2)
+      .select("id", "cluster", "keep").as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((1L, 1)))
+    assert(out(3L) === ((1L, 0)))
+    assert(out(4L) === ((1L, 0)))
+    assert(out(2L) === ((2L, 1)))
+    assert(out(5L) === ((2L, 0)))
+    assert(out(6L) === ((6L, 1))) // negative dot: never pairs, own cluster
+  }
 }
