@@ -180,7 +180,7 @@ object ScaleProbe {
     // absorb: linear scan+shuffle growth, bounded output.
     val kk = k * k
     val docs1 = spark.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id", "text").localCheckpoint(true)
+      .select("doc_id", "text", "source").localCheckpoint(true)
     val docsK = (0 until kk).map(i =>
         docs1.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
       .reduce(_.unionByName(_)).localCheckpoint(true)
@@ -188,7 +188,13 @@ object ScaleProbe {
       "dedup_exact" -> (d => graft.dedup.Dedup.exact(d, "doc_id", "text").count()),
       "tfidf_top3" -> (d => graft.functions.TextOps.tfidfTopTerms(d, "doc_id", "text", 3).count()),
       "boilerplate_df" -> (d => graft.functions.TextOps
-        .boilerplateGrams(d, "doc_id", "text", k = 3, minDf = 5L).count()))
+        .boilerplateGrams(d, "doc_id", "text", k = 3, minDf = 5L).count()),
+      // per-domain quota: replication multiplies every domain's row count
+      // (the hot-domain regime) while the kept output stays at domains×cap —
+      // the two-phase split keeps the final per-domain reducer at salts×cap
+      // rows no matter how large the domain grows
+      "domain_cap" -> (d => graft.pipeline.Corpus
+        .domainCap(d, col("source"), col("doc_id"), cap = 100, salts = 16).count()))
     pipeProbes.foreach { case (name, f) =>
       val (t1, n1) = minTime(f(docs1))
       val (tK, nK) = minTime(f(docsK))

@@ -84,6 +84,8 @@ object Corpus {
   def domainCap(df: DataFrame, domain: Column, id: Column, cap: Int,
       salts: Int = 16): DataFrame = {
     require(cap > 0 && salts > 0)
+    require(!df.columns.contains("rk"),
+      "domainCap emits a `rk` rank column; rename the input's `rk` first")
     val ordH = substring(md5(id.cast("string")), 1, 8)
     val salt = pmod(conv(substring(md5(id.cast("string")), 9, 4), 16, 10).cast("long"),
       lit(salts.toLong))

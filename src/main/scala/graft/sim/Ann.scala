@@ -266,8 +266,12 @@ object Ann {
       .withColumn("dot", dotQ(col("a.q"), col("b.q"), dim))
       .where(col("dot") > 0 && cosAtLeastTau(col("dot"), col("a.nq"), col("b.nq"), t2))
       .select(col("a.id").as("src"), col("b.id").as("dst"))
-    val cc = graft.algos.Algos.connectedComponents(
-      cells.select(col("id")), pairs)
+    // CC runs on the PAIR-TOUCHED vertices only — the pair graph is tiny
+    // relative to the collection, so isolated vectors never enter Pregel;
+    // they fall out of the left join as their own singleton cluster.
+    val touched = pairs.select(col("src").as("id"))
+      .unionByName(pairs.select(col("dst").as("id"))).distinct()
+    val cc = graft.algos.Algos.connectedComponents(touched, pairs)
     cells.join(cc, Seq("id"), "left")
       .select(col("id"), col("cell"),
         coalesce(col("component"), col("id")).as("cluster"),

@@ -946,6 +946,28 @@ class DataOpsSpec extends AnyFunSuite {
     assert(counts.forall(_._2 <= 3))
   }
 
+  test("streaming mixture sampling matches the ORACLED batch sample on the documents table") {
+    // Corpus.mixtureSample is a pure scan predicate (q_mixture_sample is
+    // DuckDB-oracled), so the SAME call applies unchanged to a readStream
+    // source: replaying the documents table through a MemoryStream admits
+    // exactly the batch keep set — the streaming ingest form of data mixing.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Corpus
+    val docsT = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rates = Seq("en" -> 2500, "de" -> 10000)
+    val expected = Corpus.mixtureSample(docsT, col("lang"), col("doc_id"), rates, 1250)
+      .select("doc_id").as[Long].collect().toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = Corpus.mixtureSample(mem.toDS().toDF("doc_id", "lang"),
+        col("lang"), col("doc_id"), rates, 1250)
+      .writeStream.format("memory").queryName("mixture_bridge").outputMode("append").start()
+    mem.addData(docsT.select("doc_id", "lang").as[(Long, String)].collect().toSeq)
+    q.processAllAvailable()
+    val got = spark.table("mixture_bridge").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(got === expected)
+  }
+
   test("semanticDedup: within-cell near-dup groups collapse to the min-id representative") {
     // nlist=2 => leaders are v1 (direction A) and v2 (direction B); v3, v4
     // are near-A (cell 1), v5 near-B (cell 2), v6 anti-A (own best leader is
