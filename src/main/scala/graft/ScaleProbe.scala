@@ -191,10 +191,10 @@ object ScaleProbe {
         .boilerplateGrams(d, "doc_id", "text", k = 3, minDf = 5L).count()),
       // per-domain quota: replication multiplies every domain's row count
       // (the hot-domain regime) while the kept output stays at domains×cap —
-      // the two-phase split keeps the final per-domain reducer at salts×cap
-      // rows no matter how large the domain grows
+      // the map-side WindowGroupLimit keeps the per-domain reducer at
+      // tasks×cap rows no matter how large the domain grows
       "domain_cap" -> (d => graft.pipeline.Corpus
-        .domainCap(d, col("source"), col("doc_id"), cap = 100, salts = 16).count()))
+        .domainCap(d, col("source"), col("doc_id"), cap = 100).count()))
     pipeProbes.foreach { case (name, f) =>
       val (t1, n1) = minTime(f(docs1))
       val (tK, nK) = minTime(f(docsK))

@@ -771,10 +771,29 @@ object SparkEntry {
         Seq("en" -> 2500, "de" -> 10000, "es" -> 5000), defaultBp = 1250)
         .select("doc_id", "lang")),
     "q_domain_cap" -> ((s, dir) => // per-source quota: deterministic hash-order
-      // top-5 per domain, two-phase so a hot domain never owns one reducer
+      // top-5 per domain; map-side WindowGroupLimit bounds hot domains
       graft.pipeline.Corpus.domainCap(Tpch.table(s, dir, "documents"),
         col("source"), col("doc_id"), cap = 5)
         .select(col("doc_id"), col("source"), col("rk"))),
+    "q_pipeline_assemble" -> ((s, dir) => {
+      // Corpus ASSEMBLY fused into ONE Catalyst plan — the companion to
+      // q_pipeline_clean's cleaning chain: mixture-sample per language →
+      // per-source quota → token counts → sequence packing → per-(shard,
+      // bin) packed stats. One scan, one window pass per keyed stage; every
+      // stage is also independently oracled (q_mixture_sample, q_domain_cap,
+      // q_pack).
+      import graft.functions.TextOps
+      import graft.pipeline.Corpus
+      val mixed = Corpus.mixtureSample(Tpch.table(s, dir, "documents"),
+        col("lang"), col("doc_id"),
+        Seq("en" -> 5000, "de" -> 10000, "es" -> 7500), defaultBp = 2500)
+      val capped = Corpus.domainCap(mixed, col("source"), col("doc_id"), cap = 20)
+      val toks = capped.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      Corpus.packBins(toks, "doc_id", "n_toks", targetTokens = 512L, shards = 8)
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    }),
     "q_ann_topk" -> ((s, dir) =>
       graft.sim.Ann.bruteTopK(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
         querySide = _.where(col("id") < 100))),
@@ -1001,6 +1020,25 @@ object SparkEntry {
                 row_number() OVER (PARTITION BY source
                   ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id)::INT AS rk
          FROM documents QUALIFY rk <= 5""",
+    "q_pipeline_assemble" ->
+      """WITH mixed AS (SELECT doc_id, source, text FROM documents
+                        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT * 10000 <
+                              CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+                                        WHEN 'es' THEN 7500 ELSE 2500 END * 65536),
+            capped AS (SELECT doc_id, text,
+                         row_number() OVER (PARTITION BY source
+                           ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id) AS rk
+                       FROM mixed QUALIFY rk <= 20),
+            t AS (SELECT doc_id, doc_id % 8 AS shard,
+                    len(list_filter(string_split(text, ' '), x -> len(x) > 0))::BIGINT AS n_toks
+                  FROM capped),
+            c AS (SELECT shard, n_toks,
+                    coalesce(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+                  FROM t)
+         SELECT shard, (start_tok // 512)::BIGINT AS bin,
+                count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens
+         FROM c GROUP BY 1, 2""",
     "q_out" ->
       "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
     "q_out_path2" ->

