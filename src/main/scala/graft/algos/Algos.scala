@@ -474,10 +474,13 @@ object Algos {
   def labelPropagationSync(vertices: DataFrame, edges: DataFrame, iters: Int)(
       implicit spark: SparkSession): DataFrame = {
     val idc = vertices.columns.head
+    // EAGER per-round checkpoints (the Descend rule): round k feeds round
+    // k+1, so a lazy checkpoint would leave the final action to recompute a
+    // plan nested `iters` deep.
     var labels = vertices.select(col(idc).cast("long").as("id"))
-      .withColumn("lbl", col("id")).localCheckpoint(false)
+      .withColumn("lbl", col("id")).localCheckpoint(true)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val cnt = e.join(labels.select(col("id").as("src"), col("lbl")), "src")
         .groupBy(col("dst").as("id"), col("lbl")).agg(count(lit(1)).as("n"))
@@ -487,7 +490,7 @@ object Algos {
         .select(col("id"), col("lbl").as("nl"))
       labels = labels.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
     }
     labels.select(col("id"), col("lbl").as("community"))
   }

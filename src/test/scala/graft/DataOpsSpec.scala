@@ -985,5 +985,11 @@ class DataOpsSpec extends AnyFunSuite {
     assert(out(2L) === ((2L, 1)))
     assert(out(5L) === ((2L, 0)))
     assert(out(6L) === ((6L, 1))) // negative dot: never pairs, own cluster
+    // pair-free input (threshold above every similarity): the CC runs on an
+    // EMPTY pair graph and every vector must come back its own keeper
+    val none = graft.sim.Ann.semanticDedup(vecs, "vec_id", "embedding",
+        tauPm = 1000, nlist = 2)
+      .select("id", "cluster", "keep").as[(Long, Long, Int)].collect()
+    assert(none.length === 6 && none.forall(r => r._2 === r._1 && r._3 === 1))
   }
 }
