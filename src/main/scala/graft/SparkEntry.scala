@@ -775,6 +775,10 @@ object SparkEntry {
       graft.pipeline.Corpus.domainCap(Tpch.table(s, dir, "documents"),
         col("source"), col("doc_id"), cap = 5)
         .select(col("doc_id"), col("source"), col("rk"))),
+    "q_oov" -> ((s, dir) => // corpus-relative quality: OOV basis points vs the
+      // corpus's own top-20 vocabulary (top-K is TakeOrdered, then broadcast)
+      graft.functions.TextOps.oovRateBp(Tpch.table(s, dir, "documents"),
+        "doc_id", "text", vocabSize = 20)),
     "q_pipeline_assemble" -> ((s, dir) => {
       // Corpus ASSEMBLY fused into ONE Catalyst plan — the companion to
       // q_pipeline_clean's cleaning chain: mixture-sample per language →
@@ -1020,6 +1024,15 @@ object SparkEntry {
                 row_number() OVER (PARTITION BY source
                   ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id)::INT AS rk
          FROM documents QUALIFY rk <= 5""",
+    "q_oov" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t
+                    FROM documents),
+            vocab AS (SELECT t FROM (SELECT t, count(*) AS n FROM t GROUP BY 1)
+                      ORDER BY n DESC, t ASC LIMIT 20),
+            agg AS (SELECT doc_id, count(*) AS n_toks,
+                      count(*) FILTER (WHERE t.t NOT IN (SELECT t FROM vocab)) AS n_oov
+                    FROM t GROUP BY 1)
+         SELECT doc_id, ((n_oov * 10000) // n_toks)::BIGINT AS oov_bp FROM agg""",
     "q_pipeline_assemble" ->
       """WITH mixed AS (SELECT doc_id, source, text FROM documents
                         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT * 10000 <

@@ -139,4 +139,29 @@ object TextOps {
       .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("doc_id"), col("t"), col("score"), col("rn"))
   }
+
+  /** Out-of-vocabulary rate in basis points against a CORPUS-DERIVED top-K
+    * vocabulary (frequency desc, token asc tie-break — deterministic at the
+    * boundary). The corpus-relative cousin of the fixed-list quality
+    * signals: high OOV against the corpus's own head vocabulary flags
+    * gibberish, boilerplate-stripped residue, and wrong-language text.
+    *
+    * Scale: the vocabulary is a TakeOrderedAndProject top-K (never a global
+    * sort) broadcast back to the token stream — one keyed count shuffle,
+    * one per-doc aggregation; docs with zero tokens have no rate and are
+    * absent, matching the oracle's unnest semantics. */
+  def oovRateBp(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    require(vocabSize > 0)
+    val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
+      .localCheckpoint(false)
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t").asc).limit(vocabSize)
+      .select(col("t"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), expr("(n_oov * 10000) div n_toks").as("oov_bp"))
+  }
 }
