@@ -23,6 +23,9 @@ case class HyperplaneSig(child: Expression, weights: Array[Array[Long]])
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
 
+  // null ELEMENTS contribute nothing (the projection of a missing component
+  // is 0) — a raw getLong on a null slot NPEs on generic arrays and reads
+  // an arbitrary 0 on unsafe ones; skipping keeps both paths identical.
   override def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
     var sig = 0L
@@ -32,7 +35,10 @@ case class HyperplaneSig(child: Expression, weights: Array[Array[Long]])
       val n = math.min(xs.numElements(), w.length)
       var acc = 0L
       var i = 0
-      while (i < n) { acc += xs.getLong(i) * w(i); i += 1 }
+      while (i < n) {
+        if (!xs.isNullAt(i)) acc += xs.getLong(i) * w(i)
+        i += 1
+      }
       if (acc > 0) sig |= (1L << p)
       p += 1
     }
@@ -52,7 +58,9 @@ case class HyperplaneSig(child: Expression, weights: Array[Array[Long]])
          |  final int $n = java.lang.Math.min($a.numElements(), $w.length);
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += $a.getLong($i) * $w[$i];
+         |    if (!$a.isNullAt($i)) {
+         |      $acc += $a.getLong($i) * $w[$i];
+         |    }
          |  }
          |  if ($acc > 0) $sig |= (1L << $p);
          |}

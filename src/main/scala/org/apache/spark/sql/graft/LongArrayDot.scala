@@ -28,11 +28,20 @@ case class LongArrayDot(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "long_array_dot"
 
+  // null ELEMENTS contribute nothing — the same result as the SQL-oracle
+  // formulation (a NULL product vanishes inside sum()). The expression is
+  // registered as a public SQL function (GraftExtensions), so arbitrary
+  // arrays must not NPE; a raw getLong on a null slot NPEs on generic
+  // arrays and silently reads 0 on unsafe ones — neither is acceptable
+  // surface behavior. Internal ANN callers never produce null components.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0L; var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     acc
   }
 
@@ -45,7 +54,9 @@ case class LongArrayDot(left: Expression, right: Expression)
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

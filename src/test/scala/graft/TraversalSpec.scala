@@ -417,6 +417,12 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val r = spark.sql("SELECT long_array_dot(array(1L, 2L), array(3L, 4L)) AS d").head().getLong(0)
     assert(r === 11L)
+    // public SQL surface: null ELEMENTS contribute nothing (the sum() rule),
+    // and must not NPE on the generic-array evaluation path
+    val rn = spark.sql(
+      "SELECT long_array_dot(array(1L, CAST(NULL AS BIGINT), 5L), array(3L, 4L, 2L)) AS d")
+      .head().getLong(0)
+    assert(rn === 13L)
   }
 
   test("merge: the LATER graph's document wins on id conflict (fermor merge)") {
