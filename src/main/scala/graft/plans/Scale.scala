@@ -19,6 +19,13 @@ object Scale {
 
   /** Multi-column-key variant of [[skewJoin]].
     *
+    * The salt is the full ROW hash, so it is deterministic (the bag-equality
+    * spec depends on that) — with the stated limitation that fully IDENTICAL
+    * rows share a salt: a hot key whose rows are exact duplicates still
+    * lands on one reducer. Every caller here carries a distinct id per row
+    * (co-occurrence items, vertex frontiers), which is the intended usage;
+    * salt on an explicit row-number column if yours does not.
+    *
     * The salted sides are repartitioned with an EXPLICIT partition count
     * (REPARTITION_BY_NUM), which AQE never coalesces. Without it the whole
     * point of salting can be silently undone: AQE's partition coalescing is
