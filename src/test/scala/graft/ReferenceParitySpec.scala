@@ -270,4 +270,45 @@ class ReferenceParitySpec extends AnyFunSuite {
     val weights = gW.edges.select("weight").as[Double].collect().toSet
     assert(weights === Set(23.0, 11.0))
   }
+
+  test("bring-your-own-graph wrapper behaviors (fermor custom_graph_test)") {
+    // custom_graph_test.clj:8,21 — the wrapper LAYER is adjudicated N/A
+    // (§5: PropertyGraph accepts arbitrary DataFrames directly); these are
+    // its observable behaviors on the same graphs.
+    import graft.graph.PropertyGraph
+    // different-weight-impl: kinds {x,y}, one weighted + one unweighted edge.
+    // ids: (k :x :a)=11 (k :y :b)=21 (k :x :c)=12
+    val gw = PropertyGraph(
+      Map("x" -> Seq(11L, 12L).toDF("id"), "y" -> Seq(21L).toDF("id")),
+      Seq((11L, 21L, "xy", Some(12L)), (11L, 12L, "xy", None: Option[Long]))
+        .toDF("src", "dst", "label", "weight"))
+    assert(gw.vertices.select("kind").as[String].collect().toSet === Set("x", "y"))
+    assert(gw.vertices.select("id").as[Long].collect().toSet === Set(11L, 21L, 12L))
+    assert(gw.edges.select("weight").as[Option[Long]].collect().toSet ===
+      Set(Some(12L), None)) // p/-weight over out-e: #{12 nil}
+    // incorporate-any-interface: a=1 b=2 c=3 zone1=4 zone2=5; the `region`
+    // accessor is the :region out-hop.
+    val gz = PropertyGraph(
+      Map("v" -> Seq(1L, 2L, 3L, 4L, 5L).toDF("id")),
+      Seq((1L, 4L, "region", Some(12L)), (2L, 4L, "region", None: Option[Long]),
+        (3L, 5L, "region", None), (5L, 4L, "region", None))
+        .toDF("src", "dst", "label", "weight"))
+    assert(gz.allVertices.df.select("id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 4L, 5L))
+    // (make-pairs region): every vertex paired with its region (or nil)
+    val pairs = gz.vertices.select(col("id"))
+      .join(gz.edges.select(col("src").as("id"), col("dst").as("region")), Seq("id"), "left")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(pairs === Set((1L, Some(4L)), (2L, Some(4L)), (3L, Some(5L)),
+      (5L, Some(4L)), (4L, None)))
+    // (keep region (keep region ...)): two hops, nils dropped -> [zone1]
+    val twice = gz.allVertices.out("region").out("region")
+      .df.select("id").as[Long].collect().toSeq
+    assert(twice === Seq(4L)) // only c -> zone2 -> zone1
+    // (all-edges g): the full edge set with the one weighted doc
+    val edges = gz.edges.select("src", "dst", "weight")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(edges === Set((1L, 4L, Some(12L)), (2L, 4L, None),
+      (3L, 5L, None), (5L, 4L, None)))
+  }
 }
