@@ -962,6 +962,31 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("streaming per-domain quota admits arrival-order top-cap with state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamQuota
+    val mem = MemoryStream[StreamQuota.DocS]
+    val q = StreamQuota.domainCap(mem.toDS(), cap = 3)
+      .writeStream.format("memory").queryName("quota_bridge").outputMode("append").start()
+    // batch 1: dom A sends 2 (both admitted), dom B sends 4 (3 admitted,
+    // lowest ids first)
+    mem.addData(Seq(StreamQuota.DocS(10L, "A"), StreamQuota.DocS(11L, "A"),
+      StreamQuota.DocS(24L, "B"), StreamQuota.DocS(21L, "B"),
+      StreamQuota.DocS(22L, "B"), StreamQuota.DocS(23L, "B")))
+    q.processAllAvailable()
+    // batch 2: A has room for ONE more (rank continues at 3); B is at quota
+    // and must admit nothing ever again
+    mem.addData(Seq(StreamQuota.DocS(12L, "A"), StreamQuota.DocS(13L, "A"),
+      StreamQuota.DocS(20L, "B")))
+    q.processAllAvailable()
+    val got = spark.table("quota_bridge")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    q.stop()
+    assert(got === Set(
+      (10L, "A", 1), (11L, "A", 2), (12L, "A", 3),
+      (21L, "B", 1), (22L, "B", 2), (23L, "B", 3)))
+  }
+
   test("semanticDedup: within-cell near-dup groups collapse to the min-id representative") {
     // nlist=2 => leaders are v1 (direction A) and v2 (direction B); v3, v4
     // are near-A (cell 1), v5 near-B (cell 2), v6 anti-A (own best leader is
