@@ -202,6 +202,33 @@ object ScaleProbe {
       println(f"[scale] $name%-18s 1x: $t1%6.2f s (n=$n1%9d)   ${kk}x: $tK%6.2f s (n=$nK%9d)   time-ratio: $ratio%5.2f")
     }
 
+    // --- semantic dedup probe: nlist is the scale knob ---------------------
+    // k× the vectors with k× the cells keeps per-cell occupancy — and so the
+    // within-cell pair fan-out per vector — constant: the SemDeDup recipe's
+    // stated contract (cluster count grows with the collection). Replicas
+    // are CIRCULARLY SHIFTED per copy (a rotation: norms and within-replica
+    // similarity structure preserved, directions spread across cells) so
+    // the probe measures honest data growth, not an all-duplicates corpus.
+    val emb1 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    def shifted(i: Int): org.apache.spark.sql.Column = {
+      val s = i % 64
+      if (s == 0) col("embedding")
+      else concat(slice(col("embedding"), s + 1, 64 - s), slice(col("embedding"), 1, s))
+    }
+    val embK = (0 until k).map(i =>
+        emb1.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          shifted(i).as("embedding")))
+      .reduce(_.unionByName(_)).localCheckpoint(true)
+    def semdedup(df: DataFrame, nlist: Int): Long = {
+      implicit val sp: SparkSession = spark
+      graft.sim.Ann.semanticDedup(df, "vec_id", "embedding", tauPm = 450,
+        nlist = nlist).where(col("keep") === 0).count()
+    }
+    val (sd1, sn1) = minTime(semdedup(emb1, 16))
+    val (sdK, snK) = minTime(semdedup(embK, 16 * k))
+    println(f"[scale] semdedup           1x: $sd1%6.2f s (n=$sn1%9d)   ${k}x: $sdK%6.2f s (n=$snK%9d)   time-ratio: ${sdK / math.max(sd1, 1e-9)}%5.2f")
+
     spark.stop()
   }
 }

@@ -442,7 +442,7 @@ object SparkEntry {
       val b = n.select(col("n_nationkey").as("k2"), col("n_regionkey").as("rk"))
       val adj = a.join(b, "rk").where(col("k1") =!= col("k2"))
         .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
-      graft.algos.Algos.labelPropagationSync(gr.kind("nation").select("id"), adj, iters = 4)
+      graft.algos.Algos.labelPropagationSync(gr.kind("nation").select("id"), adj, lpaIters)
     }),
     "q_asof" -> ((s, dir) => {
       // as-of join: each purchase event gets the most recent prior click
@@ -984,6 +984,10 @@ object SparkEntry {
        |       (c.id = coalesce(lb.cluster, c.id))::INT AS keep
        |FROM cells c LEFT JOIN lbl lb ON c.id = lb.id""".stripMargin
 
+  /** One constant drives BOTH the q_label_prop query and its unrolled
+    * oracle — the round counts cannot drift apart. */
+  private val lpaIters = 4
+
   /** q_label_prop oracle: the synchronous LPA rounds of
     * [[graft.algos.Algos.labelPropagationSync]] unrolled as chained CTEs —
     * each round recomputes (dst, label) counts from the PREVIOUS round only,
@@ -1013,7 +1017,7 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracleSql,
     "q_ann_ivf" -> annIvfOracleSql,
     "q_semdedup" -> semdedupOracleSql,
-    "q_label_prop" -> labelPropOracleSql(4),
+    "q_label_prop" -> labelPropOracleSql(lpaIters),
     "q_mixture_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT * 10000 <
