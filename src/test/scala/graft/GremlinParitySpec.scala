@@ -19,6 +19,55 @@ class GremlinParitySpec extends AnyFunSuite {
       Map("v" -> vs.toDF("id")),
       es.toDF("src", "dst").withColumn("label", lit(label)))
 
+  test("traversal between vertices (fermor traverse-graph / TinkerPop recipe)") {
+    // gremlin_examples_test.clj:68 — for a person, every (job, company,
+    // creationDate, application) where one of the person's applications
+    // applies to the job. ids: bob=1 stephen=2, apps 11-14, jobs 21-24,
+    // blueprints=31 rexster=32 (the degree-centrality test's mapping).
+    val vs = (Seq(1L, 2L) ++ (11L to 14L) ++ (21L to 24L) ++ Seq(31L, 32L)).toDF("id")
+    val es = Seq(
+      (1L, 11L, "completes", None), (1L, 12L, "completes", None),
+      (2L, 13L, "completes", None), (2L, 14L, "completes", None),
+      (11L, 21L, "appliesTo", None), (12L, 22L, "appliesTo", None),
+      (13L, 24L, "appliesTo", None), (14L, 23L, "appliesTo", None),
+      (31L, 21L, "created", Some("12/20/2015")), (31L, 22L, "created", Some("12/15/2015")),
+      (31L, 23L, "created", Some("12/16/2015")), (32L, 24L, "created", Some("12/18/2015")))
+      .toDF("src", "dst", "label", "creationDate")
+    val g = PropertyGraph(Map("v" -> vs), es)
+    val created = es.where(col("label") === "created")
+      .select(col("dst").as("job"), col("src").as("company"), col("creationDate"))
+    // version 1 — the fluent form the reference refactors INTO (for-macro /
+    // f->> composition): jobs → in(appliesTo) with a lookahead on the
+    // applicant, origin job carried through the hop
+    def fluent(person: Long) = {
+      val jobs = vs.where(col("id") >= 21L && col("id") <= 24L)
+        .select(col("id"), col("id").as("job"))
+      g.from(jobs).in("appliesTo").lookahead(_.in("completes").withId(person))
+        .df.select(col("job"), col("id").as("application"))
+        .join(created, "job")
+        .select("job", "company", "creationDate", "application")
+    }
+    // version 2 — the direct gremlin-port shape: plain relational joins
+    def port(person: Long) = {
+      val completes = es.where(col("label") === "completes" && col("src") === person)
+        .select(col("dst").as("application"))
+      val appliesTo = es.where(col("label") === "appliesTo")
+        .select(col("src").as("application"), col("dst").as("job"))
+      completes.join(appliesTo, "application").join(created, "job")
+        .select("job", "company", "creationDate", "application")
+    }
+    val stephen = fluent(2L).as[(Long, Long, String, Long)].collect().toSet
+    assert(stephen === Set(
+      (23L, 31L, "12/16/2015", 14L),
+      (24L, 32L, "12/18/2015", 13L)))
+    // the reference asserts its two formulations agree over [stephen bob];
+    // ours must too (bag equality — seq order is adjudicated N/A)
+    val both1 = (fluent(2L).as[(Long, Long, String, Long)].collect() ++ fluent(1L).as[(Long, Long, String, Long)].collect()).toSet
+    val both2 = (port(2L).as[(Long, Long, String, Long)].collect() ++ port(1L).as[(Long, Long, String, Long)].collect()).toSet
+    assert(both1 === both2)
+    assert(both1.size === 4) // bob's two blueprints jobs + stephen's two
+  }
+
   test("degree centrality on the job graph (fermor centrality)") {
     // same graph as TraversalSpec.jobGraph; expected degrees from the
     // reference: blueprints 3, rexster 1, everyone else 2
