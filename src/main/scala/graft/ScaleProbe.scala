@@ -194,7 +194,15 @@ object ScaleProbe {
       // the map-side WindowGroupLimit keeps the per-domain reducer at
       // tasks×cap rows no matter how large the domain grows
       "domain_cap" -> (d => graft.pipeline.Corpus
-        .domainCap(d, col("source"), col("doc_id"), cap = 100).count()))
+        .domainCap(d, col("source"), col("doc_id"), cap = 100).count()),
+      // substring-duplication coverage: gram dfs grow with the copies while
+      // the gram key space stays fixed — one explode + keyed shuffles, so
+      // time should track scan volume, never pairs
+      "span_coverage" -> (d => graft.dedup.Dedup
+        .dupSpanCoverage(d, "doc_id", "text", k = 3, minDf = 2L).count()),
+      // unigram surprisal: one token-keyed count + one keyed join back
+      "surprisal" -> (d => graft.functions.TextOps
+        .surprisalScore(d, "doc_id", "text").count()))
     pipeProbes.foreach { case (name, f) =>
       val (t1, n1) = minTime(f(docs1))
       val (tK, nK) = minTime(f(docsK))
@@ -228,6 +236,19 @@ object ScaleProbe {
     val (sd1, sn1) = minTime(semdedup(emb1, 16))
     val (sdK, snK) = minTime(semdedup(embK, 16 * k))
     println(f"[scale] semdedup           1x: $sd1%6.2f s (n=$sn1%9d)   ${k}x: $sdK%6.2f s (n=$snK%9d)   time-ratio: ${sdK / math.max(sd1, 1e-9)}%5.2f")
+
+    // --- k-core probe: part keys shifted per copy so the part–supplier
+    // projection genuinely grows k× (8× parts, suppliers 8× denser) while
+    // per-part degrees — and so the peeling cascade depth — stay constant:
+    // per-round cost is keyed degree agg + semi-joins on the shrinking edges
+    val liPK = replicate(lineitem1, Seq("l_orderkey", "l_partkey"), span).localCheckpoint(true)
+    def kcoreOf(li: DataFrame): Long =
+      graft.algos.Algos.kCore(li.select(
+        Vid.vid("part", col("l_partkey")).as("src"),
+        Vid.vid("supplier", col("l_suppkey")).as("dst")), k = 28).count()
+    val (kc1, kn1) = minTime(kcoreOf(lineitem1))
+    val (kcK, knK) = minTime(kcoreOf(liPK))
+    println(f"[scale] kcore              1x: $kc1%6.2f s (n=$kn1%9d)   ${k}x: $kcK%6.2f s (n=$knK%9d)   time-ratio: ${kcK / math.max(kc1, 1e-9)}%5.2f")
 
     spark.stop()
   }

@@ -444,6 +444,17 @@ object SparkEntry {
         .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
       graft.algos.Algos.labelPropagationSync(gr.kind("nation").select("id"), adj, lpaIters)
     }),
+    "q_kcore" -> ((s, dir) => {
+      // k-core of the part–supplier co-purchase projection (part ~ supplier
+      // iff some lineitem links them): the maximal subgraph of vertices with
+      // >= 28 distinct neighbors. Iterative peeling with an exact edge-count
+      // fixpoint; the oracle unrolls idempotent peeling rounds as CTEs.
+      // Deep multi-round cascades are spec-covered on a path+cycle graph.
+      val li = Tpch.table(s, dir, "lineitem")
+      val e = li.select(Vid.vid("part", col("l_partkey")).as("src"),
+        Vid.vid("supplier", col("l_suppkey")).as("dst"))
+      graft.algos.Algos.kCore(e, k = kCoreK)
+    }),
     "q_asof" -> ((s, dir) => {
       // as-of join: each purchase event gets the most recent prior click
       // value of the same user (inclusive on equal timestamps)
@@ -779,6 +790,19 @@ object SparkEntry {
       // corpus's own top-20 vocabulary (top-K is TakeOrdered, then broadcast)
       graft.functions.TextOps.oovRateBp(Tpch.table(s, dir, "documents"),
         "doc_id", "text", vocabSize = 20)),
+    "q_gopher" -> ((s, dir) => // Gopher quality rules (Rae et al. §A1.1) as
+      // integer metrics + composite keep flag — one scan, zero shuffle
+      graft.functions.TextOps.gopherQuality(Tpch.table(s, dir, "documents"),
+        "doc_id", "text")),
+    "q_surprisal" -> ((s, dir) => // unigram surprisal in centi-bits/token —
+      // the integer-exact CCNet-style perplexity-bucket stand-in; floor-log2
+      // via length(bin(x))-1 so neither engine's log() is in the result
+      graft.functions.TextOps.surprisalScore(Tpch.table(s, dir, "documents"),
+        "doc_id", "text")),
+    "q_span_dedup" -> ((s, dir) => // substring-level duplication (Lee et al.
+      // 2022): per-doc union coverage of word-3-grams shared with >= 2 docs
+      graft.dedup.Dedup.dupSpanCoverage(Tpch.table(s, dir, "documents"),
+        "doc_id", "text", k = 3, minDf = 2L)),
     "q_pipeline_assemble" -> ((s, dir) => {
       // Corpus ASSEMBLY fused into ONE Catalyst plan — the companion to
       // q_pipeline_clean's cleaning chain: mixture-sample per language →
@@ -988,6 +1012,29 @@ object SparkEntry {
     * oracle — the round counts cannot drift apart. */
   private val lpaIters = 4
 
+  /** One constant drives BOTH q_kcore and its unrolled oracle. */
+  private val kCoreK = 28
+
+  /** q_kcore oracle: peeling rounds unrolled as chained CTEs over the
+    * symmetrized part–supplier projection. Peeling is IDEMPOTENT at its
+    * fixpoint, so unrolling MORE rounds than the data needs stays exact —
+    * 6 rounds is far past this graph's observed 1-2 (the Spark side
+    * iterates to an exact edge-count fixpoint, so only the fixpoint must
+    * agree, not the round count). */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val base =
+      """e0 AS (SELECT DISTINCT 5000000000000 + l_partkey AS src,
+        |                       4000000000000 + l_suppkey AS dst FROM lineitem),
+        |s0 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""k$r AS (SELECT src AS id FROM s${r - 1} GROUP BY src HAVING count(*) >= $k),
+         |s$r AS (SELECT s.src, s.dst FROM s${r - 1} s
+         |        JOIN k$r a ON s.src = a.id JOIN k$r b ON s.dst = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $base,\n$rs\n" +
+      s"SELECT src AS id, count(*)::BIGINT AS deg FROM s$rounds GROUP BY src HAVING count(*) >= $k"
+  }
+
   /** q_label_prop oracle: the synchronous LPA rounds of
     * [[graft.algos.Algos.labelPropagationSync]] unrolled as chained CTEs —
     * each round recomputes (dst, label) counts from the PREVIOUS round only,
@@ -1037,6 +1084,51 @@ object SparkEntry {
                       count(*) FILTER (WHERE t.t NOT IN (SELECT t FROM vocab)) AS n_oov
                     FROM t GROUP BY 1)
          SELECT doc_id, ((n_oov * 10000) // n_toks)::BIGINT AS oov_bp FROM agg""",
+    "q_gopher" ->
+      """WITH b AS (SELECT doc_id,
+                      len(list_filter(string_split(text, ' '), x -> len(x) > 0))::BIGINT AS n_words,
+                      length(replace(text, ' ', ''))::BIGINT AS chars,
+                      len(regexp_extract_all(text, '#|\.\.\.'))::BIGINT * 10000 AS sym10k,
+                      len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT AS alpha,
+                      len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the','be','to','of','and','that','have','with')))::BIGINT AS stop_hits
+                    FROM documents),
+            m AS (SELECT doc_id, n_words,
+                    (chars * 100) // n_words AS mwl_x100,
+                    sym10k // n_words AS sym_bp,
+                    (alpha * 10000) // n_words AS alpha_bp,
+                    stop_hits
+                  FROM b WHERE n_words > 0)
+         SELECT doc_id, n_words, mwl_x100, sym_bp, alpha_bp, stop_hits,
+                (n_words BETWEEN 50 AND 100000 AND mwl_x100 BETWEEN 300 AND 1000
+                 AND sym_bp < 1000 AND alpha_bp >= 8000 AND stop_hits >= 2)::BIGINT AS keep
+         FROM m""",
+    "q_surprisal" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t
+                    FROM documents),
+            c AS (SELECT t, count(*)::BIGINT AS n_t FROM t GROUP BY 1),
+            tot AS (SELECT sum(n_t)::BIGINT AS total FROM c),
+            s AS (SELECT doc_id, (length(bin((SELECT total FROM tot) // n_t)) - 1)::BIGINT AS surp
+                  FROM t JOIN c USING (t))
+         SELECT doc_id, count(*)::BIGINT AS n_toks,
+                ((sum(surp) * 100) // count(*))::BIGINT AS surp_cb
+         FROM s GROUP BY 1""",
+    "q_span_dedup" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
+            tok AS (SELECT doc_id, len(ts)::BIGINT AS n_toks FROM t WHERE len(ts) > 0),
+            g AS (SELECT doc_id, i - 1 AS pos, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+                  FROM t, unnest(generate_series(1, greatest(len(ts) - 2, 0))) u(i)),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+            sp AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+            c AS (SELECT doc_id, greatest(0, pos + 3 - greatest(pos,
+                    coalesce(max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS contrib
+                  FROM sp),
+            cov AS (SELECT doc_id, sum(contrib)::BIGINT AS covered FROM c GROUP BY 1)
+         SELECT tok.doc_id, tok.n_toks, coalesce(cov.covered, 0)::BIGINT AS covered,
+                (coalesce(cov.covered, 0) * 10000) // tok.n_toks AS cov_bp
+         FROM tok LEFT JOIN cov USING (doc_id)""",
+    "q_kcore" -> kCoreOracleSql(kCoreK, 6),
     "q_pipeline_assemble" ->
       """WITH mixed AS (SELECT doc_id, source, text FROM documents
                         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT * 10000 <

@@ -495,6 +495,48 @@ object Algos {
     labels.select(col("id"), col("lbl").as("community"))
   }
 
+  /** k-core decomposition (fixed k): the maximal subgraph in which every
+    * vertex has UNDIRECTED degree >= k, by iterative peeling — each round
+    * drops vertices whose degree within the surviving subgraph is < k, until
+    * a fixpoint. Returns `(id, deg)` — core members with their within-core
+    * degree. Parallel edges and self-loops are collapsed/dropped first
+    * (degree = distinct neighbors), matching the standard definition.
+    *
+    * Convergence is EXACT, not a signature: peeling only ever removes, so
+    * round i+1's edge count equals round i's iff no vertex was removed —
+    * one count per round, which the loop needs anyway. `maxRounds` is a
+    * safety bound (peeling depth is data-dependent but monotone); exceeding
+    * it throws rather than returning a plausible non-core.
+    *
+    * Scale: each round is one keyed degree agg + two semi-joins on the
+    * SHRINKING symmetrized edge set — per-round cost tracks surviving
+    * edges, never the original graph after early rounds; eager per-round
+    * checkpoints keep lineage flat (the Descend rule). */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1)
+    val sym = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    var e = sym.unionAll(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var nEdges = e.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("src").as("id")).localCheckpoint(true)
+      val ne = e.join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst").localCheckpoint(true)
+      val n = ne.count()
+      if (n == nEdges) converged = true
+      else { e = ne; nEdges = n }
+    }
+    if (!converged)
+      throw new IllegalStateException(s"kCore did not converge within $maxRounds rounds")
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")).where(col("deg") >= k)
+  }
+
   /** In/out/both degree per vertex (fermor out-edge-count / in-edge-count /
     * both-edge-count, and the gremlin degree-centrality recipe). */
   def degrees(edges: DataFrame, direction: String = "both"): DataFrame = {

@@ -293,4 +293,53 @@ object Dedup {
       .where(col("ham") <= maxHam)
       .select("id_a", "id_b", "ham")
   }
+
+  /** SUBSTRING-level duplication coverage (the signal behind Lee et al.
+    * 2022's "Deduplicating Training Data Makes Language Models Better":
+    * exact duplicated SPANS, not whole-document near-dups). A span is a
+    * word-k-gram occurring in >= `minDf` distinct documents; each occurrence
+    * covers token positions [pos, pos+k). Per document we report the UNION
+    * length of all duplicated spans (overlaps counted once) and its
+    * basis-point share of the document — the "how much of this doc is
+    * copied boilerplate/quotation" metric a span-removal pass keys on.
+    *
+    * Interval union without a driver pass: order a doc's span starts, take
+    * the running max of span ends over STRICTLY PRECEDING rows, and each
+    * span contributes max(0, end - max(start, prevMaxEnd)) — one doc-keyed
+    * window. Span starts are unique per doc (one gram per position), so the
+    * window order is total and the result deterministic.
+    *
+    * Scale: one posexplode + k-1 doc-keyed `lead`s (the boilerplateGrams
+    * shape — per-row lambda shingling is CodegenFallback), one gram-keyed
+    * count-distinct shuffle, one gram-keyed semi join back, two doc-keyed
+    * windows/aggs. Never a pair join: cost is O(token instances), not
+    * O(docs²), and every shuffle is keyed. */
+  def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDf: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && minDf >= 1)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__t0")))
+    val wLead = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = (1 until k).foldLeft(toks)((d, j) =>
+        d.withColumn(s"__t$j", lead(col("__t0"), j).over(wLead)))
+      .where(col(s"__t${k - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", (0 until k).map(j => col(s"__t$j")): _*).as("gram"))
+      .localCheckpoint(false) // referenced twice: df counts + join back
+    val dup = grams.groupBy("gram").agg(count_distinct(col("doc_id")).as("df"))
+      .where(col("df") >= minDf).select("gram")
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = grams.join(dup, Seq("gram"), "left_semi")
+      .withColumn("__prev_end", coalesce(max(col("pos") + k).over(wPrev), lit(0)))
+      .withColumn("__contrib",
+        greatest(lit(0), col("pos") + k - greatest(col("pos"), col("__prev_end"))))
+      .groupBy("doc_id").agg(sum(col("__contrib")).cast("long").as("covered"))
+    toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("covered"), lit(0L)).as("covered"))
+      .withColumn("cov_bp", expr("(covered * 10000) div n_toks"))
+  }
 }

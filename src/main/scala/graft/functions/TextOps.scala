@@ -140,6 +140,70 @@ object TextOps {
       .select(col("doc_id"), col("t"), col("score"), col("rn"))
   }
 
+  /** Gopher-style quality rules (Rae et al. 2021, §A1.1) as integer-exact
+    * per-document metrics plus the composite keep flag. Every metric is
+    * column algebra over ONE scan (no shuffle at all), mirrorable verbatim
+    * in SQL:
+    *   - `n_words`     whitespace token count
+    *   - `mwl_x100`    mean word length ×100 = 100·(non-space chars) div words
+    *   - `sym_bp`      symbol-to-word ratio (`#` / `...` occurrences) in bp
+    *   - `alpha_bp`    fraction of words containing a letter, in bp
+    *   - `stop_hits`   number of tokens drawn from the Gopher stop list
+    *   - `keep`        1 iff all thresholds pass (word count in
+    *                   [minWords,maxWords], mean word length in [3,10] chars,
+    *                   sym_bp < 1000, alpha_bp ≥ 8000, stop_hits ≥ 2)
+    * Total token chars is `length(replace(text,' ',''))` — exactly the sum
+    * of token lengths under single-space tokenization, without a per-token
+    * higher-order pass (those are CodegenFallback; §11). */
+  val gopherStops: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  def gopherQuality(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L): org.apache.spark.sql.DataFrame = {
+    val ts = tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+        size(ts).cast("long").as("n_words"),
+        length(regexp_replace(col(textCol), " ", "")).cast("long").as("__chars"),
+        (regexp_count(col(textCol), lit("#|\\.\\.\\.")) * 10000L).as("__sym10k"),
+        size(filter(ts, t => t.rlike("[a-zA-Z]"))).cast("long").as("__alpha"),
+        size(filter(ts, t => t.isin(gopherStops.map(lit(_)): _*))).cast("long").as("stop_hits"))
+      .where(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"),
+        expr("(__chars * 100) div n_words").as("mwl_x100"),
+        expr("__sym10k div n_words").as("sym_bp"),
+        expr("(__alpha * 10000) div n_words").as("alpha_bp"),
+        col("stop_hits"))
+      .withColumn("keep",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mwl_x100") >= 300L && col("mwl_x100") <= 1000L &&
+          col("sym_bp") < 1000L && col("alpha_bp") >= 8000L &&
+          col("stop_hits") >= 2L).cast("long"))
+  }
+
+  /** Unigram surprisal score — the integer-exact stand-in for a CCNet-style
+    * LM-perplexity quality bucket. Per-token surprisal is
+    * floor(log2(T div n_t)) bits (T = corpus token instances, n_t = this
+    * token's count), computed WITHOUT floats as `length(bin(T div n_t)) - 1`
+    * — both engines produce the identical minimal binary string, so the
+    * score is a fact of the data, not of either engine's log(). Per doc:
+    * mean surprisal in centi-bits = 100·Σsurprisal div n_toks. Common-token
+    * boilerplate scores low; rare-token gibberish scores high.
+    *
+    * Scale: one explode, one token-keyed count shuffle, one keyed join back
+    * (the unigram table of a 100 TB corpus is large — this is a shuffle
+    * join on the token, NOT a broadcast), one per-doc aggregation. */
+  def surprisalScore(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
+      .localCheckpoint(false)
+    val counts = toks.groupBy("t").agg(count(lit(1)).as("n_t"))
+    val total = counts.agg(sum(col("n_t"))).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect()(0)
+    toks.join(counts, "t")
+      .withColumn("surp", (length(bin(expr(s"${total}L div n_t"))) - 1).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum(col("surp")).as("bits"))
+      .select(col("doc_id"), col("n_toks"), expr("(bits * 100) div n_toks").as("surp_cb"))
+  }
+
   /** Out-of-vocabulary rate in basis points against a CORPUS-DERIVED top-K
     * vocabulary (frequency desc, token asc tie-break — deterministic at the
     * boundary). The corpus-relative cousin of the fixed-list quality

@@ -514,4 +514,22 @@ class AlgosSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(a === b)
   }
+
+  test("kCore: multi-round path peel into the surviving cycle; edge normalization") {
+    // path 1-2-3-4-5 feeding cycle 5-6-7-8-5: the 2-core must peel the path
+    // one end-vertex per round (4 cascading rounds) and keep exactly the
+    // cycle, every member at within-core degree 2
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L)).toDF("src", "dst")
+    val core2 = Algos.kCore(es, k = 2).as[(Long, Long)].collect().toMap
+    assert(core2 === Map(5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 2L))
+    // 3-core of the same graph is empty (cycle degrees are 2)
+    assert(Algos.kCore(es, k = 3).isEmpty)
+    // parallel edges collapse and self-loops drop: 1=2 twice + loop at 1
+    // leaves both vertices at degree 1 => 2-core empty, 1-core both
+    val multi = Seq((1L, 2L), (2L, 1L), (1L, 1L)).toDF("src", "dst")
+    assert(Algos.kCore(multi, k = 2).isEmpty)
+    assert(Algos.kCore(multi, k = 1).as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L))
+  }
 }

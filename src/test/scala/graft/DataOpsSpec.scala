@@ -1017,4 +1017,64 @@ class DataOpsSpec extends AnyFunSuite {
       .select("id", "cluster", "keep").as[(Long, Long, Int)].collect()
     assert(none.length === 6 && none.forall(r => r._2 === r._1 && r._3 === 1))
   }
+
+  test("gopherQuality: each rule fires independently; metrics integer-exact") {
+    import graft.functions.TextOps
+    val good = (Seq("the", "of", "and") ++ Seq.fill(47)("spark")).mkString(" ") // 50 words
+    val rows = Seq(
+      (1L, good),                                  // passes every rule
+      (2L, "the of short doc"),                    // < 50 words
+      (3L, good.replace("spark", "### ...")),      // symbol ratio blows the 10% bound
+      (4L, (Seq.fill(50)("spark")).mkString(" ")), // zero stopword hits
+      (5L, (Seq("the", "of") ++ Seq.fill(48)("x")).mkString(" "))) // mean word len < 3
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherQuality(rows, "doc_id", "text")
+      .select(col("doc_id"), col("n_words"), col("mwl_x100"), col("sym_bp"),
+        col("alpha_bp"), col("stop_hits"), col("keep"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: 50 words, chars = 3+2+3+47*5 = 243 -> mwl 486; all-alpha; 3 stops
+    assert(out(1L) === ((1L, 50L, 486L, 0L, 10000L, 3L, 1L)))
+    assert(out(2L)._7 === 0L && out(2L)._2 === 4L)
+    assert(out(3L)._7 === 0L && out(3L)._4 >= 1000L) // 94 symbol hits / 97 words
+    assert(out(4L)._7 === 0L && out(4L)._6 === 0L)
+    assert(out(5L)._7 === 0L && out(5L)._3 < 300L) // 2+2+48 chars / 50 words
+  }
+
+  test("surprisalScore: floor-log2 token surprisal, hand-computed") {
+    import graft.functions.TextOps
+    // corpus: a x5, b x1 => T=6; surp(a) = floor(log2(6 div 5)) = 0,
+    // surp(b) = floor(log2(6)) = 2
+    val rows = Seq((1L, "a a a a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextOps.surprisalScore(rows, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((4L, 0L)))        // 4 tokens, all common -> 0 cb
+    assert(out(2L) === ((2L, 100L)))      // (0 + 2)*100 div 2
+  }
+
+  test("dupSpanCoverage: interval union of shared 3-gram spans, overlaps once") {
+    import graft.dedup.Dedup
+    val rows = Seq(
+      (1L, "x y z w q"),             // grams "x y z","y z w" shared with doc 2
+      (2L, "p1 p2 x y z w p3 p4"),   // same two grams at pos 2,3
+      (3L, "u1 u2 u3 u4 u5 u6"),     // nothing shared
+      (4L, "x y z f1 f2 f3 x y z"))  // disjoint repeats of a shared gram
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpanCoverage(rows, "doc_id", "text", k = 3, minDf = 2L)
+      .select("doc_id", "n_toks", "covered", "cov_bp")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1: spans [0,3) u [1,4) = [0,4) -> 4 of 5
+    assert(out(1L) === ((1L, 5L, 4L, 8000L)))
+    // doc 2: spans [2,5) u [3,6) = [2,6) -> 4 of 8
+    assert(out(2L) === ((2L, 8L, 4L, 5000L)))
+    assert(out(3L) === ((3L, 6L, 0L, 0L)))
+    // doc 4: "x y z" occurs at pos 0 AND 6 (both shared with docs 1-2's
+    // "x y z"): disjoint intervals sum, 6 of 9
+    assert(out(4L) === ((4L, 9L, 6L, 6666L)))
+    // repartition-invariance: the window sweep has a total order per doc
+    val re = Dedup.dupSpanCoverage(rows.repartition(5), "doc_id", "text", k = 3, minDf = 2L)
+      .select("doc_id", "n_toks", "covered", "cov_bp")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(re === out.values.toSet)
+  }
 }
