@@ -1020,15 +1020,19 @@ object SparkEntry {
     * fixpoint, so unrolling MORE rounds than the data needs stays exact —
     * 6 rounds is far past this graph's observed 1-2 (the Spark side
     * iterates to an exact edge-count fixpoint, so only the fixpoint must
-    * agree, not the round count). */
+    * agree, not the round count). Every round CTE is AS MATERIALIZED:
+    * s_r references s_{r-1} three times (directly + twice through k_r), so
+    * an inlining optimizer would otherwise expand the chain 3^rounds times
+    * — the let-binding rule of §8, DuckDB edition (observed: 66 GB of
+    * spill at sf0.1 before the hint). */
   private def kCoreOracleSql(k: Int, rounds: Int): String = {
     val base =
-      """e0 AS (SELECT DISTINCT 5000000000000 + l_partkey AS src,
+      """e0 AS MATERIALIZED (SELECT DISTINCT 5000000000000 + l_partkey AS src,
         |                       4000000000000 + l_suppkey AS dst FROM lineitem),
-        |s0 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)""".stripMargin
+        |s0 AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)""".stripMargin
     val rs = (1 to rounds).map { r =>
-      s"""k$r AS (SELECT src AS id FROM s${r - 1} GROUP BY src HAVING count(*) >= $k),
-         |s$r AS (SELECT s.src, s.dst FROM s${r - 1} s
+      s"""k$r AS MATERIALIZED (SELECT src AS id FROM s${r - 1} GROUP BY src HAVING count(*) >= $k),
+         |s$r AS MATERIALIZED (SELECT s.src, s.dst FROM s${r - 1} s
          |        JOIN k$r a ON s.src = a.id JOIN k$r b ON s.dst = b.id)""".stripMargin
     }.mkString(",\n")
     s"WITH $base,\n$rs\n" +

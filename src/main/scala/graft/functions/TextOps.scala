@@ -195,8 +195,9 @@ object TextOps {
     val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
       .localCheckpoint(false)
     val counts = toks.groupBy("t").agg(count(lit(1)).as("n_t"))
-    val total = counts.agg(sum(col("n_t"))).as[Long](org.apache.spark.sql.Encoders.scalaLong)
-      .collect()(0)
+    // coalesce: sum over an EMPTY corpus is SQL null
+    val total = counts.agg(coalesce(sum(col("n_t")), lit(0L)))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()(0)
     toks.join(counts, "t")
       .withColumn("surp", (length(bin(expr(s"${total}L div n_t"))) - 1).cast("long"))
       .groupBy("doc_id")

@@ -1018,6 +1018,29 @@ class DataOpsSpec extends AnyFunSuite {
     assert(none.length === 6 && none.forall(r => r._2 === r._1 && r._3 === 1))
   }
 
+  test("streaming quality gate matches the ORACLED batch gopher keep set") {
+    // gopherQuality is pure column algebra over one scan (q_gopher is
+    // DuckDB-oracled), so the SAME call applies unchanged to a readStream
+    // source: replaying the documents table through a MemoryStream yields
+    // exactly the batch keep set — the streaming ingest form of the
+    // quality filter.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextOps
+    val docsT = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val expected = TextOps.gopherQuality(docsT, "doc_id", "text")
+      .where(col("keep") === 1L).select("doc_id").as[Long].collect().toSet
+    assert(expected.nonEmpty) // the gate must actually discriminate
+    val mem = MemoryStream[(Long, String)]
+    val q = TextOps.gopherQuality(mem.toDS().toDF("doc_id", "text"), "doc_id", "text")
+      .where(col("keep") === 1L)
+      .writeStream.format("memory").queryName("gopher_bridge").outputMode("append").start()
+    mem.addData(docsT.select("doc_id", "text").as[(Long, String)].collect().toSeq)
+    q.processAllAvailable()
+    val got = spark.table("gopher_bridge").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(got === expected)
+  }
+
   test("gopherQuality: each rule fires independently; metrics integer-exact") {
     import graft.functions.TextOps
     val good = (Seq("the", "of", "and") ++ Seq.fill(47)("spark")).mkString(" ") // 50 words
