@@ -803,6 +803,10 @@ object SparkEntry {
       // 2022): per-doc union coverage of word-3-grams shared with >= 2 docs
       graft.dedup.Dedup.dupSpanCoverage(Tpch.table(s, dir, "documents"),
         "doc_id", "text", k = 3, minDf = 2L)),
+    "q_span_strip" -> ((s, dir) => // the REMOVAL pass over the same signal:
+      // rebuild each doc with every duplicated-span token dropped
+      graft.dedup.Dedup.stripDupSpans(Tpch.table(s, dir, "documents"),
+        "doc_id", "text", k = 3, minDf = 2L)),
     "q_pipeline_assemble" -> ((s, dir) => {
       // Corpus ASSEMBLY fused into ONE Catalyst plan — the companion to
       // q_pipeline_clean's cleaning chain: mixture-sample per language →
@@ -1132,6 +1136,22 @@ object SparkEntry {
          SELECT tok.doc_id, tok.n_toks, coalesce(cov.covered, 0)::BIGINT AS covered,
                 (coalesce(cov.covered, 0) * 10000) // tok.n_toks AS cov_bp
          FROM tok LEFT JOIN cov USING (doc_id)""",
+    "q_span_strip" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
+            g AS (SELECT doc_id, i - 1 AS pos, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+                  FROM t, unnest(generate_series(1, greatest(len(ts) - 2, 0))) u(i)),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+            cover AS (SELECT DISTINCT doc_id, pos + u.i AS cpos
+                      FROM g, unnest(generate_series(0, 2)) u(i)
+                      WHERE gram IN (SELECT gram FROM dup)),
+            tok AS (SELECT doc_id, i - 1 AS pos, ts[i] AS t
+                    FROM t, unnest(generate_series(1, len(ts))) u(i)),
+            keep AS (SELECT tok.doc_id, tok.pos, tok.t
+                     FROM tok LEFT JOIN cover ON tok.doc_id = cover.doc_id AND tok.pos = cover.cpos
+                     WHERE cover.cpos IS NULL)
+         SELECT d.doc_id, coalesce(string_agg(k.t, ' ' ORDER BY k.pos), '') AS text_stripped
+         FROM (SELECT doc_id FROM t WHERE len(ts) > 0) d
+         LEFT JOIN keep k ON d.doc_id = k.doc_id GROUP BY d.doc_id""",
     "q_kcore" -> kCoreOracleSql(kCoreK, 6),
     "q_pipeline_assemble" ->
       """WITH mixed AS (SELECT doc_id, source, text FROM documents

@@ -317,6 +317,29 @@ object Dedup {
   def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minDf: Long = 2L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val (toks, spans) = dupSpanStarts(docs, idCol, textCol, k, minDf)
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = spans
+      .withColumn("__prev_end", coalesce(max(col("pos") + k).over(wPrev), lit(0)))
+      .withColumn("__contrib",
+        greatest(lit(0), col("pos") + k - greatest(col("pos"), col("__prev_end"))))
+      .groupBy("doc_id").agg(sum(col("__contrib")).cast("long").as("covered"))
+    toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("covered"), lit(0L)).as("covered"))
+      .withColumn("cov_bp", expr("(covered * 10000) div n_toks"))
+  }
+
+  /** Shared span machinery: `(token positions, duplicated-span starts)`.
+    * Grams via posexplode + k-1 doc-keyed leads (per-row lambda shingling is
+    * CodegenFallback); duplicated = gram in >= minDf distinct docs; the
+    * starts come back through a gram-keyed LEFT SEMI join (PlanSpec pins
+    * the shape — never a pair join). */
+  private def dupSpanStarts(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDf: Long): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     require(k >= 1 && minDf >= 1)
     val toks = docs.select(col(idCol).as("doc_id"),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__t0")))
@@ -329,17 +352,29 @@ object Dedup {
       .localCheckpoint(false) // referenced twice: df counts + join back
     val dup = grams.groupBy("gram").agg(count_distinct(col("doc_id")).as("df"))
       .where(col("df") >= minDf).select("gram")
-    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val covered = grams.join(dup, Seq("gram"), "left_semi")
-      .withColumn("__prev_end", coalesce(max(col("pos") + k).over(wPrev), lit(0)))
-      .withColumn("__contrib",
-        greatest(lit(0), col("pos") + k - greatest(col("pos"), col("__prev_end"))))
-      .groupBy("doc_id").agg(sum(col("__contrib")).cast("long").as("covered"))
+    (toks, grams.join(dup, Seq("gram"), "left_semi").select("doc_id", "pos"))
+  }
+
+  /** The REMOVAL pass over [[dupSpanCoverage]]'s signal (Lee et al. 2022
+    * §4: drop the duplicated spans, keep the rest): rebuild each document's
+    * text with every token covered by a duplicated span removed. Fully
+    * covered documents come back as EMPTY STRINGS (the caller decides
+    * whether to drop them); token-less documents are absent, matching the
+    * coverage op. Span membership is a bounded explode (k rows per span,
+    * doc-keyed); reassembly is one per-doc sorted aggregation — at 100 TB
+    * every shuffle stays keyed by doc or gram, never a pair join. */
+  def stripDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDf: Long = 2L): DataFrame = {
+    val (toks, spans) = dupSpanStarts(docs, idCol, textCol, k, minDf)
+    val coveredPos = spans
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    val keptText = toks.join(coveredPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("__t0")))),
+        s => s.getField("__t0")), " ").as("__txt"))
     toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
-      .join(covered, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_toks"),
-        coalesce(col("covered"), lit(0L)).as("covered"))
-      .withColumn("cov_bp", expr("(covered * 10000) div n_toks"))
+      .join(keptText, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__txt"), lit("")).as("text_stripped"))
   }
 }

@@ -1099,5 +1099,17 @@ class DataOpsSpec extends AnyFunSuite {
       .select("doc_id", "n_toks", "covered", "cov_bp")
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(re === out.values.toSet)
+    // the REMOVAL pass drops exactly the covered tokens, preserves order,
+    // and returns fully-covered docs as empty strings
+    val stripped = Dedup.stripDupSpans(rows, "doc_id", "text", k = 3, minDf = 2L)
+      .as[(Long, String)].collect().toMap
+    assert(stripped(1L) === "q")                    // [0,4) covered of 5
+    assert(stripped(2L) === "p1 p2 p3 p4")          // [2,6) covered
+    assert(stripped(3L) === "u1 u2 u3 u4 u5 u6")    // untouched
+    assert(stripped(4L) === "f1 f2 f3")             // both repeats dropped
+    val allDup = Seq((10L, "x y z"), (11L, "x y z")).toDF("doc_id", "text")
+    val s2 = Dedup.stripDupSpans(allDup, "doc_id", "text", k = 3, minDf = 2L)
+      .as[(Long, String)].collect().toMap
+    assert(s2 === Map(10L -> "", 11L -> ""))
   }
 }

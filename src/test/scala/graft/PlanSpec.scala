@@ -142,6 +142,28 @@ class PlanSpec extends AnyFunSuite {
       "semanticDedup must never build an all-pairs join:\n" + sdPlan.take(3000))
   }
 
+  test("gopherQuality is zero-shuffle; dupSpanCoverage joins keyed (no cartesian)") {
+    import graft.functions.TextOps
+    val docs = Tpch.table(spark, dir, "documents")
+    val gq = TextOps.gopherQuality(docs, "doc_id", "text")
+    gq.collect()
+    val gqPlan = executedPlan(gq)
+    // every Gopher rule is column algebra over the one scan: at 100 TB the
+    // gate costs exactly one read — no shuffle, no second pass
+    assert(!gqPlan.contains("Exchange"),
+      "gopher quality gate must not shuffle:\n" + gqPlan.take(2000))
+    val sc = graft.dedup.Dedup.dupSpanCoverage(docs, "doc_id", "text", k = 3, minDf = 2L)
+    sc.collect()
+    val scPlan = executedPlan(sc)
+    // candidate generation is the gram-keyed semi join; coverage is doc-keyed
+    // windows — never an all-pairs shape
+    assert(!scPlan.contains("CartesianProduct") &&
+      !scPlan.contains("BroadcastNestedLoopJoin"),
+      "span coverage must never build an all-pairs join:\n" + scPlan.take(3000))
+    assert(scPlan.contains("LeftSemi"),
+      "dup-span filter should be a semi join:\n" + scPlan.take(3000))
+  }
+
   test("lookahead compiles to a left-semi join, negLookahead to left-anti") {
     val g = Tpch.load(spark, dir)
     val semi = g.ofKind("customer").lookahead(_.in("order_customer")).df
