@@ -444,6 +444,18 @@ object SparkEntry {
         .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
       graft.algos.Algos.labelPropagationSync(gr.kind("nation").select("id"), adj, lpaIters)
     }),
+    "q_walks" -> ((s, dir) => {
+      // deterministic DeepWalk-style walk corpus over the nation-adjacency
+      // graph (4 neighbors per vertex): hash-argmin step choice is uniform
+      // yet engine-portable, so the oracle replays every hop exactly
+      val n = Tpch.table(s, dir, "nation")
+      val a = n.select(col("n_nationkey").as("k1"), col("n_regionkey").as("rk"))
+      val b = n.select(col("n_nationkey").as("k2"), col("n_regionkey").as("rk"))
+      val adj = a.join(b, "rk").where(col("k1") =!= col("k2"))
+        .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
+      graft.algos.Algos.deterministicWalks(adj,
+        n.select(Vid.vid("nation", col("n_nationkey")).as("id")), steps = walkSteps)
+    }),
     "q_kcore" -> ((s, dir) => {
       // k-core of the part–supplier co-purchase projection (part ~ supplier
       // iff some lineitem links them): the maximal subgraph of vertices with
@@ -1019,6 +1031,30 @@ object SparkEntry {
   /** One constant drives BOTH q_kcore and its unrolled oracle. */
   private val kCoreK = 28
 
+  /** One constant drives BOTH q_walks and its unrolled oracle. */
+  private val walkSteps = 4
+
+  /** q_walks oracle: every hash-argmin hop replayed — per step, the same
+    * md5(walker:step:dst) ordering over the out-neighbors of the walker's
+    * current vertex. Step CTEs are MATERIALIZED (each is referenced by the
+    * next step AND the final union). */
+  private def walksOracleSql(steps: Int): String = {
+    val e = """e AS (SELECT 2000000000000 + a.n_nationkey AS src, 2000000000000 + b.n_nationkey AS dst
+              |      FROM nation a JOIN nation b
+              |      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey)""".stripMargin
+    val init = "w0 AS (SELECT (2000000000000 + n_nationkey)::BIGINT AS walker, (2000000000000 + n_nationkey)::BIGINT AS v FROM nation)"
+    val hops = (1 to steps).map { s =>
+      s"""w$s AS MATERIALIZED (SELECT walker, dst AS v FROM (
+         |  SELECT c.walker, e.dst,
+         |    row_number() OVER (PARTITION BY c.walker
+         |      ORDER BY md5(c.walker::VARCHAR || ':$s:' || e.dst::VARCHAR), e.dst) AS rn
+         |  FROM w${s - 1} c JOIN e ON c.v = e.src) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to steps).map(s => s"SELECT walker, $s AS step, v FROM w$s")
+      .mkString("\nUNION ALL ")
+    s"WITH $e,\n$init,\n$hops\n$union"
+  }
+
   /** q_kcore oracle: peeling rounds unrolled as chained CTEs over the
     * symmetrized part–supplier projection. Peeling is IDEMPOTENT at its
     * fixpoint, so unrolling MORE rounds than the data needs stays exact —
@@ -1153,6 +1189,7 @@ object SparkEntry {
          FROM (SELECT doc_id FROM t WHERE len(ts) > 0) d
          LEFT JOIN keep k ON d.doc_id = k.doc_id GROUP BY d.doc_id""",
     "q_kcore" -> kCoreOracleSql(kCoreK, 6),
+    "q_walks" -> walksOracleSql(walkSteps),
     "q_pipeline_assemble" ->
       """WITH mixed AS (SELECT doc_id, source, text FROM documents
                         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT * 10000 <

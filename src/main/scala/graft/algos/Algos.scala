@@ -495,6 +495,42 @@ object Algos {
     labels.select(col("id"), col("lbl").as("community"))
   }
 
+  /** Deterministic "random" walks — DeepWalk/node2vec-style corpus
+    * generation for graph-embedding training, made engine-portable: from
+    * each start vertex, walk `steps` hops; at each step the walker at v
+    * moves to the out-neighbor u minimizing `md5(walker:step:u)` (then u
+    * itself as the total-order tie-break). The choice is hash-uniform over
+    * the neighbors yet a pure fact of (graph, walker, step) — runs,
+    * partitionings, and engines agree, so a SQL oracle replays the walk
+    * with the same unrolled argmin (q_walks). Walkers at a sink stop
+    * (their walk is shorter, the DeepWalk convention). Returns
+    * `(walker, step, v)` with step 0 = the start vertex.
+    *
+    * Scale: per step, one join of the walker frontier against the edge
+    * table (keyed by current vertex) + one walker-keyed argmin window —
+    * frontier-size work per round, checkpointed per step. */
+  def deterministicWalks(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 0)
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .localCheckpoint(eager = false)
+    var cur = starts.select(col(starts.columns.head).cast("long").as("walker"))
+      .withColumn("v", col("walker")).withColumn("step", lit(0))
+      .localCheckpoint(true)
+    var out = cur
+    for (s <- 1 to steps) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("walker").orderBy(col("__h").asc, col("dst").asc)
+      val nxt = cur.join(e, cur("v") === e("src"))
+        .withColumn("__h", md5(concat_ws(":", col("walker"), lit(s), col("dst"))))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("walker"), col("dst").as("v"), lit(s).as("step"))
+        .localCheckpoint(true)
+      out = out.unionByName(nxt)
+      cur = nxt
+    }
+    out
+  }
+
   /** k-core decomposition (fixed k): the maximal subgraph in which every
     * vertex has UNDIRECTED degree >= k, by iterative peeling — each round
     * drops vertices whose degree within the surviving subgraph is < k, until

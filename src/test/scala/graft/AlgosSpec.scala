@@ -515,6 +515,23 @@ class AlgosSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("deterministicWalks: hash-argmin hops, sink stops, repartition-invariant") {
+    // diamond: 1 -> {2,3}, both -> 4 (sink): the step-1 choice is the
+    // md5-argmin over {2,3}, mirrored here with an INDEPENDENT digest
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val starts = Seq(1L).toDF("id")
+    def h(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val first = if (h("1:1:2") < h("1:1:3")) 2L else 3L
+    val walks = Algos.deterministicWalks(es, starts, steps = 5)
+      .select("walker", "step", "v").as[(Long, Int, Long)].collect().toSet
+    // the walk stops at the sink: steps 0,1,2 only, no padding rows
+    assert(walks === Set((1L, 0, 1L), (1L, 1, first), (1L, 2, 4L)))
+    val re = Algos.deterministicWalks(es.repartition(7), starts, steps = 5)
+      .select("walker", "step", "v").as[(Long, Int, Long)].collect().toSet
+    assert(re === walks)
+  }
+
   test("kCore: multi-round path peel into the surviving cycle; edge normalization") {
     // path 1-2-3-4-5 feeding cycle 5-6-7-8-5: the 2-core must peel the path
     // one end-vertex per round (4 cascading rounds) and keep exactly the
