@@ -444,6 +444,16 @@ object SparkEntry {
         .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
       graft.algos.Algos.labelPropagationSync(gr.kind("nation").select("id"), adj, lpaIters)
     }),
+    "q_hits" -> ((s, dir) => {
+      // HITS hubs/authorities over the order→customer→nation FK chain:
+      // orders are pure hubs, nations pure authorities, customers both.
+      // Integer-exact un-normalized rounds; the oracle replays each one.
+      val e = g(s, dir).edges
+        .where(col("label").isin("order_customer", "customer_nation"))
+        .select("src", "dst")
+      val vs = e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id"))).distinct()
+      graft.algos.Algos.hits(vs, e, iters = hitsIters)
+    }),
     "q_walks" -> ((s, dir) => {
       // deterministic DeepWalk-style walk corpus over the nation-adjacency
       // graph (4 neighbors per vertex): hash-argmin step choice is uniform
@@ -1034,6 +1044,34 @@ object SparkEntry {
   /** One constant drives BOTH q_walks and its unrolled oracle. */
   private val walkSteps = 4
 
+  /** One constant drives BOTH q_hits and its unrolled oracle. */
+  private val hitsIters = 3
+
+  /** q_hits oracle: the un-normalized HITS recurrence unrolled — per round,
+    * authorities from the PREVIOUS hubs, then hubs from the NEW authorities
+    * (the standard update order, matching Algos.hits). All sums cast back
+    * to BIGINT (DuckDB sums BIGINT into HUGEINT); every CTE MATERIALIZED. */
+  private def hitsOracleSql(iters: Int): String = {
+    val base =
+      """e AS MATERIALIZED (
+        |  SELECT 6000000000000 + o_orderkey AS src, 3000000000000 + o_custkey AS dst FROM orders
+        |  UNION ALL
+        |  SELECT 3000000000000 + c_custkey, 2000000000000 + c_nationkey FROM customer),
+        |v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |s0 AS (SELECT id, 1::BIGINT AS hub, 1::BIGINT AS auth FROM v)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS MATERIALIZED (SELECT e.dst AS id, sum(s.hub)::BIGINT AS na
+         |        FROM e JOIN s${r - 1} s ON e.src = s.id GROUP BY 1),
+         |t$r AS MATERIALIZED (SELECT s.id, s.hub, coalesce(a.na, 0)::BIGINT AS auth
+         |        FROM s${r - 1} s LEFT JOIN a$r a ON s.id = a.id),
+         |h$r AS MATERIALIZED (SELECT e.src AS id, sum(t.auth)::BIGINT AS nh
+         |        FROM e JOIN t$r t ON e.dst = t.id GROUP BY 1),
+         |s$r AS MATERIALIZED (SELECT t.id, coalesce(h.nh, 0)::BIGINT AS hub, t.auth
+         |        FROM t$r t LEFT JOIN h$r h ON t.id = h.id)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $base,\n$rounds\nSELECT id, hub, auth FROM s$iters"
+  }
+
   /** q_walks oracle: every hash-argmin hop replayed — per step, the same
     * md5(walker:step:dst) ordering over the out-neighbors of the walker's
     * current vertex. Step CTEs are MATERIALIZED (each is referenced by the
@@ -1190,6 +1228,7 @@ object SparkEntry {
          LEFT JOIN keep k ON d.doc_id = k.doc_id GROUP BY d.doc_id""",
     "q_kcore" -> kCoreOracleSql(kCoreK, 6),
     "q_walks" -> walksOracleSql(walkSteps),
+    "q_hits" -> hitsOracleSql(hitsIters),
     "q_pipeline_assemble" ->
       """WITH mixed AS (SELECT doc_id, source, text FROM documents
                         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT * 10000 <

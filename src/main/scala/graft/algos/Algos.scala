@@ -495,6 +495,41 @@ object Algos {
     labels.select(col("id"), col("lbl").as("community"))
   }
 
+  /** HITS hubs & authorities (the pagerank-era link-analysis companion),
+    * INTEGER-EXACT: the standard per-iteration L2 normalization replaces
+    * engine-portability with float drift, so we run the UN-normalized
+    * mutual recurrence (a ← Aᵀh, h ← Aa) for a fixed iteration count in
+    * 64-bit integers — rankings and ratios are identical to the normalized
+    * fixpoint direction for the same iteration count, and a SQL oracle can
+    * replay every round exactly (q_hits unrolls them as chained CTEs).
+    * Values grow ~(d_in·d_out)^iters: callers bound iters so counts stay
+    * in BIGINT (3 iterations on degree≲10³ graphs is ≲10¹⁸ — checked
+    * against Long.MaxValue would overflow-error under ANSI, not wrap).
+    *
+    * Scale: per round two edge-keyed aggregations (sum over in/out
+    * neighbors) + a join back — |E|-linear keyed shuffles, checkpointed
+    * per round like the LPA/walk loops. */
+  def hits(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val idc = vertices.columns.head
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .localCheckpoint(eager = false)
+    var scores = vertices.select(col(idc).cast("long").as("id"))
+      .withColumn("hub", lit(1L)).withColumn("auth", lit(1L)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val auth = e.join(scores.select(col("id").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("na"))
+      val s1 = scores.join(auth, Seq("id"), "left")
+        .select(col("id"), col("hub"), coalesce(col("na"), lit(0L)).as("auth"))
+      val hub = e.join(s1.select(col("id").as("dst"), col("auth")), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("auth")).as("nh"))
+      scores = s1.join(hub, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nh"), lit(0L)).as("hub"), col("auth"))
+        .localCheckpoint(true)
+    }
+    scores
+  }
+
   /** Deterministic "random" walks — DeepWalk/node2vec-style corpus
     * generation for graph-embedding training, made engine-portable: from
     * each start vertex, walk `steps` hops; at each step the walker at v

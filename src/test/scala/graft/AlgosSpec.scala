@@ -515,6 +515,18 @@ class AlgosSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("hits: un-normalized rounds match hand computation (auth from old hubs, hub from new auths)") {
+    // 1 -> 3, 2 -> 3, 3 -> 4
+    val es = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val vs = (1L to 4L).toDF("id")
+    val r1 = Algos.hits(vs, es, iters = 1)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(r1 === Map(1L -> ((2L, 0L)), 2L -> ((2L, 0L)), 3L -> ((1L, 2L)), 4L -> ((0L, 1L))))
+    val r2 = Algos.hits(vs, es, iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(r2 === Map(1L -> ((4L, 0L)), 2L -> ((4L, 0L)), 3L -> ((1L, 4L)), 4L -> ((0L, 1L))))
+  }
+
   test("deterministicWalks: hash-argmin hops, sink stops, repartition-invariant") {
     // diamond: 1 -> {2,3}, both -> 4 (sink): the step-1 choice is the
     // md5-argmin over {2,3}, mirrored here with an INDEPENDENT digest
