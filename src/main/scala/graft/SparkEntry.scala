@@ -812,6 +812,19 @@ object SparkEntry {
       // corpus's own top-20 vocabulary (top-K is TakeOrdered, then broadcast)
       graft.functions.TextOps.oovRateBp(Tpch.table(s, dir, "documents"),
         "doc_id", "text", vocabSize = 20)),
+    "q_corpus_diff" -> ((s, dir) => {
+      // incremental recrawl diff: snapshot B is derived deterministically
+      // in-query (docs in md5 bucket 0-3 get re-crawled bodies, doc_id % 7
+      // == 0 pages vanish), then classified in ONE keyed full outer join on
+      // content hashes — never a body compare. The oracle derives the same
+      // snapshot and replays the classification.
+      val docs = Tpch.table(s, dir, "documents")
+      val next = docs.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1", "2", "3"),
+            concat(col("text"), lit(" recrawled"))).otherwise(col("text")).as("text"))
+      graft.pipeline.Corpus.snapshotDiff(docs, next, "doc_id", "text")
+    }),
     "q_gopher" -> ((s, dir) => // Gopher quality rules (Rae et al. §A1.1) as
       // integer metrics + composite keep flag — one scan, zero shuffle
       graft.functions.TextOps.gopherQuality(Tpch.table(s, dir, "documents"),
@@ -1166,6 +1179,19 @@ object SparkEntry {
                       count(*) FILTER (WHERE t.t NOT IN (SELECT t FROM vocab)) AS n_oov
                     FROM t GROUP BY 1)
          SELECT doc_id, ((n_oov * 10000) // n_toks)::BIGINT AS oov_bp FROM agg""",
+    "q_corpus_diff" ->
+      """WITH nxt AS (SELECT doc_id,
+                       CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) IN ('0','1','2','3')
+                            THEN text || ' recrawled' ELSE text END AS text
+                     FROM documents WHERE doc_id % 7 <> 0),
+            a AS (SELECT doc_id, md5(text) AS ha, 1 AS ia FROM documents),
+            b AS (SELECT doc_id, md5(text) AS hb, 1 AS ib FROM nxt)
+         SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                CASE WHEN ia IS NULL THEN 'added'
+                     WHEN ib IS NULL THEN 'removed'
+                     WHEN ha IS NOT DISTINCT FROM hb THEN 'unchanged'
+                     ELSE 'modified' END AS status
+         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""",
     "q_gopher" ->
       """WITH b AS (SELECT doc_id,
                       len(list_filter(string_split(text, ' '), x -> len(x) > 0))::BIGINT AS n_words,

@@ -69,6 +69,28 @@ object Corpus {
     df.where(h16 * 10000L < bp * 65536L)
   }
 
+  /** Snapshot DIFF (incremental recrawl update): classify every document id
+    * across two corpus snapshots as `unchanged` / `modified` (same id, new
+    * content hash) / `added` / `removed`. The content comparison is by
+    * md5, so a 100 TB diff never compares bodies — ONE keyed full outer
+    * join on the id over two scans, the minimal shape for "what changed
+    * since the last crawl" (feeds incremental dedup/indexing downstream). */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    // explicit presence markers: a NULL body hashes to NULL, which must not
+    // read as row absence (the mergeWith presence-marker rule)
+    val a = prev.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__ha"),
+      lit(1).as("__ia"))
+    val b = next.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__hb"),
+      lit(1).as("__ib"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__ia").isNull, lit("added"))
+          .when(col("__ib").isNull, lit("removed"))
+          .when(col("__ha") <=> col("__hb"), lit("unchanged"))
+          .otherwise(lit("modified")).as("status"))
+  }
+
   /** Per-domain QUOTA cap (RefinedWeb/C4-style source balancing): keep at
     * most `cap` documents per domain, chosen by deterministic content-hash
     * order (md5 of the id, then the id — an unbiased, re-runnable "random"

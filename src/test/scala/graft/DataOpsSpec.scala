@@ -1041,6 +1041,18 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("snapshotDiff: four statuses; NULL bodies are content, not absence") {
+    import graft.pipeline.Corpus
+    val prev = Seq((1L, Option("same")), (2L, Option("old")), (3L, Option("gone")),
+      (5L, None: Option[String]), (6L, Option("was text"))).toDF("doc_id", "text")
+    val next = Seq((1L, Option("same")), (2L, Option("new")), (4L, Option("fresh")),
+      (5L, None: Option[String]), (6L, None: Option[String])).toDF("doc_id", "text")
+    val out = Corpus.snapshotDiff(prev, next, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "modified", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged", 6L -> "modified"))
+  }
+
   test("gopherQuality: each rule fires independently; metrics integer-exact") {
     import graft.functions.TextOps
     val good = (Seq("the", "of", "and") ++ Seq.fill(47)("spark")).mkString(" ") // 50 words
