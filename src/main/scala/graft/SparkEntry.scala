@@ -812,6 +812,28 @@ object SparkEntry {
       // corpus's own top-20 vocabulary (top-K is TakeOrdered, then broadcast)
       graft.functions.TextOps.oovRateBp(Tpch.table(s, dir, "documents"),
         "doc_id", "text", vocabSize = 20)),
+    "q_pipeline_curate" -> ((s, dir) => {
+      // The CURATION pipeline composed from this round's operators, each
+      // independently oracled: strip duplicated spans (q_span_strip) →
+      // Gopher quality gate on the STRIPPED text (q_gopher) → unigram
+      // surprisal over the surviving corpus (q_surprisal; corpus totals
+      // recomputed over survivors). One declarative chain; the only extra
+      // action is surprisal's corpus-total lookup. The strip threshold is
+      // RELATIVE — spans in >= 160 bp of documents (ceil) — because an
+      // absolute df is scale-dependent: on this heavily-templated corpus
+      // q_span_strip's aggressive minDf = 2 strips everything below the
+      // 50-word gate, and any fixed count that works at one SF dies at
+      // 10x. Relative df targets true boilerplate at every scale
+      // (179/500 gated at sf0.01, 1904/5000 at sf0.1).
+      val docs = Tpch.table(s, dir, "documents")
+      val minDf = (docs.count() * 160L + 9999L) / 10000L
+      val stripped = graft.dedup.Dedup.stripDupSpans(docs, "doc_id", "text", k = 3, minDf = minDf)
+        .select(col("doc_id"), col("text_stripped").as("text"))
+      val gated = graft.functions.TextOps.gopherQuality(stripped, "doc_id", "text")
+        .where(col("keep") === 1L).select("doc_id")
+      val survivors = stripped.join(gated, Seq("doc_id"), "left_semi")
+      graft.functions.TextOps.surprisalScore(survivors, "doc_id", "text")
+    }),
     "q_corpus_diff" -> ((s, dir) => {
       // incremental recrawl diff: snapshot B is derived deterministically
       // in-query (docs in md5 bucket 0-3 get re-crawled bodies, doc_id % 7
@@ -1179,6 +1201,44 @@ object SparkEntry {
                       count(*) FILTER (WHERE t.t NOT IN (SELECT t FROM vocab)) AS n_oov
                     FROM t GROUP BY 1)
          SELECT doc_id, ((n_oov * 10000) // n_toks)::BIGINT AS oov_bp FROM agg""",
+    "q_pipeline_curate" ->
+      // strip (q_span_strip's CTEs) -> gopher gate computed on the KEPT
+      // tokens (equivalent to gating the reassembled string: no rule's
+      // regex can span a space) -> surprisal with corpus totals over the
+      // survivors. MATERIALIZED where a CTE is referenced more than once.
+      """WITH t AS MATERIALIZED (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
+            g AS MATERIALIZED (SELECT doc_id, i - 1 AS pos, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+                  FROM t, unnest(generate_series(1, greatest(len(ts) - 2, 0))) u(i)),
+            n AS (SELECT (count(*) * 160 + 9999) // 10000 AS mindf FROM documents),
+            dup AS (SELECT gram FROM g GROUP BY gram
+                    HAVING count(DISTINCT doc_id) >= (SELECT mindf FROM n)),
+            cover AS (SELECT DISTINCT doc_id, pos + u.i AS cpos
+                      FROM g, unnest(generate_series(0, 2)) u(i)
+                      WHERE gram IN (SELECT gram FROM dup)),
+            tok AS (SELECT doc_id, i - 1 AS pos, ts[i] AS tk
+                    FROM t, unnest(generate_series(1, len(ts))) u(i)),
+            keep AS MATERIALIZED (SELECT tok.doc_id, tok.tk
+                     FROM tok LEFT JOIN cover ON tok.doc_id = cover.doc_id AND tok.pos = cover.cpos
+                     WHERE cover.cpos IS NULL),
+            gq AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+                     sum(len(tk))::BIGINT AS chars,
+                     sum(len(regexp_extract_all(tk, '#|\.\.\.')))::BIGINT * 10000 AS sym10k,
+                     count(*) FILTER (WHERE regexp_matches(tk, '[a-zA-Z]'))::BIGINT AS alpha,
+                     count(*) FILTER (WHERE tk IN ('the','be','to','of','and','that','have','with'))::BIGINT AS stop_hits
+                   FROM keep GROUP BY doc_id),
+            gated AS (SELECT doc_id FROM gq
+                      WHERE n_words BETWEEN 50 AND 100000
+                        AND (chars * 100) // n_words BETWEEN 300 AND 1000
+                        AND sym10k // n_words < 1000
+                        AND (alpha * 10000) // n_words >= 8000
+                        AND stop_hits >= 2),
+            st AS MATERIALIZED (SELECT k.doc_id, k.tk FROM keep k JOIN gated d ON k.doc_id = d.doc_id),
+            c AS MATERIALIZED (SELECT tk, count(*)::BIGINT AS n_t FROM st GROUP BY 1),
+            tot AS (SELECT sum(n_t)::BIGINT AS total FROM c),
+            sc AS (SELECT st.doc_id, (length(bin((SELECT total FROM tot) // c.n_t)) - 1)::BIGINT AS surp
+                   FROM st JOIN c USING (tk))
+         SELECT doc_id, count(*)::BIGINT AS n_toks, ((sum(surp) * 100) // count(*))::BIGINT AS surp_cb
+         FROM sc GROUP BY 1""",
     "q_corpus_diff" ->
       """WITH nxt AS (SELECT doc_id,
                        CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) IN ('0','1','2','3')
