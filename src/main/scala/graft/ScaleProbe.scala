@@ -250,6 +250,16 @@ object ScaleProbe {
     val (kcK, knK) = minTime(kcoreOf(liPK))
     println(f"[scale] kcore              1x: $kc1%6.2f s (n=$kn1%9d)   ${k}x: $kcK%6.2f s (n=$knK%9d)   time-ratio: ${kcK / math.max(kc1, 1e-9)}%5.2f")
 
+    // --- walk-corpus probe: every lineitem walks 2 hops (lineitem→order→
+    // customer); the walker frontier grows k× with the fact side while each
+    // step stays one frontier⋈edges join + walker-keyed argmin window
+    def walksOf(g: PropertyGraph): Long =
+      graft.algos.Algos.deterministicWalks(g.edges.select("src", "dst"),
+        g.kind("lineitem").select("id"), steps = 2).count()
+    val (wk1, wn1) = minTime(walksOf(g1))
+    val (wkK, wnK) = minTime(walksOf(gK))
+    println(f"[scale] walks              1x: $wk1%6.2f s (n=$wn1%9d)   ${k}x: $wkK%6.2f s (n=$wnK%9d)   time-ratio: ${wkK / math.max(wk1, 1e-9)}%5.2f")
+
     spark.stop()
   }
 }

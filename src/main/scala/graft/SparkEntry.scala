@@ -466,6 +466,34 @@ object SparkEntry {
       graft.algos.Algos.deterministicWalks(adj,
         n.select(Vid.vid("nation", col("n_nationkey")).as("id")), steps = walkSteps)
     }),
+    "q_ppr" -> ((s, dir) => {
+      // personalized PageRank from the urgent-order seed set down the
+      // order→customer→nation FK chain — integer fixed-point rounds the
+      // oracle replays verbatim; rank support stays the seeds' sparse
+      // out-neighborhood, never the whole graph
+      val e = g(s, dir).edges
+        .where(col("label").isin("order_customer", "customer_nation"))
+        .select("src", "dst")
+      val seeds = Tpch.table(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(Vid.vid("orders", col("o_orderkey")).as("id"))
+      graft.algos.Algos.personalizedPageRank(e, seeds, iters = pprIters)
+    }),
+    "q_token_budget" -> ((s, dir) => {
+      // curate to a token budget: best docs by (10000 − bigram repetition)
+      // until the budget line — exact three-level histogram threshold, no
+      // global sort; the oracle runs the one-big-window definition verbatim
+      val toks = graft.functions.TextOps.tokens(col("text"))
+      val scored = Tpch.table(s, dir, "documents").select(col("doc_id"),
+        (lit(10000L) - graft.functions.TextOps.repetitionBp(toks, 2)).as("score"),
+        size(toks).cast("long").as("n_tok"))
+      graft.pipeline.Corpus.tokenBudget(scored, "doc_id", "score", "n_tok", budgetToks)
+    }),
+    "q_curriculum" -> ((s, dir) =>
+      // exact empirical-CDF decile of document length — equal scores always
+      // share a bucket; only the score histogram is ever sorted
+      graft.pipeline.Corpus.curriculumBuckets(
+        Tpch.table(s, dir, "documents"), "doc_id", "n_chars", buckets = 10)),
     "q_kcore" -> ((s, dir) => {
       // k-core of the part–supplier co-purchase projection (part ~ supplier
       // iff some lineitem links them): the maximal subgraph of vertices with
@@ -1082,6 +1110,13 @@ object SparkEntry {
   /** One constant drives BOTH q_hits and its unrolled oracle. */
   private val hitsIters = 3
 
+  /** One constant drives BOTH q_ppr and its unrolled oracle. */
+  private val pprIters = 3
+
+  /** One constant drives BOTH q_token_budget and its oracle — 12k of
+    * sf0.01's ~27k total tokens, so the budget line bites at every SF. */
+  private val budgetToks = 12000L
+
   /** q_hits oracle: the un-normalized HITS recurrence unrolled — per round,
     * authorities from the PREVIOUS hubs, then hubs from the NEW authorities
     * (the standard update order, matching Algos.hits). All sums cast back
@@ -1105,6 +1140,30 @@ object SparkEntry {
          |        FROM t$r t LEFT JOIN h$r h ON t.id = h.id)""".stripMargin
     }.mkString(",\n")
     s"WITH $base,\n$rounds\nSELECT id, hub, auth FROM s$iters"
+  }
+
+  /** q_ppr oracle: every fixed-point round replayed — per round, each ranked
+    * vertex pushes (rank·8500) // (10000·outdeg) along its out-edges, and
+    * every seed re-injects 150000000000 (= 10¹²·1500 // 10⁴). Matches
+    * Algos.personalizedPageRank's defaults (alphaBp = 8500, scale = 10¹²). */
+  private def pprOracleSql(iters: Int): String = {
+    val base =
+      """e AS MATERIALIZED (
+        |  SELECT 6000000000000 + o_orderkey AS src, 3000000000000 + o_custkey AS dst FROM orders
+        |  UNION ALL
+        |  SELECT 3000000000000 + c_custkey, 2000000000000 + c_nationkey FROM customer),
+        |d AS MATERIALIZED (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY 1),
+        |rst AS MATERIALIZED (SELECT (6000000000000 + o_orderkey)::BIGINT AS id, 150000000000::BIGINT AS r0
+        |        FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |s0 AS (SELECT id, 1000000000000::BIGINT AS rank FROM rst)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT e.dst AS id, sum((s.rank * 8500) // (10000 * d.d))::BIGINT AS m
+         |        FROM e JOIN s${r - 1} s ON e.src = s.id JOIN d ON e.src = d.src GROUP BY 1),
+         |s$r AS MATERIALIZED (SELECT coalesce(r.id, c.id) AS id,
+         |        (coalesce(r.r0, 0) + coalesce(c.m, 0))::BIGINT AS rank
+         |        FROM rst r FULL OUTER JOIN c$r c ON r.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $base,\n$rounds\nSELECT id, rank FROM s$iters"
   }
 
   /** q_walks oracle: every hash-argmin hop replayed — per step, the same
@@ -1315,6 +1374,27 @@ object SparkEntry {
     "q_kcore" -> kCoreOracleSql(kCoreK, 6),
     "q_walks" -> walksOracleSql(walkSteps),
     "q_hits" -> hitsOracleSql(hitsIters),
+    "q_ppr" -> pprOracleSql(pprIters),
+    "q_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
+            g AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram
+                  FROM t, unnest(generate_series(1, greatest(len(ts) - 1, 0))) u(i)),
+            r AS (SELECT doc_id, count(*)::BIGINT AS tot, count(DISTINCT gram)::BIGINT AS dis FROM g GROUP BY 1),
+            s AS (SELECT t.doc_id, len(t.ts)::BIGINT AS n_tok,
+                    (10000 - coalesce(((r.tot - r.dis) * 10000) // r.tot, 0))::BIGINT AS score
+                  FROM t LEFT JOIN r ON t.doc_id = r.doc_id),
+            o AS (SELECT doc_id, score, n_tok,
+                    coalesce(sum(n_tok) OVER (ORDER BY score DESC, substring(md5(doc_id::VARCHAR), 1, 4) ASC, doc_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+                  FROM s)
+         SELECT doc_id, score, n_tok FROM o WHERE prev < $budgetToks""",
+    "q_curriculum" ->
+      """WITH s AS (SELECT doc_id, n_chars::BIGINT AS score FROM documents),
+            h AS (SELECT score, count(*)::BIGINT AS c FROM s GROUP BY 1),
+            cum AS (SELECT score, coalesce(sum(c) OVER (ORDER BY score ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS lt FROM h)
+         SELECT s.doc_id, s.score, ((cum.lt * 10) // (SELECT count(*) FROM s))::BIGINT AS bucket
+         FROM s JOIN cum USING (score)""",
     "q_pipeline_assemble" ->
       """WITH mixed AS (SELECT doc_id, source, text FROM documents
                         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT * 10000 <

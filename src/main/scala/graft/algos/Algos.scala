@@ -530,6 +530,45 @@ object Algos {
     scores
   }
 
+  /** Personalized PageRank (random-walk-with-restart) — the seed-relevance
+    * score behind graph-based data selection ("rank the corpus by proximity
+    * to a trusted seed set"), INTEGER-EXACT like [[hits]]: ranks live in
+    * fixed-point units of `scale`, each round moves
+    * `(rank · alphaBp) div (10000 · outdeg)` along every out-edge (floor
+    * division — deterministic mass leakage instead of float drift) and
+    * re-injects `(scale · (10000 − alphaBp)) div 10000` at every seed, so a
+    * SQL oracle replays every round verbatim (q_ppr unrolls them). Mass at
+    * dangling vertices retires, the standard dropped-dangling variant.
+    *
+    * Scale: the rank frontier is SPARSE — only vertices already reached
+    * carry rank, so round k touches the ≤k-hop out-neighborhood of the
+    * seeds, not the graph. Per round: one keyed join rank⋈edges⋈outdeg,
+    * one dst-keyed sum, one full-outer merge with the restart vector;
+    * checkpointed per round like the hits/LPA/walk loops. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      alphaBp: Long = 8500L, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && alphaBp >= 0 && alphaBp <= 10000 && scale > 0)
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .localCheckpoint(eager = false)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__d"))
+    val idc = seeds.columns.head
+    val restart = seeds.select(col(idc).cast("long").as("id"))
+      .withColumn("__r0", lit(scale * (10000L - alphaBp) / 10000L))
+      .localCheckpoint(eager = false)
+    var rank = restart.select(col("id"), lit(scale).as("rank")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = e.join(rank.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"), expr(s"(rank * ${alphaBp}L) div (10000L * __d)").as("__m"))
+        .groupBy("id").agg(sum("__m").as("__in"))
+      rank = restart.join(contrib, Seq("id"), "full_outer")
+        .select(col("id"),
+          (coalesce(col("__r0"), lit(0L)) + coalesce(col("__in"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
+    }
+    rank
+  }
+
   /** Deterministic "random" walks — DeepWalk/node2vec-style corpus
     * generation for graph-embedding training, made engine-portable: from
     * each start vertex, walk `steps` hops; at each step the walker at v

@@ -91,6 +91,96 @@ object Corpus {
           .otherwise(lit("modified")).as("status"))
   }
 
+  /** Quality-budget selection ("curate to a token budget"): keep the
+    * highest-scoring documents whose cumulative token count stays under
+    * `budget`, in the deterministic total order (score DESC, md5-prefix ASC,
+    * id ASC) — a row is kept iff the token sum of all STRICTLY-preceding
+    * rows is < budget (so the row that crosses the budget line is kept).
+    * The md5 prefix shuffles equal-scored docs so the boundary cut is an
+    * unbiased, re-runnable sample rather than an id-order artifact.
+    *
+    * Scale: selecting "the best B tokens" of a 100 TB corpus must NOT be a
+    * global sort. This runs a three-level exact threshold instead:
+    * (1) a per-score histogram (integer scores — a bounded key domain) is
+    * cumulated on the driver to find the crossing score; (2) the crossing
+    * score's docs alone are histogrammed again over their 65536 md5-prefix
+    * buckets to find the crossing bucket; (3) only the residual bucket —
+    * expected |boundary| / 65536 docs — pays a window sort. Every kept row
+    * is exactly the row the one-big-window definition keeps (the DuckDB
+    * oracle runs that definition verbatim); no sort ever sees more than
+    * one hash bucket of one score group. */
+  def tokenBudget(df: DataFrame, idCol: String, scoreCol: String, tokCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0)
+    val base = df.select(col(idCol).as("doc_id"),
+        col(scoreCol).cast("long").as("score"), col(tokCol).cast("long").as("n_tok"),
+        substring(md5(col(idCol).cast("string")), 1, 4).as("__h16"))
+      .localCheckpoint(eager = false) // shared by both histogram jobs + the result
+    val out = base.drop("__h16")
+    // level 1: per-score token totals, cumulated driver-side in score-desc order
+    val hist = base.groupBy("score").agg(sum("n_tok").as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    val cum = hist.scanLeft(0L)(_ + _._2)
+    if (cum.last <= budget) return out // everything fits
+    hist.indices.find(i => cum(i) < budget && cum(i) + hist(i)._2 > budget) match {
+      case None =>
+        // the budget line falls exactly on a score-group boundary
+        val j = hist.indices.find(i => cum(i) >= budget).get
+        out.where(col("score") > hist(j)._1)
+      case Some(ci) =>
+        val c = hist(ci)._1
+        val rem1 = budget - cum(ci) // 0 < rem1 < group total
+        val above = out.where(col("score") > c)
+        val bnd = base.where(col("score") === c)
+        // level 2: 65536 md5-prefix buckets of the crossing score group only
+        val h2 = bnd.groupBy("__h16").agg(sum("n_tok").as("t")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+        val cum2 = h2.scanLeft(0L)(_ + _._2)
+        h2.indices.find(i => cum2(i) < rem1 && cum2(i) + h2(i)._2 > rem1) match {
+          case None =>
+            val j = h2.indices.find(i => cum2(i) >= rem1).get
+            above.unionByName(bnd.where(col("__h16") < h2(j)._1).drop("__h16"))
+          case Some(bi) =>
+            val b = h2(bi)._1
+            val rem2 = rem1 - cum2(bi)
+            // level 3: the residual bucket alone pays a window sort
+            val w = Window.partitionBy("__h16").orderBy(col("doc_id").asc)
+              .rowsBetween(Window.unboundedPreceding, -1)
+            val resid = bnd.where(col("__h16") === b)
+              .withColumn("__prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+              .where(col("__prev") < rem2)
+              .drop("__h16", "__prev")
+            above.unionByName(bnd.where(col("__h16") < b).drop("__h16"))
+              .unionByName(resid)
+        }
+    }
+  }
+
+  /** Curriculum bucketing: assign every document an exact empirical-CDF
+    * bucket of its integer score — bucket = (buckets · |{score' < score}|)
+    * div N — WITHOUT a global sort and WITHOUT a tie-break: equal scores
+    * always share a bucket (value-based quantiles, the property ntile()
+    * lacks), so the assignment is a pure fact of the score multiset.
+    * The length/difficulty-ordered shard assignment of curriculum training.
+    *
+    * Scale: one per-score count aggregation; the running sum runs over the
+    * score HISTOGRAM (bounded integer domain — thousands of rows at any
+    * corpus size, hence the deliberate single-partition window), broadcast
+    * back as a (score → bucket) map join. The document table is touched by
+    * exactly one shuffle-free scan + one keyed agg. */
+  def curriculumBuckets(df: DataFrame, idCol: String, scoreCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0)
+    val base = df.select(col(idCol).as("doc_id"), col(scoreCol).cast("long").as("score"))
+    val n = base.count()
+    if (n == 0L) return base.withColumn("bucket", lit(0L)).where(lit(false))
+    val w = Window.orderBy(col("score").asc).rowsBetween(Window.unboundedPreceding, -1)
+    val hist = base.groupBy("score").agg(count(lit(1)).as("c"))
+      .withColumn("lt", coalesce(sum(col("c")).over(w), lit(0L)))
+      .select(col("score"), expr(s"(lt * $buckets) div ${n}L").as("bucket"))
+    base.join(broadcast(hist), "score").select("doc_id", "score", "bucket")
+  }
+
   /** Per-domain QUOTA cap (RefinedWeb/C4-style source balancing): keep at
     * most `cap` documents per domain, chosen by deterministic content-hash
     * order (md5 of the id, then the id — an unbiased, re-runnable "random"

@@ -561,4 +561,41 @@ class AlgosSpec extends AnyFunSuite {
     assert(Algos.kCore(multi, k = 1).as[(Long, Long)].collect().toMap ===
       Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("personalizedPageRank matches an independent fixed-point replay; support stays sparse") {
+    // cycle 1→2→3→1 with a dangling spur 3→4 and an unreachable vertex 9
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (9L, 9L))
+    // independent driver-side replay of the exact integer recurrence
+    def ref(edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int): Map[Long, Long] = {
+      val (alphaBp, scale) = (8500L, 1000000000000L)
+      val deg = edges.groupBy(_._1).map { case (u, out) => u -> out.size.toLong }
+      val r0 = scale * (10000L - alphaBp) / 10000L
+      var r: Map[Long, Long] = seeds.map(_ -> scale).toMap
+      for (_ <- 1 to iters) {
+        val in = edges.flatMap { case (u, v) =>
+          r.get(u).map(ru => v -> ru * alphaBp / (10000L * deg(u)))
+        }.groupBy(_._1).map { case (v, ms) => v -> ms.map(_._2).sum }
+        r = (in.keySet ++ seeds).map(v =>
+          v -> (in.getOrElse(v, 0L) + (if (seeds(v)) r0 else 0L))).toMap
+      }
+      r
+    }
+    val seeds = Seq(1L).toDF("id")
+    for (iters <- Seq(1, 3, 5)) {
+      val got = Algos.personalizedPageRank(es.toDF("src", "dst"), seeds, iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got === ref(es, Set(1L), iters), s"iters=$iters")
+      // support = seed's out-neighborhood only: 9's self-loop never ranks
+      assert(!got.contains(9L))
+    }
+    // mass retires at the dangling vertex 4 but never goes negative or
+    // explodes: total stays within (restart-only, scale · rounds)
+    val r5 = Algos.personalizedPageRank(es.toDF("src", "dst"), seeds, 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r5.values.forall(_ >= 0L) && r5.values.sum < 5000000000000L)
+    // partition-insensitive: the recurrence is a pure fact of (graph, seeds)
+    val gotP = Algos.personalizedPageRank(es.toDF("src", "dst").repartition(7), seeds, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(gotP === ref(es, Set(1L), 3))
+  }
 }

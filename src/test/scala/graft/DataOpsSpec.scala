@@ -113,6 +113,58 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Corpus.tokenBudget equals the one-big-window definition at every boundary regime") {
+    import graft.pipeline.Corpus
+    import org.apache.spark.sql.expressions.Window
+    // 5 score groups × 60 docs, token sizes 1..9 — budgets below probe the
+    // all-fit, exact-group-boundary, mid-group, and mid-bucket regimes
+    val df = (1L to 300L).map(i => (i, (i % 5) * 100L, i % 9 + 1L))
+      .toDF("doc_id", "score", "n_tok")
+    val w = Window.orderBy(col("score").desc,
+        substring(md5(col("doc_id").cast("string")), 1, 4).asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def brute(b: Long): Set[Long] =
+      df.withColumn("prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .where(col("prev") < b).select("doc_id").as[Long].collect().toSet
+    for (b <- Seq(0L, 1L, 7L, 123L, 301L, 800L, 1499L, 100000L)) {
+      val got = Corpus.tokenBudget(df, "doc_id", "score", "n_tok", b)
+        .select("doc_id").as[Long].collect()
+      assert(got.length === got.toSet.size, s"budget $b produced duplicates")
+      assert(got.toSet === brute(b), s"budget $b")
+    }
+    // budget landing exactly on a score-group boundary: 50 unit-token docs
+    // per score — prev < 50 keeps exactly the high-score group
+    val unit = (1L to 100L).map(i => (i, (i % 2) * 10L, 1L)).toDF("doc_id", "score", "n_tok")
+    val kept = Corpus.tokenBudget(unit, "doc_id", "score", "n_tok", 50L)
+      .select("score").as[Long].collect()
+    assert(kept.length === 50 && kept.forall(_ === 10L))
+  }
+
+  test("Corpus.curriculumBuckets: exact CDF deciles, ties never split across buckets") {
+    import graft.pipeline.Corpus
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 200L).map(i => (i, (i % 13) * (i % 7))).toDF("doc_id", "score")
+    val got = Corpus.curriculumBuckets(df, "doc_id", "score", buckets = 10)
+      .select("doc_id", "score", "bucket").as[(Long, Long, Long)].collect()
+    assert(got.length === 200)
+    // reference: bucket = (10 · |{score' < score}|) div N via a range frame
+    val w = Window.orderBy(col("score")).rangeBetween(Window.unboundedPreceding, -1)
+    val ref = df.withColumn("lt", count(lit(1)).over(w))
+      .withColumn("bucket", expr("(lt * 10) div 200"))
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    got.foreach { case (id, _, b) => assert(b === ref(id), s"doc $id") }
+    // equal scores share a bucket; buckets are monotone in score
+    val byScore = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    byScore.foreach { case (s, bs) => assert(bs.size === 1, s"score $s split $bs") }
+    val mono = byScore.toSeq.sortBy(_._1).map(_._2.head)
+    assert(mono === mono.sorted)
+    assert(got.map(_._3).min === 0L && got.map(_._3).max <= 9L)
+    // all-equal scores land in one bucket 0
+    val flat = (1L to 40L).map((_, 7L)).toDF("doc_id", "score")
+    assert(Corpus.curriculumBuckets(flat, "doc_id", "score", 10)
+      .select("bucket").as[Long].collect().toSet === Set(0L))
+  }
+
   test("exact dedup groups identical texts") {
     val ex = Dedup.exact(docs, "doc_id", "text").where(col("n") > 1).collect()
     assert(ex.length === 1 && ex.head.getAs[Long]("keep_id") === 1L)
