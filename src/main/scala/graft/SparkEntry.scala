@@ -494,6 +494,23 @@ object SparkEntry {
       // share a bucket; only the score histogram is ever sorted
       graft.pipeline.Corpus.curriculumBuckets(
         Tpch.table(s, dir, "documents"), "doc_id", "n_chars", buckets = 10)),
+    "q_vocab" -> ((s, dir) =>
+      // tokenizer-vocabulary construction: top-16 tokens (of 31 distinct —
+      // the cut bites) by count desc / token asc, ids 1..K in that order;
+      // TakeOrderedAndProject, never a global sort of the unigram table
+      graft.functions.TextOps.buildVocab(
+        Tpch.table(s, dir, "documents"), "text", vocabSize = 16)),
+    "q_chunk" -> ((s, dir) =>
+      // sliding-window chunking, 8-token windows every 4 (50% overlap) —
+      // the RAG/embedding-indexing shape; zero shuffle, short tail kept
+      graft.pipeline.Corpus.chunkDocs(
+        Tpch.table(s, dir, "documents"), "doc_id", "text", size = 8, stride = 4)),
+    "q_upsample" -> ((s, dir) =>
+      // epoch upsampling: src0 x3, src1 x2, src2 excluded, everything else
+      // x1 — deterministic epoch ids, scan-side explode, nothing shuffles
+      graft.pipeline.Corpus.upsampleEpochs(
+        Tpch.table(s, dir, "documents").select("doc_id", "source"),
+        col("source"), Seq("src0" -> 3, "src1" -> 2, "src2" -> 0))),
     "q_kcore" -> ((s, dir) => {
       // k-core of the part–supplier co-purchase projection (part ~ supplier
       // iff some lineitem links them): the maximal subgraph of vertices with
@@ -1395,6 +1412,28 @@ object SparkEntry {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS lt FROM h)
          SELECT s.doc_id, s.score, ((cum.lt * 10) // (SELECT count(*) FROM s))::BIGINT AS bucket
          FROM s JOIN cum USING (score)""",
+    "q_vocab" ->
+      """WITH c AS (SELECT t, count(*)::BIGINT AS n
+                    FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t
+                          FROM documents) GROUP BY 1)
+         SELECT t, n, token_id FROM (
+           SELECT t, n, row_number() OVER (ORDER BY n DESC, t ASC)::BIGINT AS token_id FROM c)
+         WHERE token_id <= 16""",
+    "q_chunk" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
+            m AS (SELECT doc_id, ts, len(ts)::BIGINT AS n FROM t WHERE len(ts) > 0),
+            c AS (SELECT doc_id, ts,
+                    unnest(generate_series(0, greatest(0, (n - 8 + 4 - 1) // 4)))::BIGINT AS chunk_id
+                  FROM m)
+         SELECT doc_id, chunk_id,
+                array_to_string(ts[chunk_id * 4 + 1 : chunk_id * 4 + 8], ' ') AS chunk_text
+         FROM c""",
+    "q_upsample" ->
+      """SELECT doc_id, source, unnest(generate_series(0, f - 1))::BIGINT AS epoch
+         FROM (SELECT doc_id, source,
+                 CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 WHEN 'src2' THEN 0 ELSE 1 END AS f
+               FROM documents)
+         WHERE f > 0""",
     "q_pipeline_assemble" ->
       """WITH mixed AS (SELECT doc_id, source, text FROM documents
                         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT * 10000 <

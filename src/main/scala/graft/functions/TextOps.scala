@@ -205,6 +205,26 @@ object TextOps {
       .select(col("doc_id"), col("n_toks"), expr("(bits * 100) div n_toks").as("surp_cb"))
   }
 
+  /** Tokenizer-vocabulary construction: the corpus's top-K tokens by
+    * frequency (count desc, token asc at ties — deterministic at the
+    * boundary), assigned contiguous ids 1..K in that order. The "train the
+    * tokenizer on the corpus" step of a pretraining pipeline, whitespace
+    * edition.
+    *
+    * Scale: one token-keyed count shuffle, then a TakeOrderedAndProject
+    * top-K (never a global sort of the unigram table); the final
+    * rank-assignment window runs over exactly K rows. */
+  def buildVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    require(vocabSize > 0)
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col("n").desc, col("t").asc)
+    docs.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+      .orderBy(ord: _*).limit(vocabSize)
+      .withColumn("token_id", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+  }
+
   /** Out-of-vocabulary rate in basis points against a CORPUS-DERIVED top-K
     * vocabulary (frequency desc, token asc tie-break — deterministic at the
     * boundary). The corpus-relative cousin of the fixed-list quality

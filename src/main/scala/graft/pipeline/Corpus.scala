@@ -69,6 +69,57 @@ object Corpus {
     df.where(h16 * 10000L < bp * 65536L)
   }
 
+  /** Sliding-window chunking (the RAG/embedding-indexing shape): split each
+    * document's token sequence into windows of `size` tokens starting every
+    * `stride` tokens (stride < size ⇒ overlap); the last window may be
+    * shorter, zero-token docs produce no chunks. Chunk count is the exact
+    * integer 1 + max(0, ⌈(n − size)/stride⌉), so every window starts within
+    * the document. Pure per-row column algebra (tokenize → bounded sequence
+    * explode → slice) — zero shuffle at any corpus size; both engines
+    * replay the same arithmetic (the ceil-div numerator is kept non-negative
+    * on both sides because Spark's `div` truncates where DuckDB's `//`
+    * floors). */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val ts = graft.functions.TextOps.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), ts.as("__ts"),
+        org.apache.spark.sql.functions.size(ts).cast("long").as("__n"))
+      .where(col("__n") > 0)
+      .withColumn("__nc",
+        lit(1L) + greatest(lit(0L), expr(s"(__n - $size + $stride - 1) div $stride")))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_id"), col("__ts"))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", slice(col("__ts"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(size))).as("chunk_text"))
+  }
+
+  /** Epoch upsampling — the "N epochs over source X" arm of mixture
+    * weighting (down-weighting is [[mixtureSample]]): replicate every row of
+    * stratum s `factor(s)` times with a deterministic `epoch` column
+    * (0..factor−1), so downstream shuffles can keep the copies apart.
+    * Factor 0 excludes the stratum; strata not listed get `defaultFactor`.
+    *
+    * Scale: a scan-side sequence explode — output grows by exactly the
+    * mixture's token multiplier and nothing shuffles; the epoch column is
+    * what makes the replication re-runnable (no RNG, no monotonically_
+    * increasing_id). */
+  def upsampleEpochs(df: DataFrame, stratum: Column,
+      factors: Seq[(String, Int)], defaultFactor: Int = 1): DataFrame = {
+    require((defaultFactor +: factors.map(_._2)).forall(_ >= 0), "factors are >= 0")
+    val f = factors.foldRight(lit(defaultFactor)) { case ((s, k), acc) =>
+      when(stratum === s, lit(k)).otherwise(acc)
+    }
+    // filter BEFORE the sequence: Spark infers a negative step for
+    // sequence(0, -1) rather than returning empty
+    df.withColumn("__f", f).where(col("__f") > 0)
+      .withColumn("__e", explode(sequence(lit(0), col("__f") - 1)))
+      .withColumn("epoch", col("__e").cast("long"))
+      .drop("__f", "__e")
+  }
+
   /** Snapshot DIFF (incremental recrawl update): classify every document id
     * across two corpus snapshots as `unchanged` / `modified` (same id, new
     * content hash) / `added` / `removed`. The content comparison is by

@@ -1176,4 +1176,59 @@ class DataOpsSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(s2 === Map(10L -> "", 11L -> ""))
   }
+
+  test("chunkDocs: window starts every stride, short tail kept, empty docs dropped") {
+    import graft.pipeline.Corpus
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // n=10: starts 0,4 cover all tokens
+      (2L, "a b c"),                           // n=3 < size: one short chunk
+      (3L, "  "),                              // zero tokens: no chunks
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8"))         // n=8 == size: exactly one chunk
+      .toDF("doc_id", "text")
+    val got = Corpus.chunkDocs(docs, "doc_id", "text", size = 8, stride = 4)
+      .as[(Long, Long, String)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // coverage semantics: windows start every stride UNTIL every token is
+    // covered — a window whose tokens all sit inside the previous window
+    // (pure suffix, no new content) is never emitted
+    assert(got === Map(
+      (1L, 0L) -> "t1 t2 t3 t4 t5 t6 t7 t8",
+      (1L, 1L) -> "t5 t6 t7 t8 t9 t10",
+      (2L, 0L) -> "a b c",
+      (4L, 0L) -> "x1 x2 x3 x4 x5 x6 x7 x8"))
+    // stride == size is tumbling: windows tile the doc with no overlap
+    val tumble = Corpus.chunkDocs(docs.where(col("doc_id") === 1L), "doc_id", "text",
+        size = 4, stride = 4)
+      .as[(Long, Long, String)].collect().sortBy(_._2).map(_._3)
+    assert(tumble.toSeq === Seq("t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10"))
+  }
+
+  test("upsampleEpochs: per-stratum replication with deterministic epoch ids") {
+    import graft.pipeline.Corpus
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "src")
+    val got = Corpus.upsampleEpochs(df, col("src"), Seq("a" -> 3, "c" -> 0))
+      .select("doc_id", "epoch").as[(Long, Long)].collect().toSet
+    // a ×3 with epochs 0..2; c excluded; b,d default ×1 with epoch 0
+    assert(got === Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L), (4L, 0L)))
+    // defaultFactor 0 flips the semantics to an allow-list
+    val only = Corpus.upsampleEpochs(df, col("src"), Seq("b" -> 2), defaultFactor = 0)
+      .select("doc_id", "epoch").as[(Long, Long)].collect().toSet
+    assert(only === Set((2L, 0L), (2L, 1L)))
+    // pure column algebra: partitioning cannot change the multiset
+    val re = Corpus.upsampleEpochs(df.repartition(5), col("src"), Seq("a" -> 3, "c" -> 0))
+      .select("doc_id", "epoch").as[(Long, Long)].collect().toSet
+    assert(re === got)
+  }
+
+  test("buildVocab: top-K by (count desc, token asc), contiguous ids, boundary ties resolved") {
+    import graft.functions.TextOps
+    // counts: z=3, m=2, a=2, q=1, b=1 — K=3 cuts inside the (m,a) tie region
+    // and the tail; token asc breaks both
+    val docs = Seq((1L, "z z z m m a"), (2L, "a q b")).toDF("doc_id", "text")
+    val got = TextOps.buildVocab(docs, "text", vocabSize = 3)
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(got.toSeq === Seq(("z", 3L, 1L), ("a", 2L, 2L), ("m", 2L, 3L)))
+    // vocabSize beyond the distinct-token count returns the whole vocabulary
+    val all = TextOps.buildVocab(docs, "text", vocabSize = 100)
+    assert(all.count() === 5L)
+  }
 }
