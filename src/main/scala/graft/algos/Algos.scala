@@ -903,8 +903,6 @@ object Algos {
     * the actionable message rather than collapse. */
   private[graft] def collectReachable(entry: Long, edges: DataFrame,
       maxEdges: Long = 10000000L): Array[(Long, Long)] = {
-    val spark = edges.sparkSession
-    import spark.implicits._
     val e = reachableEdges(entry, edges)
     val n = e.count()
     if (n > maxEdges)
@@ -912,7 +910,15 @@ object Algos {
         s"flow subgraph of entry $entry has $n edges > maxEdges=$maxEdges: " +
           "driver-side DFS analyses are CFG-scale; restrict the entry's subgraph " +
           "(edgeSubgraph/filter) or raise maxEdges explicitly")
-    e.as[(Long, Long)].collect()
+    // stream partition-at-a-time (like the deep-CC fallback): peak driver
+    // footprint is the result array (~40 B/edge boxed = ~400 MB at the
+    // guard) plus ONE partition's rows — never a second full copy of the
+    // edge set the way Dataset.collect's decode path holds
+    val out = new Array[(Long, Long)](n.toInt)
+    val it = e.select(col("src"), col("dst")).toLocalIterator()
+    var i = 0
+    while (it.hasNext) { val r = it.next(); out(i) = (r.getLong(0), r.getLong(1)); i += 1 }
+    out
   }
 
   def immediateDominators(entry: Long, edges: DataFrame): DataFrame = {
