@@ -522,6 +522,34 @@ object SparkEntry {
         Vid.vid("supplier", col("l_suppkey")).as("dst"))
       graft.algos.Algos.kCore(e, k = kCoreK)
     }),
+    "q_train_order" -> ((s, dir) =>
+      // deterministic training-order shuffle: exact 0-based global position
+      // in md5(seed:doc_id) order, assembled two-level (256-bucket
+      // histogram offsets + bucket-partitioned windows) — no global sort
+      graft.pipeline.Corpus.trainOrder(
+        Tpch.table(s, dir, "documents").select("doc_id"), "doc_id", seed = "ep0")),
+    "q_linkpred" -> ((s, dir) => {
+      // link prediction on the customer–part purchase graph: customer
+      // pairs sharing >= 3 distinct parts (collaborative-filtering shape),
+      // with the integer resource-allocation index; parts bought by > 40
+      // customers are excluded as wedge centers (hub rule + scale guard)
+      val li = Tpch.table(s, dir, "lineitem")
+      val o = Tpch.table(s, dir, "orders")
+      val cp = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(Vid.vid("customer", col("o_custkey")).as("src"),
+          Vid.vid("part", col("l_partkey")).as("dst"))
+      graft.algos.Algos.linkPrediction(cp, minCommon = 3, maxDeg = 40)
+    }),
+    "q_mis" -> ((s, dir) => {
+      // deterministic Luby MIS over the same part–supplier projection:
+      // hash priorities (md5(round:id)) make the set a pure fact of the
+      // graph; the oracle unrolls the rounds (over-unrolling is exact —
+      // an empty candidate pool yields empty rounds)
+      val li = Tpch.table(s, dir, "lineitem")
+      val e = li.select(Vid.vid("part", col("l_partkey")).as("src"),
+        Vid.vid("supplier", col("l_suppkey")).as("dst"))
+      graft.algos.Algos.maximalIndependentSet(e)
+    }),
     "q_asof" -> ((s, dir) => {
       // as-of join: each purchase event gets the most recent prior click
       // value of the same user (inclusive on equal timestamps)
@@ -1228,6 +1256,32 @@ object SparkEntry {
       s"SELECT src AS id, count(*)::BIGINT AS deg FROM s$rounds GROUP BY src HAVING count(*) >= $k"
   }
 
+  /** q_mis oracle: Luby rounds unrolled as chained MATERIALIZED CTEs over
+    * the symmetrized part–supplier projection. Each round replays the
+    * md5(round:id)+zero-padded-id priority, the neighbor-min, the winner
+    * filter, and the pool shrink verbatim; rounds past exhaustion are
+    * empty, so unrolling MORE than the data needs stays exact (the Spark
+    * side iterates until the pool drains). MATERIALIZED for the §8
+    * let-binding rule: e_r and c_r are each referenced 3× downstream. */
+  private def misOracleSql(rounds: Int): String = {
+    val base =
+      """ex AS MATERIALIZED (SELECT DISTINCT 5000000000000 + l_partkey AS src,
+        |                       4000000000000 + l_suppkey AS dst FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT src, dst FROM ex UNION ALL SELECT dst, src FROM ex),
+        |c0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e0)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT id, md5('$r:' || id::VARCHAR) || lpad(id::VARCHAR, 20, '0') AS p FROM c${r - 1}),
+         |m$r AS MATERIALIZED (SELECT e.src, min(p.p) AS mn FROM e${r - 1} e JOIN p$r p ON e.dst = p.id GROUP BY e.src),
+         |w$r AS MATERIALIZED (SELECT p.id FROM p$r p LEFT JOIN m$r m ON p.id = m.src WHERE m.mn IS NULL OR p.p < m.mn),
+         |rm$r AS MATERIALIZED (SELECT id FROM w$r UNION SELECT e.dst AS id FROM e${r - 1} e JOIN w$r w ON e.src = w.id),
+         |c$r AS MATERIALIZED (SELECT id FROM c${r - 1} WHERE id NOT IN (SELECT id FROM rm$r)),
+         |e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+         |        JOIN c$r a ON e.src = a.id JOIN c$r b ON e.dst = b.id)""".stripMargin
+    }.mkString(",\n")
+    val un = (1 to rounds).map(r => s"SELECT id FROM w$r").mkString(" UNION ")
+    s"WITH $base,\n$rs\n$un"
+  }
+
   /** q_label_prop oracle: the synchronous LPA rounds of
     * [[graft.algos.Algos.labelPropagationSync]] unrolled as chained CTEs —
     * each round recomputes (dst, label) counts from the PREVIOUS round only,
@@ -1389,6 +1443,23 @@ object SparkEntry {
          FROM (SELECT doc_id FROM t WHERE len(ts) > 0) d
          LEFT JOIN keep k ON d.doc_id = k.doc_id GROUP BY d.doc_id""",
     "q_kcore" -> kCoreOracleSql(kCoreK, 6),
+    "q_mis" -> misOracleSql(16),
+    "q_train_order" ->
+      """SELECT doc_id,
+                row_number() OVER (ORDER BY md5('ep0:' || doc_id::VARCHAR), doc_id)::BIGINT - 1
+                  AS pos
+         FROM documents""",
+    "q_linkpred" ->
+      """WITH cp AS (SELECT DISTINCT 3000000000000 + o.o_custkey AS src,
+                       5000000000000 + l.l_partkey AS dst
+                     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+            ctr AS (SELECT dst, count(*)::BIGINT AS d FROM cp GROUP BY dst
+                    HAVING count(*) >= 2 AND count(*) <= 40),
+            w AS (SELECT a.src AS id_a, b.src AS id_b, ctr.d
+                  FROM cp a JOIN ctr ON a.dst = ctr.dst
+                  JOIN cp b ON b.dst = ctr.dst AND a.src < b.src)
+         SELECT id_a, id_b, count(*)::BIGINT AS cn, sum(1000000 // d)::BIGINT AS ra
+         FROM w GROUP BY 1, 2 HAVING count(*) >= 3""",
     "q_walks" -> walksOracleSql(walkSteps),
     "q_hits" -> hitsOracleSql(hitsIters),
     "q_ppr" -> pprOracleSql(pprIters),

@@ -647,6 +647,93 @@ object Algos {
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")).where(col("deg") >= k)
   }
 
+  /** Deterministic maximal independent set — Luby's algorithm (Luby 1986)
+    * with HASH priorities instead of RNG: in round r, surviving candidate v
+    * has priority `md5("r:v") ++ zero-padded v` (the id suffix makes the
+    * order total), and joins the set iff its priority is strictly below
+    * every surviving neighbor's. Winners and their neighbors leave the
+    * pool; candidates that lost all neighbors win the next round
+    * unopposed. The result is independent (no edge inside) and maximal
+    * (every outsider saw a winning neighbor when it was removed), and a
+    * pure fact of (graph, round counter) — reruns, partitionings, and
+    * engines agree, so a SQL oracle replays the rounds verbatim
+    * (over-unrolling is exact: an empty pool yields empty rounds).
+    *
+    * Scale: per round one candidate⋈edge join, one src-keyed min, one
+    * anti-join + two semi-joins — all on the candidate-induced subgraph,
+    * which SHRINKS every round (the globally-minimal priority always
+    * wins, and hash-uniform priorities remove a constant expected edge
+    * fraction per round ⇒ O(log n) expected rounds). Eager per-round
+    * checkpoints keep lineage flat (the Descend rule). */
+  def maximalIndependentSet(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val sym0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    var e = sym0.unionAll(sym0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var cand = e.select(col("src").as("id")).distinct().localCheckpoint(true)
+    var mis = cand.where(lit(false))
+    var n = cand.count()
+    var r = 0
+    while (n > 0) {
+      r += 1
+      if (r > maxRounds)
+        throw new IllegalStateException(s"MIS did not drain within $maxRounds rounds")
+      val p = cand.select(col("id"),
+        concat(md5(concat(lit(s"$r:"), col("id").cast("string"))),
+          lpad(col("id").cast("string"), 20, "0")).as("p"))
+      val minNbr = e.join(p.select(col("id").as("dst"), col("p").as("pd")), "dst")
+        .groupBy("src").agg(min("pd").as("mn"))
+      val win = p.join(minNbr.select(col("src").as("id"), col("mn")), Seq("id"), "left")
+        .where(col("mn").isNull || col("p") < col("mn"))
+        .select("id").localCheckpoint(true)
+      mis = mis.unionByName(win)
+      val removed = win.unionAll(
+          e.join(win.select(col("id").as("src")), Seq("src"), "left_semi")
+            .select(col("dst").as("id")))
+        .distinct()
+      cand = cand.join(removed, Seq("id"), "left_anti").localCheckpoint(true)
+      e = e.join(cand.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(cand.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst").localCheckpoint(true)
+      n = cand.count()
+    }
+    mis
+  }
+
+  /** Link prediction by shared neighbors — TWO-MODE formulation: candidate
+    * pairs are `src` vertices, similarity counted over shared `dst`
+    * neighbors (for a one-mode undirected graph, pass the symmetrized edge
+    * list and this degenerates to the classic definition). Returns
+    * non-adjacent pairs sharing >= `minCommon` neighbors with the
+    * common-neighbor count and the INTEGER-EXACT resource-allocation index
+    * Σ_z `scale div deg(z)` (Zhou–Lü–Zhang 2009 — RA's 1/deg stays in
+    * integers where Adamic–Adar's 1/log deg would need floats).
+    *
+    * Scale: wedge enumeration is the triangle-count shape — per-center
+    * work is deg², so centers above `maxDeg` are EXCLUDED (the standard
+    * link-prediction hub rule: a neighbor shared with everyone carries no
+    * signal, and the cap bounds the wedge explosion at `maxDeg²` per
+    * center). Everything is keyed joins + one (id_a,id_b) agg — the
+    * candidate join never goes cartesian. */
+  def linkPrediction(edges: DataFrame, minCommon: Long, maxDeg: Long,
+      scale: Long = 1000000L): DataFrame = {
+    require(minCommon >= 1 && maxDeg >= 2)
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = false) // scanned 3×: centers, wedges, adjacency
+    val ctr = e.groupBy("dst").agg(count(lit(1)).as("d"))
+      .where(col("d") >= 2 && col("d") <= maxDeg)
+    val ew = e.join(ctr, "dst")
+    val pairs = ew.select(col("dst"), col("src").as("id_a"), col("d"))
+      .join(ew.select(col("dst"), col("src").as("id_b")), "dst")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("cn"), sum(expr(s"$scale div d")).as("ra"))
+    pairs.join(e.select(col("src").as("id_a"), col("dst").as("id_b")),
+        Seq("id_a", "id_b"), "left_anti")
+      .where(col("cn") >= minCommon)
+  }
+
   /** In/out/both degree per vertex (fermor out-edge-count / in-edge-count /
     * both-edge-count, and the gremlin degree-centrality recipe). */
   def degrees(edges: DataFrame, direction: String = "both"): DataFrame = {

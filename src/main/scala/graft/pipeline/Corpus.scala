@@ -120,6 +120,38 @@ object Corpus {
       .drop("__f", "__e")
   }
 
+  /** Deterministic training-order shuffle: every row's EXACT 0-based global
+    * position in md5(seed:id) order — the reproducible corpus shuffle of a
+    * pretraining run (new seed ⇒ new epoch order; same seed ⇒ the same
+    * permutation on any engine, partitioning, or cluster size).
+    *
+    * Exact WITHOUT a global sort: two-level rank assembly. A histogram on
+    * the hash's first `prefixLen` hex chars (16^prefixLen buckets — one
+    * tiny agg, cumulated driver-side, broadcast back) gives each bucket
+    * its global starting offset; a bucket-PARTITIONED window ranks within
+    * buckets; position = offset + within-bucket rank. At 100 TB raise
+    * `prefixLen` so each bucket fits one task's sort (prefixLen 4 = 65536
+    * buckets ≈ 1.5 GB/bucket); the histogram stays trivially collectable.
+    * Hash ties (35-digit md5 prefix collisions) break by id, so the order
+    * is total and both engines agree. */
+  def trainOrder(df: DataFrame, idCol: String, seed: String,
+      prefixLen: Int = 2): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 8)
+    val base = df
+      .withColumn("__h", md5(concat(lit(s"$seed:"), col(idCol).cast("string"))))
+      .withColumn("__b", conv(substring(col("__h"), 1, prefixLen), 16, 10).cast("long"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = base.groupBy("__b").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val offsets = hist.map(_._1).zip(hist.scanLeft(0L)(_ + _._2))
+    val offDf = broadcast(offsets.toSeq.toDF("__b", "__off"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__h").asc, col(idCol).asc)
+    base.join(offDf, "__b")
+      .withColumn("pos", col("__off") + row_number().over(w).cast("long") - 1L)
+      .drop("__h", "__b", "__off")
+  }
+
   /** Snapshot DIFF (incremental recrawl update): classify every document id
     * across two corpus snapshots as `unchanged` / `modified` (same id, new
     * content hash) / `added` / `removed`. The content comparison is by

@@ -598,4 +598,60 @@ class AlgosSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(gotP === ref(es, Set(1L), 3))
   }
+
+  test("maximalIndependentSet: independent, maximal, deterministic") {
+    // a 6-path, a 4-star (hub 10), a triangle, and a K4 — covers chains
+    // (alternation), hubs (leaves win), and odd/complete cliques (one winner)
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L),
+      (20L, 21L), (21L, 22L), (22L, 20L),
+      (30L, 31L), (30L, 32L), (30L, 33L), (31L, 32L), (31L, 33L), (32L, 33L))
+    val df = es.toDF("src", "dst")
+    val mis = Algos.maximalIndependentSet(df).as[Long].collect().toSet
+    val sym = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    // independent: no edge between two members
+    assert(!sym.exists { case (a, b) => mis(a) && mis(b) })
+    // maximal: every non-member has a member neighbor
+    val verts = es.flatMap { case (a, b) => Seq(a, b) }.toSet
+    assert((verts -- mis).forall(v => sym.exists { case (a, b) => a == v && mis(b) }))
+    // cliques contribute exactly one member; the star's hub xor its leaves
+    assert(mis.count(Set(20L, 21L, 22L)) === 1)
+    assert(mis.count(Set(30L, 31L, 32L, 33L)) === 1)
+    assert(if (mis(10L)) Set(11L, 12L, 13L, 14L).forall(!mis(_))
+           else Set(11L, 12L, 13L, 14L).forall(mis))
+    // hash priorities are a pure fact of the graph: partitioning-invariant
+    val again = Algos.maximalIndependentSet(df.repartition(7)).as[Long].collect().toSet
+    assert(again === mis)
+  }
+
+  test("linkPrediction: common neighbors + integer RA, hub cap, adjacency excluded") {
+    // one-mode square 1-2-3-4-1 symmetrized: opposite corners (1,3) and
+    // (2,4) share both in-between vertices; adjacent corners share none.
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val sym = (sq ++ sq.map(_.swap)).toDF("src", "dst")
+    val got = Algos.linkPrediction(sym, minCommon = 1, maxDeg = 10)
+      .as[(Long, Long, Long, Long)].collect().map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // every vertex has degree 2 => RA contribution 1000000 div 2 each
+    assert(got === Map((1L, 3L) -> ((2L, 1000000L)), (2L, 4L) -> ((2L, 1000000L))))
+    // adjacency exclusion: add the chord 1-3; the pair must vanish even
+    // though the shared neighbors remain
+    val chord = (sq ++ Seq((1L, 3L))).flatMap(e => Seq(e, e.swap)).toDF("src", "dst")
+    val got2 = Algos.linkPrediction(chord, minCommon = 1, maxDeg = 10)
+      .as[(Long, Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(!got2.contains((1L, 3L)) && got2.contains((2L, 4L)))
+    // hub cap: with maxDeg below the square's degree 2, no wedge centers
+    assert(Algos.linkPrediction(sym, minCommon = 1, maxDeg = 2).count() === 2)
+    // (cap = 2 keeps them; the count() above pins the boundary INclusive)
+    // two-mode: customers {10,11,12} × parts {100,101}; 10,11 share both
+    val bip = Seq((10L, 100L), (10L, 101L), (11L, 100L), (11L, 101L), (12L, 100L))
+      .toDF("src", "dst")
+    val b = Algos.linkPrediction(bip, minCommon = 2, maxDeg = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    // part 100 has deg 3 (RA 333333), part 101 deg 2 (RA 500000)
+    assert(b.toSeq === Seq((10L, 11L, 2L, 833333L)))
+    // partitioning-invariant
+    val re = Algos.linkPrediction(sym.repartition(7), minCommon = 1, maxDeg = 10)
+      .as[(Long, Long, Long, Long)].collect().map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(re === got)
+  }
 }

@@ -1219,6 +1219,30 @@ class DataOpsSpec extends AnyFunSuite {
     assert(re === got)
   }
 
+  test("trainOrder: exact global permutation, bucket count and partitioning invisible") {
+    import graft.pipeline.Corpus
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 500L).toDF("doc_id")
+    val got = Corpus.trainOrder(df, "doc_id", seed = "s1")
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    // positions are a permutation of 0..n-1
+    assert(got.values.toSeq.sorted === (0L until 500L))
+    // equals the one-big-window definition
+    val brute = df.withColumn("h", md5(concat(lit("s1:"), col("doc_id").cast("string"))))
+      .withColumn("pos", row_number().over(Window.orderBy(col("h"), col("doc_id"))).cast("long") - 1)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(got === brute)
+    // prefix length (bucket fan-out) and physical partitioning are
+    // implementation detail — the permutation is a fact of (seed, ids)
+    val p3 = Corpus.trainOrder(df.repartition(7), "doc_id", seed = "s1", prefixLen = 3)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(p3 === got)
+    // a different seed is a genuinely different epoch order
+    val s2 = Corpus.trainOrder(df, "doc_id", seed = "s2")
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(s2 !== got)
+  }
+
   test("buildVocab: top-K by (count desc, token asc), contiguous ids, boundary ties resolved") {
     import graft.functions.TextOps
     // counts: z=3, m=2, a=2, q=1, b=1 — K=3 cuts inside the (m,a) tie region
