@@ -522,6 +522,26 @@ object SparkEntry {
         Vid.vid("supplier", col("l_suppkey")).as("dst"))
       graft.algos.Algos.kCore(e, k = kCoreK)
     }),
+    "q_split" -> ((s, dir) =>
+      // deterministic train/val/test split (90/5/5): membership is a fact
+      // of the doc_id hash alone — never migrates as the corpus grows
+      graft.pipeline.Corpus.splitAssign(
+        Tpch.table(s, dir, "documents").select("doc_id", "source"),
+        col("doc_id"), Seq("train" -> 9000, "val" -> 500, "test" -> 500))),
+    "q_classifier" -> ((s, dir) =>
+      // fasttext-shaped linear classifier scoring with hashed features:
+      // tokenize -> per-token weight -> doc sum -> sign threshold (the
+      // weight fn is a deterministic stand-in; a trained table swaps in
+      // via the same lookup)
+      graft.functions.TextOps.hashedLinearScore(
+        Tpch.table(s, dir, "documents"), "doc_id", "text")),
+    "q_bm25" -> ((s, dir) =>
+      // integer-exact BM25 ranking for a 3-term query; "dup" is the rare
+      // high-idf discriminator, the common terms saturate to idf 0 (the
+      // floor-log2 idf's everywhere-term rule)
+      graft.functions.TextOps.bm25Rank(
+        Tpch.table(s, dir, "documents"), "doc_id", "text",
+        query = Seq("dup", "hash", "join"), k = 20)),
     "q_train_order" -> ((s, dir) =>
       // deterministic training-order shuffle: exact 0-based global position
       // in md5(seed:doc_id) order, assembled two-level (256-bucket
@@ -1444,6 +1464,37 @@ object SparkEntry {
          LEFT JOIN keep k ON d.doc_id = k.doc_id GROUP BY d.doc_id""",
     "q_kcore" -> kCoreOracleSql(kCoreK, 6),
     "q_mis" -> misOracleSql(16),
+    "q_split" ->
+      """SELECT doc_id, source,
+                CASE WHEN h * 10000 < 9000 * 65536 THEN 'train'
+                     WHEN h * 10000 < 9500 * 65536 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id, source,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT AS h
+               FROM documents)""",
+    "q_classifier" ->
+      """SELECT doc_id, sum(w)::BIGINT AS score, sum(w) > 0 AS keep
+         FROM (SELECT doc_id, ('0x' || substr(md5(t), 1, 2))::BIGINT % 11 - 5 AS w
+               FROM (SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t
+                     FROM documents))
+         GROUP BY doc_id""",
+    "q_bm25" ->
+      """WITH toks AS MATERIALIZED (
+              SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t
+              FROM documents),
+            dl AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+            st AS (SELECT count(*)::BIGINT AS n, (sum(dl) // count(*))::BIGINT AS avgdl FROM dl),
+            idf AS (SELECT t, (length(bin((SELECT n FROM st) // count(DISTINCT doc_id))) - 1)::BIGINT AS idf
+                    FROM toks WHERE t IN ('dup', 'hash', 'join') GROUP BY t),
+            tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf
+                   FROM toks WHERE t IN ('dup', 'hash', 'join') GROUP BY 1, 2),
+            c AS (SELECT tf.doc_id,
+                    idf.idf * (tf.tf * 22000 * 10000) //
+                      (tf.tf * 10000 + (12000 * (2500 + (7500 * dl.dl) // st.avgdl)) // 10000) AS contrib
+                  FROM tf JOIN dl USING (doc_id) JOIN idf USING (t), st)
+         SELECT doc_id, sum(contrib)::BIGINT AS score
+         FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""",
     "q_train_order" ->
       """SELECT doc_id,
                 row_number() OVER (ORDER BY md5('ep0:' || doc_id::VARCHAR), doc_id)::BIGINT - 1

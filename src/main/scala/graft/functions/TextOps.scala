@@ -205,6 +205,66 @@ object TextOps {
       .select(col("doc_id"), col("n_toks"), expr("(bits * 100) div n_toks").as("surp_cb"))
   }
 
+  /** Linear text classifier with hashed features — the fasttext-style
+    * quality-filter SCORING path: per-token weight by feature-hash lookup,
+    * per-doc sum, sign threshold. The weight function is a deterministic
+    * hash-derived stand-in (first md5 byte mod 11 − 5 ∈ [−5, 5]) in the
+    * FakeCodec tradition: a TRAINED model swaps in a real weight table via
+    * the same per-token lookup (broadcast join at vocab scale) without
+    * touching the plumbing — and the plumbing is the real thing: tokenize →
+    * explode → weight → doc-keyed sum → threshold, ONE shuffle on doc_id.
+    * Zero-token docs produce no row (nothing to score). */
+  def hashedLinearScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
+      .withColumn("w", conv(substring(md5(col("t")), 1, 2), 16, 10).cast("long") % 11L - 5L)
+      .groupBy("doc_id").agg(sum("w").as("score"))
+      .withColumn("keep", col("score") > 0L)
+
+  /** BM25-family retrieval ranking (Robertson–Walker–Jones), INTEGER-EXACT:
+    * the RAG/eval "rank the corpus for this query" step with no float
+    * anywhere, so both engines replay it bit-identically. Fixed-point
+    * formula per (doc d, query term t), everything basis points:
+    *
+    *   idf_t    = floor_log2(N div df_t)           (= length(bin(x))−1,
+    *              the surprisal trick — saturates to 0 for everywhere-terms)
+    *   dlnorm_d = (10000 − bBp) + (bBp·dl_d) div avgdl
+    *   contrib  = idf_t · (tf·(10000+k1Bp)·10000) div (tf·10000 + (k1Bp·dlnorm_d) div 10000)
+    *
+    * score = Σ_t contrib, ranked (score desc, doc_id asc), top `k` — the
+    * classical shape (tf saturation at k1, length normalization at b) with
+    * floor-log2 idf substituting ln.
+    *
+    * Scale: one token explode feeding dl + tf + df aggs; df/idf is |query|
+    * rows (collected, broadcast back); N/avgdl are two scalars; the final
+    * rank is TakeOrderedAndProject top-k, never a global sort. */
+  def bm25Rank(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int, k1Bp: Long = 12000L, bBp: Long = 7500L)
+      : org.apache.spark.sql.DataFrame = {
+    require(query.nonEmpty && k > 0 && k1Bp >= 0 && bBp >= 0 && bBp <= 10000)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
+      .localCheckpoint(eager = false) // feeds dl, df, and tf
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val Array(nDocs, avgdl) = dl.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)))
+      .as[(Long, Long)].collect().headOption
+      .map(r => Array(r._1, r._2 / math.max(r._1, 1L))).getOrElse(Array(0L, 1L))
+    if (nDocs == 0L) return dl.select(col("doc_id"), col("dl").as("score"))
+    val qt = toks.where(col("t").isin(query: _*))
+    val idf = qt.groupBy("t").agg(countDistinct("doc_id").as("dft"))
+      .as[(String, Long)].collect()
+      .map { case (t, dft) => (t, (63 - java.lang.Long.numberOfLeadingZeros(nDocs / dft)).toLong) }
+      .toSeq.toDF("t", "idf")
+    qt.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id").join(broadcast(idf), "t")
+      .withColumn("contrib", expr(
+        s"idf * (tf * ${10000L + k1Bp} * 10000) div " +
+          s"(tf * 10000 + ($k1Bp * ((${10000L - bBp}) + ($bBp * dl) div $avgdl)) div 10000)"))
+      .groupBy("doc_id").agg(sum("contrib").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
   /** Tokenizer-vocabulary construction: the corpus's top-K tokens by
     * frequency (count desc, token asc at ties — deterministic at the
     * boundary), assigned contiguous ids 1..K in that order. The "train the

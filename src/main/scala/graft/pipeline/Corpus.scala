@@ -120,6 +120,30 @@ object Corpus {
       .drop("__f", "__e")
   }
 
+  /** Deterministic train/val/test split: each row gets a split label from
+    * its content-hash bucket in [0, 10000) basis points — `splits` lists
+    * (label, bp) spans summing to exactly 10000, assigned in order. The
+    * canonical held-out-set maker: re-runnable bit-identically on any
+    * engine/cluster (no RNG), and a document NEVER migrates between splits
+    * when the corpus grows (membership is a fact of the id alone —
+    * df.randomSplit can't promise either). Zero shuffle: one scan-side
+    * hash predicate, same bucket arithmetic as [[mixtureSample]]. */
+  def splitAssign(df: DataFrame, key: Column, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) && splits.map(_._2).sum == 10000,
+      s"split bps must be positive and sum to 10000, got $splits")
+    // same arithmetic as mixtureSample, division-free: the row's bucket is
+    // below boundary `hi` iff h16·10000 < hi·65536 (h16 = first 4 md5 hex
+    // chars), so the label is a chain of integer comparisons both engines
+    // replay exactly
+    val h = conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+    val bounds = splits.map(_._2).scanLeft(0)(_ + _)
+    val lbl = splits.zip(bounds.tail).init.foldRight(lit(splits.last._1)) {
+      case (((label, _), hi), acc) =>
+        when(h * 10000L < hi.toLong * 65536L, lit(label)).otherwise(acc)
+    }
+    df.withColumn("split", lbl)
+  }
+
   /** Deterministic training-order shuffle: every row's EXACT 0-based global
     * position in md5(seed:id) order — the reproducible corpus shuffle of a
     * pretraining run (new seed ⇒ new epoch order; same seed ⇒ the same

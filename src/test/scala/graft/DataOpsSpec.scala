@@ -1219,6 +1219,81 @@ class DataOpsSpec extends AnyFunSuite {
     assert(re === got)
   }
 
+  test("splitAssign: exact hash spans, growth-stable membership") {
+    import graft.pipeline.Corpus
+    val df = (1L to 2000L).toDF("doc_id")
+    val splits = Seq("train" -> 9000, "val" -> 500, "test" -> 500)
+    val got = Corpus.splitAssign(df, col("doc_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // every row labeled; proportions near the spans (hash-uniform)
+    assert(got.size === 2000)
+    val byLbl = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLbl("train") > 1700 && byLbl("val") > 60 && byLbl("test") > 60)
+    // membership is a fact of the id ALONE: a doc keeps its split when the
+    // corpus grows/shrinks (randomSplit cannot promise this)
+    val sub = Corpus.splitAssign(df.where(col("doc_id") <= 700), col("doc_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(sub === got.filter(_._1 <= 700L))
+    // spans must sum to exactly 10000
+    intercept[IllegalArgumentException] {
+      Corpus.splitAssign(df, col("doc_id"), Seq("a" -> 5000, "b" -> 4000))
+    }
+  }
+
+  test("hashedLinearScore: weights mirror the md5 byte, sum and threshold per doc") {
+    import graft.functions.TextOps
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "gamma"), (3L, " ")).toDF("doc_id", "text")
+    val got = TextOps.hashedLinearScore(docs, "doc_id", "text")
+      .select("doc_id", "score", "keep").as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // independent digest mirror (the q_walks pattern)
+    def w(t: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      (d(0) & 0xff).toLong % 11L - 5L
+    }
+    val exp1 = 2 * w("alpha") + w("beta")
+    assert(got === Map(1L -> ((exp1, exp1 > 0)), 2L -> ((w("gamma"), w("gamma") > 0))))
+    // zero-token docs yield no row — nothing to score
+    assert(!got.contains(3L))
+  }
+
+  test("bm25Rank: matches a brute fixed-point reference; everywhere-terms saturate to idf 0") {
+    import graft.functions.TextOps
+    // "c" appears in every doc (idf 0); "r" in 1 of 8 (idf 3); "m" in 3 (idf 1)
+    val docs = (1L to 8L).map { i =>
+      val extra = (if (i == 1) " r r" else "") + (if (i <= 3) " m" else "")
+      (i, ("c " * i.toInt).trim + extra)
+    }.toDF("doc_id", "text")
+    val got = TextOps.bm25Rank(docs, "doc_id", "text", Seq("c", "r", "m"), k = 8)
+      .as[(Long, Long)].collect()
+    // brute replay of the documented integer formula
+    val toks = (1L to 8L).map { i =>
+      i -> (List.fill(i.toInt)("c") ++ (if (i == 1) List("r", "r") else Nil)
+        ++ (if (i <= 3) List("m") else Nil))
+    }.toMap
+    val n = 8L
+    val avgdl = toks.values.map(_.size.toLong).sum / n
+    def idf(t: String) = {
+      val dft = toks.values.count(_.contains(t)).toLong
+      63 - java.lang.Long.numberOfLeadingZeros(n / dft)
+    }
+    val exp = toks.map { case (d, ts) =>
+      val dl = ts.size.toLong
+      val score = Seq("c", "r", "m").map { t =>
+        val tf = ts.count(_ == t).toLong
+        if (tf == 0) 0L
+        else idf(t) * (tf * 22000L * 10000L) /
+          (tf * 10000L + (12000L * (2500L + (7500L * dl) / avgdl)) / 10000L)
+      }.sum
+      d -> score
+    }
+    assert(got.toMap === exp)
+    // ranked (score desc, id asc): doc 1 (rare double "r") must lead
+    assert(got.head._1 === 1L)
+    // everywhere-term saturation: docs 4..8 contain ONLY "c" => score 0
+    assert((4L to 8L).forall(d => exp(d) === 0L))
+  }
+
   test("trainOrder: exact global permutation, bucket count and partitioning invisible") {
     import graft.pipeline.Corpus
     import org.apache.spark.sql.expressions.Window
