@@ -560,6 +560,22 @@ object SparkEntry {
           Vid.vid("part", col("l_partkey")).as("dst"))
       graft.algos.Algos.linkPrediction(cp, minCommon = 3, maxDeg = 40)
     }),
+    "q_ktruss" -> ((s, dir) => {
+      // 5-truss of the predicted-link graph (customers sharing >= 3 parts):
+      // every surviving edge sits in >= 3 triangles within the truss —
+      // triangle-cohesive community cores. Exact edge-count fixpoint; the
+      // oracle unrolls peeling rounds (idempotent at the fixpoint). At
+      // sf0.1 the base graph is sparse enough to have NO 5-truss — the
+      // empty result is the honest answer there.
+      val li = Tpch.table(s, dir, "lineitem")
+      val o = Tpch.table(s, dir, "orders")
+      val cp = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(Vid.vid("customer", col("o_custkey")).as("src"),
+          Vid.vid("part", col("l_partkey")).as("dst"))
+      val links = graft.algos.Algos.linkPrediction(cp, minCommon = 3, maxDeg = 40)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      graft.algos.Algos.kTruss(links, k = 5)
+    }),
     "q_mis" -> ((s, dir) => {
       // deterministic Luby MIS over the same part–supplier projection:
       // hash priorities (md5(round:id)) make the set a pure fact of the
@@ -1302,6 +1318,39 @@ object SparkEntry {
     s"WITH $base,\n$rs\n$un"
   }
 
+  /** q_ktruss oracle: support-peeling rounds unrolled as MATERIALIZED CTEs
+    * over the linkPrediction base graph (same SQL as q_linkpred's, edges
+    * only). Peeling is idempotent at its fixpoint, so unrolling MORE
+    * rounds than the data needs stays exact (observed: 10 rounds at
+    * sf0.01, 2 at sf0.1 — 12 covers both with margin; the Spark side
+    * iterates to an exact edge-count fixpoint). The final support join
+    * replays once more on the surviving truss. */
+  private def ktrussOracleSql(k: Int, rounds: Int): String = {
+    val base =
+      """cp AS MATERIALIZED (SELECT DISTINCT 3000000000000 + o.o_custkey AS src,
+        |                      5000000000000 + l.l_partkey AS dst
+        |                    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |ctr AS MATERIALIZED (SELECT dst, count(*)::BIGINT AS d FROM cp GROUP BY dst
+        |                     HAVING count(*) >= 2 AND count(*) <= 40),
+        |t0 AS MATERIALIZED (SELECT a.src AS a, b.src AS b
+        |                    FROM cp a JOIN ctr ON a.dst = ctr.dst
+        |                    JOIN cp b ON b.dst = ctr.dst AND a.src < b.src
+        |                    GROUP BY 1, 2 HAVING count(*) >= 3)""".stripMargin
+    def supSql(r: String, src: String) =
+      s"""adj$r AS MATERIALIZED (SELECT a AS u, b AS w FROM $src UNION ALL SELECT b, a FROM $src),
+         |sup$r AS MATERIALIZED (SELECT e.a, e.b, count(*)::BIGINT AS s FROM $src e
+         |        JOIN adj$r x ON x.u = e.a JOIN adj$r y ON y.u = e.b AND y.w = x.w
+         |        GROUP BY 1, 2)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""${supSql(r.toString, s"t${r - 1}")},
+         |t$r AS MATERIALIZED (SELECT e.a, e.b FROM t${r - 1} e
+         |        JOIN sup$r s ON s.a = e.a AND s.b = e.b AND s.s >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"WITH $base,\n$rs,\n${supSql("F", s"t$rounds")}\n" +
+      s"SELECT e.a AS id_a, e.b AS id_b, s.s AS support FROM t$rounds e " +
+      s"JOIN supF s ON s.a = e.a AND s.b = e.b"
+  }
+
   /** q_label_prop oracle: the synchronous LPA rounds of
     * [[graft.algos.Algos.labelPropagationSync]] unrolled as chained CTEs —
     * each round recomputes (dst, label) counts from the PREVIOUS round only,
@@ -1464,6 +1513,7 @@ object SparkEntry {
          LEFT JOIN keep k ON d.doc_id = k.doc_id GROUP BY d.doc_id""",
     "q_kcore" -> kCoreOracleSql(kCoreK, 6),
     "q_mis" -> misOracleSql(16),
+    "q_ktruss" -> ktrussOracleSql(5, 12),
     "q_split" ->
       """SELECT doc_id, source,
                 CASE WHEN h * 10000 < 9000 * 65536 THEN 'train'

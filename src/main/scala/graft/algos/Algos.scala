@@ -647,6 +647,49 @@ object Algos {
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")).where(col("deg") >= k)
   }
 
+  /** k-truss decomposition (fixed k): the maximal subgraph in which every
+    * edge participates in >= k−2 triangles WITHIN the subgraph — the
+    * community-detection sibling of [[kCore]] (a k-truss is a stricter,
+    * triangle-cohesive k−1-core). Edges are canonicalized undirected
+    * (least/greatest, self-loops and parallels collapsed). Iterative
+    * peeling to an EXACT edge-count fixpoint (monotone removal, the kCore
+    * argument — never a signature); returns `(id_a, id_b, support)` with
+    * the within-truss support.
+    *
+    * Scale: per-round support is ONE wedge join (e ⋈ adj ⋈ adj, all keyed
+    * equi-joins — the triangle-count shape, never cartesian) + one pair
+    * agg + one semi-join, all on the SHRINKING edge set; per-vertex wedge
+    * work is deg², so pre-capping hubs (e.g. via [[linkPrediction]]'s
+    * maxDeg rule on the generating projection) bounds the round cost.
+    * Eager per-round checkpoints keep lineage flat. */
+  def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    require(k >= 3)
+    val a = col("src").cast("long"); val b = col("dst").cast("long")
+    var cur = edges.select(least(a, b).as("a"), greatest(a, b).as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    def support(e: DataFrame): DataFrame = {
+      val adj = e.select(col("a").as("u"), col("b").as("w"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("w")))
+      e.join(adj.select(col("u").as("a"), col("w")), "a")
+        .join(adj.select(col("u").as("b"), col("w")), Seq("b", "w"))
+        .groupBy("a", "b").agg(count(lit(1)).as("s"))
+    }
+    var n = cur.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val ne = cur.join(support(cur).where(col("s") >= k - 2), Seq("a", "b"), "left_semi")
+        .localCheckpoint(true)
+      val m = ne.count()
+      if (m == n) converged = true else { cur = ne; n = m }
+    }
+    if (!converged)
+      throw new IllegalStateException(s"kTruss did not converge within $maxRounds rounds")
+    cur.join(support(cur), Seq("a", "b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("s").as("support"))
+  }
+
   /** Deterministic maximal independent set — Luby's algorithm (Luby 1986)
     * with HASH priorities instead of RNG: in round r, surviving candidate v
     * has priority `md5("r:v") ++ zero-padded v` (the id suffix makes the

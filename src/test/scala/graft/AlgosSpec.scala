@@ -654,4 +654,28 @@ class AlgosSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().map(r => (r._1, r._2) -> (r._3, r._4)).toMap
     assert(re === got)
   }
+
+  test("kTruss: cascading support peel, canonicalization, empty fixpoint") {
+    // K5 on {1..5} (every edge in 3 triangles) + a pendant triangle {5,6,7}
+    // + a tail 7-8: the 4-truss (support >= 2) is exactly K5 — the {5,6,7}
+    // triangle has support 1 and peels, the tail peels first
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val es = k5 ++ Seq((5L, 6L), (6L, 7L), (5L, 7L), (7L, 8L))
+    val got4 = Algos.kTruss(es.toDF("src", "dst"), k = 4)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got4.keySet === k5.toSet)
+    // inside K5 every edge's within-truss support is exactly 3
+    assert(got4.values.forall(_ === 3L))
+    // k = 3 keeps both triangles (support >= 1) but still drops the tail
+    val got3 = Algos.kTruss(es.toDF("src", "dst"), k = 3)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(got3 === (k5 ++ Seq((5L, 6L), (6L, 7L), (5L, 7L))).toSet)
+    // k = 6 dissolves K5 entirely (needs support 4, max is 3) -> empty
+    assert(Algos.kTruss(es.toDF("src", "dst"), k = 6).count() === 0L)
+    // direction/duplicates collapse: reversed + repeated edges change nothing
+    val messy = (es ++ es.map(_.swap)).toDF("src", "dst")
+    val gotM = Algos.kTruss(messy, k = 4)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(gotM === got4)
+  }
 }
