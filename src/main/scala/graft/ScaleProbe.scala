@@ -260,6 +260,49 @@ object ScaleProbe {
     val (wkK, wnK) = minTime(walksOf(gK))
     println(f"[scale] walks              1x: $wk1%6.2f s (n=$wn1%9d)   ${k}x: $wkK%6.2f s (n=$wnK%9d)   time-ratio: ${wkK / math.max(wk1, 1e-9)}%5.2f")
 
+    // --- MIS probe: same part-shifted projection as kcore — the graph is
+    // k× larger with constant degrees, so Luby's round count (O(log n)
+    // expected) grows only additively while per-round joins track edges
+    def misOf(li: DataFrame): Long =
+      graft.algos.Algos.maximalIndependentSet(li.select(
+        Vid.vid("part", col("l_partkey")).as("src"),
+        Vid.vid("supplier", col("l_suppkey")).as("dst"))).count()
+    val (mi1, mn1) = minTime(misOf(lineitem1))
+    val (miK, mnK) = minTime(misOf(liPK))
+    println(f"[scale] mis                1x: $mi1%6.2f s (n=$mn1%9d)   ${k}x: $miK%6.2f s (n=$mnK%9d)   time-ratio: ${miK / math.max(mi1, 1e-9)}%5.2f")
+
+    // --- link-prediction probe: part keys shifted ⇒ k× wedge CENTERS at
+    // constant per-center degree — work is Σ deg², so time should track
+    // the center count (linear), never the customer-pair cross product
+    def linkpredOf(li: DataFrame, orders: DataFrame): Long = {
+      val cp = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .select(Vid.vid("customer", col("o_custkey")).as("src"),
+          Vid.vid("part", col("l_partkey")).as("dst"))
+      graft.algos.Algos.linkPrediction(cp, minCommon = 3, maxDeg = 40).count()
+    }
+    val (lp1, ln1) = minTime(linkpredOf(lineitem1, orders1))
+    val (lpK, lnK) = minTime(linkpredOf(liPK, ordersK))
+    println(f"[scale] linkpred           1x: $lp1%6.2f s (n=$ln1%9d)   ${k}x: $lpK%6.2f s (n=$lnK%9d)   time-ratio: ${lpK / math.max(lp1, 1e-9)}%5.2f")
+
+    // --- training-order probe at 64× docs: the histogram stays 256 rows
+    // regardless of volume; rank work is bucket-partitioned window sorts,
+    // so time should track scan volume spread over buckets
+    def trainOrderOf(d: DataFrame): Long =
+      graft.pipeline.Corpus.trainOrder(d.select("doc_id"), "doc_id", "ep0")
+        .agg(max("pos")).count()
+    val (to1, ton1) = minTime(trainOrderOf(docs1))
+    val (toK, tonK) = minTime(trainOrderOf(docsK))
+    println(f"[scale] train_order        1x: $to1%6.2f s (n=$ton1%9d)   ${kk}x: $toK%6.2f s (n=$tonK%9d)   time-ratio: ${toK / math.max(to1, 1e-9)}%5.2f")
+
+    // --- BM25 probe at 64× docs: one explode feeding three keyed aggs +
+    // a broadcast idf join + top-k — all scan-linear, output fixed at k
+    def bm25Of(d: DataFrame): Long =
+      graft.functions.TextOps.bm25Rank(d, "doc_id", "text",
+        Seq("dup", "hash", "join"), k = 20).count()
+    val (bm1, bmn1) = minTime(bm25Of(docs1))
+    val (bmK, bmnK) = minTime(bm25Of(docsK))
+    println(f"[scale] bm25               1x: $bm1%6.2f s (n=$bmn1%9d)   ${kk}x: $bmK%6.2f s (n=$bmnK%9d)   time-ratio: ${bmK / math.max(bm1, 1e-9)}%5.2f")
+
     spark.stop()
   }
 }

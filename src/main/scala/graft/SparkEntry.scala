@@ -560,6 +560,17 @@ object SparkEntry {
           Vid.vid("part", col("l_partkey")).as("dst"))
       graft.algos.Algos.linkPrediction(cp, minCommon = 3, maxDeg = 40)
     }),
+    "q_cms" -> ((s, dir) => {
+      // count-min sketch over part popularity (depth 4 × width 64 — small
+      // enough that collisions bite at 2000 parts), probed for 6 keys incl.
+      // one absent: the fixed-memory frequency summary, deterministic hash
+      // rows, estimate = min over cells (>= truth always)
+      import s.implicits._
+      val li = Tpch.table(s, dir, "lineitem")
+      val sk = graft.functions.Sketch.cmsBuild(li, col("l_partkey"), depth = 4, width = 64)
+      val probes = Seq("1", "2", "17", "123", "1999", "999999").toDF("k")
+      graft.functions.Sketch.cmsEstimate(sk, probes, col("k"), depth = 4, width = 64)
+    }),
     "q_ktruss" -> ((s, dir) => {
       // 5-truss of the predicted-link graph (customers sharing >= 3 parts):
       // every surviving edge sits in >= 3 triangles within the truss —
@@ -1514,6 +1525,20 @@ object SparkEntry {
     "q_kcore" -> kCoreOracleSql(kCoreK, 6),
     "q_mis" -> misOracleSql(16),
     "q_ktruss" -> ktrussOracleSql(5, 12),
+    "q_cms" ->
+      """WITH items AS (SELECT l_partkey::VARCHAR AS k, count(*)::BIGINT AS c
+                        FROM lineitem GROUP BY 1),
+            rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            cells AS (SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || k), 1, 8))::BIGINT % 64 AS cell,
+                             sum(c)::BIGINT AS cnt
+                      FROM items, rows_ GROUP BY 1, 2),
+            probes AS (SELECT unnest(['1', '2', '17', '123', '1999', '999999']) AS k),
+            pe AS (SELECT p.k, r.r,
+                          ('0x' || substr(md5(r.r::VARCHAR || ':' || p.k), 1, 8))::BIGINT % 64 AS cell
+                   FROM probes p, rows_ r)
+         SELECT pe.k, min(coalesce(cells.cnt, 0))::BIGINT AS est
+         FROM pe LEFT JOIN cells ON cells.r = pe.r AND cells.cell = pe.cell
+         GROUP BY 1""",
     "q_split" ->
       """SELECT doc_id, source,
                 CASE WHEN h * 10000 < 9000 * 65536 THEN 'train'

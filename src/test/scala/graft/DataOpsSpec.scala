@@ -1219,6 +1219,35 @@ class DataOpsSpec extends AnyFunSuite {
     assert(re === got)
   }
 
+  test("count-min sketch: overestimate guarantee, exactness at width, cell-wise merge") {
+    import graft.functions.Sketch
+    val data = (1L to 1000L).map(i => i % 37).toDF("key") // skewed: key 0..36
+    val truth = (1L to 1000L).map(_ % 37).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val probes = (0L to 40L).map(_.toString).toDF("k")
+    // narrow sketch: estimates NEVER undercount (the CMS guarantee)
+    val sk = Sketch.cmsBuild(data, col("key"), depth = 4, width = 16)
+    assert(sk.count() <= 4 * 16)
+    val est = Sketch.cmsEstimate(sk, probes, col("k"), depth = 4, width = 16)
+      .as[(String, Long)].collect().toMap
+    assert((0L to 40L).forall(i => est(i.toString) >= truth.getOrElse(i, 0L)))
+    // wide sketch: no collisions at 37 keys => estimates are EXACT and
+    // absent probes estimate 0
+    val wide = Sketch.cmsBuild(data, col("key"), depth = 4, width = 4096)
+    val estW = Sketch.cmsEstimate(wide, probes, col("k"), depth = 4, width = 4096)
+      .as[(String, Long)].collect().toMap
+    assert((0L to 36L).forall(i => estW(i.toString) === truth(i)))
+    assert((37L to 40L).forall(i => estW(i.toString) === 0L))
+    // mergeability: sketch(A union B) == cell-wise sum of the halves — the
+    // property that lets per-partition/per-day sketches compose
+    val (a, b) = ((1L to 500L).map(_ % 37).toDF("key"), (501L to 1000L).map(_ % 37).toDF("key"))
+    val merged = Sketch.cmsBuild(a, col("key"), 4, 16)
+      .unionAll(Sketch.cmsBuild(b, col("key"), 4, 16))
+      .groupBy("r", "cell").agg(sum("cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = sk.as[(Int, Long, Long)].collect().toSet
+    assert(merged === whole)
+  }
+
   test("splitAssign: exact hash spans, growth-stable membership") {
     import graft.pipeline.Corpus
     val df = (1L to 2000L).toDF("doc_id")

@@ -171,4 +171,54 @@ class PlanSpec extends AnyFunSuite {
     val anti = g.ofKind("customer").negLookahead(_.in("order_customer")).df
     assert(executedPlan(anti).toLowerCase.contains("leftanti"))
   }
+
+  test("chunkDocs / upsampleEpochs / splitAssign are zero-Exchange scan passes") {
+    import graft.pipeline.Corpus
+    val docs = Tpch.table(spark, dir, "documents")
+    for ((name, df) <- Seq(
+        "chunkDocs" -> Corpus.chunkDocs(docs, "doc_id", "text", size = 8, stride = 4),
+        "upsampleEpochs" -> Corpus.upsampleEpochs(docs.select("doc_id", "source"),
+          col("source"), Seq("src0" -> 3, "src2" -> 0)),
+        "splitAssign" -> Corpus.splitAssign(docs.select("doc_id"), col("doc_id"),
+          Seq("train" -> 9000, "val" -> 500, "test" -> 500)))) {
+      df.collect()
+      val plan = executedPlan(df)
+      // each is pure per-row column algebra: at 100 TB the op costs exactly
+      // one read — no shuffle, no second pass
+      assert(!plan.contains("Exchange"),
+        s"$name must not shuffle:\n" + plan.take(2000))
+    }
+  }
+
+  test("buildVocab and bm25Rank take top-k without a global sort") {
+    import graft.functions.TextOps
+    val docs = Tpch.table(spark, dir, "documents")
+    val vocab = TextOps.buildVocab(docs, "text", vocabSize = 16)
+    vocab.collect()
+    val vPlan = executedPlan(vocab)
+    // the unigram table is never globally sorted: the cut is a streaming
+    // top-K (TakeOrderedAndProject); only the K surviving rows see a window
+    assert(vPlan.contains("TakeOrderedAndProject"),
+      "vocab cut should be TakeOrderedAndProject:\n" + vPlan.take(3000))
+    val bm = TextOps.bm25Rank(docs, "doc_id", "text", Seq("dup", "hash"), k = 20)
+    bm.collect()
+    val bPlan = executedPlan(bm)
+    assert(bPlan.contains("TakeOrderedAndProject"),
+      "bm25 rank should be TakeOrderedAndProject:\n" + bPlan.take(3000))
+  }
+
+  test("trainOrder ranks inside hash-bucket windows, never a global range sort") {
+    import graft.pipeline.Corpus
+    val ordered = Corpus.trainOrder(
+      Tpch.table(spark, dir, "documents").select("doc_id"), "doc_id", "ep0")
+    ordered.collect()
+    val plan = executedPlan(ordered)
+    // the permutation is exact yet assembled from bucket-partitioned
+    // windows + broadcast offsets: a rangepartitioning Exchange here would
+    // mean the op degenerated to the global sort it exists to avoid
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "trainOrder must not global-sort:\n" + plan.take(3000))
+    assert(plan.contains("hashpartitioning"),
+      "expected bucket-hash partitioning for the rank windows:\n" + plan.take(3000))
+  }
 }
