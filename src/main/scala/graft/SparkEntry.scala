@@ -560,6 +560,21 @@ object SparkEntry {
           Vid.vid("part", col("l_partkey")).as("dst"))
       graft.algos.Algos.linkPrediction(cp, minCommon = 3, maxDeg = 40)
     }),
+    "q_modularity" -> ((s, dir) => {
+      // modularity (ppm) of the region partition over same-region nation
+      // cliques PLUS a deterministic successor ring — the ring's
+      // cross-region edges keep the metric honest (internal < degree)
+      val n = Tpch.table(s, dir, "nation")
+      val a = n.select(col("n_nationkey").as("ak"), col("n_regionkey").as("ar"))
+      val b = n.select(col("n_nationkey").as("bk"), col("n_regionkey").as("br"))
+      val same = a.join(b, col("ar") === col("br") && col("ak") =!= col("bk"))
+        .select(Vid.vid("nation", col("ak")).as("src"), Vid.vid("nation", col("bk")).as("dst"))
+      val ring = n.select(Vid.vid("nation", col("n_nationkey")).as("src"),
+        Vid.vid("nation", (col("n_nationkey") + 1) % 25).as("dst"))
+      val comm = n.select(Vid.vid("nation", col("n_nationkey")).as("id"),
+        col("n_regionkey").cast("long").as("community"))
+      graft.algos.Algos.modularity(same.unionAll(ring), comm)
+    }),
     "q_cms" -> ((s, dir) => {
       // count-min sketch over part popularity (depth 4 × width 64 — small
       // enough that collisions bite at 2000 parts), probed for 6 keys incl.
@@ -1525,6 +1540,26 @@ object SparkEntry {
     "q_kcore" -> kCoreOracleSql(kCoreK, 6),
     "q_mis" -> misOracleSql(16),
     "q_ktruss" -> ktrussOracleSql(5, 12),
+    "q_modularity" ->
+      """WITH e0 AS (SELECT 2000000000000 + a.n_nationkey AS src, 2000000000000 + b.n_nationkey AS dst
+                     FROM nation a JOIN nation b
+                     ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+                     UNION
+                     SELECT 2000000000000 + n_nationkey, 2000000000000 + (n_nationkey + 1) % 25
+                     FROM nation WHERE n_nationkey <> (n_nationkey + 1) % 25),
+            sym AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+            m AS (SELECT count(*)::BIGINT AS m FROM sym),
+            comm AS (SELECT 2000000000000 + n_nationkey AS id, n_regionkey::BIGINT AS community
+                     FROM nation),
+            j AS (SELECT ca.community AS ca, cb.community AS cb FROM sym
+                  JOIN comm ca ON sym.src = ca.id JOIN comm cb ON sym.dst = cb.id),
+            d AS (SELECT ca AS community, count(*)::BIGINT AS degree_sum,
+                         sum(CASE WHEN ca = cb THEN 1 ELSE 0 END)::BIGINT AS internal
+                  FROM j GROUP BY 1)
+         SELECT community, internal, degree_sum,
+                ((1000000 * internal) // m.m - (1000000 * degree_sum * degree_sum) // (m.m * m.m))::BIGINT
+                  AS q_ppm
+         FROM d, m""",
     "q_cms" ->
       """WITH items AS (SELECT l_partkey::VARCHAR AS k, count(*)::BIGINT AS c
                         FROM lineitem GROUP BY 1),

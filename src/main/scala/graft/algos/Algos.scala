@@ -777,6 +777,44 @@ object Algos {
       .where(col("cn") >= minCommon)
   }
 
+  /** Modularity of a community partition (Newman–Girvan Q), INTEGER-EXACT
+    * in parts-per-million: per community c,
+    *
+    *   q_ppm(c) = (10⁶·I_c) div M − (10⁶·d_c²) div M²
+    *
+    * where M = |symmetrized edge list| (= 2m), I_c = directed intra-pairs,
+    * d_c = community degree sum — Q·10⁶ ≈ Σ_c q_ppm(c), every term floor
+    * division, so both engines replay it bit-identically (the evaluation
+    * metric for [[labelPropagationSync]] / [[connectedComponents]]
+    * partitions). Returns (community, internal, degree_sum, q_ppm).
+    *
+    * Scale: two keyed joins (edge ends → communities) + two community aggs
+    * + one scalar count — no pair enumeration anywhere. Long arithmetic
+    * bounds: d_c²·10⁶ needs d_c < 3·10⁶; past that, pre-aggregate per
+    * community and run the square on DECIMAL (noted, not silently wrong —
+    * ANSI mode errors on overflow rather than wrapping). */
+  def modularity(edges: DataFrame, communities: DataFrame,
+      scale: Long = 1000000L): DataFrame = {
+    val e0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val sym = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(eager = false) // scanned for M, I_c, d_c
+    val m = sym.count()
+    if (m == 0L) return communities.select(col("community")).where(lit(false))
+      .withColumn("internal", lit(0L)).withColumn("degree_sum", lit(0L))
+      .withColumn("q_ppm", lit(0L))
+    val comm = communities.select(col("id").cast("long").as("id"),
+      col("community").cast("long").as("community"))
+    val j = sym.join(comm.select(col("id").as("src"), col("community").as("ca")), "src")
+      .join(comm.select(col("id").as("dst"), col("community").as("cb")), "dst")
+    val d = j.groupBy(col("ca").as("community")).agg(
+      count(lit(1)).as("degree_sum"),
+      sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("internal"))
+    d.select(col("community"), col("internal"), col("degree_sum"),
+      expr(s"($scale * internal) div ${m}L - ($scale * degree_sum * degree_sum) div ${m * m}L")
+        .as("q_ppm"))
+  }
+
   /** In/out/both degree per vertex (fermor out-edge-count / in-edge-count /
     * both-edge-count, and the gremlin degree-centrality recipe). */
   def degrees(edges: DataFrame, direction: String = "both"): DataFrame = {

@@ -655,6 +655,29 @@ class AlgosSpec extends AnyFunSuite {
     assert(re === got)
   }
 
+  test("modularity: integer ppm matches the hand-computed Newman Q") {
+    // two triangles bridged by one edge; communities = the triangles
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .toDF("src", "dst")
+    val comm = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L), (6L, 20L))
+      .toDF("id", "community")
+    val got = Algos.modularity(es, comm)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // M = 14 directed pairs; each triangle: internal 6, degree 7
+    // q_ppm = (1e6*6)//14 - (1e6*49)//196 = 428571 - 250000
+    assert(got === Map(10L -> ((6L, 7L, 178571L)), 20L -> ((6L, 7L, 178571L))))
+    // the trivial one-community partition has Q exactly 0
+    val one = comm.withColumn("community", lit(99L))
+    val q0 = Algos.modularity(es, one).as[(Long, Long, Long, Long)].collect()
+    assert(q0.toSeq === Seq((99L, 14L, 14L, 0L)))
+    // direction/duplicate normalization: doubling + reversing edges is a no-op
+    val messy = (Seq((2L, 1L), (1L, 2L)) ++ Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))).toDF("src", "dst")
+    val gotM = Algos.modularity(messy, comm)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(gotM === got)
+  }
+
   test("kTruss: cascading support peel, canonicalization, empty fixpoint") {
     // K5 on {1..5} (every edge in 3 triangles) + a pendant triangle {5,6,7}
     // + a tail 7-8: the 4-truss (support >= 2) is exactly K5 — the {5,6,7}

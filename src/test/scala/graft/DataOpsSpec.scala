@@ -1014,6 +1014,32 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("streaming CMS maintenance: per-micro-batch sketches merge to the ORACLED batch sketch") {
+    // cmsBuild is mergeable by cell-wise sum, so maintaining a sketch over
+    // a stream is foreachBatch + merge — no raw-data replay. The merged
+    // result must equal the whole-corpus sketch (q_cms is DuckDB-oracled
+    // over the identical cell arithmetic).
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Sketch
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_partkey")).as[Long].collect().toSeq
+    val whole = Sketch.cmsBuild(li.toDF("l_partkey"), col("l_partkey"), 4, 64)
+      .as[(Int, Long, Long)].collect().toSet
+    val mem = MemoryStream[Long]
+    val acc = scala.collection.mutable.Map[(Int, Long), Long]()
+    val q = mem.toDS().toDF("l_partkey").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Sketch.cmsBuild(batch, col("l_partkey"), 4, 64)
+          .as[(Int, Long, Long)].collect()
+          .foreach { case (r, c, n) => acc((r, c)) = acc.getOrElse((r, c), 0L) + n }
+      }.start()
+    val (h1, h2) = li.splitAt(li.size / 2)
+    mem.addData(h1); q.processAllAvailable()
+    mem.addData(h2); q.processAllAvailable()
+    q.stop()
+    assert(acc.map { case ((r, c), n) => (r, c, n) }.toSet === whole)
+  }
+
   test("streaming per-domain quota admits arrival-order top-cap with state across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamQuota
