@@ -560,6 +560,11 @@ object SparkEntry {
           Vid.vid("part", col("l_partkey")).as("dst"))
       graft.algos.Algos.linkPrediction(cp, minCommon = 3, maxDeg = 40)
     }),
+    "q_pmi" -> ((s, dir) =>
+      // PMI collocation mining: adjacent-pair bigrams with count >= 5 and
+      // positive floor-log2 PMI — the phrase/tokenizer-merge shortlist
+      graft.functions.TextOps.pmiCollocations(
+        Tpch.table(s, dir, "documents"), "doc_id", "text", minCount = 5L)),
     "q_modularity" -> ((s, dir) => {
       // modularity (ppm) of the region partition over same-region nation
       // cliques PLUS a deterministic successor ring — the ring's
@@ -1540,6 +1545,23 @@ object SparkEntry {
     "q_kcore" -> kCoreOracleSql(kCoreK, 6),
     "q_mis" -> misOracleSql(16),
     "q_ktruss" -> ktrussOracleSql(5, 12),
+    "q_pmi" ->
+      """WITH toks AS MATERIALIZED (
+              SELECT doc_id, list_filter(string_split(text, ' '), s -> len(s) > 0) AS ts
+              FROM documents),
+            uni AS MATERIALIZED (
+              SELECT t, count(*)::BIGINT AS c
+              FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1),
+            tot AS (SELECT sum(c)::BIGINT AS t FROM uni),
+            bi AS (SELECT x, y, count(*)::BIGINT AS n_xy
+                   FROM (SELECT ts[i] AS x, ts[i + 1] AS y
+                         FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+                               FROM toks WHERE len(ts) >= 2))
+                   GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT bi.x, bi.y, bi.n_xy,
+                (length(bin((bi.n_xy * tot.t) // (ux.c * uy.c))) - 1)::BIGINT AS pmi_fl2
+         FROM bi JOIN uni ux ON bi.x = ux.t JOIN uni uy ON bi.y = uy.t, tot
+         WHERE bi.n_xy * tot.t >= ux.c * uy.c""",
     "q_modularity" ->
       """WITH e0 AS (SELECT 2000000000000 + a.n_nationkey AS src, 2000000000000 + b.n_nationkey AS dst
                      FROM nation a JOIN nation b

@@ -265,6 +265,42 @@ object TextOps {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
+  /** Collocation mining by pointwise mutual information — the phrase-mining
+    * / tokenizer-merge-shortlist step, INTEGER-EXACT: for each adjacent
+    * token pair (bigram) with count >= `minCount` and a positive PMI
+    * (c_xy·T >= c_x·c_y, checked division-free), emit
+    * `pmi_fl2 = floor_log2((c_xy·T) div (c_x·c_y))` — the bin-length trick
+    * again, so both engines agree bit-for-bit.
+    *
+    * Scale: bigrams are a per-row zero-shuffle transform (index-pair
+    * structs over the token array); then exactly three keyed counts
+    * (bigram, unigram, total) and two keyed join-backs — the unigram side
+    * of a 100 TB corpus is NOT broadcastable and the keyed join is the
+    * honest shape (the surprisalScore rule). */
+  def pmiCollocations(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minCount: Long): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1)
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__ts"))
+      .localCheckpoint(eager = false) // feeds bigram AND unigram counts
+    val uni = toks.select(explode(col("__ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val total = uni.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+    if (total == 0L) return uni.select(col("t").as("x"), col("t").as("y"),
+      col("c").as("n_xy"), col("c").as("pmi_fl2")).where(lit(false))
+    val bi = toks.where(size(col("__ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__ts) - 1), i -> struct(__ts[i - 1] AS x, __ts[i] AS y))"))
+        .as("bg"))
+      .select(col("bg.x").as("x"), col("bg.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+      .where(col("n_xy") >= minCount)
+    bi.join(uni.select(col("t").as("x"), col("c").as("cx")), "x")
+      .join(uni.select(col("t").as("y"), col("c").as("cy")), "y")
+      .where(col("n_xy") * total >= col("cx") * col("cy"))
+      .select(col("x"), col("y"), col("n_xy"),
+        (length(bin(expr(s"(n_xy * ${total}L) div (cx * cy)"))) - 1).cast("long").as("pmi_fl2"))
+  }
+
   /** Tokenizer-vocabulary construction: the corpus's top-K tokens by
     * frequency (count desc, token asc at ties — deterministic at the
     * boundary), assigned contiguous ids 1..K in that order. The "train the

@@ -1245,6 +1245,32 @@ class DataOpsSpec extends AnyFunSuite {
     assert(re === got)
   }
 
+  test("pmiCollocations: floor-log2 PMI over adjacent bigrams, count and sign gates") {
+    import graft.functions.TextOps
+    // "a b" always adjacent (perfect collocation); "c" floats everywhere;
+    // 6 docs of "a b", 6 of "c c a" — T = 30
+    val docs = ((1L to 6L).map(i => (i, "a b")) ++ (7L to 12L).map(i => (i, "c c a")))
+      .toDF("doc_id", "text")
+    val got = TextOps.pmiCollocations(docs, "doc_id", "text", minCount = 2L)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // c(a)=12, c(b)=6, c(c)=12, c(ab)=6, c(cc)=6, c(ca)=6
+    // pmi(a,b): ratio = 6*30/(12*6) = 2 -> fl2 = 1
+    // pmi(c,c): ratio = 6*30/144 = 1 -> fl2 = 0
+    // pmi(c,a): ratio = 6*30/144 = 1 -> fl2 = 0
+    assert(got === Map(("a", "b") -> ((6L, 1L)), ("c", "c") -> ((6L, 0L)),
+      ("c", "a") -> ((6L, 0L))))
+    // raising minCount above the bigram counts empties the shortlist
+    assert(TextOps.pmiCollocations(docs, "doc_id", "text", minCount = 7L).count() === 0)
+    // negative-PMI pairs are gated out: make "a b" rare vs its unigrams
+    val anti = (Seq((1L, "a b")) ++ (2L to 40L).map(i => (i, "a x")) ++
+      (41L to 80L).map(i => (i, "y b"))).toDF("doc_id", "text")
+    val g2 = TextOps.pmiCollocations(anti, "doc_id", "text", minCount = 1L)
+      .as[(String, String, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    // c(a)=40, c(b)=40, T=160, c(ab)=1: 1*160 < 1600 -> dropped
+    assert(!g2.contains(("a", "b")))
+  }
+
   test("count-min sketch: overestimate guarantee, exactness at width, cell-wise merge") {
     import graft.functions.Sketch
     val data = (1L to 1000L).map(i => i % 37).toDF("key") // skewed: key 0..36
