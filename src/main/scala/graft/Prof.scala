@@ -128,6 +128,50 @@ object Prof {
         }
       }
     }
+    // --- q_token_budget stage bisect -------------------------------------
+    {
+      val toks = TextOps.tokens(col("text"))
+      val scored = docs.select(col("doc_id"),
+        (lit(10000L) - TextOps.repetitionBp(toks, 2)).as("score"),
+        size(toks).cast("long").as("n_tok"))
+      time("tb: scored count") { scored.count() }
+      val base = scored.select(col("doc_id"), col("score"), col("n_tok"),
+          substring(md5(col("doc_id").cast("string")), 1, 4).as("__h16"))
+        .localCheckpoint(eager = false)
+      time("tb: hist collect") {
+        base.groupBy("score").agg(sum("n_tok")).collect().length.toLong
+      }
+      time("tb: hist collect again") {
+        base.groupBy("score").agg(sum("n_tok")).collect().length.toLong
+      }
+      time("tb: full tokenBudget") {
+        graft.pipeline.Corpus.tokenBudget(scored, "doc_id", "score", "n_tok", 12000L).count()
+      }
+      time("tb: full again") {
+        graft.pipeline.Corpus.tokenBudget(scored, "doc_id", "score", "n_tok", 12000L).count()
+      }
+      // variant: token array materialized once in a preceding projection
+      val scored2 = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("__ts"))
+        .select(col("doc_id"),
+          (lit(10000L) - TextOps.repetitionBp(col("__ts"), 2)).as("score"),
+          size(col("__ts")).cast("long").as("n_tok"))
+      time("tb2: full (pre-tokenized)") {
+        graft.pipeline.Corpus.tokenBudget(scored2, "doc_id", "score", "n_tok", 12000L).count()
+      }
+      time("tb2: again") {
+        graft.pipeline.Corpus.tokenBudget(scored2, "doc_id", "score", "n_tok", 12000L).count()
+      }
+      // and with the input spread over the cores first (the small-file
+      // single-partition artifact)
+      val scored3 = docs.repartition(32)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__ts"))
+        .select(col("doc_id"),
+          (lit(10000L) - TextOps.repetitionBp(col("__ts"), 2)).as("score"),
+          size(col("__ts")).cast("long").as("n_tok"))
+      time("tb3: full (pretok + 32 parts)") {
+        graft.pipeline.Corpus.tokenBudget(scored3, "doc_id", "score", "n_tok", 12000L).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -482,11 +482,15 @@ object SparkEntry {
     "q_token_budget" -> ((s, dir) => {
       // curate to a token budget: best docs by (10000 − bigram repetition)
       // until the budget line — exact three-level histogram threshold, no
-      // global sort; the oracle runs the one-big-window definition verbatim
-      val toks = graft.functions.TextOps.tokens(col("text"))
-      val scored = Tpch.table(s, dir, "documents").select(col("doc_id"),
-        (lit(10000L) - graft.functions.TextOps.repetitionBp(toks, 2)).as("score"),
-        size(toks).cast("long").as("n_tok"))
+      // global sort; the oracle runs the one-big-window definition verbatim.
+      // The token array is materialized in its OWN projection: repetitionBp
+      // references it once per gram (element_at in a transform lambda), and
+      // inlining the split there re-tokenizes per reference — 9× slower
+      val scored = Tpch.table(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.TextOps.tokens(col("text")).as("__ts"))
+        .select(col("doc_id"),
+          (lit(10000L) - graft.functions.TextOps.repetitionBp(col("__ts"), 2)).as("score"),
+          size(col("__ts")).cast("long").as("n_tok"))
       graft.pipeline.Corpus.tokenBudget(scored, "doc_id", "score", "n_tok", budgetToks)
     }),
     "q_curriculum" -> ((s, dir) =>
@@ -808,10 +812,11 @@ object SparkEntry {
     }),
     "q_repetition" -> ((s, dir) => {
       import graft.functions.TextOps
-      val toks = TextOps.tokens(col("text"))
+      // pre-tokenize in an own projection (the q_token_budget CSE rule)
       Tpch.table(s, dir, "documents")
-        .select(col("doc_id"), TextOps.repetitionBp(toks, 3).as("rep3_bp"),
-          TextOps.repetitionBp(toks, 1).as("rep1_bp"))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__ts"))
+        .select(col("doc_id"), TextOps.repetitionBp(col("__ts"), 3).as("rep3_bp"),
+          TextOps.repetitionBp(col("__ts"), 1).as("rep1_bp"))
     }),
     "q_tfidf" -> ((s, dir) =>
       graft.functions.TextOps.tfidfTopTerms(Tpch.table(s, dir, "documents"),

@@ -52,7 +52,13 @@ object TextOps {
   /** Within-document repetition ratio in basis points — the standard
     * training-data quality filter for degenerate/templated text: of all word
     * k-gram instances, the fraction that are repeats of an earlier gram
-    * (10000 · (total - distinct) / total, floor). 0 = no repetition. */
+    * (10000 · (total - distinct) / total, floor). 0 = no repetition.
+    *
+    * PASS A MATERIALIZED COLUMN, not an inline `tokens(...)` tree: `toks`
+    * is referenced once per gram (element_at inside the transform lambda),
+    * and Catalyst inlines a non-column expression at every reference —
+    * re-tokenizing the text O(n) times per row (measured 9× slower on
+    * q_token_budget). Project the token array under an alias first. */
   def repetitionBp(toks: Column, k: Int): Column = {
     val total = greatest(size(toks) - (k - 1), lit(0))
     val grams = transform(sequence(lit(1), total),
