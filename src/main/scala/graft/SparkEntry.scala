@@ -799,11 +799,12 @@ object SparkEntry {
     "q_quality" -> ((s, dir) => {
       import graft.functions.TextOps
       Tpch.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("__ts"))
         .select(col("doc_id"), col("text"),
           length(col("text")).cast("long").as("len"),
           length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).cast("long").as("alpha"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
-          size(filter(TextOps.tokens(col("text")), t => t.isin(lit("the"), lit("a"), lit("of")))).cast("long").as("stops"))
+          size(col("__ts")).cast("long").as("n_toks"),
+          size(filter(col("__ts"), t => t.isin(lit("the"), lit("a"), lit("of")))).cast("long").as("stops"))
         .where(col("len") > 0 && col("n_toks") > 0)
         .select(col("doc_id"),
           (col("alpha") * 10000).divide(col("len")).cast("long").as("alpha_bp"),

@@ -164,13 +164,16 @@ object TextOps {
   val gopherStops: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with")
   def gopherQuality(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       minWords: Long = 50L, maxWords: Long = 100000L): org.apache.spark.sql.DataFrame = {
-    val ts = tokens(col(textCol))
-    docs.select(col(idCol).as("doc_id"),
-        size(ts).cast("long").as("n_words"),
-        length(regexp_replace(col(textCol), " ", "")).cast("long").as("__chars"),
-        (regexp_count(col(textCol), lit("#|\\.\\.\\.")) * 10000L).as("__sym10k"),
-        size(filter(ts, t => t.rlike("[a-zA-Z]"))).cast("long").as("__alpha"),
-        size(filter(ts, t => t.isin(gopherStops.map(lit(_)): _*))).cast("long").as("stop_hits"))
+    // token array materialized under its own alias first (the repetitionBp
+    // rule): three references below would otherwise re-tokenize per row
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__txt"),
+        tokens(col(textCol)).as("__ts"))
+      .select(col("doc_id"),
+        size(col("__ts")).cast("long").as("n_words"),
+        length(regexp_replace(col("__txt"), " ", "")).cast("long").as("__chars"),
+        (regexp_count(col("__txt"), lit("#|\\.\\.\\.")) * 10000L).as("__sym10k"),
+        size(filter(col("__ts"), t => t.rlike("[a-zA-Z]"))).cast("long").as("__alpha"),
+        size(filter(col("__ts"), t => t.isin(gopherStops.map(lit(_)): _*))).cast("long").as("stop_hits"))
       .where(col("n_words") > 0)
       .select(col("doc_id"), col("n_words"),
         expr("(__chars * 100) div n_words").as("mwl_x100"),
