@@ -1639,16 +1639,20 @@ object SparkEntry {
                   AS pos
          FROM documents""",
     "q_linkpred" ->
-      """WITH cp AS (SELECT DISTINCT 3000000000000 + o.o_custkey AS src,
+      """WITH cp AS MATERIALIZED (SELECT DISTINCT 3000000000000 + o.o_custkey AS src,
                        5000000000000 + l.l_partkey AS dst
                      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
             ctr AS (SELECT dst, count(*)::BIGINT AS d FROM cp GROUP BY dst
                     HAVING count(*) >= 2 AND count(*) <= 40),
             w AS (SELECT a.src AS id_a, b.src AS id_b, ctr.d
                   FROM cp a JOIN ctr ON a.dst = ctr.dst
-                  JOIN cp b ON b.dst = ctr.dst AND a.src < b.src)
-         SELECT id_a, id_b, count(*)::BIGINT AS cn, sum(1000000 // d)::BIGINT AS ra
-         FROM w GROUP BY 1, 2 HAVING count(*) >= 3""",
+                  JOIN cp b ON b.dst = ctr.dst AND a.src < b.src),
+            p AS (SELECT id_a, id_b, count(*)::BIGINT AS cn, sum(1000000 // d)::BIGINT AS ra
+                  FROM w GROUP BY 1, 2 HAVING count(*) >= 3),
+            deg AS (SELECT src, count(*)::BIGINT AS dg FROM cp GROUP BY 1)
+         SELECT p.id_a, p.id_b, p.cn, p.ra,
+                ((10000 * p.cn) // (da.dg + db.dg - p.cn))::BIGINT AS jaccard_bp
+         FROM p JOIN deg da ON p.id_a = da.src JOIN deg db ON p.id_b = db.src""",
     "q_walks" -> walksOracleSql(walkSteps),
     "q_hits" -> hitsOracleSql(hitsIters),
     "q_ppr" -> pprOracleSql(pprIters),

@@ -763,7 +763,7 @@ object Algos {
     require(minCommon >= 1 && maxDeg >= 2)
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(eager = false) // scanned 3×: centers, wedges, adjacency
+      .localCheckpoint(eager = false) // scanned 4×: centers, wedges, degrees, adjacency
     val ctr = e.groupBy("dst").agg(count(lit(1)).as("d"))
       .where(col("d") >= 2 && col("d") <= maxDeg)
     val ew = e.join(ctr, "dst")
@@ -772,9 +772,17 @@ object Algos {
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("cn"), sum(expr(s"$scale div d")).as("ra"))
+    // neighborhood Jaccard in basis points rides along for free: the pair's
+    // cn plus each endpoint's FULL degree (hubs included — the cap governs
+    // only wedge centers, not the denominator)
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("dg"))
     pairs.join(e.select(col("src").as("id_a"), col("dst").as("id_b")),
         Seq("id_a", "id_b"), "left_anti")
       .where(col("cn") >= minCommon)
+      .join(deg.select(col("id").as("id_a"), col("dg").as("__da")), "id_a")
+      .join(deg.select(col("id").as("id_b"), col("dg").as("__db")), "id_b")
+      .select(col("id_a"), col("id_b"), col("cn"), col("ra"),
+        expr("(10000 * cn) div (__da + __db - cn)").as("jaccard_bp"))
   }
 
   /** Modularity of a community partition (Newman–Girvan Q), INTEGER-EXACT

@@ -83,9 +83,11 @@ object Corpus {
       size: Int, stride: Int): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")
-    val ts = graft.functions.TextOps.tokens(col(textCol))
-    docs.select(col(idCol).as("doc_id"), ts.as("__ts"),
-        org.apache.spark.sql.functions.size(ts).cast("long").as("__n"))
+    // tokenize once under an alias, THEN take the size (the repetitionBp
+    // rule: two references in one projection = two tokenizations per row)
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.TextOps.tokens(col(textCol)).as("__ts"))
+      .withColumn("__n", org.apache.spark.sql.functions.size(col("__ts")).cast("long"))
       .where(col("__n") > 0)
       .withColumn("__nc",
         lit(1L) + greatest(lit(0L), expr(s"(__n - $size + $stride - 1) div $stride")))

@@ -630,14 +630,17 @@ class AlgosSpec extends AnyFunSuite {
     val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
     val sym = (sq ++ sq.map(_.swap)).toDF("src", "dst")
     val got = Algos.linkPrediction(sym, minCommon = 1, maxDeg = 10)
-      .as[(Long, Long, Long, Long)].collect().map(r => (r._1, r._2) -> (r._3, r._4)).toMap
-    // every vertex has degree 2 => RA contribution 1000000 div 2 each
-    assert(got === Map((1L, 3L) -> ((2L, 1000000L)), (2L, 4L) -> ((2L, 1000000L))))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // every vertex has degree 2 => RA contribution 1000000 div 2 each;
+    // jaccard = 10000*2 div (2+2-2) = 10000 (identical neighborhoods)
+    assert(got === Map((1L, 3L) -> ((2L, 1000000L, 10000L)),
+      (2L, 4L) -> ((2L, 1000000L, 10000L))))
     // adjacency exclusion: add the chord 1-3; the pair must vanish even
     // though the shared neighbors remain
     val chord = (sq ++ Seq((1L, 3L))).flatMap(e => Seq(e, e.swap)).toDF("src", "dst")
     val got2 = Algos.linkPrediction(chord, minCommon = 1, maxDeg = 10)
-      .as[(Long, Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(!got2.contains((1L, 3L)) && got2.contains((2L, 4L)))
     // hub cap: with maxDeg below the square's degree 2, no wedge centers
     assert(Algos.linkPrediction(sym, minCommon = 1, maxDeg = 2).count() === 2)
@@ -646,12 +649,14 @@ class AlgosSpec extends AnyFunSuite {
     val bip = Seq((10L, 100L), (10L, 101L), (11L, 100L), (11L, 101L), (12L, 100L))
       .toDF("src", "dst")
     val b = Algos.linkPrediction(bip, minCommon = 2, maxDeg = 10)
-      .as[(Long, Long, Long, Long)].collect()
-    // part 100 has deg 3 (RA 333333), part 101 deg 2 (RA 500000)
-    assert(b.toSeq === Seq((10L, 11L, 2L, 833333L)))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // part 100 has deg 3 (RA 333333), part 101 deg 2 (RA 500000);
+    // jaccard = 10000*2 div (2+2-2) = 10000 (both bought exactly {100,101})
+    assert(b.toSeq === Seq((10L, 11L, 2L, 833333L, 10000L)))
     // partitioning-invariant
     val re = Algos.linkPrediction(sym.repartition(7), minCommon = 1, maxDeg = 10)
-      .as[(Long, Long, Long, Long)].collect().map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
     assert(re === got)
   }
 
