@@ -287,9 +287,11 @@ object ScaleProbe {
     // --- training-order probe at 64× docs: the histogram stays 256 rows
     // regardless of volume; rank work is bucket-partitioned window sorts,
     // so time should track scan volume spread over buckets
+    // max(pos) forces the bucket-partitioned rank windows (a bare count()
+    // lets Catalyst prune the window entirely); pos is 0-based ⇒ max+1 = rows
     def trainOrderOf(d: DataFrame): Long =
       graft.pipeline.Corpus.trainOrder(d.select("doc_id"), "doc_id", "ep0")
-        .agg(max("pos")).count()
+        .agg(max("pos")).head().getLong(0) + 1
     val (to1, ton1) = minTime(trainOrderOf(docs1))
     val (toK, tonK) = minTime(trainOrderOf(docsK))
     println(f"[scale] train_order        1x: $to1%6.2f s (n=$ton1%9d)   ${kk}x: $toK%6.2f s (n=$tonK%9d)   time-ratio: ${toK / math.max(to1, 1e-9)}%5.2f")

@@ -1565,9 +1565,10 @@ object SparkEntry {
                                FROM toks WHERE len(ts) >= 2))
                    GROUP BY 1, 2 HAVING count(*) >= 5)
          SELECT bi.x, bi.y, bi.n_xy,
-                (length(bin((bi.n_xy * tot.t) // (ux.c * uy.c))) - 1)::BIGINT AS pmi_fl2
+                (length(bin(CAST((CAST(bi.n_xy AS HUGEINT) * tot.t) // (CAST(ux.c AS HUGEINT) * uy.c)
+                  AS BIGINT))) - 1)::BIGINT AS pmi_fl2
          FROM bi JOIN uni ux ON bi.x = ux.t JOIN uni uy ON bi.y = uy.t, tot
-         WHERE bi.n_xy * tot.t >= ux.c * uy.c""",
+         WHERE CAST(bi.n_xy AS HUGEINT) * tot.t >= CAST(ux.c AS HUGEINT) * uy.c""",
     "q_modularity" ->
       """WITH e0 AS (SELECT 2000000000000 + a.n_nationkey AS src, 2000000000000 + b.n_nationkey AS dst
                      FROM nation a JOIN nation b

@@ -677,16 +677,21 @@ object Algos {
     var n = cur.count()
     var converged = false
     var rounds = 0
+    // carry the converging round's materialized support: on convergence
+    // ne == cur, so lastSup IS the final edge set's support — reusing it for
+    // the output join saves a full extra wedge-join pass (the dominant cost)
+    var lastSup: DataFrame = null
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      val ne = cur.join(support(cur).where(col("s") >= k - 2), Seq("a", "b"), "left_semi")
+      val sup = support(cur).localCheckpoint(true)
+      val ne = cur.join(sup.where(col("s") >= k - 2), Seq("a", "b"), "left_semi")
         .localCheckpoint(true)
       val m = ne.count()
-      if (m == n) converged = true else { cur = ne; n = m }
+      if (m == n) { converged = true; lastSup = sup } else { cur = ne; n = m }
     }
     if (!converged)
       throw new IllegalStateException(s"kTruss did not converge within $maxRounds rounds")
-    cur.join(support(cur), Seq("a", "b"))
+    cur.join(lastSup, Seq("a", "b"))
       .select(col("a").as("id_a"), col("b").as("id_b"), col("s").as("support"))
   }
 
@@ -808,7 +813,10 @@ object Algos {
     val sym = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(eager = false) // scanned for M, I_c, d_c
     val m = sym.count()
-    if (m == 0L) return communities.select(col("community")).where(lit(false))
+    // same long cast as the populated path, so the empty-graph schema
+    // unions/encodes identically to the normal one
+    if (m == 0L) return communities.select(col("community").cast("long").as("community"))
+      .where(lit(false))
       .withColumn("internal", lit(0L)).withColumn("degree_sum", lit(0L))
       .withColumn("q_ppm", lit(0L))
     val comm = communities.select(col("id").cast("long").as("id"),
@@ -1081,17 +1089,22 @@ object Algos {
       maxEdges: Long = 10000000L): Array[(Long, Long)] = {
     val e = reachableEdges(entry, edges)
     val n = e.count()
-    if (n > maxEdges)
+    // the array index is an Int, so Int.MaxValue bounds the collect even if
+    // a caller raises maxEdges past it — fail loudly, never wrap n.toInt
+    val lim = math.min(maxEdges, Int.MaxValue.toLong)
+    if (n > lim)
       throw new IllegalStateException(
-        s"flow subgraph of entry $entry has $n edges > maxEdges=$maxEdges: " +
+        s"flow subgraph of entry $entry has $n edges > maxEdges=$lim: " +
           "driver-side DFS analyses are CFG-scale; restrict the entry's subgraph " +
           "(edgeSubgraph/filter) or raise maxEdges explicitly")
     // stream partition-at-a-time (like the deep-CC fallback): peak driver
     // footprint is the result array (~40 B/edge boxed = ~400 MB at the
     // guard) plus ONE partition's rows — never a second full copy of the
-    // edge set the way Dataset.collect's decode path holds
+    // edge set the way Dataset.collect's decode path holds. The long casts
+    // keep getLong safe for int-typed edge columns (the encoder the old
+    // Dataset.collect path used did this upcast implicitly).
     val out = new Array[(Long, Long)](n.toInt)
-    val it = e.select(col("src"), col("dst")).toLocalIterator()
+    val it = e.select(col("src").cast("long"), col("dst").cast("long")).toLocalIterator()
     var i = 0
     while (it.hasNext) { val r = it.next(); out(i) = (r.getLong(0), r.getLong(1)); i += 1 }
     out

@@ -303,11 +303,17 @@ object TextOps {
       .select(col("bg.x").as("x"), col("bg.y").as("y"))
       .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
       .where(col("n_xy") >= minCount)
+    // both products on DECIMAL(38,0): counts are <= T <= Long.Max, so each
+    // product stays under 1e38 and is EXACT at any corpus size — raw
+    // long*long overflows (ANSI: job-killing error) once T passes ~3e9.
+    // The quotient is <= T (n_xy <= cx), so it lands back in a long for bin().
     bi.join(uni.select(col("t").as("x"), col("c").as("cx")), "x")
       .join(uni.select(col("t").as("y"), col("c").as("cy")), "y")
-      .where(col("n_xy") * total >= col("cx") * col("cy"))
+      .where(expr(s"cast(n_xy as decimal(38,0)) * ${total}L >= cast(cx as decimal(38,0)) * cy"))
       .select(col("x"), col("y"), col("n_xy"),
-        (length(bin(expr(s"(n_xy * ${total}L) div (cx * cy)"))) - 1).cast("long").as("pmi_fl2"))
+        (length(bin(expr(
+          s"(cast(n_xy as decimal(38,0)) * ${total}L) div (cast(cx as decimal(38,0)) * cy)"))) - 1)
+          .cast("long").as("pmi_fl2"))
   }
 
   /** Tokenizer-vocabulary construction: the corpus's top-K tokens by
@@ -319,15 +325,22 @@ object TextOps {
     * Scale: one token-keyed count shuffle, then a TakeOrderedAndProject
     * top-K (never a global sort of the unigram table); the final
     * rank-assignment window runs over exactly K rows. */
+  /** The ONE top-K vocabulary cut (count desc, token asc at ties) shared by
+    * [[buildVocab]] and [[oovRateBp]] — a single source of truth for the
+    * tie-break and the TakeOrderedAndProject shape. `toks`: one `t` token
+    * per row. */
+  private def vocabTop(toks: org.apache.spark.sql.DataFrame,
+      vocabSize: Int): org.apache.spark.sql.DataFrame =
+    toks.groupBy("t").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t").asc).limit(vocabSize)
+
   def buildVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
       vocabSize: Int): org.apache.spark.sql.DataFrame = {
     require(vocabSize > 0)
     import org.apache.spark.sql.expressions.Window
-    val ord = Seq(col("n").desc, col("t").asc)
-    docs.select(explode(tokens(col(textCol))).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("n"))
-      .orderBy(ord: _*).limit(vocabSize)
-      .withColumn("token_id", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+    vocabTop(docs.select(explode(tokens(col(textCol))).as("t")), vocabSize)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("n").desc, col("t").asc)).cast("long"))
   }
 
   /** Out-of-vocabulary rate in basis points against a CORPUS-DERIVED top-K
@@ -345,8 +358,7 @@ object TextOps {
     require(vocabSize > 0)
     val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
       .localCheckpoint(false)
-    val vocab = toks.groupBy("t").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("t").asc).limit(vocabSize)
+    val vocab = vocabTop(toks.select("t"), vocabSize)
       .select(col("t"), lit(1).as("__in"))
     toks.join(broadcast(vocab), Seq("t"), "left")
       .groupBy("doc_id")
