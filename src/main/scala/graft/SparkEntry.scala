@@ -621,6 +621,67 @@ object SparkEntry {
         Vid.vid("supplier", col("l_suppkey")).as("dst"))
       graft.algos.Algos.maximalIndependentSet(e)
     }),
+    "q_mst" -> ((s, dir) => {
+      // Borůvka minimum spanning forest over the part–supplier projection,
+      // weighted by the cheapest connecting lineitem's quantity. The
+      // (w, src, dst) total order makes the forest UNIQUE, so the oracle
+      // replays the same rounds (chosen edges depend only on the component
+      // partition, never on label values).
+      val li = Tpch.table(s, dir, "lineitem")
+      val e = li.groupBy(
+          Vid.vid("supplier", col("l_suppkey")).as("src"),
+          Vid.vid("part", col("l_partkey")).as("dst"))
+        .agg(min(col("l_quantity").cast("long")).as("w"))
+      graft.algos.Algos.boruvkaForest(e)
+    }),
+    "q_coloring" -> ((s, dir) => {
+      // Jones–Plassmann greedy coloring of the nation co-region graph
+      // (5-cliques): hash priorities make the coloring a pure fact of the
+      // graph; the oracle unrolls the rounds (idempotent once drained).
+      val n = Tpch.table(s, dir, "nation")
+      val a = n.select(col("n_nationkey").as("k1"), col("n_regionkey").as("rk"))
+      val b = n.select(col("n_nationkey").as("k2"), col("n_regionkey").as("rk"))
+      val adj = a.join(b, "rk").where(col("k1") =!= col("k2"))
+        .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
+      graft.algos.Algos.jpColoring(adj, maxColors = 16)
+    }),
+    "q_butterflies" -> ((s, dir) => {
+      // bipartite butterfly census on the customer–part purchase graph —
+      // the bipartite cousin of q_triangles, with the same hub cap as
+      // q_linkpred (a part bought by everyone witnesses no 4-cycle signal)
+      val li = Tpch.table(s, dir, "lineitem")
+      val o = Tpch.table(s, dir, "orders")
+      val cp = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(Vid.vid("customer", col("o_custkey")).as("src"),
+          Vid.vid("part", col("l_partkey")).as("dst"))
+      graft.algos.Algos.butterflyCount(cp, maxDeg = 40)
+    }),
+    "q_hll" -> ((s, dir) =>
+      // portable HyperLogLog registers over the order-key space: the
+      // fixed-64-row cardinality summary; every register is integer-exact
+      // (md5-derived hash, bin()-length leading-zero count), so the oracle
+      // recomputes the identical sketch
+      graft.functions.Sketch.hllRegisters(
+        Tpch.table(s, dir, "orders"), col("o_orderkey"), b = hllB)),
+    "q_hll_est" -> ((s, dir) =>
+      // the integer-exact HLL readout over those registers: floor-division
+      // alpha·m²·2^R / Σ2^(R−reg); spec pins |est − exact| within the
+      // 1.04/√m error envelope
+      graft.functions.Sketch.hllEstimate(
+        graft.functions.Sketch.hllRegisters(
+          Tpch.table(s, dir, "orders"), col("o_orderkey"), b = hllB), b = hllB)),
+    "q_dsir" -> ((s, dir) =>
+      // DSIR-style importance scoring: hashed-bucket token distributions,
+      // target = the corpus's English slice; integer-exact floor-log2
+      // likelihood ratio per document
+      graft.pipeline.Corpus.dsirScore(Tpch.table(s, dir, "documents"), "doc_id", "text",
+        target = col("lang") === "en", buckets = dsirBuckets)),
+    "q_bpe" -> ((s, dir) =>
+      // BPE merge learning over the document corpus: the first N merges
+      // with their weighted pair counts — the deterministic "train the
+      // subword tokenizer" step; the oracle replays every round's argmax
+      // and rewrite verbatim
+      graft.functions.TextOps.bpeMerges(Tpch.table(s, dir, "documents"), "text", nMerges = bpeN)),
     "q_asof" -> ((s, dir) => {
       // as-of join: each purchase event gets the most recent prior click
       // value of the same user (inclusive on equal timestamps)
@@ -1235,6 +1296,28 @@ object SparkEntry {
     * sf0.01's ~27k total tokens, so the budget line bites at every SF. */
   private val budgetToks = 12000L
 
+  /** One constant drives q_mst's oracle unroll: Borůvka needs ≤ ⌈log₂ n⌉
+    * rounds (components at least halve), and sf0.1's part+supplier vertex
+    * set is ~21k < 2¹⁵; over-unrolling is idempotent (no crossing edges ⇒
+    * empty chosen set ⇒ labels unchanged). The Spark side iterates to the
+    * actual empty-crossing fixpoint. */
+  private val mstRounds = 15
+
+  /** One constant drives q_coloring and its oracle: the nation co-region
+    * graph's largest clique is one region (≤ 7 nations at any SF), and JP
+    * colors exactly one clique member per round — 10 rounds is past
+    * exhaustion at every SF (idempotent once drained). */
+  private val coloringRounds = 10
+
+  /** One constant drives q_hll / q_hll_est and their oracles. */
+  private val hllB = 6
+
+  /** One constant drives q_dsir and its oracle. */
+  private val dsirBuckets = 4096
+
+  /** One constant drives q_bpe and its oracle (merge rounds). */
+  private val bpeN = 6
+
   /** q_hits oracle: the un-normalized HITS recurrence unrolled — per round,
     * authorities from the PREVIOUS hubs, then hubs from the NEW authorities
     * (the standard update order, matching Algos.hits). All sums cast back
@@ -1352,6 +1435,144 @@ object SparkEntry {
          |        JOIN c$r a ON e.src = a.id JOIN c$r b ON e.dst = b.id)""".stripMargin
     }.mkString(",\n")
     val un = (1 to rounds).map(r => s"SELECT id FROM w$r").mkString(" UNION ")
+    s"WITH $base,\n$rs\n$un"
+  }
+
+  /** q_mst oracle: Borůvka rounds unrolled as MATERIALIZED CTEs. Per round:
+    * crossing edges under the current component map, per-component argmin
+    * (w, src, dst) via row_number, forest union, then contraction at
+    * COMPONENT level — a recursive min-id closure over just the comps
+    * touched by chosen edges (cluster sizes are small — one chosen edge
+    * per comp — so the closure is comp-level tiny, never vertex-level).
+    * Chosen edges depend only on the component PARTITION, which both
+    * engines evolve identically; min-id labels also coincide with
+    * ccAlternating's. Over-unrolling is exact: no crossing edges ⇒ empty
+    * chosen set ⇒ forest and labels unchanged. */
+  private def mstOracleSql(rounds: Int): String = {
+    val base =
+      """e AS MATERIALIZED (SELECT 4000000000000 + l_suppkey AS src,
+        |       5000000000000 + l_partkey AS dst, min(l_quantity)::BIGINT AS w
+        |     FROM lineitem GROUP BY 1, 2),
+        |c0 AS MATERIALIZED (SELECT id, id AS comp FROM
+        |     (SELECT src AS id FROM e UNION SELECT dst FROM e)),
+        |f0 AS (SELECT src, dst, w FROM e WHERE false)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""x$r AS MATERIALIZED (SELECT e.src, e.dst, e.w, a.comp AS ca, b.comp AS cb
+         |     FROM e JOIN c${r - 1} a ON e.src = a.id JOIN c${r - 1} b ON e.dst = b.id
+         |     WHERE a.comp <> b.comp),
+         |ch$r AS MATERIALIZED (SELECT DISTINCT src, dst, w FROM (
+         |     SELECT src, dst, w, row_number() OVER (PARTITION BY c ORDER BY w, src, dst) AS rn
+         |     FROM (SELECT ca AS c, src, dst, w FROM x$r UNION ALL SELECT cb, src, dst, w FROM x$r))
+         |     WHERE rn = 1),
+         |f$r AS MATERIALIZED (SELECT src, dst, w FROM f${r - 1} UNION SELECT src, dst, w FROM ch$r),
+         |cg$r AS MATERIALIZED (SELECT x.ca AS u, x.cb AS v FROM x$r x JOIN ch$r c
+         |       ON x.src = c.src AND x.dst = c.dst
+         |     UNION SELECT x.cb, x.ca FROM x$r x JOIN ch$r c ON x.src = c.src AND x.dst = c.dst),
+         |rec$r AS (SELECT u AS id, u AS t FROM cg$r
+         |     UNION SELECT rr.id, g.v FROM rec$r rr JOIN cg$r g ON rr.t = g.u),
+         |m$r AS MATERIALIZED (SELECT id, min(t) AS root FROM rec$r GROUP BY id),
+         |c$r AS MATERIALIZED (SELECT c.id, coalesce(m.root, c.comp) AS comp
+         |     FROM c${r - 1} c LEFT JOIN m$r m ON c.comp = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"WITH RECURSIVE $base,\n$rs\nSELECT src, dst, w FROM f$rounds"
+  }
+
+  /** q_coloring oracle: Jones–Plassmann rounds unrolled — per round the
+    * same md5(id)+padded-id priority, uncolored-local-max winner filter,
+    * and min-absent-color pick (bounded 16-way candidate anti-join),
+    * verbatim. Over-unrolling is exact: a drained pool yields empty winner
+    * sets. */
+  private def coloringOracleSql(rounds: Int): String = {
+    val base =
+      """e AS MATERIALIZED (SELECT 2000000000000 + a.n_nationkey AS src, 2000000000000 + b.n_nationkey AS dst
+        |     FROM nation a JOIN nation b
+        |     ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey),
+        |u0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+        |col0 AS (SELECT id, 0 AS color FROM u0 WHERE false)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT id, md5(id::VARCHAR) || lpad(id::VARCHAR, 20, '0') AS p FROM u${r - 1}),
+         |mx$r AS MATERIALIZED (SELECT e.src, max(p.p) AS mx FROM e JOIN p$r p ON e.dst = p.id GROUP BY 1),
+         |w$r AS MATERIALIZED (SELECT p.id FROM p$r p LEFT JOIN mx$r m ON p.id = m.src
+         |     WHERE m.mx IS NULL OR p.p > m.mx),
+         |nc$r AS MATERIALIZED (SELECT DISTINCT e.src AS id, c.color
+         |     FROM e JOIN w$r w ON e.src = w.id JOIN col${r - 1} c ON e.dst = c.id),
+         |pk$r AS MATERIALIZED (SELECT id, min(color)::INT AS color FROM (
+         |     SELECT w.id, g.color FROM w$r w CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS color) g
+         |     WHERE NOT EXISTS (SELECT 1 FROM nc$r n WHERE n.id = w.id AND n.color = g.color))
+         |     GROUP BY id),
+         |col$r AS MATERIALIZED (SELECT id, color FROM col${r - 1} UNION ALL SELECT id, color FROM pk$r),
+         |u$r AS MATERIALIZED (SELECT u.id FROM u${r - 1} u LEFT JOIN w$r w ON u.id = w.id WHERE w.id IS NULL)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $base,\n$rs\nSELECT id, color FROM col$rounds"
+  }
+
+  /** q_hll registers oracle: the identical portable sketch — sign-cleared
+    * [[duckHash64]], low-b-bit bucket, bin()-length leading-zero rho, max
+    * per bucket, empty buckets 0. */
+  private def hllRegsSql(b: Int): String = {
+    val m = 1L << b
+    val maxRho = 64 - b
+    s"""h AS (SELECT (${duckHash64("o_orderkey::VARCHAR")}) & 9223372036854775807 AS h FROM orders),
+       |r AS (SELECT h % $m AS bucket, h // $m AS rest FROM h),
+       |rr AS (SELECT bucket, CASE WHEN rest = 0 THEN $maxRho ELSE $maxRho - length(bin(rest)) END AS rho FROM r),
+       |reg AS (SELECT bucket, max(rho) AS reg FROM rr GROUP BY 1),
+       |fl AS (SELECT g.bucket, coalesce(reg.reg, 0)::INT AS reg
+       |     FROM (SELECT unnest(generate_series(0, ${m - 1}))::BIGINT AS bucket) g
+       |     LEFT JOIN reg ON g.bucket = reg.bucket)""".stripMargin
+  }
+
+  private def hllOracleSql(b: Int): String =
+    s"WITH ${hllRegsSql(b)}\nSELECT bucket, reg FROM fl"
+
+  /** q_hll_est oracle: the integer-exact readout — HUGEINT-scaled harmonic
+    * sum Σ2^(R−reg), alpha as 709/1000, one floor division. */
+  private def hllEstOracleSql(b: Int): String = {
+    val m = 1L << b
+    val maxRho = 64 - b
+    s"""WITH ${hllRegsSql(b)},
+       |s AS (SELECT sum((1::BIGINT << ($maxRho - reg))::HUGEINT) AS s FROM fl)
+       |SELECT ((709::HUGEINT * ${m * m} * (1::BIGINT << $maxRho)::HUGEINT) // (1000::HUGEINT * s))::BIGINT AS n_est
+       |FROM s""".stripMargin
+  }
+
+  /** q_dsir oracle: hashed-bucket token distributions (sign-cleared
+    * [[duckHash64]] mod buckets), floor-log2 likelihood ratio via
+    * bin()-length, summed per doc. */
+  private def dsirOracleSql(buckets: Int): String =
+    s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+       |       unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t
+       |     FROM documents),
+       |bk AS (SELECT doc_id, tgt, ((${duckHash64("t")}) & 9223372036854775807) % $buckets AS bk FROM t),
+       |c AS (SELECT bk, count(*)::BIGINT AS raw,
+       |       sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS tgt_n FROM bk GROUP BY 1)
+       |SELECT doc_id,
+       |       sum(length(bin(c.tgt_n + 1)) - length(bin(c.raw + 1)))::BIGINT AS dsir_score
+       |FROM bk JOIN c USING (bk) GROUP BY 1""".stripMargin
+
+  /** q_bpe oracle: every merge round replayed — weighted adjacent-pair
+    * counts over the boundary-marked word table, the (cnt DESC, a, b)
+    * argmax, and the literal '<a><b>' → '<ab>' rewrite (replace() scans
+    * left-to-right non-overlapping in both engines — BPE's greedy
+    * convention). Rounds past pair exhaustion yield empty argmax rows and
+    * leave the words unchanged (LEFT JOIN ON true). */
+  private def bpeOracleSql(n: Int): String = {
+    val base =
+      """w0 AS MATERIALIZED (SELECT regexp_replace(wd, '(.)', '<\1>', 'g') AS m, f FROM (
+        |     SELECT t AS wd, count(*)::BIGINT AS f FROM (
+        |       SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t
+        |       FROM documents) GROUP BY 1))""".stripMargin
+    val rs = (1 to n).map { r =>
+      s"""pr$r AS MATERIALIZED (SELECT s[i] AS a, s[i+1] AS b, sum(f)::BIGINT AS cnt FROM
+         |     (SELECT regexp_extract_all(m, '<([^>]*)>', 1) AS s, f FROM w${r - 1}) sub,
+         |     unnest(generate_series(1, len(sub.s) - 1)) u(i) GROUP BY 1, 2),
+         |bs$r AS MATERIALIZED (SELECT a, b, cnt FROM (SELECT a, b, cnt,
+         |     row_number() OVER (ORDER BY cnt DESC, a, b) AS rn FROM pr$r) WHERE rn = 1),
+         |w$r AS MATERIALIZED (SELECT CASE WHEN b.a IS NULL THEN w.m
+         |     ELSE replace(w.m, '<'||b.a||'><'||b.b||'>', '<'||b.a||b.b||'>') END AS m, w.f
+         |     FROM w${r - 1} w LEFT JOIN bs$r b ON true)""".stripMargin
+    }.mkString(",\n")
+    val un = (1 to n).map(r => s"SELECT $r AS merge_rank, a, b, cnt FROM bs$r")
+      .mkString("\nUNION ALL ")
     s"WITH $base,\n$rs\n$un"
   }
 
@@ -1551,6 +1772,24 @@ object SparkEntry {
     "q_kcore" -> kCoreOracleSql(kCoreK, 6),
     "q_mis" -> misOracleSql(16),
     "q_ktruss" -> ktrussOracleSql(5, 12),
+    "q_mst" -> mstOracleSql(mstRounds),
+    "q_coloring" -> coloringOracleSql(coloringRounds),
+    "q_hll" -> hllOracleSql(hllB),
+    "q_hll_est" -> hllEstOracleSql(hllB),
+    "q_dsir" -> dsirOracleSql(dsirBuckets),
+    "q_bpe" -> bpeOracleSql(bpeN),
+    "q_butterflies" ->
+      """WITH cp AS (SELECT DISTINCT 3000000000000 + o.o_custkey AS src,
+                       5000000000000 + l.l_partkey AS dst
+                     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+              ctr AS (SELECT dst, count(*)::BIGINT AS d FROM cp GROUP BY dst
+                      HAVING count(*) >= 2 AND count(*) <= 40),
+              pr AS (SELECT a.src AS id_a, b.src AS id_b, count(*)::BIGINT AS cn
+                     FROM cp a JOIN ctr ON a.dst = ctr.dst
+                     JOIN cp b ON b.dst = ctr.dst AND a.src < b.src
+                     GROUP BY 1, 2)
+         SELECT coalesce((SELECT sum((d * (d - 1)) // 2) FROM ctr), 0)::BIGINT AS wedges,
+                coalesce((SELECT sum((cn * (cn - 1)) // 2) FROM pr), 0)::BIGINT AS butterflies""",
     "q_pmi" ->
       """WITH toks AS MATERIALIZED (
               SELECT doc_id, list_filter(string_split(text, ' '), s -> len(s) > 0) AS ts

@@ -831,6 +831,157 @@ object Algos {
         .as("q_ppm"))
   }
 
+  /** Borůvka minimum spanning forest — the distributed MST algorithm (each
+    * component picks its cheapest crossing edge; chosen edges contract;
+    * components at least HALVE per round ⇒ ≤ ⌈log₂ n⌉ rounds regardless of
+    * graph shape — the reason Borůvka, not Prim/Kruskal, is the scale
+    * formulation: no priority queue, no global edge sort). Edges are
+    * canonicalized (least/greatest, parallels collapsed to their min
+    * weight); the edge order (w, src, dst) is a STRICT total order, so the
+    * forest is the UNIQUE minimum spanning forest under it — a pure fact
+    * of the graph that reruns, partitionings, and engines agree on (the
+    * oracle replays the same rounds; chosen edges depend only on the
+    * component PARTITION, not on label values, so any min-id labeling
+    * agrees). Returns the forest as `(src, dst, w)`.
+    *
+    * Scale: per round ONE crossing-edge join (two keyed probes of the
+    * component map) + one per-component window min + a component-LEVEL
+    * contraction: [[ccAlternating]] runs on the chosen-edge graph whose
+    * vertex set is the current components — never the full graph — and
+    * shrinks geometrically. Eager per-round checkpoints (the Descend
+    * rule). */
+  def boruvkaForest(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = col("src").cast("long"); val b = col("dst").cast("long")
+    val e = edges.select(least(a, b).as("src"), greatest(a, b).as("dst"),
+        col("w").cast("long").as("w"))
+      .where(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .localCheckpoint(true)
+    var comp = e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
+      .distinct().select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    var forest = e.where(lit(false)).localCheckpoint(true)
+    var done = false
+    var r = 0
+    while (!done) {
+      r += 1
+      if (r > maxRounds)
+        throw new IllegalStateException(s"boruvkaForest did not converge within $maxRounds rounds")
+      val x = e.join(comp.select(col("id").as("src"), col("comp").as("ca")), "src")
+        .join(comp.select(col("id").as("dst"), col("comp").as("cb")), "dst")
+        .where(col("ca") =!= col("cb")).localCheckpoint(true)
+      if (x.isEmpty) done = true
+      else {
+        val cand = x.select(col("ca").as("c"), col("src"), col("dst"), col("w"))
+          .unionAll(x.select(col("cb").as("c"), col("src"), col("dst"), col("w")))
+        val chosen = cand.withColumn("rn", row_number().over(
+            Window.partitionBy("c").orderBy(col("w"), col("src"), col("dst"))))
+          .where(col("rn") === 1)
+          .select("src", "dst", "w").distinct().localCheckpoint(true)
+        forest = forest.unionByName(chosen).localCheckpoint(true)
+        // contraction at COMPONENT level: CC over the chosen edges viewed as
+        // (old comp → old comp) links; min-id roots keep labels deterministic
+        val cg = x.join(chosen, Seq("src", "dst", "w"), "left_semi")
+          .select(col("ca").as("src"), col("cb").as("dst"))
+        val m = ccAlternating(cg)
+        comp = comp.join(m.select(col("id").as("comp"), col("component")), Seq("comp"), "left")
+          .select(col("id"), coalesce(col("component"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+      }
+    }
+    forest
+  }
+
+  /** Bipartite butterfly (2×2 biclique = 4-cycle) census — the bipartite
+    * analogue of the triangle count (Wang et al., "Butterfly counting in
+    * bipartite networks"): wedges = Σ_r C(deg r, 2) (paths of length 2
+    * through a right vertex), butterflies = Σ_{left pairs} C(cn, 2) where
+    * cn = common right-neighbors of the pair. Returns one row
+    * `(wedges, butterflies)`, both BIGINT-exact (n·(n−1) is even, so the
+    * `div 2` halving is exact).
+    *
+    * Scale: the wedge join is the triangle-count shape — per-right-vertex
+    * work is deg², so right hubs above `maxDeg` are EXCLUDED (the same
+    * signal-free-hub rule as [[linkPrediction]]; a right vertex connected
+    * to everything witnesses no discriminative 4-cycle and would alone
+    * contribute deg² join rows). All keyed joins + one global agg. */
+  def butterflyCount(edges: DataFrame, maxDeg: Long): DataFrame = {
+    require(maxDeg >= 2)
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(eager = false) // scanned twice: degrees + both wedge sides
+    val ctr = e.groupBy("dst").agg(count(lit(1)).as("d"))
+      .where(col("d") >= 2 && col("d") <= maxDeg)
+    val ew = e.join(ctr, "dst")
+    val pairs = ew.select(col("dst"), col("src").as("id_a"))
+      .join(ew.select(col("dst"), col("src").as("id_b")), "dst")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("cn"))
+    val w = ctr.agg(sum(expr("(d * (d - 1)) div 2")).as("wedges"))
+    val bf = pairs.agg(sum(expr("(cn * (cn - 1)) div 2")).as("butterflies"))
+    w.crossJoin(bf).select(
+      coalesce(col("wedges"), lit(0L)).as("wedges"),
+      coalesce(col("butterflies"), lit(0L)).as("butterflies"))
+  }
+
+  /** Jones–Plassmann greedy graph coloring with HASH priorities (the
+    * distributed coloring workhorse — Jones & Plassmann 1993): in each
+    * round, an uncolored vertex whose priority `md5(id) ++ zero-padded id`
+    * (a strict total order) is the max among its UNCOLORED neighbors takes
+    * the smallest color (0-based) absent from its already-colored
+    * neighborhood. Every round colors at least the globally-max uncolored
+    * vertex, and hash-uniform priorities color an expected constant
+    * fraction per round; colors are bounded by maxDegree+1 (≤ `maxColors`,
+    * enforced). Deterministic — a pure fact of the graph, so the oracle
+    * replays the rounds verbatim (over-unrolling is exact: once all are
+    * colored the winner set is empty).
+    *
+    * Scale: per round one uncolored⋈edge join + one max-priority agg (the
+    * MIS shape), plus a bounded `maxColors`-way candidate explode
+    * anti-joined against neighbor colors — all keyed, all on the SHRINKING
+    * uncolored set. Eager per-round checkpoints. */
+  def jpColoring(edges: DataFrame, maxColors: Int = 64, maxRounds: Int = 256): DataFrame = {
+    val sym0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val e = sym0.unionAll(sym0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    def prio(id: Column): Column =
+      concat(md5(id.cast("string")), lpad(id.cast("string"), 20, "0"))
+    // JP needs at most maxDegree+1 colors; check ONCE so a too-small
+    // maxColors fails loudly instead of silently dropping saturated vertices
+    val dmax = e.groupBy("src").agg(count(lit(1)).as("d")).agg(max("d")).head()
+    if (!dmax.isNullAt(0))
+      require(dmax.getLong(0) < maxColors,
+        s"maxColors=$maxColors <= max degree ${dmax.getLong(0)}; JP needs maxDegree+1")
+    var uncolored = e.select(col("src").as("id")).distinct().localCheckpoint(true)
+    var colored = uncolored.select(col("id"), lit(0).as("color")).where(lit(false))
+      .localCheckpoint(true)
+    var n = uncolored.count()
+    var r = 0
+    while (n > 0) {
+      r += 1
+      if (r > maxRounds)
+        throw new IllegalStateException(s"jpColoring did not drain within $maxRounds rounds")
+      val p = uncolored.select(col("id"), prio(col("id")).as("p"))
+      val maxNbr = e.join(p.select(col("id").as("dst"), col("p").as("pd")), "dst")
+        .groupBy("src").agg(max("pd").as("mx"))
+      val win = p.join(maxNbr.select(col("src").as("id"), col("mx")), Seq("id"), "left")
+        .where(col("mx").isNull || col("p") > col("mx"))
+        .select("id").localCheckpoint(true)
+      // smallest color absent among already-colored neighbors
+      val nbrColors = e.join(win.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(colored.select(col("id").as("dst"), col("color")), "dst")
+        .select(col("src").as("id"), col("color")).distinct()
+      val pick = win.select(col("id"), explode(sequence(lit(0), lit(maxColors - 1))).as("color"))
+        .join(nbrColors, Seq("id", "color"), "left_anti")
+        .groupBy("id").agg(min("color").as("color"))
+      colored = colored.unionByName(pick).localCheckpoint(true)
+      uncolored = uncolored.join(win, Seq("id"), "left_anti").localCheckpoint(true)
+      n = uncolored.count()
+    }
+    colored
+  }
+
   /** In/out/both degree per vertex (fermor out-edge-count / in-edge-count /
     * both-edge-count, and the gremlin degree-centrality recipe). */
   def degrees(edges: DataFrame, direction: String = "both"): DataFrame = {

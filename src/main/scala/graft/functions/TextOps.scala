@@ -366,4 +366,60 @@ object TextOps {
         sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
       .select(col("doc_id"), expr("(n_oov * 10000) div n_toks").as("oov_bp"))
   }
+
+  /** BPE merge learning (Sennrich et al. 2016) — the "train the subword
+    * tokenizer" step, DETERMINISTIC edition: start from character symbols;
+    * each round counts adjacent symbol pairs over the word-frequency table
+    * (weighted by word count, one count per occurrence), merges the argmax
+    * pair (count DESC, then (a, b) ASC — a strict total order, so the merge
+    * sequence is a pure fact of the corpus), and rewrites the words.
+    * Returns the learned merge table `(merge_rank, a, b, cnt)`.
+    *
+    * Words are carried as boundary-MARKED strings (`<s><y><m>…`), so the
+    * merge rewrite is one literal `replace('<a><b>' → '<ab>')` — markers
+    * make symbol boundaries unambiguous (no false match inside a longer
+    * symbol), and both engines' replace() scans left-to-right
+    * non-overlapping, which IS BPE's greedy convention for runs like
+    * `aaa`. Marked strings of distinct words stay distinct (the underlying
+    * character sequence is unchanged), so no re-aggregation is needed.
+    *
+    * Scale: the working set is the WORD-frequency table — vocabulary-sized,
+    * not corpus-sized (the classic BPE formulation); per round one pair
+    * explode + one (a,b)-keyed count + a 1-row global argmax (the only
+    * driver-side datum) + one map-only rewrite. Eager per-round
+    * checkpoints. The corpus is scanned ONCE, at round 0. */
+  def bpeMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int): org.apache.spark.sql.DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs.select(explode(tokens(col(textCol))).as("wd"))
+      .groupBy("wd").agg(count(lit(1)).as("f"))
+      .select(regexp_replace(col("wd"), "(.)", "<$1>").as("m"), col("f"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      r += 1
+      val best = words
+        .select(col("f"), expr("regexp_extract_all(m, '<([^>]*)>', 1)").as("s"))
+        .select(col("f"), explode(when(size(col("s")) >= 2,
+            expr("transform(sequence(1, size(s) - 1), " +
+              "i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))"))
+          .otherwise(expr("CAST(array() AS array<struct<a: string, b: string>>)"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((r, a, b, cnt))
+        words = words.select(
+            replace(col("m"), lit(s"<$a><$b>"), lit(s"<$a$b>")).as("m"), col("f"))
+          .localCheckpoint(true)
+      }
+    }
+    out.toSeq.toDF("merge_rank", "a", "b", "cnt")
+  }
 }

@@ -312,4 +312,39 @@ object Corpus {
     val w = Window.partitionBy(domain).orderBy(ordH.asc, id.asc)
     df.withColumn("rk", row_number().over(w)).where(col("rk") <= cap)
   }
+
+  /** DSIR-style importance score (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): rank raw documents by how much more likely
+    * their tokens are under a TARGET distribution than under the raw-corpus
+    * distribution. Features are HASHED token buckets (the DSIR trick that
+    * makes the distribution table FIXED-SIZE — `buckets` counters, however
+    * large the vocabulary), hashed portably
+    * ([[graft.dedup.Dedup.portableHash64]], sign cleared, mod buckets).
+    * The log-likelihood ratio is INTEGER-EXACT: per token,
+    * floorlog2(1 + tgt_b) − floorlog2(1 + raw_b) via the bin()-length
+    * trick (no float log anywhere), summed per document. Positive score =
+    * looks more like the target than like the background.
+    *
+    * Scale: the bucket table is `buckets` rows (broadcastable at any
+    * corpus size — unlike a raw vocabulary join); one explode, one
+    * bucket-keyed count (map-side combinable), one broadcast join back,
+    * one per-doc sum. Docs with zero tokens have no ratio and are absent
+    * (the oracle's unnest semantics). */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+      target: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2)
+    val toks = docs.select(col(idCol).as("doc_id"), target.as("__tgt"),
+        explode(graft.functions.TextOps.tokens(col(textCol))).as("t"))
+      .select(col("doc_id"), col("__tgt"),
+        pmod(graft.dedup.Dedup.portableHash64(col("t"))
+          .bitwiseAND(lit(Long.MaxValue)), lit(buckets.toLong)).as("bk"))
+      .localCheckpoint(eager = false) // scanned twice: bucket counts + rescore
+    val cnt = toks.groupBy("bk").agg(
+      count(lit(1)).as("raw"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("tgt"))
+    toks.join(broadcast(cnt), Seq("bk"))
+      .groupBy("doc_id")
+      .agg(sum((length(bin(col("tgt") + 1L)) - length(bin(col("raw") + 1L)))
+        .cast("long")).as("dsir_score"))
+  }
 }

@@ -706,4 +706,81 @@ class AlgosSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
     assert(gotM === got4)
   }
+
+  test("boruvkaForest: unique MSF, parallel-edge collapse, ties, two components") {
+    // path 1-2-3-4 with an expensive chord 1-3, plus a separate pair 5-6;
+    // a duplicate (1,2) at higher weight must collapse to the min
+    val es = Seq((1L, 2L, 1L), (2L, 1L, 7L), (2L, 3L, 2L), (1L, 3L, 5L),
+      (3L, 4L, 3L), (5L, 6L, 9L)).toDF("src", "dst", "w")
+    val got = Algos.boruvkaForest(es).as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (5L, 6L, 9L)))
+    // all-equal weights on a triangle: the (w, src, dst) total order makes
+    // the answer unique — Kruskal order (1,2) then (1,3)
+    val tri = Seq((1L, 2L, 4L), (2L, 3L, 4L), (1L, 3L, 4L)).toDF("src", "dst", "w")
+    val gotT = Algos.boruvkaForest(tri).as[(Long, Long, Long)].collect().toSet
+    assert(gotT === Set((1L, 2L, 4L), (1L, 3L, 4L)))
+    // partitioning-invariant (deterministic at any parallelism)
+    val re = Algos.boruvkaForest(es.repartition(7)).as[(Long, Long, Long)].collect().toSet
+    assert(re === got)
+    // total forest weight is minimal: brute-force over all spanning trees
+    // of the 4-vertex component (chord in or out) confirms 1+2+3
+    assert(got.filter(_._1 <= 4L).map(_._3).sum === 6L)
+  }
+
+  test("boruvkaForest: alternating-weight chain exercises multi-round contraction") {
+    // a 16-chain whose odd edges are cheap and even edges expensive: round 1
+    // merges disjoint PAIRS only (each component's min is its cheap edge),
+    // so reaching one component takes ~log n contraction rounds — the
+    // multi-round merge path, not the single-round star collapse. The MSF
+    // of a tree is the tree itself either way.
+    val chain = (1L until 16L).map(i =>
+      (i, i + 1, if (i % 2 == 1) i else 100L + i))
+    val got = Algos.boruvkaForest(chain.toDF("src", "dst", "w"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === chain.toSet)
+  }
+
+  test("butterflyCount: K22 census, hub cap excludes saturated right vertices") {
+    // K_{2,2}: wedges = 2 (one per right vertex), butterflies = 1
+    val k22 = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))
+    val got = Algos.butterflyCount(k22.toDF("src", "dst"), maxDeg = 10)
+      .as[(Long, Long)].head()
+    assert(got === ((2L, 1L)))
+    // add a hub right vertex shared by 3 lefts with maxDeg = 2: the hub is
+    // excluded, counts unchanged; with maxDeg = 10 it adds C(3,2)=3 wedges
+    // and (1,2) gains a second shared neighbor -> still C(2,2)=1 butterfly,
+    // plus pairs (1,3),(2,3) with cn=1 contribute 0
+    val hub = k22 ++ Seq((1L, 12L), (2L, 12L), (3L, 12L))
+    assert(Algos.butterflyCount(hub.toDF("src", "dst"), maxDeg = 2)
+      .as[(Long, Long)].head() === ((2L, 1L)))
+    assert(Algos.butterflyCount(hub.toDF("src", "dst"), maxDeg = 10)
+      .as[(Long, Long)].head() === ((5L, 3L)))
+    // duplicate edges collapse before counting
+    assert(Algos.butterflyCount((k22 ++ k22).toDF("src", "dst"), maxDeg = 10)
+      .as[(Long, Long)].head() === ((2L, 1L)))
+  }
+
+  test("jpColoring: proper, greedy-bounded, deterministic; saturation fails loudly") {
+    // K4 needs exactly 4 colors; a pendant path reuses low colors
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val es = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val colors = Algos.jpColoring(es, maxColors = 16)
+      .as[(Long, Int)].collect().toMap
+    assert(colors.keySet === (1L to 6L).toSet)
+    // proper: no edge monochrome (check the symmetrized closure)
+    (k4 ++ Seq((4L, 5L), (5L, 6L))).foreach { case (a, b) =>
+      assert(colors(a) !== colors(b), s"edge ($a,$b) monochrome")
+    }
+    // greedy bound: colors within maxDegree+1 = 5, K4 uses all of 0..3
+    assert(colors.values.max <= 4)
+    assert((1L to 4L).map(colors).toSet.size === 4)
+    // deterministic under repartitioning
+    val re = Algos.jpColoring(es.repartition(5), maxColors = 16)
+      .as[(Long, Int)].collect().toMap
+    assert(re === colors)
+    // maxColors <= maxDegree is rejected up front, not silently dropped
+    intercept[IllegalArgumentException] {
+      Algos.jpColoring(es, maxColors = 3)
+    }
+  }
 }

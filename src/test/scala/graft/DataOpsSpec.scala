@@ -1411,4 +1411,69 @@ class DataOpsSpec extends AnyFunSuite {
     val all = TextOps.buildVocab(docs, "text", vocabSize = 100)
     assert(all.count() === 5L)
   }
+
+  test("hllRegisters/hllEstimate: estimate within the HLL envelope; bucket-wise max merge") {
+    import graft.functions.Sketch
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val exact = orders.select("o_orderkey").distinct().count()
+    val regs = Sketch.hllRegisters(orders, col("o_orderkey"))
+    assert(regs.count() === 64L) // every bucket present, empties as 0
+    val est = Sketch.hllEstimate(regs).as[Long].head()
+    // raw-estimator regime (n >> 2.5m): within 3 sigma = 3·1.04/√64 = 39%
+    assert(math.abs(est - exact).toDouble / exact < 0.39,
+      s"est $est vs exact $exact")
+    // merge = bucket-wise max: sketching two halves and max-merging equals
+    // sketching the union (the property that makes per-day sketches compose)
+    val lo = orders.where(col("o_orderkey") % 2 === 0)
+    val hi = orders.where(col("o_orderkey") % 2 =!= 0)
+    val merged = Sketch.hllRegisters(lo, col("o_orderkey"))
+      .unionByName(Sketch.hllRegisters(hi, col("o_orderkey")))
+      .groupBy("bucket").agg(max("reg").as("reg"))
+      .as[(Long, Int)].collect().toMap
+    val whole = regs.as[(Long, Int)].collect().toMap
+    assert(merged === whole)
+    // deterministic under repartitioning
+    val re = Sketch.hllRegisters(orders.repartition(7), col("o_orderkey"))
+      .as[(Long, Int)].collect().toMap
+    assert(re === whole)
+  }
+
+  test("dsirScore: floor-log2 likelihood ratio, hand-computed; partition-invariant") {
+    import graft.pipeline.Corpus
+    // aa only in the target doc (tgt = raw -> 0 per token); bb 1-of-3 in
+    // target (flog2(2) - flog2(4) = -1); cc only outside (flog2(1) -
+    // flog2(2) = -1). Collision-free bucketing verified by construction:
+    // the three tokens land in distinct md5 buckets (asserted indirectly —
+    // a collision would break these exact scores).
+    val docs = Seq((1L, "aa aa bb", "en"), (2L, "bb bb cc", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = Corpus.dsirScore(docs, "doc_id", "text", col("lang") === "en")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> -1L, 2L -> -3L))
+    val re = Corpus.dsirScore(docs.repartition(5), "doc_id", "text", col("lang") === "en")
+      .as[(Long, Long)].collect().toMap
+    assert(re === got)
+    // empty docs are absent (no tokens, no ratio)
+    val withEmpty = docs.unionByName(Seq((3L, "", "en")).toDF("doc_id", "text", "lang"))
+    assert(Corpus.dsirScore(withEmpty, "doc_id", "text", col("lang") === "en")
+      .where(col("doc_id") === 3L).count() === 0L)
+  }
+
+  test("bpeMerges: hand-computed merge sequence, greedy run semantics, early exhaustion") {
+    import graft.functions.TextOps
+    // words: aaab ×2, ab ×1. Round 1: (a,a) appears 2× per aaab = 4 > (a,b) 3
+    // — and the greedy left-to-right rewrite turns <a><a><a> into <aa><a>,
+    // NOT <a><aa>. Round 2: (a,b) 3 beats (aa,a) 2. Round 3: (aa,ab) 2.
+    // Then no pairs remain anywhere -> stops early despite nMerges = 6.
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(docs, "text", nMerges = 6)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
+    // count-tie broken by (a, b) ascending: "ba ab" has (b,a) and (a,b)
+    // both at 1 -> (a,b) wins round 1
+    val tie = Seq((1L, "ba ab")).toDF("doc_id", "text")
+    val first = TextOps.bpeMerges(tie, "text", nMerges = 1)
+      .as[(Int, String, String, Long)].head()
+    assert(first === ((1, "a", "b", 1L)))
+  }
 }

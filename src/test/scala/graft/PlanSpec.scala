@@ -221,4 +221,35 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning"),
       "expected bucket-hash partitioning for the rank windows:\n" + plan.take(3000))
   }
+
+  test("butterflyCount wedge join is keyed (no cartesian); hll/dsir stay keyed aggregations") {
+    val bf = SparkEntry.queries("q_butterflies")(spark, dir)
+    bf.collect()
+    val bfPlan = executedPlan(bf)
+    // exactly ONE non-keyed join is legitimate: the final 1-row × 1-row
+    // (wedges, butterflies) combine. The wedge enumeration itself must stay
+    // an equi-join on the shared right vertex. (AdaptiveSparkPlan prints
+    // final + initial plans — count only the final section.)
+    val finalSection = bfPlan.split("== Initial Plan ==").head
+    val nonKeyed = "CartesianProduct|BroadcastNestedLoopJoin".r
+      .findAllIn(finalSection).size
+    assert(nonKeyed <= 1, s"wedge join went cartesian ($nonKeyed non-keyed joins):\n" +
+      bfPlan.take(3000))
+    assert(bfPlan.contains("hashpartitioning") || bfPlan.contains("BroadcastHashJoin"),
+      "expected keyed wedge join:\n" + bfPlan.take(3000))
+    // hll: the sketch is ONE keyed max-agg — no join until the 64-row
+    // range fill; the input side never joins row-to-row
+    val hll = SparkEntry.queries("q_hll")(spark, dir)
+    hll.collect()
+    val hllPlan = executedPlan(hll)
+    assert(!hllPlan.contains("CartesianProduct"),
+      "hll must not cartesian:\n" + hllPlan.take(3000))
+    // dsir: the bucket distribution table joins back BROADCAST (fixed-size
+    // by construction) — the corpus side never shuffles for the join
+    val ds = SparkEntry.queries("q_dsir")(spark, dir)
+    ds.collect()
+    val dsPlan = executedPlan(ds)
+    assert(dsPlan.contains("BroadcastHashJoin"),
+      "dsir bucket join must broadcast:\n" + dsPlan.take(3000))
+  }
 }
