@@ -682,6 +682,79 @@ object SparkEntry {
       // subword tokenizer" step; the oracle replays every round's argmax
       // and rewrite verbatim
       graft.functions.TextOps.bpeMerges(Tpch.table(s, dir, "documents"), "text", nMerges = bpeN)),
+    "q_harmonic" -> ((s, dir) => {
+      // Harmonic centrality — the closeness-family member that stays
+      // defined on disconnected graphs — on the undirected region↔nation
+      // star, integer-exact at scale 840: a nation scores 840 for its
+      // region (d=1) plus 420 per sibling (d=2); a region scores 840 per
+      // nation. Same closed form the q_closeness oracle states.
+      val gr = g(s, dir)
+      val nr = gr.edges.where(col("label") === "nation_region").select("src", "dst")
+      implicit val sp: SparkSession = s
+      val vs = gr.kind("region").select("id").unionAll(gr.kind("nation").select("id"))
+      graft.algos.Algos.harmonicCentrality(nr, vs)
+    }),
+    "q_matching" -> ((s, dir) => {
+      // Deterministic maximal matching over the supplier–part projection —
+      // the edge-side sibling of q_mis's Luby MIS: hash-priority rounds,
+      // an edge wins when it is the strict min at BOTH endpoints. The
+      // oracle unrolls the rounds verbatim (over-unrolling is exact: a
+      // drained pool yields empty rounds).
+      val li = Tpch.table(s, dir, "lineitem")
+      val e = li.select(Vid.vid("supplier", col("l_suppkey")).as("src"),
+        Vid.vid("part", col("l_partkey")).as("dst"))
+      graft.algos.Algos.maximalMatching(e)
+    }),
+    "q_condensation" -> ((s, dir) => {
+      // Condensation: contract the customer→nation FK edges plus the
+      // nation successor ring under the REGION partition. Customers are
+      // deliberately absent from the component map, so they stay singleton
+      // components — exercising the coalesce fallback path.
+      val n = Tpch.table(s, dir, "nation")
+      val c = Tpch.table(s, dir, "customer")
+      val ring = n.select(Vid.vid("nation", col("n_nationkey")).as("src"),
+        Vid.vid("nation", (col("n_nationkey") + 1) % 25).as("dst"))
+      val cn = c.select(Vid.vid("customer", col("c_custkey")).as("src"),
+        Vid.vid("nation", col("c_nationkey")).as("dst"))
+      val comp = n.select(Vid.vid("nation", col("n_nationkey")).as("id"),
+        Vid.vid("region", col("n_regionkey")).as("component"))
+      graft.algos.Algos.condensation(ring.unionAll(cn), comp)
+    }),
+    "q_bridges" -> ((s, dir) => {
+      // Bridges (cut edges) on a genuinely mixed graph: the customer→nation
+      // star edges are ALL bridges (customers are leaves), while a
+      // co-region nation clique edge is a bridge iff its region has exactly
+      // TWO nations (K2 — cliques of ≥3 are 2-edge-connected). The oracle
+      // states that closed form.
+      val gr = g(s, dir)
+      val n = Tpch.table(s, dir, "nation")
+      val a = n.select(col("n_nationkey").as("k1"), col("n_regionkey").as("rk"))
+      val b = n.select(col("n_nationkey").as("k2"), col("n_regionkey").as("rk"))
+      val clique = a.join(b, "rk").where(col("k1") < col("k2"))
+        .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
+      val cn = gr.edges.where(col("label") === "customer_nation").select("src", "dst")
+      graft.algos.Algos.bridges(cn.unionAll(clique))
+    }),
+    "q_transitive_reduction" -> ((s, dir) => {
+      // Transitive reduction of the order→customer→nation→region FK DAG
+      // with PLANTED order→nation shortcut edges: the reduction must drop
+      // exactly the shortcuts (each order reaches its nation through its
+      // customer) and keep every FK edge.
+      val o = Tpch.table(s, dir, "orders")
+      val c = Tpch.table(s, dir, "customer")
+      val n = Tpch.table(s, dir, "nation")
+      val oc = o.select(Vid.vid("orders", col("o_orderkey")).as("src"),
+        Vid.vid("customer", col("o_custkey")).as("dst"))
+      val cn = c.select(Vid.vid("customer", col("c_custkey")).as("src"),
+        Vid.vid("nation", col("c_nationkey")).as("dst"))
+      val nr = n.select(Vid.vid("nation", col("n_nationkey")).as("src"),
+        Vid.vid("region", col("n_regionkey")).as("dst"))
+      val shortcut = o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(Vid.vid("orders", col("o_orderkey")).as("src"),
+          Vid.vid("nation", col("c_nationkey")).as("dst"))
+      graft.algos.Algos.transitiveReduction(
+        oc.unionAll(cn).unionAll(nr).unionAll(shortcut), maxDepth = 6)
+    }),
     "q_asof" -> ((s, dir) => {
       // as-of join: each purchase event gets the most recent prior click
       // value of the same user (inclusive on equal timestamps)
@@ -1309,6 +1382,14 @@ object SparkEntry {
     * exhaustion at every SF (idempotent once drained). */
   private val coloringRounds = 10
 
+  /** One constant drives q_matching's oracle unroll: random-priority
+    * greedy matching removes a constant fraction of edges per round in
+    * expectation (Israeli–Itai), so O(log m) rounds drain; 24 is far past
+    * the observed drain on the ~10²–10⁵-edge supplier–part projections at
+    * every SF, and over-unrolling is exact (empty pool ⇒ empty rounds).
+    * The Spark side iterates until the pool actually drains. */
+  private val matchingRounds = 24
+
   /** One constant drives q_hll / q_hll_est and their oracles. */
   private val hllB = 6
 
@@ -1436,6 +1517,37 @@ object SparkEntry {
     }.mkString(",\n")
     val un = (1 to rounds).map(r => s"SELECT id FROM w$r").mkString(" UNION ")
     s"WITH $base,\n$rs\n$un"
+  }
+
+  /** q_matching oracle: hash-priority maximal-matching rounds unrolled as
+    * MATERIALIZED CTEs over the supplier–part projection. Each round
+    * replays the md5(round:lo:hi)+zero-padded-endpoint priority, the
+    * per-vertex incident min, the min-at-BOTH-endpoints winner filter, and
+    * the matched-vertex pool shrink verbatim. Over-unrolling is exact: a
+    * drained pool yields empty rounds (the Spark side iterates until the
+    * pool drains, so only the drained fixpoint must agree). */
+  private def matchingOracleSql(rounds: Int): String = {
+    val base =
+      """e0 AS MATERIALIZED (SELECT DISTINCT 4000000000000 + l_suppkey AS lo,
+        |                       5000000000000 + l_partkey AS hi FROM lineitem),
+        |m0 AS (SELECT lo, hi FROM e0 WHERE false)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT lo, hi,
+         |       md5('$r:' || lo::VARCHAR || ':' || hi::VARCHAR)
+         |         || lpad(lo::VARCHAR, 20, '0') || lpad(hi::VARCHAR, 20, '0') AS p
+         |     FROM e${r - 1}),
+         |v$r AS MATERIALIZED (SELECT v, min(p) AS mn FROM (
+         |       SELECT lo AS v, p FROM p$r UNION ALL SELECT hi, p FROM p$r) GROUP BY v),
+         |w$r AS MATERIALIZED (SELECT p.lo, p.hi FROM p$r p
+         |     JOIN v$r a ON p.lo = a.v AND p.p = a.mn
+         |     JOIN v$r b ON p.hi = b.v AND p.p = b.mn),
+         |m$r AS (SELECT lo, hi FROM m${r - 1} UNION ALL SELECT lo, hi FROM w$r),
+         |mv$r AS MATERIALIZED (SELECT lo AS v FROM w$r UNION SELECT hi FROM w$r),
+         |e$r AS MATERIALIZED (SELECT e.lo, e.hi FROM e${r - 1} e
+         |     WHERE e.lo NOT IN (SELECT v FROM mv$r)
+         |       AND e.hi NOT IN (SELECT v FROM mv$r))""".stripMargin
+    }.mkString(",\n")
+    s"WITH $base,\n$rs\nSELECT lo, hi FROM m$rounds"
   }
 
   /** q_mst oracle: Borůvka rounds unrolled as MATERIALIZED CTEs. Per round:
@@ -1778,6 +1890,55 @@ object SparkEntry {
     "q_hll_est" -> hllEstOracleSql(hllB),
     "q_dsir" -> dsirOracleSql(dsirBuckets),
     "q_bpe" -> bpeOracleSql(bpeN),
+    "q_matching" -> matchingOracleSql(matchingRounds),
+    "q_bridges" ->
+      """WITH cnt AS (SELECT n_regionkey, count(*) AS k FROM nation GROUP BY 1)
+         SELECT (2000000000000 + c_nationkey)::BIGINT AS lo,
+                (3000000000000 + c_custkey)::BIGINT AS hi FROM customer
+         UNION ALL
+         SELECT (2000000000000 + a.n_nationkey)::BIGINT,
+                (2000000000000 + b.n_nationkey)::BIGINT
+         FROM nation a JOIN nation b
+           ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+         JOIN cnt ON cnt.n_regionkey = a.n_regionkey
+         WHERE cnt.k = 2""",
+    "q_harmonic" ->
+      """WITH k AS (SELECT n_regionkey, count(*)::BIGINT AS kk FROM nation GROUP BY 1)
+         SELECT (1000000000000 + r_regionkey)::BIGINT AS id,
+                coalesce(kk, 0) AS n_reach,
+                coalesce(840 * kk, 0)::BIGINT AS harmonic
+         FROM region LEFT JOIN k ON r_regionkey = n_regionkey
+         UNION ALL
+         SELECT (2000000000000 + n_nationkey)::BIGINT AS id,
+                kk AS n_reach, (840 + 420 * (kk - 1))::BIGINT AS harmonic
+         FROM nation JOIN k ON nation.n_regionkey = k.n_regionkey""",
+    "q_condensation" ->
+      """WITH comp AS (SELECT 2000000000000 + n_nationkey AS id,
+                              1000000000000 + n_regionkey AS comp FROM nation),
+              e AS (SELECT 2000000000000 + n_nationkey AS src,
+                           2000000000000 + (n_nationkey + 1) % 25 AS dst FROM nation
+                    UNION ALL
+                    SELECT 3000000000000 + c_custkey, 2000000000000 + c_nationkey FROM customer)
+         SELECT DISTINCT coalesce(a.comp, e.src)::BIGINT AS csrc,
+                         coalesce(b.comp, e.dst)::BIGINT AS cdst
+         FROM e LEFT JOIN comp a ON e.src = a.id LEFT JOIN comp b ON e.dst = b.id
+         WHERE coalesce(a.comp, e.src) <> coalesce(b.comp, e.dst)""",
+    "q_transitive_reduction" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+           SELECT DISTINCT * FROM (
+             SELECT 6000000000000 + o_orderkey AS src, 3000000000000 + o_custkey AS dst FROM orders
+             UNION ALL
+             SELECT 3000000000000 + c_custkey, 2000000000000 + c_nationkey FROM customer
+             UNION ALL
+             SELECT 2000000000000 + n_nationkey, 1000000000000 + n_regionkey FROM nation
+             UNION ALL
+             SELECT 6000000000000 + o.o_orderkey, 2000000000000 + c.c_nationkey
+             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)),
+         r AS (SELECT src AS s, dst AS v, 1 AS d FROM e
+               UNION
+               SELECT r.s, e.dst, r.d + 1 FROM r JOIN e ON r.v = e.src WHERE r.d < 6)
+         SELECT e.src::BIGINT AS src, e.dst::BIGINT AS dst FROM e
+         WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.s = e.src AND r.v = e.dst AND r.d >= 2)""",
     "q_butterflies" ->
       """WITH cp AS (SELECT DISTINCT 3000000000000 + o.o_custkey AS src,
                        5000000000000 + l.l_partkey AS dst

@@ -1706,6 +1706,57 @@ object Algos {
     bccLocal(buildAdj(e.as[(Long, Long)].collect())).toDF("src", "dst", "component")
   }
 
+  /** Bridges (cut edges): tree edges with low(child) > disc(parent) —
+    * removing one disconnects its component. (NOT derivable from
+    * [[biconnectedComponents]] output: its min-endpoint component LABELS
+    * collide across distinct single-edge BCCs sharing a cut vertex.) Same
+    * guard + distributed per-component fallback as [[articulationPoints]];
+    * input is treated as a SIMPLE undirected graph (duplicates and
+    * orientations collapse). Returns canonical (lo, hi), independent of
+    * the DFS tree. */
+  def bridges(edges: DataFrame, localMaxEdges: Long = 3000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select("src", "dst").localCheckpoint(eager = false)
+    if (e.count() > localMaxEdges) {
+      implicit val sp: SparkSession = spark
+      return perComponent(e)(es => bridgesLocal(buildAdj(es)).iterator).toDF("lo", "hi")
+    }
+    bridgesLocal(buildAdj(e.as[(Long, Long)].collect())).toDF("lo", "hi")
+  }
+
+  private def bridgesLocal(adj: Map[Long, Array[Long]]): Seq[(Long, Long)] = {
+    val disc = scala.collection.mutable.HashMap[Long, Int]()
+    val low = scala.collection.mutable.HashMap[Long, Int]()
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var timer = 0
+    adj.keys.foreach { root =>
+      if (!disc.contains(root)) {
+        val stack = scala.collection.mutable.Stack[(Long, Long, Iterator[Long])]()
+        disc(root) = timer; low(root) = timer; timer += 1
+        stack.push((root, -1L, adj(root).iterator))
+        while (stack.nonEmpty) {
+          val (u, parent, it) = stack.top
+          if (it.hasNext) {
+            val v = it.next()
+            if (!disc.contains(v)) {
+              disc(v) = timer; low(v) = timer; timer += 1
+              stack.push((v, u, adj(v).iterator))
+            } else if (v != parent) low(u) = math.min(low(u), disc(v))
+          } else {
+            stack.pop()
+            if (stack.nonEmpty) {
+              val (p, _, _) = stack.top
+              low(p) = math.min(low(p), low(u))
+              if (low(u) > disc(p)) out += ((math.min(p, u), math.max(p, u)))
+            }
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
   private def bccLocal(adj: Map[Long, Array[Long]]): Seq[(Long, Long, Long)] = {
     val disc = scala.collection.mutable.HashMap[Long, Int]()
     val low = scala.collection.mutable.HashMap[Long, Int]()
@@ -1777,5 +1828,152 @@ object Algos {
       }
     }
     df.toSeq.flatMap { case (v, fs) => fs.map(f => (v, f)) }.toDF("id", "frontier")
+  }
+
+  /** Harmonic centrality (the closeness-family variant that stays defined on
+    * disconnected graphs — Boldi & Vigna 2014): Σ_{u≠v, d(v,u)<∞} 1/d(v,u),
+    * here INTEGER-EXACT as Σ `scale div d` (scale divisible by every small
+    * distance ⇒ the first few terms are exact reciprocals; floor division
+    * everywhere, both engines bit-identical). Same multi-source tagged
+    * delta-BFS as [[closenessCentrality]]: per round one frontier⋈edges
+    * join + (s,v) dedup + anti-join vs visited — work tracks frontier size,
+    * never |V|·|V|. Returns (id, n_reach, harmonic). */
+  def harmonicCentrality(edges: DataFrame, sources: DataFrame, directed: Boolean = false,
+      scale: Long = 840L, maxIter: Int = 100)(implicit spark: SparkSession): DataFrame = {
+    val e0 = edges.select("src", "dst").dropDuplicates("src", "dst")
+    val e = (if (directed) e0
+             else e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+               .dropDuplicates("src", "dst"))
+      .localCheckpoint(eager = false)
+    var frontier = sources.select(col(sources.columns.head).as("s")).dropDuplicates("s")
+      .withColumn("v", col("s")).withColumn("d", lit(0L))
+      .localCheckpoint(eager = false)
+    var acc = frontier
+    var visited = frontier.select("s", "v").localCheckpoint(eager = false)
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val next = frontier.join(e, frontier("v") === e("src"))
+        .select(col("s"), col("dst").as("v")).dropDuplicates("s", "v")
+        .join(visited, Seq("s", "v"), "left_anti")
+        .withColumn("d", lit(i + 1L))
+        .localCheckpoint(eager = true)
+      if (next.isEmpty) done = true
+      else {
+        acc = acc.unionByName(next)
+        visited = visited.unionByName(next.select("s", "v")).localCheckpoint(eager = false)
+        frontier = next
+      }
+      i += 1
+    }
+    acc.where(col("d") > 0)
+      .groupBy(col("s").as("id"))
+      .agg(count(lit(1)).as("n_reach"),
+        sum(expr(s"${scale}L div d")).as("harmonic"))
+      .unionByName( // sources reaching nothing still get a row (harmonic 0)
+        acc.groupBy(col("s").as("id")).agg(count(lit(1)).as("n"))
+          .where(col("n") === 1).select(col("id"), lit(0L).as("n_reach"), lit(0L).as("harmonic")))
+  }
+
+  /** Deterministic maximal matching — the edge-side sibling of Luby MIS:
+    * per round every surviving edge draws a HASH priority
+    * (md5(round:lo:hi) + zero-padded endpoints = total order, no RNG — the
+    * matching is a pure fact of the graph, identical across reruns,
+    * partitionings, and engines); an edge wins when it holds the strict
+    * minimum priority at BOTH endpoints, winners enter the matching, and
+    * every edge touching a matched vertex leaves the pool. Maximality: a
+    * non-empty pool always yields ≥1 winner (the globally-minimal edge wins
+    * both endpoints), so the loop drains. Per round: one explode-to-endpoint
+    * agg + one priority join + two semi/anti joins on the SHRINKING edge
+    * set, O(log n) expected rounds, eager per-round checkpoints.
+    * Returns matched edges as (lo, hi). */
+  def maximalMatching(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val canon = edges.select(least(col("src"), col("dst")).cast("long").as("lo"),
+        greatest(col("src"), col("dst")).cast("long").as("hi"))
+      .where(col("lo") =!= col("hi")).dropDuplicates("lo", "hi")
+    var e = canon.localCheckpoint(true)
+    var matched = e.where(lit(false))
+    var n = e.count()
+    var r = 0
+    while (n > 0) {
+      r += 1
+      if (r > maxRounds)
+        throw new IllegalStateException(s"matching did not drain within $maxRounds rounds")
+      val p = e.select(col("lo"), col("hi"),
+        concat(md5(concat(lit(s"$r:"), col("lo").cast("string"), lit(":"), col("hi").cast("string"))),
+          lpad(col("lo").cast("string"), 20, "0"),
+          lpad(col("hi").cast("string"), 20, "0")).as("p")).localCheckpoint(true)
+      val byV = p.select(col("lo").as("v"), col("p"))
+        .unionAll(p.select(col("hi").as("v"), col("p")))
+      val minV = byV.groupBy("v").agg(min("p").as("mn"))
+      val win = p.join(minV.select(col("v").as("lo"), col("mn").as("mnLo")), Seq("lo"))
+        .join(minV.select(col("v").as("hi"), col("mn").as("mnHi")), Seq("hi"))
+        .where(col("p") === col("mnLo") && col("p") === col("mnHi"))
+        .select("lo", "hi").localCheckpoint(true)
+      matched = matched.unionByName(win)
+      val mv = win.select(col("lo").as("v")).unionAll(win.select(col("hi").as("v"))).distinct()
+      e = e.join(mv.select(col("v").as("lo")), Seq("lo"), "left_anti")
+        .join(mv.select(col("v").as("hi")), Seq("hi"), "left_anti")
+        .select("lo", "hi").localCheckpoint(true)
+      n = e.count()
+    }
+    matched
+  }
+
+  /** Condensation graph: contract every vertex to its component and keep
+    * the distinct cross-component edges — the acyclic quotient the
+    * compiler-flavored analyses run on after SCC. `components` is any
+    * (id, component) assignment (SCC, CC, communities); vertices absent
+    * from it are their own singleton component. Two keyed endpoint joins +
+    * one distinct — never materializes per-pair paths. Returns
+    * (csrc, cdst) distinct, self-loops dropped. */
+  def condensation(edges: DataFrame, components: DataFrame): DataFrame = {
+    val comp = components.select(col("id"), col("component"))
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    e.join(comp.withColumnRenamed("id", "src"), Seq("src"), "left")
+      .select(coalesce(col("component"), col("src")).as("csrc"), col("dst"))
+      .join(comp.withColumnRenamed("id", "dst"), Seq("dst"), "left")
+      .select(col("csrc"), coalesce(col("component"), col("dst")).as("cdst"))
+      .where(col("csrc") =!= col("cdst"))
+      .dropDuplicates("csrc", "cdst")
+  }
+
+  /** Transitive reduction of a DAG: drop every edge (u,v) for which a
+    * longer u→v path exists — the minimal edge set with the same
+    * reachability (unique for DAGs, Aho–Garey–Ullman 1972). Distributed as
+    * a bounded-depth delta expansion: level k holds the ≥2-hop pairs at
+    * distance k, each round ONE frontier⋈edges join + dedup against the
+    * accumulated pair set (per-round work tracks the frontier, eager
+    * checkpoints cut lineage), then one anti-join removes implied edges.
+    * `maxDepth` bounds the expansion (DAG depth; loud failure beats a
+    * silent wrong answer if the graph is deeper). Returns the kept
+    * (src, dst) edges. */
+  def transitiveReduction(edges: DataFrame, maxDepth: Int = 20): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).dropDuplicates("src", "dst")
+      .localCheckpoint(true)
+    // pairs (s, v) reachable by exactly the paths expanded so far; start at
+    // the 1-hop pairs, accumulate only depth >= 2
+    var frontier = e.select(col("src").as("s"), col("dst").as("v"))
+    var implied = frontier.where(lit(false)).localCheckpoint(true)
+    var d = 1
+    var drained = false
+    while (!drained) {
+      val next = frontier.join(e, frontier("v") === e("src"))
+        .select(col("s"), col("dst").as("v")).dropDuplicates("s", "v")
+        .join(implied, Seq("s", "v"), "left_anti")
+        .localCheckpoint(true)
+      d += 1
+      if (next.isEmpty) drained = true
+      else {
+        if (d > maxDepth)
+          throw new IllegalStateException(
+            s"transitiveReduction: paths deeper than maxDepth=$maxDepth — not a bounded DAG?")
+        implied = implied.unionByName(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    e.join(implied.select(col("s").as("src"), col("v").as("dst")),
+      Seq("src", "dst"), "left_anti")
   }
 }

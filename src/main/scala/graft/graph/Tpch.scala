@@ -51,15 +51,26 @@ object Tpch {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     cached(spark, (dir, name)) { spark.read.parquet(s"$dir/$name.parquet") }
 
-  /** events.parquet stores nanosecond timestamps, which Spark's vectorized
-    * reader rejects; read them as long nanos and rebuild a (µs-truncated)
-    * timestamp column — the same truncation DuckDB applies. */
+  /** events.parquet has shipped with two physical `ts` shapes across
+    * testdata generations: nanosecond timestamps (which Spark's vectorized
+    * reader rejects — read as long nanos and µs-truncate, the same
+    * truncation DuckDB applies) and plain microsecond timestamps (read as
+    * TIMESTAMP_NTZ — cast to the session-UTC timestamp). Dispatch on the
+    * observed schema so either generation loads. */
   def events(spark: SparkSession, dir: String): DataFrame = cached(spark, (dir, "__events")) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    // integer division: `/` would go through double, whose 53-bit mantissa
-    // cannot represent epoch-nanos exactly (±1 µs error)
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division: `/` would go through double, whose 53-bit
+        // mantissa cannot represent epoch-nanos exactly (±1 µs error)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // session timezone is pinned UTC everywhere, so NTZ wall-clock →
+        // the identical epoch micros DuckDB reads from the same file
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** lineitem vid packs (orderkey, linenumber); linenumber is 1..7 so 3 bits

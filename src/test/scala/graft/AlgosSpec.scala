@@ -783,4 +783,86 @@ class AlgosSpec extends AnyFunSuite {
       Algos.jpColoring(es, maxColors = 3)
     }
   }
+
+  test("harmonicCentrality: path graph closed form, isolated source gets a zero row") {
+    // undirected path a-b-c at scale 840: ends score 840 + 420, middle 1680
+    val es = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val srcs = Seq(1L, 2L, 3L, 99L).toDF("id") // 99 is isolated
+    val got = Algos.harmonicCentrality(es, srcs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((2L, 1260L)))
+    assert(got(2L) === ((2L, 1680L)))
+    assert(got(3L) === ((2L, 1260L)))
+    assert(got(99L) === ((0L, 0L)))
+    // directed: only forward hops count
+    val dgot = Algos.harmonicCentrality(es, Seq(1L, 3L).toDF("id"), directed = true)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(dgot(1L) === ((2L, 1260L)))
+    assert(dgot(3L) === ((0L, 0L)))
+  }
+
+  test("maximalMatching: maximal, vertex-disjoint, deterministic under repartition") {
+    // triangle + pendant: matching has exactly 2 disjoint edges (one
+    // triangle edge + the pendant edge) unless the pendant's anchor was
+    // matched, in which case 1 + the pendant-free result is impossible:
+    // 4-5 is disjoint from the triangle, so size is always 2
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L)).toDF("src", "dst")
+    val m = Algos.maximalMatching(es).as[(Long, Long)].collect().toSet
+    assert(m.size === 2)
+    val verts = m.toSeq.flatMap(e => Seq(e._1, e._2))
+    assert(verts.distinct.size === verts.size, "matched edges share a vertex")
+    assert(m.contains((4L, 5L)))
+    // maximality: every unmatched edge touches a matched vertex
+    val canon = Set((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L))
+    (canon -- m).foreach { case (a, b) =>
+      assert(verts.contains(a) || verts.contains(b), s"edge ($a,$b) extendable")
+    }
+    // determinism: repartitioned + reversed-edge input yields the same set
+    val re = Algos.maximalMatching(
+      es.select(col("dst").as("src"), col("src").as("dst")).repartition(7))
+      .as[(Long, Long)].collect().toSet
+    assert(re === m)
+  }
+
+  test("bridges: path edges are bridges, cycle edges are not, orientation-independent") {
+    // path 1-2-3 feeding a triangle 3-4-5: bridges are exactly (1,2),(2,3)
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 5L)).toDF("src", "dst")
+    val got = Algos.bridges(es).as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (2L, 3L)))
+    // reversed orientations and duplicates don't change the answer
+    val rev = es.select(col("dst").as("src"), col("src").as("dst")).unionAll(es)
+    assert(Algos.bridges(rev).as[(Long, Long)].collect().toSet === got)
+    // a lone K2 component: its only edge is a bridge
+    val k2 = es.unionAll(Seq((10L, 11L)).toDF("src", "dst"))
+    assert(Algos.bridges(k2).as[(Long, Long)].collect().toSet
+      === got + ((10L, 11L)))
+  }
+
+  test("condensation: quotient edges, absent vertices stay singletons, self-loops drop") {
+    // components: {1,2} -> 10; vertex 3 unmapped (singleton)
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 3L)).toDF("src", "dst")
+    val comp = Seq((1L, 10L), (2L, 10L)).toDF("id", "component")
+    val got = Algos.condensation(es, comp).as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 3L), (3L, 10L)))
+  }
+
+  test("transitiveReduction: drops implied edges only; unique for DAGs") {
+    // diamond with a shortcut: 1->2->4, 1->3->4, 1->4 (implied), 2->3
+    val es = Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 4L), (1L, 4L), (2L, 3L))
+      .toDF("src", "dst")
+    val got = Algos.transitiveReduction(es).as[(Long, Long)].collect().toSet
+    // 1->3 implied via 1->2->3, 1->4 via 1->2->4, 2->4 via 2->3->4: the
+    // unique reduction is the chain
+    assert(got === Set((1L, 2L), (2L, 3L), (3L, 4L)))
+    // an already-minimal chain is a fixpoint
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Algos.transitiveReduction(chain).as[(Long, Long)].collect().toSet
+      === Set((1L, 2L), (2L, 3L), (3L, 4L)))
+    // exceeding maxDepth fails loudly rather than silently truncating
+    intercept[IllegalStateException] {
+      Algos.transitiveReduction(
+        (1L to 12L).sliding(2).map(p => (p.head, p.last)).toSeq.toDF("src", "dst"),
+        maxDepth = 3)
+    }
+  }
 }
