@@ -682,6 +682,18 @@ object SparkEntry {
       // subword tokenizer" step; the oracle replays every round's argmax
       // and rewrite verbatim
       graft.functions.TextOps.bpeMerges(Tpch.table(s, dir, "documents"), "text", nMerges = bpeN)),
+    "q_winnow" -> ((s, dir) =>
+      // Winnowing fingerprints (the MOSS span-dedup index): per-window
+      // minimum k-gram hash with packed position — any two docs sharing
+      // >= w+k-1 tokens share a fingerprint
+      graft.functions.TextOps.winnowFingerprints(
+        Tpch.table(s, dir, "documents"), "doc_id", "text")),
+    "q_lm_score" -> ((s, dir) =>
+      // bigram-LM centibits-per-token scoring (the CCNet/KenLM perplexity
+      // filter): mean conditional surprisal under the corpus's own bigram
+      // model, integer-exact floor-log2
+      graft.functions.TextOps.bigramLmScore(
+        Tpch.table(s, dir, "documents"), "doc_id", "text")),
     "q_harmonic" -> ((s, dir) => {
       // Harmonic centrality — the closeness-family member that stays
       // defined on disconnected graphs — on the undirected region↔nation
@@ -1891,6 +1903,36 @@ object SparkEntry {
     "q_dsir" -> dsirOracleSql(dsirBuckets),
     "q_bpe" -> bpeOracleSql(bpeN),
     "q_matching" -> matchingOracleSql(matchingRounds),
+    "q_winnow" ->
+      """WITH t AS MATERIALIZED (
+              SELECT doc_id, list_filter(string_split(text, ' '), s -> len(s) > 0) AS ts
+              FROM documents),
+            h AS MATERIALIZED (
+              SELECT doc_id, i,
+                     substring(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 12)
+                       || lpad(i::VARCHAR, 9, '0') AS s
+              FROM t, unnest(generate_series(1, greatest(len(ts) - 2, 0))) u(i)),
+            n AS (SELECT doc_id, count(*) AS ng FROM h GROUP BY 1),
+            w AS (SELECT h.doc_id, i, ng,
+                         min(s) OVER (PARTITION BY h.doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+                  FROM h JOIN n ON h.doc_id = n.doc_id)
+         SELECT DISTINCT doc_id, substring(sel, 1, 12) AS fp,
+                CAST(substring(sel, 13, 9) AS BIGINT) AS pos
+         FROM w WHERE i <= ng - 3""",
+    "q_lm_score" ->
+      """WITH t AS MATERIALIZED (
+              SELECT doc_id, list_filter(string_split(text, ' '), s -> len(s) > 0) AS ts
+              FROM documents),
+            p AS MATERIALIZED (
+              SELECT doc_id, ts[i] AS x, ts[i+1] AS y
+              FROM t, unnest(generate_series(1, greatest(len(ts) - 1, 0))) u(i)),
+            uni AS MATERIALIZED (SELECT x, count(*)::BIGINT AS c_x FROM p GROUP BY 1),
+            bi AS MATERIALIZED (SELECT x, y, count(*)::BIGINT AS c_xy FROM p GROUP BY 1, 2)
+         SELECT p.doc_id, count(*)::BIGINT AS n_bigrams,
+                ((sum(length(bin(c_x // c_xy)) - 1) * 100) // count(*))::BIGINT AS lm_cb
+         FROM p JOIN bi ON p.x = bi.x AND p.y = bi.y JOIN uni ON p.x = uni.x
+         GROUP BY p.doc_id""",
     "q_bridges" ->
       """WITH cnt AS (SELECT n_regionkey, count(*) AS k FROM nation GROUP BY 1)
          SELECT (2000000000000 + c_nationkey)::BIGINT AS lo,

@@ -316,6 +316,77 @@ object TextOps {
           .cast("long").as("pmi_fl2"))
   }
 
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003 — the MOSS
+    * span-dedup/plagiarism index): hash every word k-gram, slide a
+    * w-window over consecutive gram hashes, keep each window's MINIMUM
+    * (leftmost on the — here impossible — hash tie), dedup per doc.
+    * Guarantee: any two docs sharing a run of ≥ w+k−1 tokens share a
+    * fingerprint; expected density 2/(w+1). The selector packs the 1-based
+    * gram position behind the first 12 md5 hex chars as 9 zero-padded
+    * digits, so string min ≡ (hash, pos) lexicographic min in BOTH engines
+    * and ties cannot occur (positions are distinct; >10⁹ grams per doc
+    * would truncate the pad — an absurd per-doc bound, documented).
+    * Docs shorter than w+k−1 tokens emit nothing (no full window — the
+    * standard contract). Returns (doc_id, fp, pos).
+    *
+    * Scale: gram hashing and window minima are pure per-row array algebra
+    * over a MATERIALIZED token alias (the repetitionBp rule) — ZERO
+    * shuffle at any corpus size; only the final explode'd rows move. */
+  def winnowFingerprints(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && w >= 1)
+    val withToks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+    // sequence(1, n) DESCENDS for n < 1 — guard like shingles does
+    val nGrams = size(col("__toks")) - (k - 1)
+    val grams = when(nGrams >= 1, transform(sequence(lit(1), nGrams),
+      i => concat(substring(md5(concat_ws(" ",
+        (0 until k).map(j => element_at(col("__toks"), i + j)): _*)), 1, 12),
+        lpad(i.cast("string"), 9, "0"))))
+      .otherwise(array().cast("array<string>"))
+    val withH = withToks.select(col("doc_id"), grams.as("__hs"))
+    val nWin = size(col("__hs")) - (w - 1)
+    val sels = when(nWin >= 1, transform(sequence(lit(1), nWin),
+      j => array_min(slice(col("__hs"), j, lit(w)))))
+      .otherwise(array().cast("array<string>"))
+    withH.select(col("doc_id"), explode(array_distinct(sels)).as("sel"))
+      .select(col("doc_id"), substring(col("sel"), 1, 12).as("fp"),
+        substring(col("sel"), 13, 9).cast("long").as("pos"))
+  }
+
+  /** Bigram-LM quality scoring (the CCNet/KenLM perplexity-filter shape):
+    * per-doc mean conditional surprisal under the corpus's OWN bigram
+    * model, INTEGER-EXACT. Per bigram instance (x,y):
+    * fl2(c(x) div c(x,y)) bits, where c(x) counts x as a bigram HEAD (the
+    * proper conditional denominator) — floor-log2 via the bin-length
+    * trick; c(x,y) ≥ 1 because the instance counts itself, so no
+    * smoothing term is needed. Doc score = centibits per bigram
+    * (bits·100 div n). LOW = predictable/templated text, HIGH = unusual —
+    * the perplexity-bucket signal both tails of which pipelines cut.
+    * Docs with < 2 tokens emit no row (nothing to score).
+    *
+    * Scale: bigram extraction is per-row zero-shuffle algebra; then two
+    * keyed counts + two keyed join-backs — the unigram/bigram tables of a
+    * 100 TB corpus are NOT broadcastable, keyed joins are the honest
+    * shape (the surprisalScore rule). */
+  def bigramLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val pairs = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__ts"))
+      .where(size(col("__ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(__ts) - 1), i -> struct(__ts[i - 1] AS x, __ts[i] AS y))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.x").as("x"), col("bg.y").as("y"))
+      .localCheckpoint(eager = false) // feeds head counts, bigram counts, AND the score join
+    val uni = pairs.groupBy("x").agg(count(lit(1)).as("c_x"))
+    val bi = pairs.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    pairs.join(bi, Seq("x", "y")).join(uni, Seq("x"))
+      .withColumn("bits", (length(bin(expr("c_x div c_xy"))) - 1).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("bits"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("(bits * 100) div n_bigrams").as("lm_cb"))
+  }
+
   /** Tokenizer-vocabulary construction: the corpus's top-K tokens by
     * frequency (count desc, token asc at ties — deterministic at the
     * boundary), assigned contiguous ids 1..K in that order. The "train the

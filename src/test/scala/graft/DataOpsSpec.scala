@@ -1271,6 +1271,44 @@ class DataOpsSpec extends AnyFunSuite {
     assert(!g2.contains(("a", "b")))
   }
 
+  test("winnowFingerprints: window math, shared-run guarantee, short docs emit nothing") {
+    import graft.functions.TextOps
+    // 6 tokens, k=3 -> 4 grams, w=4 -> exactly ONE window -> ONE fingerprint
+    val one = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val got = TextOps.winnowFingerprints(one, "doc_id", "text")
+      .as[(Long, String, Long)].collect()
+    assert(got.length === 1)
+    assert(got.head._3 >= 1L && got.head._3 <= 4L) // selected gram position
+    // below w+k-1 = 6 tokens: no full window, nothing emitted
+    val short = Seq((2L, "a b c d e")).toDF("doc_id", "text")
+    assert(TextOps.winnowFingerprints(short, "doc_id", "text").count() === 0)
+    // the SWA guarantee: two docs sharing a run of >= w+k-1 tokens share a
+    // fingerprint HASH (positions may differ)
+    val pair = Seq(
+      (3L, "p q r s t u v w x y z"),
+      (4L, "zz p q r s t u v w yy")).toDF("doc_id", "text") // share "p q r s t u v w" (8 >= 6)
+    val fps = TextOps.winnowFingerprints(pair, "doc_id", "text")
+      .as[(Long, String, Long)].collect().groupBy(_._1)
+    assert(fps(3L).map(_._2).toSet.intersect(fps(4L).map(_._2).toSet).nonEmpty)
+    // per-doc dedup: selectors are distinct (adjacent windows share minima)
+    val dense = Seq((5L, ("a " * 30).trim)).toDF("doc_id", "text")
+    val rows = TextOps.winnowFingerprints(dense, "doc_id", "text")
+      .as[(Long, String, Long)].collect()
+    assert(rows.map(r => (r._2, r._3)).distinct.length === rows.length)
+  }
+
+  test("bigramLmScore: hand-computed conditional surprisal, short docs drop") {
+    import graft.functions.TextOps
+    // d1 = "a b a b": bigrams (a,b),(b,a),(a,b); d2 = "a c": bigram (a,c)
+    // head counts: c(a)=3, c(b)=1; c_xy: (a,b)=2, (b,a)=1, (a,c)=1
+    // bits: (a,b) fl2(3 div 2 = 1) = 0; (b,a) fl2(1) = 0; (a,c) fl2(3) = 1
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextOps.bigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(1L -> ((3L, 0L)), 2L -> ((1L, 100L))))
+    // doc 3 has one token -> no bigram -> no row (already pinned by the map)
+  }
+
   test("count-min sketch: overestimate guarantee, exactness at width, cell-wise merge") {
     import graft.functions.Sketch
     val data = (1L to 1000L).map(i => i % 37).toDF("key") // skewed: key 0..36

@@ -190,6 +190,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowFingerprints is a zero-Exchange scan pass") {
+    import graft.functions.TextOps
+    val docs = Tpch.table(spark, dir, "documents")
+    val fp = TextOps.winnowFingerprints(docs, "doc_id", "text")
+    fp.collect()
+    // gram hashing, window minima, AND the per-doc dedup are all per-row
+    // array algebra: the span index of a 100 TB corpus costs one read
+    assert(!executedPlan(fp).contains("Exchange"),
+      "winnowFingerprints must not shuffle:\n" + executedPlan(fp).take(2000))
+  }
+
   test("buildVocab and bm25Rank take top-k without a global sort") {
     import graft.functions.TextOps
     val docs = Tpch.table(spark, dir, "documents")
