@@ -271,6 +271,47 @@ object ScaleProbe {
     val (miK, mnK) = minTime(misOf(liPK))
     println(f"[scale] mis                1x: $mi1%6.2f s (n=$mn1%9d)   ${k}x: $miK%6.2f s (n=$mnK%9d)   time-ratio: ${miK / math.max(mi1, 1e-9)}%5.2f")
 
+    // --- matching probe: same part-shifted projection as MIS — k× edges at
+    // constant degrees, hash-priority rounds grow additively while each
+    // round's joins track the SHRINKING edge set
+    def matchingOf(li: DataFrame): Long =
+      graft.algos.Algos.maximalMatching(li.select(
+        Vid.vid("part", col("l_partkey")).as("src"),
+        Vid.vid("supplier", col("l_suppkey")).as("dst"))).count()
+    val (ma1, man1) = minTime(matchingOf(lineitem1))
+    val (maK, manK) = minTime(matchingOf(liPK))
+    println(f"[scale] matching           1x: $ma1%6.2f s (n=$man1%9d)   ${k}x: $maK%6.2f s (n=$manK%9d)   time-ratio: ${maK / math.max(ma1, 1e-9)}%5.2f")
+
+    // --- transitive-reduction probe: k× orders (and k× planted shortcuts)
+    // over fixed dims — the ≥2-hop pair expansion is depth-bounded (3), so
+    // both the frontier and the anti-join track the order count linearly
+    def tredOf(orders: DataFrame): Long = {
+      val c = Tpch.table(spark, dir, "customer")
+      val n = Tpch.table(spark, dir, "nation")
+      val oc = orders.select(Vid.vid("orders", col("o_orderkey")).as("src"),
+        Vid.vid("customer", col("o_custkey")).as("dst"))
+      val cn = c.select(Vid.vid("customer", col("c_custkey")).as("src"),
+        Vid.vid("nation", col("c_nationkey")).as("dst"))
+      val nr = n.select(Vid.vid("nation", col("n_nationkey")).as("src"),
+        Vid.vid("region", col("n_regionkey")).as("dst"))
+      val sc = orders.join(c, col("o_custkey") === col("c_custkey"))
+        .select(Vid.vid("orders", col("o_orderkey")).as("src"),
+          Vid.vid("nation", col("c_nationkey")).as("dst"))
+      graft.algos.Algos.transitiveReduction(
+        oc.unionAll(cn).unionAll(nr).unionAll(sc), maxDepth = 6).count()
+    }
+    val (tr1, trn1) = minTime(tredOf(orders1))
+    val (trK, trnK) = minTime(tredOf(ordersK))
+    println(f"[scale] transitive_red     1x: $tr1%6.2f s (n=$trn1%9d)   ${k}x: $trK%6.2f s (n=$trnK%9d)   time-ratio: ${trK / math.max(tr1, 1e-9)}%5.2f")
+
+    // --- winnowing probe at 64× docs: pure per-row array algebra — time
+    // should track scan volume with no shuffle amplification at all
+    def winnowOf(d: DataFrame): Long =
+      graft.functions.TextOps.winnowFingerprints(d, "doc_id", "text").count()
+    val (wf1, wfn1) = minTime(winnowOf(docs1))
+    val (wfK, wfnK) = minTime(winnowOf(docsK))
+    println(f"[scale] winnow             1x: $wf1%6.2f s (n=$wfn1%9d)   ${kk}x: $wfK%6.2f s (n=$wfnK%9d)   time-ratio: ${wfK / math.max(wf1, 1e-9)}%5.2f")
+
     // --- link-prediction probe: part keys shifted ⇒ k× wedge CENTERS at
     // constant per-center degree — work is Σ deg², so time should track
     // the center count (linear), never the customer-pair cross product

@@ -849,17 +849,26 @@ object Algos {
     * contraction: [[ccAlternating]] runs on the chosen-edge graph whose
     * vertex set is the current components — never the full graph — and
     * shrinks geometrically. Eager per-round checkpoints (the Descend
-    * rule). */
-  def boruvkaForest(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
+    * rule). Once the crossing set fits `localMaxEdges`, a guarded KRUSKAL
+    * finish (sorted partition-at-a-time stream + driver union-find over
+    * component ids) completes the identical unique forest in one pass —
+    * the geometric shrink lands every run's TAIL there, where per-round
+    * scheduling latency would otherwise dominate. */
+  def boruvkaForest(edges: DataFrame, maxRounds: Int = 40,
+      localMaxEdges: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = edges.sparkSession
+    import spark.implicits._
     val a = col("src").cast("long"); val b = col("dst").cast("long")
     val e = edges.select(least(a, b).as("src"), greatest(a, b).as("dst"),
         col("w").cast("long").as("w"))
       .where(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(min("w").as("w"))
       .localCheckpoint(true)
-    var comp = e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
-      .distinct().select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    // comp stays null until the first contraction: round 1's component map
+    // is the IDENTITY, so its two keyed probes and the vertex distinct
+    // would be pure overhead (ca = src, cb = dst, nothing filtered)
+    var comp: DataFrame = null
     var forest = e.where(lit(false)).localCheckpoint(true)
     var done = false
     var r = 0
@@ -867,11 +876,44 @@ object Algos {
       r += 1
       if (r > maxRounds)
         throw new IllegalStateException(s"boruvkaForest did not converge within $maxRounds rounds")
-      val x = e.join(comp.select(col("id").as("src"), col("comp").as("ca")), "src")
-        .join(comp.select(col("id").as("dst"), col("comp").as("cb")), "dst")
-        .where(col("ca") =!= col("cb")).localCheckpoint(true)
-      if (x.isEmpty) done = true
-      else {
+      val x =
+        if (comp == null)
+          e.select(col("src"), col("dst"), col("w"),
+            col("src").as("ca"), col("dst").as("cb"))
+        else e.join(comp.select(col("id").as("src"), col("comp").as("ca")), "src")
+          .join(comp.select(col("id").as("dst"), col("comp").as("cb")), "dst")
+          .where(col("ca") =!= col("cb")).localCheckpoint(true)
+      val nx = x.count()
+      if (nx == 0) done = true
+      else if (nx <= localMaxEdges) {
+        // Guarded KRUSKAL finish: the forest is UNIQUE under the
+        // (w, src, dst) total order, so completing it with a different MST
+        // algorithm yields the identical edge set. The crossing set
+        // shrinks geometrically, so at any scale the TAIL rounds land here
+        // — replacing per-round scheduling latency (the dominant cost once
+        // the data is small) with one guarded sorted stream. Partition-at-
+        // a-time via toLocalIterator (the collectReachable rule): driver
+        // holds only the union-find map over component ids + kept edges.
+        val it = x.select(col("w"), col("src"), col("dst"), col("ca"), col("cb"))
+          .sort("w", "src", "dst")
+          .as[(Long, Long, Long, Long, Long)].toLocalIterator()
+        val parent = scala.collection.mutable.HashMap[Long, Long]()
+        def find(z: Long): Long = {
+          var p = z
+          while (parent.getOrElse(p, p) != p) { // path-halve as we walk
+            val gp = parent.getOrElse(parent(p), parent(p))
+            parent(p) = gp; p = gp
+          }
+          p
+        }
+        val keep = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        it.forEachRemaining { case (w, s, d, ca, cb) =>
+          val ra = find(ca); val rb = find(cb)
+          if (ra != rb) { parent(math.max(ra, rb)) = math.min(ra, rb); keep += ((s, d, w)) }
+        }
+        forest = forest.unionByName(keep.toSeq.toDF("src", "dst", "w"))
+        done = true
+      } else {
         val cand = x.select(col("ca").as("c"), col("src"), col("dst"), col("w"))
           .unionAll(x.select(col("cb").as("c"), col("src"), col("dst"), col("w")))
         val chosen = cand.withColumn("rn", row_number().over(
@@ -884,7 +926,10 @@ object Algos {
         val cg = x.join(chosen, Seq("src", "dst", "w"), "left_semi")
           .select(col("ca").as("src"), col("cb").as("dst"))
         val m = ccAlternating(cg)
-        comp = comp.join(m.select(col("id").as("comp"), col("component")), Seq("comp"), "left")
+        val base = if (comp != null) comp
+          else e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
+            .distinct().select(col("id"), col("id").as("comp"))
+        comp = base.join(m.select(col("id").as("comp"), col("component")), Seq("comp"), "left")
           .select(col("id"), coalesce(col("component"), col("comp")).as("comp"))
           .localCheckpoint(true)
       }

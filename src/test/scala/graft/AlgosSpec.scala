@@ -738,6 +738,17 @@ class AlgosSpec extends AnyFunSuite {
     val got = Algos.boruvkaForest(chain.toDF("src", "dst", "w"))
       .as[(Long, Long, Long)].collect().toSet
     assert(got === chain.toSet)
+    // the distributed contraction path (guard disabled) returns the SAME
+    // unique forest as the guarded Kruskal finish — on the chain AND on a
+    // denser deterministic graph with chords and ties
+    assert(Algos.boruvkaForest(chain.toDF("src", "dst", "w"), localMaxEdges = 0L)
+      .as[(Long, Long, Long)].collect().toSet === got)
+    val dense = (1L to 60L).flatMap(i =>
+      Seq((i, i % 60 + 1, (i * 37) % 11), (i, (i * 7) % 60 + 1, (i * 13) % 11)))
+    val df = dense.toDF("src", "dst", "w")
+    assert(Algos.boruvkaForest(df, localMaxEdges = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+      === Algos.boruvkaForest(df).as[(Long, Long, Long)].collect().toSet)
   }
 
   test("butterflyCount: K22 census, hub cap excludes saturated right vertices") {
