@@ -1215,6 +1215,24 @@ object SparkEntry {
       graft.streaming.Sessionize.hourlyWindow(Tpch.events(s, dir))),
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.batch(Tpch.events(s, dir))),
+    "q_range_join" -> ((s, dir) => {
+      // Bucketed range join (Scale.rangeJoin): 24 OVERLAPPING audit windows
+      // (2.5 h wide every 2.25 h from the first event) gather their events
+      // — a raw BETWEEN join would plan as BroadcastNestedLoop; the bucket
+      // explode keeps it keyed (PlanSpec pins no-BNLJ). Overlaps mean some
+      // events land in two windows — the multi-match semantics, exercised.
+      val ev = Tpch.events(s, dir)
+        .select(unix_micros(col("ts")).as("t"), col("value"))
+      val t0 = ev.agg(min("t")).head().getLong(0)
+      val h = 3600000000L // 1 h in micros
+      val wins = s.range(0, 24).select(col("id").as("win"),
+        (lit(t0) + col("id") * (h * 9 / 4)).as("lo"),
+        (lit(t0) + col("id") * (h * 9 / 4) + h * 5 / 2).as("hi"))
+      graft.plans.Scale.rangeJoin(ev, "t", wins, "lo", "hi", grain = h)
+        .groupBy("win")
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    }),
     "q_enrich" -> ((s, dir) =>
       // stream-static enrichment, batch shadow: the SAME declarative plan
       // (broadcast dim join + segment rollup) runs unchanged over a
@@ -2814,6 +2832,17 @@ object SparkEntry {
                     FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          SELECT user_id, sum(ns)::BIGINT AS n_sessions, count(*) AS n_events
          FROM x GROUP BY 1""",
+    "q_range_join" ->
+      """WITH t0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+            w AS (SELECT i AS win,
+                         t0 + i * 8100000000 AS lo,
+                         t0 + i * 8100000000 + 9000000000 AS hi
+                  FROM t0, unnest(generate_series(0, 23)) u(i)),
+            e AS (SELECT epoch_us(ts) AS t, value FROM events)
+         SELECT win, count(*)::BIGINT AS n_events,
+                sum(round(value * 100)::BIGINT)::BIGINT AS cents
+         FROM e JOIN w ON e.t >= w.lo AND e.t <= w.hi
+         GROUP BY win""",
     "q_edge_log_prune" ->
       """SELECT user_id, count(*) AS n_events,
                 sum(round(value * 100)::BIGINT)::BIGINT AS value_cents

@@ -114,6 +114,32 @@ object Scale {
     saveBucketed(g.edges, s"${prefix}_edges", "src", buckets)
   }
 
+  /** Bucketed range join — the "point IN [lo, hi]" join Spark has no
+    * native operator for: a raw `t BETWEEN lo AND hi` join predicate plans
+    * as BroadcastNestedLoopJoin (or a cartesian), which is |points|·|ivals|
+    * work no matter how selective the ranges are. Here each interval
+    * EXPLODES into the fixed-`grain` buckets it covers, points equi-join
+    * their single bucket, and the exact containment predicate filters
+    * inside the bucket. With grain ≈ the typical interval width each
+    * interval covers O(1) buckets, so shuffle volume is
+    * |points| + Σ⌈width/grain⌉ — linear, keyed, AQE/skew-eligible.
+    * Matches a point to EVERY interval containing it (overlaps included),
+    * inclusive on both endpoints; empty intervals (lo > hi) drop. Column
+    * sets must be disjoint (standard join contract). */
+  def rangeJoin(points: DataFrame, tCol: String, intervals: DataFrame,
+      loCol: String, hiCol: String, grain: Long): DataFrame = {
+    require(grain > 0)
+    val p = points.withColumn("__b", expr(s"cast($tCol as bigint) div ${grain}L"))
+    val iv = intervals
+      .where(col(loCol) <= col(hiCol))
+      .withColumn("__b", explode(sequence(
+        expr(s"cast($loCol as bigint) div ${grain}L"),
+        expr(s"cast($hiCol as bigint) div ${grain}L"))))
+    p.join(iv, "__b")
+      .where(col(tCol) >= col(loCol) && col(tCol) <= col(hiCol))
+      .drop("__b")
+  }
+
   /** Load a graph previously stored by [[writeGraph]]. */
   def loadGraph(spark: SparkSession, prefix: String): graft.graph.PropertyGraph = {
     val catalog = spark.catalog

@@ -190,6 +190,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("rangeJoin plans as an equi-join on buckets, never BNLJ/cartesian") {
+    import graft.plans.Scale
+    val ev = Tpch.events(spark, dir).select(unix_micros(col("ts")).as("t"))
+    val t0 = ev.agg(min("t")).head().getLong(0)
+    val h = 3600000000L
+    val wins = spark.range(0, 24).select(col("id").as("win"),
+      (lit(t0) + col("id") * (h * 9 / 4)).as("lo"),
+      (lit(t0) + col("id") * (h * 9 / 4) + h * 5 / 2).as("hi"))
+    val rj = Scale.rangeJoin(ev, "t", wins, "lo", "hi", grain = h)
+    rj.collect()
+    val plan = executedPlan(rj)
+    // a raw BETWEEN join predicate would plan as BroadcastNestedLoopJoin —
+    // the bucket explode keeps the join keyed at any interval-table size
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      "rangeJoin must stay a keyed join:\n" + plan.take(2000))
+  }
+
   test("winnowFingerprints is a zero-Exchange scan pass") {
     import graft.functions.TextOps
     val docs = Tpch.table(spark, dir, "documents")

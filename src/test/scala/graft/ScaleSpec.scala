@@ -53,6 +53,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(pairRows.toSet === naive.as[(String, String, Long, Long)].collect().toSet)
   }
 
+  test("rangeJoin is bag-identical to the naive BETWEEN join") {
+    // points over [0, 300); intervals: overlapping pair, zero-width,
+    // boundary-inclusive, empty (lo > hi, must drop), grain-straddling,
+    // and one far outside the point domain
+    val points = (0L until 300L by 7L).map(t => (t, s"p$t")).toDF("t", "tag")
+    val ivals = Seq(
+      (1L, 10L, 40L), (2L, 35L, 80L), (3L, 50L, 50L), (4L, 84L, 91L),
+      (5L, 90L, 60L), (6L, 139L, 141L), (7L, 1000L, 2000L))
+      .toDF("win", "lo", "hi")
+    val naive = points.join(ivals, col("t") >= col("lo") && col("t") <= col("hi"))
+      .select("t", "win").as[(Long, Long)].collect().sorted.toSeq
+    for (grain <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = Scale.rangeJoin(points, "t", ivals, "lo", "hi", grain)
+        .select("t", "win").as[(Long, Long)].collect().sorted.toSeq
+      assert(got === naive, s"grain=$grain")
+    }
+    // multi-match: t=35..40 lands in windows 1 AND 2
+    assert(naive.count(_._1 === 35L) === 2)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("id", "pa")
     val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("id", "pb")
