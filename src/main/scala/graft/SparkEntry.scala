@@ -682,6 +682,12 @@ object SparkEntry {
       // subword tokenizer" step; the oracle replays every round's argmax
       // and rewrite verbatim
       graft.functions.TextOps.bpeMerges(Tpch.table(s, dir, "documents"), "text", nMerges = bpeN)),
+    "q_text_embed" -> ((s, dir) =>
+      // deterministic hashed text embedding (tokenize → per-token hash
+      // vector → per-doc sum), long format — the oracled stand-in whose
+      // plumbing a trained encoder inherits; feeds the Ann operators
+      graft.functions.TextOps.hashedTextEmbedding(
+        Tpch.table(s, dir, "documents"), "doc_id", "text")),
     "q_winnow" -> ((s, dir) =>
       // Winnowing fingerprints (the MOSS span-dedup index): per-window
       // minimum k-gram hash with packed position — any two docs sharing
@@ -1921,6 +1927,15 @@ object SparkEntry {
     "q_dsir" -> dsirOracleSql(dsirBuckets),
     "q_bpe" -> bpeOracleSql(bpeN),
     "q_matching" -> matchingOracleSql(matchingRounds),
+    "q_text_embed" ->
+      """SELECT doc_id, dim::BIGINT AS dim, sum(v)::BIGINT AS val
+         FROM (SELECT doc_id, dim,
+                      ('0x' || substring(md5(t), dim * 2 + 1, 2))::BIGINT - 128 AS v
+               FROM (SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t
+                     FROM documents),
+                    unnest(generate_series(0, 15)) u(dim))
+         GROUP BY doc_id, dim""",
     "q_winnow" ->
       """WITH t AS MATERIALIZED (
               SELECT doc_id, list_filter(string_split(text, ' '), s -> len(s) > 0) AS ts

@@ -387,6 +387,31 @@ object TextOps {
         expr("(bits * 100) div n_bigrams").as("lm_cb"))
   }
 
+  /** Deterministic hashed text embedding (the FakeCodec tradition): dim d
+    * of a doc = Σ over its tokens of (md5 byte d − 128) ∈ [−128, 127] —
+    * the hash-projection stand-in for a learned sentence encoder, with the
+    * REAL pipeline shape (tokenize → per-token vector → per-doc sum) and
+    * integer-exact cross-engine parity. Emitted LONG format
+    * (doc_id, dim, val): the DuckDB oracle replays it bit-identically, and
+    * `groupBy(doc_id).pivot`/collect_list reshapes to the Array[Float]
+    * column the [[graft.sim.Ann]] operators consume. A trained encoder
+    * swaps in via `Multimodal.embed`'s mapPartitions without touching the
+    * downstream ANN plumbing. Zero-token docs emit no rows.
+    *
+    * Scale: one token explode × dims (bounded fan-out), one doc-keyed sum
+    * — scan-linear, no distribution table at all. */
+  def hashedTextEmbedding(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dims: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(dims >= 1 && dims <= 16, "md5 yields 16 bytes")
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", md5(col("t")))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(dims - 1))).as("dim"))
+      .withColumn("v",
+        conv(expr("substring(h, dim * 2 + 1, 2)"), 16, 10).cast("long") - 128L)
+      .groupBy("doc_id", "dim").agg(sum("v").as("val"))
+  }
+
   /** Tokenizer-vocabulary construction: the corpus's top-K tokens by
     * frequency (count desc, token asc at ties — deterministic at the
     * boundary), assigned contiguous ids 1..K in that order. The "train the

@@ -1297,6 +1297,22 @@ class DataOpsSpec extends AnyFunSuite {
     assert(rows.map(r => (r._2, r._3)).distinct.length === rows.length)
   }
 
+  test("hashedTextEmbedding: digest-mirrored dims, additive over tokens, empty docs drop") {
+    import graft.functions.TextOps
+    val docs = Seq((1L, "a"), (2L, "a a"), (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.hashedTextEmbedding(docs, "doc_id", "text", dims = 4)
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(r => r._2 -> r._3).toMap }
+    // dim d of "a" = md5 byte d - 128, mirrored independently here
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("a".getBytes("UTF-8")).map(b => (b & 0xff).toLong - 128L)
+    assert(got(1L) === (0 until 4).map(d => d -> h(d)).toMap)
+    // additive: "a a" = 2x the vector of "a"
+    assert(got(2L) === (0 until 4).map(d => d -> 2L * h(d)).toMap)
+    // zero-token docs emit nothing
+    assert(!got.contains(3L))
+  }
+
   test("bigramLmScore: hand-computed conditional surprisal, short docs drop") {
     import graft.functions.TextOps
     // d1 = "a b a b": bigrams (a,b),(b,a),(a,b); d2 = "a c": bigram (a,c)
