@@ -264,9 +264,11 @@ object ScaleProbe {
     // k× larger with constant degrees, so Luby's round count (O(log n)
     // expected) grows only additively while per-round joins track edges
     def misOf(li: DataFrame): Long =
+      // localMaxEdges = 0: the probe must measure the DISTRIBUTED rounds,
+      // not the guarded local replay (same for matching below)
       graft.algos.Algos.maximalIndependentSet(li.select(
         Vid.vid("part", col("l_partkey")).as("src"),
-        Vid.vid("supplier", col("l_suppkey")).as("dst"))).count()
+        Vid.vid("supplier", col("l_suppkey")).as("dst")), localMaxEdges = 0L).count()
     val (mi1, mn1) = minTime(misOf(lineitem1))
     val (miK, mnK) = minTime(misOf(liPK))
     println(f"[scale] mis                1x: $mi1%6.2f s (n=$mn1%9d)   ${k}x: $miK%6.2f s (n=$mnK%9d)   time-ratio: ${miK / math.max(mi1, 1e-9)}%5.2f")
@@ -277,7 +279,7 @@ object ScaleProbe {
     def matchingOf(li: DataFrame): Long =
       graft.algos.Algos.maximalMatching(li.select(
         Vid.vid("part", col("l_partkey")).as("src"),
-        Vid.vid("supplier", col("l_suppkey")).as("dst"))).count()
+        Vid.vid("supplier", col("l_suppkey")).as("dst")), localMaxEdges = 0L).count()
     val (ma1, man1) = minTime(matchingOf(lineitem1))
     val (maK, manK) = minTime(matchingOf(liPK))
     println(f"[scale] matching           1x: $ma1%6.2f s (n=$man1%9d)   ${k}x: $maK%6.2f s (n=$manK%9d)   time-ratio: ${maK / math.max(ma1, 1e-9)}%5.2f")

@@ -713,9 +713,46 @@ object Algos {
     * wins, and hash-uniform priorities remove a constant expected edge
     * fraction per round ⇒ O(log n) expected rounds). Eager per-round
     * checkpoints keep lineage flat (the Descend rule). */
-  def maximalIndependentSet(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+  def maximalIndependentSet(edges: DataFrame, maxRounds: Int = 64,
+      localMaxEdges: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val sym0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
+    // guarded LOCAL replay of the identical hash-priority rounds (the MST
+    // Kruskal-finish rationale): at local/test scale the loop's cost is
+    // pure per-round scheduling latency; the priorities are engine-free
+    // strings, so the driver replay is bit-identical to the distributed
+    // loop (parity-spec'd) — above the guard the distributed path runs.
+    // The guard counts RAW pairs (>= the distinct symmetrized edge count /
+    // 2), so qualifying inputs skip the symmetrize+distinct shuffle too.
+    if (sym0.count() * 2 <= localMaxEdges) {
+      val (ids, adj) = indexedAdj(sym0.as[(Long, Long)].collect())
+      val n = ids.length
+      val alive = Array.fill(n)(true)
+      var nAlive = n
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      var r = 0
+      while (nAlive > 0) {
+        r += 1
+        if (r > maxRounds)
+          throw new IllegalStateException(s"MIS did not drain within $maxRounds rounds")
+        val p = new Array[String](n)
+        val round = r
+        java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+          if (alive(i)) p(i) = md5hex(s"$round:${ids(i)}") + pad20(ids(i))
+        }
+        val win = (0 until n).filter { i =>
+          alive(i) && adj(i).forall(j => !alive(j) || p(i) < p(j))
+        }
+        win.foreach { i =>
+          out += ids(i)
+          if (alive(i)) { alive(i) = false; nAlive -= 1 }
+          adj(i).foreach { j => if (alive(j)) { alive(j) = false; nAlive -= 1 } }
+        }
+      }
+      return out.toSeq.toDF("id")
+    }
     var e = sym0.unionAll(sym0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
     var cand = e.select(col("src").as("id")).distinct().localCheckpoint(true)
@@ -985,13 +1022,49 @@ object Algos {
     * MIS shape), plus a bounded `maxColors`-way candidate explode
     * anti-joined against neighbor colors — all keyed, all on the SHRINKING
     * uncolored set. Eager per-round checkpoints. */
-  def jpColoring(edges: DataFrame, maxColors: Int = 64, maxRounds: Int = 256): DataFrame = {
+  def jpColoring(edges: DataFrame, maxColors: Int = 64, maxRounds: Int = 256,
+      localMaxEdges: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val sym0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
-    val e = sym0.unionAll(sym0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
     def prio(id: Column): Column =
       concat(md5(id.cast("string")), lpad(id.cast("string"), 20, "0"))
+    // guarded LOCAL replay of the identical fixed-priority rounds (winners
+    // are strict local maxima, so same-round winners are never adjacent and
+    // sequential color picks within a round see exactly the pre-round
+    // colored set) — bit-identical to the distributed loop, parity-spec'd;
+    // raw-pair guard skips the symmetrize+distinct shuffle (the MIS note)
+    if (sym0.count() * 2 <= localMaxEdges) {
+      val (ids, adj) = indexedAdj(sym0.as[(Long, Long)].collect())
+      val n = ids.length
+      adj.iterator.map(_.length).maxOption.foreach(d =>
+        require(d < maxColors,
+          s"maxColors=$maxColors <= max degree $d; JP needs maxDegree+1"))
+      val p = new Array[String](n)
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+        p(i) = md5hex(ids(i).toString) + pad20(ids(i))
+      }
+      val color = Array.fill(n)(-1)
+      var nLeft = n
+      var r = 0
+      while (nLeft > 0) {
+        r += 1
+        if (r > maxRounds)
+          throw new IllegalStateException(s"jpColoring did not drain within $maxRounds rounds")
+        val win = (0 until n).filter { i =>
+          color(i) < 0 && adj(i).forall(j => color(j) >= 0 || p(i) > p(j))
+        }
+        win.foreach { i =>
+          val used = adj(i).iterator.map(color).filter(_ >= 0).toSet
+          color(i) = (0 until maxColors).find(c => !used.contains(c)).get
+          nLeft -= 1
+        }
+      }
+      return ids.indices.map(i => (ids(i), color(i))).toDF("id", "color")
+    }
+    val e = sym0.unionAll(sym0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
     // JP needs at most maxDegree+1 colors; check ONCE so a too-small
     // maxColors fails loudly instead of silently dropping saturated vertices
     val dmax = e.groupBy("src").agg(count(lit(1)).as("d")).agg(max("d")).head()
@@ -1677,6 +1750,42 @@ object Algos {
   }
 
   /** Undirected adjacency (dedup + symmetrize) from an edge list. */
+  /** Driver-side mirrors of the Column-level hash priorities: identical
+    * md5-hex + zero-padded-id strings, so a guarded local replay of a
+    * hash-priority round loop (MIS / JP coloring / matching) produces the
+    * BIT-IDENTICAL result of the distributed loop — the answer is a pure
+    * fact of the graph either way, and the parity specs compare the two
+    * paths directly. */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+  private def pad20(id: Long): String = {
+    val s = id.toString
+    if (s.length >= 20) s else "0" * (20 - s.length) + s
+  }
+
+  /** Int-indexed symmetrized deduped adjacency from RAW directed pairs,
+    * built in one driver pass — the guarded local replays collect the
+    * pre-distinct pair stream precisely so the distributed
+    * symmetrize+distinct SHUFFLE (and its checkpoint materialization)
+    * never runs; the dedup that shuffle performed happens here, per
+    * adjacency list. Int indices keep the round loops on primitive
+    * arrays instead of Long-keyed hash lookups. */
+  private def indexedAdj(arr: Array[(Long, Long)]): (Array[Long], Array[Array[Int]]) = {
+    val idx = scala.collection.mutable.HashMap[Long, Int]()
+    val ids = scala.collection.mutable.ArrayBuffer[Long]()
+    def ix(v: Long): Int =
+      idx.getOrElseUpdate(v, { ids += v; ids.length - 1 })
+    val nbr = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Int]]()
+    def grow(i: Int): Unit =
+      while (nbr.length <= i) nbr += new scala.collection.mutable.ArrayBuffer[Int]
+    arr.foreach { case (s, d) =>
+      val a = ix(s); val b = ix(d)
+      grow(math.max(a, b)); nbr(a) += b; nbr(b) += a
+    }
+    (ids.toArray, nbr.iterator.map(_.distinct.toArray).toArray)
+  }
+
   private def buildAdj(es: Array[(Long, Long)]): Map[Long, Array[Long]] =
     (es ++ es.map(_.swap)).distinct
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
@@ -1932,11 +2041,51 @@ object Algos {
     * agg + one priority join + two semi/anti joins on the SHRINKING edge
     * set, O(log n) expected rounds, eager per-round checkpoints.
     * Returns matched edges as (lo, hi). */
-  def maximalMatching(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
-    val canon = edges.select(least(col("src"), col("dst")).cast("long").as("lo"),
+  def maximalMatching(edges: DataFrame, maxRounds: Int = 64,
+      localMaxEdges: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon0 = edges.select(least(col("src"), col("dst")).cast("long").as("lo"),
         greatest(col("src"), col("dst")).cast("long").as("hi"))
-      .where(col("lo") =!= col("hi")).dropDuplicates("lo", "hi")
-    var e = canon.localCheckpoint(true)
+      .where(col("lo") =!= col("hi"))
+    // guarded LOCAL replay of the identical hash-priority rounds —
+    // bit-identical to the distributed loop (parity-spec'd), replacing
+    // per-round scheduling latency below the guard; raw-pair guard skips
+    // the distinct shuffle (dedup happens driver-side instead)
+    if (canon0.count() <= localMaxEdges) {
+      var pool = canon0.as[(Long, Long)].collect().distinct
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var r = 0
+      while (pool.nonEmpty) {
+        r += 1
+        if (r > maxRounds)
+          throw new IllegalStateException(s"matching did not drain within $maxRounds rounds")
+        val pr = new Array[String](pool.length)
+        val round = r
+        java.util.stream.IntStream.range(0, pool.length).parallel().forEach { i =>
+          val (lo, hi) = pool(i)
+          pr(i) = md5hex(s"$round:$lo:$hi") + pad20(lo) + pad20(hi)
+        }
+        val minAt = scala.collection.mutable.HashMap[Long, String]()
+        var i = 0
+        while (i < pool.length) {
+          val (lo, hi) = pool(i); val s = pr(i)
+          if (minAt.get(lo).forall(s < _)) minAt(lo) = s
+          if (minAt.get(hi).forall(s < _)) minAt(hi) = s
+          i += 1
+        }
+        val mv = scala.collection.mutable.HashSet[Long]()
+        i = 0
+        while (i < pool.length) {
+          val (lo, hi) = pool(i); val s = pr(i)
+          if (s == minAt(lo) && s == minAt(hi)) { out += ((lo, hi)); mv += lo; mv += hi }
+          i += 1
+        }
+        pool = pool.filter { case (lo, hi) => !mv.contains(lo) && !mv.contains(hi) }
+      }
+      return out.toSeq.toDF("lo", "hi")
+    }
+    var e = canon0.dropDuplicates("lo", "hi").localCheckpoint(true)
     var matched = e.where(lit(false))
     var n = e.count()
     var r = 0

@@ -795,6 +795,22 @@ class AlgosSpec extends AnyFunSuite {
     }
   }
 
+  test("hash-priority loops: guarded local replay == distributed rounds (MIS, coloring, matching)") {
+    // a deterministic pseudo-random graph with hubs, chords, and ties;
+    // localMaxEdges = 0 forces the distributed loop, default takes the
+    // local replay — the answers must be BIT-identical (same md5 rounds)
+    val es = ((1L to 80L).map(i => (i, i % 80 + 1)) ++
+      (1L to 80L).map(i => (i, (i * 13) % 80 + 1)) ++
+      (1L to 20L).map(i => (i, 81L))).toDF("src", "dst")
+    assert(Algos.maximalIndependentSet(es).as[Long].collect().toSet
+      === Algos.maximalIndependentSet(es, localMaxEdges = 0L).as[Long].collect().toSet)
+    assert(Algos.jpColoring(es, maxColors = 64).as[(Long, Int)].collect().toMap
+      === Algos.jpColoring(es, maxColors = 64, localMaxEdges = 0L)
+        .as[(Long, Int)].collect().toMap)
+    assert(Algos.maximalMatching(es).as[(Long, Long)].collect().toSet
+      === Algos.maximalMatching(es, localMaxEdges = 0L).as[(Long, Long)].collect().toSet)
+  }
+
   test("harmonicCentrality: path graph closed form, isolated source gets a zero row") {
     // undirected path a-b-c at scale 840: ends score 840 + 420, middle 1680
     val es = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
