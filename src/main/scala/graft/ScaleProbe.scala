@@ -245,7 +245,8 @@ object ScaleProbe {
     def kcoreOf(li: DataFrame): Long =
       graft.algos.Algos.kCore(li.select(
         Vid.vid("part", col("l_partkey")).as("src"),
-        Vid.vid("supplier", col("l_suppkey")).as("dst")), k = 28).count()
+        Vid.vid("supplier", col("l_suppkey")).as("dst")), k = 28,
+        localMaxEdges = 0L).count()
     val (kc1, kn1) = minTime(kcoreOf(lineitem1))
     val (kcK, knK) = minTime(kcoreOf(liPK))
     println(f"[scale] kcore              1x: $kc1%6.2f s (n=$kn1%9d)   ${k}x: $kcK%6.2f s (n=$knK%9d)   time-ratio: ${kcK / math.max(kc1, 1e-9)}%5.2f")

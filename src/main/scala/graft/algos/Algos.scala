@@ -509,11 +509,39 @@ object Algos {
     * Scale: per round two edge-keyed aggregations (sum over in/out
     * neighbors) + a join back — |E|-linear keyed shuffles, checkpointed
     * per round like the LPA/walk loops. */
-  def hits(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+  def hits(vertices: DataFrame, edges: DataFrame, iters: Int,
+      localMaxEdges: Long = 2000000L): DataFrame = {
     require(iters >= 1)
+    val spark = edges.sparkSession
+    import spark.implicits._
     val idc = vertices.columns.head
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .localCheckpoint(eager = false)
+    // guarded LOCAL replay of the exact Long recurrence (duplicate edges
+    // kept — they multiply contributions in BOTH forms; contributions
+    // count iff both endpoints are in `vertices`, mirroring the keyed-join
+    // + left-join semantics; addExact mirrors ANSI error-on-overflow).
+    // Callers pass distinct vertex ids (both forms assume it).
+    if (e.count() <= localMaxEdges && vertices.count() <= localMaxEdges) {
+      val vIds = vertices.select(col(idc).cast("long")).as[Long].collect()
+      val idx = scala.collection.mutable.HashMap[Long, Int]()
+      vIds.zipWithIndex.foreach { case (v, i) => idx.getOrElseUpdate(v, i) }
+      val pairs = e.as[(Long, Long)].collect().flatMap { case (s, d) =>
+        for (si <- idx.get(s); di <- idx.get(d)) yield (si, di)
+      }
+      val n = vIds.length
+      var hub = Array.fill(n)(1L)
+      var auth = Array.fill(n)(1L)
+      for (_ <- 1 to iters) {
+        val na = new Array[Long](n)
+        pairs.foreach { case (si, di) => na(di) = Math.addExact(na(di), hub(si)) }
+        auth = na
+        val nh = new Array[Long](n)
+        pairs.foreach { case (si, di) => nh(si) = Math.addExact(nh(si), auth(di)) }
+        hub = nh
+      }
+      return vIds.indices.map(i => (vIds(i), hub(i), auth(i))).toDF("id", "hub", "auth")
+    }
     var scores = vertices.select(col(idc).cast("long").as("id"))
       .withColumn("hub", lit(1L)).withColumn("auth", lit(1L)).localCheckpoint(true)
     for (_ <- 1 to iters) {
@@ -622,10 +650,37 @@ object Algos {
     * SHRINKING symmetrized edge set — per-round cost tracks surviving
     * edges, never the original graph after early rounds; eager per-round
     * checkpoints keep lineage flat (the Descend rule). */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50,
+      localMaxEdges: Long = 2000000L): DataFrame = {
     require(k >= 1)
+    val spark = edges.sparkSession
+    import spark.implicits._
     val sym = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
+    // guarded LOCAL peel (the hash-priority-loop rationale): the k-core is
+    // the UNIQUE maximal subgraph of min degree >= k, so any correct peel
+    // order yields the identical answer — one linear queue pass replaces
+    // per-round scheduling latency below the guard; raw-pair guard skips
+    // the symmetrize+distinct shuffle (dedup happens in indexedAdj)
+    if (sym.count() * 2 <= localMaxEdges) {
+      val (ids, adj) = indexedAdj(sym.as[(Long, Long)].collect())
+      val n = ids.length
+      val deg = adj.map(_.length)
+      val removed = new Array[Boolean](n)
+      val queue = scala.collection.mutable.ArrayDeque.from((0 until n).filter(deg(_) < k))
+      while (queue.nonEmpty) {
+        val i = queue.removeHead()
+        if (!removed(i)) {
+          removed(i) = true
+          adj(i).foreach { j =>
+            if (!removed(j)) { deg(j) -= 1; if (deg(j) == k - 1) queue += j }
+          }
+        }
+      }
+      return (0 until n).collect {
+        case i if !removed(i) && deg(i) >= k => (ids(i), deg(i).toLong)
+      }.toDF("id", "deg")
+    }
     var e = sym.unionAll(sym.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
     var nEdges = e.count()

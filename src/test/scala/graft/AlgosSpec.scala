@@ -809,6 +809,18 @@ class AlgosSpec extends AnyFunSuite {
         .as[(Long, Int)].collect().toMap)
     assert(Algos.maximalMatching(es).as[(Long, Long)].collect().toSet
       === Algos.maximalMatching(es, localMaxEdges = 0L).as[(Long, Long)].collect().toSet)
+    // same for the unique-fixpoint peel and the exact integer recurrence
+    assert(Algos.kCore(es, k = 3).as[(Long, Long)].collect().toSet
+      === Algos.kCore(es, k = 3, localMaxEdges = 0L).as[(Long, Long)].collect().toSet)
+    val vs = es.select(col("src").as("id")).unionAll(es.select(col("dst").as("id"))).distinct()
+    assert(Algos.hits(vs, es, iters = 3).as[(Long, Long, Long)].collect().toSet
+      === Algos.hits(vs, es, iters = 3, localMaxEdges = 0L)
+        .as[(Long, Long, Long)].collect().toSet)
+    // duplicate edges multiply HITS contributions identically in both forms
+    val dup = es.unionAll(es.limit(40))
+    assert(Algos.hits(vs, dup, iters = 2).as[(Long, Long, Long)].collect().toSet
+      === Algos.hits(vs, dup, iters = 2, localMaxEdges = 0L)
+        .as[(Long, Long, Long)].collect().toSet)
   }
 
   test("harmonicCentrality: path graph closed form, isolated source gets a zero row") {
