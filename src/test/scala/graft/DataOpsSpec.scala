@@ -945,6 +945,39 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("streaming range join matches the ORACLED batch range join on the events table") {
+    // q_range_join (bucketed point-in-interval) is DuckDB-oracled; the SAME
+    // Scale.rangeJoin plan over a MemoryStream replay of the events points
+    // against the static window table must produce the identical rollup —
+    // the interval-side explode and containment filter apply unchanged to
+    // a stream (stream-static inner equi-join).
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.graph.Tpch.events(spark, "/root/testdata/sf0.001")
+      .select(unix_micros(col("ts")).as("t"), col("value"))
+    val t0 = ev.agg(min("t")).head().getLong(0)
+    val h = 3600000000L
+    val wins = spark.range(0, 24).select(col("id").as("win"),
+      (lit(t0) + col("id") * (h * 9 / 4)).as("lo"),
+      (lit(t0) + col("id") * (h * 9 / 4) + h * 5 / 2).as("hi"))
+      .cache()
+    def rollup(points: org.apache.spark.sql.DataFrame) =
+      graft.plans.Scale.rangeJoin(points, "t", wins, "lo", "hi", grain = h)
+        .groupBy("win")
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val expected = rollup(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mem = MemoryStream[(Long, Double)]
+    val q = rollup(mem.toDS().toDF("t", "value"))
+      .writeStream.format("memory").queryName("rj_bridge").outputMode("complete").start()
+    mem.addData(ev.as[(Long, Double)].collect().toSeq)
+    q.processAllAvailable()
+    val got = spark.table("rj_bridge")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got === expected)
+  }
+
   test("portable simhash: identical docs pair at hamming 0; pipeline matches xxhash64 shape") {
     // the md5-derived portable hash changes the SIGNATURES but not the
     // contract: identical texts share a signature (ham 0) under any hash,
