@@ -627,11 +627,14 @@ object SparkEntry {
       // (w, src, dst) total order makes the forest UNIQUE, so the oracle
       // replays the same rounds (chosen edges depend only on the component
       // partition, never on label values).
+      // raw rows, no pre-aggregation: boruvkaForest's own parallel-edge
+      // collapse takes min(w) per pair (min over raw == min over min), so
+      // the query-side groupBy shuffle is redundant on BOTH paths
       val li = Tpch.table(s, dir, "lineitem")
-      val e = li.groupBy(
-          Vid.vid("supplier", col("l_suppkey")).as("src"),
-          Vid.vid("part", col("l_partkey")).as("dst"))
-        .agg(min(col("l_quantity").cast("long")).as("w"))
+      val e = li.select(
+        Vid.vid("supplier", col("l_suppkey")).as("src"),
+        Vid.vid("part", col("l_partkey")).as("dst"),
+        col("l_quantity").cast("long").as("w"))
       graft.algos.Algos.boruvkaForest(e)
     }),
     "q_coloring" -> ((s, dir) => {

@@ -952,9 +952,38 @@ object Algos {
     val spark = edges.sparkSession
     import spark.implicits._
     val a = col("src").cast("long"); val b = col("dst").cast("long")
-    val e = edges.select(least(a, b).as("src"), greatest(a, b).as("dst"),
+    val canonRaw = edges.select(least(a, b).as("src"), greatest(a, b).as("dst"),
         col("w").cast("long").as("w"))
       .where(col("src") =!= col("dst"))
+    // fully-local guard (the MIS raw-pair rationale): below it, the
+    // parallel-collapse groupBy SHUFFLE never runs either — collect the
+    // raw weighted pairs, take min-w per pair driver-side, and Kruskal
+    // the whole unique forest in one pass
+    if (canonRaw.count() <= localMaxEdges) {
+      val best = scala.collection.mutable.HashMap[(Long, Long), Long]()
+      canonRaw.as[(Long, Long, Long)].collect().foreach { case (s, d, w) =>
+        val k = (s, d)
+        if (best.get(k).forall(w < _)) best(k) = w
+      }
+      val sorted = best.iterator.map { case ((s, d), w) => (w, s, d) }.toArray
+      java.util.Arrays.sort(sorted, implicitly[Ordering[(Long, Long, Long)]])
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(z: Long): Long = {
+        var p = z
+        while (parent.getOrElse(p, p) != p) {
+          val gp = parent.getOrElse(parent(p), parent(p))
+          parent(p) = gp; p = gp
+        }
+        p
+      }
+      val keep = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      sorted.foreach { case (w, s, d) =>
+        val rs = find(s); val rd = find(d)
+        if (rs != rd) { parent(math.max(rs, rd)) = math.min(rs, rd); keep += ((s, d, w)) }
+      }
+      return keep.toSeq.toDF("src", "dst", "w")
+    }
+    val e = canonRaw
       .groupBy("src", "dst").agg(min("w").as("w"))
       .localCheckpoint(true)
     // comp stays null until the first contraction: round 1's component map
