@@ -229,4 +229,73 @@ class RandomizedParitySpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got === within)
   }
+
+  test("harmonic centrality matches naive BFS reciprocal sums on random graphs") {
+    for (seed <- 21 to 26) {
+      val (vs, es) = randomGraph(seed, n = 10, nEdges = 14)
+      // undirected naive BFS per source; scale-840 floor reciprocals
+      val adj = (es ++ es.map(_.swap)).filter(e => e._1 != e._2)
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+      def bfs(s: Long): Map[Long, Int] = {
+        var dist = Map(s -> 0); var frontier = Set(s); var d = 0
+        while (frontier.nonEmpty) {
+          d += 1
+          val next = frontier.flatMap(v => adj.getOrElse(v, Seq.empty)).diff(dist.keySet)
+          next.foreach(v => dist += v -> d)
+          frontier = next
+        }
+        dist - s
+      }
+      val naive = vs.map { s =>
+        val r = bfs(s)
+        s -> ((r.size.toLong, r.values.map(d => 840L / d).sum))
+      }.toMap
+      val got = Algos.harmonicCentrality(es.toDF("src", "dst"), vs.toDF("id"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === naive, s"seed=$seed es=$es")
+    }
+  }
+
+  test("transitive reduction matches naive reachability filtering on random DAGs") {
+    for (seed <- 31 to 36) {
+      val rnd = new scala.util.Random(seed)
+      // random DAG: edges only i -> j with i < j (plus duplicates)
+      val es = Seq.fill(18) {
+        val i = rnd.nextInt(9); val j = i + 1 + rnd.nextInt(9 - i)
+        (i.toLong, j.toLong)
+      }
+      val dedup = es.distinct
+      val adj = dedup.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      def reach(s: Long): Set[Long] = {
+        var seen = Set.empty[Long]; var frontier = Set(s)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(v => adj.getOrElse(v, Seq.empty)) -- seen
+          seen ++= next; frontier = next
+        }
+        seen
+      }
+      // naive: drop (u,v) if some other out-neighbor of u reaches v
+      val naive = dedup.filter { case (u, v) =>
+        !dedup.exists { case (u2, w) => u2 == u && w != v && reach(w).contains(v) }
+      }.toSet
+      val got = Algos.transitiveReduction(es.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toSet
+      assert(got === naive, s"seed=$seed es=$es")
+    }
+  }
+
+  test("maximal matching is a maximal vertex-disjoint subset on random graphs") {
+    for (seed <- 41 to 46) {
+      val (_, es) = randomGraph(seed, n = 12, nEdges = 20)
+      val canon = es.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val m = Algos.maximalMatching(es.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toSet
+      val verts = m.toSeq.flatMap(e => Seq(e._1, e._2))
+      assert(verts.distinct.size === verts.size, s"seed=$seed shares a vertex")
+      (canon.toSet -- m).foreach { case (a, b) =>
+        assert(verts.contains(a) || verts.contains(b), s"seed=$seed ($a,$b) extendable")
+      }
+    }
+  }
 }
