@@ -1232,15 +1232,21 @@ object SparkEntry {
       // events land in two windows — the multi-match semantics, exercised.
       val ev = Tpch.events(s, dir)
         .select(unix_micros(col("ts")).as("t"), col("value"))
-      val t0 = ev.agg(min("t")).head().getLong(0)
-      val h = 3600000000L // 1 h in micros
-      val wins = s.range(0, 24).select(col("id").as("win"),
-        (lit(t0) + col("id") * (h * 9 / 4)).as("lo"),
-        (lit(t0) + col("id") * (h * 9 / 4) + h * 5 / 2).as("hi"))
-      graft.plans.Scale.rangeJoin(ev, "t", wins, "lo", "hi", grain = h)
-        .groupBy("win")
-        .agg(count(lit(1)).as("n_events"),
-          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      val minRow = ev.agg(min("t")).head()
+      if (minRow.isNullAt(0)) // empty events: empty rollup, matching the oracle
+        s.range(0, 0).select(col("id").as("win"),
+          lit(0L).as("n_events"), lit(0L).as("cents"))
+      else {
+        val t0 = minRow.getLong(0)
+        val h = 3600000000L // 1 h in micros
+        val wins = s.range(0, 24).select(col("id").as("win"),
+          (lit(t0) + col("id") * (h * 9 / 4)).as("lo"),
+          (lit(t0) + col("id") * (h * 9 / 4) + h * 5 / 2).as("hi"))
+        graft.plans.Scale.rangeJoin(ev, "t", wins, "lo", "hi", grain = h)
+          .groupBy("win")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      }
     }),
     "q_enrich" -> ((s, dir) =>
       // stream-static enrichment, batch shadow: the SAME declarative plan

@@ -522,7 +522,7 @@ object Algos {
     // count iff both endpoints are in `vertices`, mirroring the keyed-join
     // + left-join semantics; addExact mirrors ANSI error-on-overflow).
     // Callers pass distinct vertex ids (both forms assume it).
-    if (e.count() <= localMaxEdges && vertices.count() <= localMaxEdges) {
+    if (atMost(e, localMaxEdges) && atMost(vertices, localMaxEdges)) {
       val vIds = vertices.select(col(idc).cast("long")).as[Long].collect()
       val idx = scala.collection.mutable.HashMap[Long, Int]()
       vIds.zipWithIndex.foreach { case (v, i) => idx.getOrElseUpdate(v, i) }
@@ -662,7 +662,7 @@ object Algos {
     // order yields the identical answer — one linear queue pass replaces
     // per-round scheduling latency below the guard; raw-pair guard skips
     // the symmetrize+distinct shuffle (dedup happens in indexedAdj)
-    if (sym.count() * 2 <= localMaxEdges) {
+    if (atMost(sym, localMaxEdges / 2)) {
       val (ids, adj) = indexedAdj(sym.as[(Long, Long)].collect())
       val n = ids.length
       val deg = adj.map(_.length)
@@ -781,7 +781,7 @@ object Algos {
     // loop (parity-spec'd) — above the guard the distributed path runs.
     // The guard counts RAW pairs (>= the distinct symmetrized edge count /
     // 2), so qualifying inputs skip the symmetrize+distinct shuffle too.
-    if (sym0.count() * 2 <= localMaxEdges) {
+    if (atMost(sym0, localMaxEdges / 2)) {
       val (ids, adj) = indexedAdj(sym0.as[(Long, Long)].collect())
       val n = ids.length
       val alive = Array.fill(n)(true)
@@ -946,6 +946,39 @@ object Algos {
     * component ids) completes the identical unique forest in one pass —
     * the geometric shrink lands every run's TAIL there, where per-round
     * scheduling latency would otherwise dominate. */
+  /** Bounded guard probe: true iff `df` has at most `n` rows, SCANNING at
+    * most n+1 of them — a guard's cost stays capped at its threshold
+    * instead of a full count of an arbitrarily large input (the local
+    * replays sit in front of billion-edge distributed paths). */
+  private def atMost(df: DataFrame, n: Long): Boolean = {
+    if (n < 0) return false
+    val probe = math.min(n, Int.MaxValue - 1L).toInt + 1
+    df.limit(probe).count() <= n
+  }
+
+  /** Greedy Kruskal accept sweep shared by [[boruvkaForest]]'s two guarded
+    * finishes: tuples (w, src, dst, compA, compB) arrive in (w, src, dst)
+    * order; a path-halving min-root union-find over the component labels
+    * accepts each component-crossing edge. Returns kept (src, dst, w). */
+  private def kruskalAccept(it: Iterator[(Long, Long, Long, Long, Long)])
+      : Seq[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(z: Long): Long = {
+      var p = z
+      while (parent.getOrElse(p, p) != p) {
+        val gp = parent.getOrElse(parent(p), parent(p))
+        parent(p) = gp; p = gp
+      }
+      p
+    }
+    val keep = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    it.foreach { case (w, s, d, ca, cb) =>
+      val ra = find(ca); val rb = find(cb)
+      if (ra != rb) { parent(math.max(ra, rb)) = math.min(ra, rb); keep += ((s, d, w)) }
+    }
+    keep.toSeq
+  }
+
   def boruvkaForest(edges: DataFrame, maxRounds: Int = 40,
       localMaxEdges: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -959,7 +992,7 @@ object Algos {
     // parallel-collapse groupBy SHUFFLE never runs either — collect the
     // raw weighted pairs, take min-w per pair driver-side, and Kruskal
     // the whole unique forest in one pass
-    if (canonRaw.count() <= localMaxEdges) {
+    if (atMost(canonRaw, localMaxEdges)) {
       val best = scala.collection.mutable.HashMap[(Long, Long), Long]()
       canonRaw.as[(Long, Long, Long)].collect().foreach { case (s, d, w) =>
         val k = (s, d)
@@ -967,21 +1000,8 @@ object Algos {
       }
       val sorted = best.iterator.map { case ((s, d), w) => (w, s, d) }.toArray
       java.util.Arrays.sort(sorted, implicitly[Ordering[(Long, Long, Long)]])
-      val parent = scala.collection.mutable.HashMap[Long, Long]()
-      def find(z: Long): Long = {
-        var p = z
-        while (parent.getOrElse(p, p) != p) {
-          val gp = parent.getOrElse(parent(p), parent(p))
-          parent(p) = gp; p = gp
-        }
-        p
-      }
-      val keep = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
-      sorted.foreach { case (w, s, d) =>
-        val rs = find(s); val rd = find(d)
-        if (rs != rd) { parent(math.max(rs, rd)) = math.min(rs, rd); keep += ((s, d, w)) }
-      }
-      return keep.toSeq.toDF("src", "dst", "w")
+      return kruskalAccept(sorted.iterator.map { case (w, s, d) => (w, s, d, s, d) })
+        .toDF("src", "dst", "w")
     }
     val e = canonRaw
       .groupBy("src", "dst").agg(min("w").as("w"))
@@ -1018,21 +1038,11 @@ object Algos {
         val it = x.select(col("w"), col("src"), col("dst"), col("ca"), col("cb"))
           .sort("w", "src", "dst")
           .as[(Long, Long, Long, Long, Long)].toLocalIterator()
-        val parent = scala.collection.mutable.HashMap[Long, Long]()
-        def find(z: Long): Long = {
-          var p = z
-          while (parent.getOrElse(p, p) != p) { // path-halve as we walk
-            val gp = parent.getOrElse(parent(p), parent(p))
-            parent(p) = gp; p = gp
-          }
-          p
-        }
-        val keep = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
-        it.forEachRemaining { case (w, s, d, ca, cb) =>
-          val ra = find(ca); val rb = find(cb)
-          if (ra != rb) { parent(math.max(ra, rb)) = math.min(ra, rb); keep += ((s, d, w)) }
-        }
-        forest = forest.unionByName(keep.toSeq.toDF("src", "dst", "w"))
+        forest = forest.unionByName(
+          kruskalAccept(new Iterator[(Long, Long, Long, Long, Long)] {
+            def hasNext = it.hasNext
+            def next() = it.next()
+          }).toDF("src", "dst", "w"))
         done = true
       } else {
         val cand = x.select(col("ca").as("c"), col("src"), col("dst"), col("w"))
@@ -1119,7 +1129,7 @@ object Algos {
     // sequential color picks within a round see exactly the pre-round
     // colored set) — bit-identical to the distributed loop, parity-spec'd;
     // raw-pair guard skips the symmetrize+distinct shuffle (the MIS note)
-    if (sym0.count() * 2 <= localMaxEdges) {
+    if (atMost(sym0, localMaxEdges / 2)) {
       val (ids, adj) = indexedAdj(sym0.as[(Long, Long)].collect())
       val n = ids.length
       adj.iterator.map(_.length).maxOption.foreach(d =>
@@ -1710,7 +1720,20 @@ object Algos {
     * (and max eccentricity over all sources = the graph diameter).
     * `sources` bounds the work (sample for approximation, all for exact). */
   def closenessCentrality(edges: DataFrame, sources: DataFrame, directed: Boolean = false,
-      maxIter: Int = 100)(implicit spark: SparkSession): DataFrame = {
+      maxIter: Int = 100)(implicit spark: SparkSession): DataFrame =
+    taggedBfs(edges, sources, directed, maxIter)
+      .groupBy(col("s").as("id"))
+      .agg((count(lit(1)) - 1).as("n_reach"), sum(col("d")).as("farness"),
+        max(col("d")).as("eccentricity"))
+
+  /** The ONE multi-source tagged delta-BFS behind [[closenessCentrality]]
+    * and [[harmonicCentrality]]: rows (s, v, d) for every source
+    * simultaneously (self at d=0 included); per level one frontier⋈edges
+    * join + (s,v) dedup + anti-join vs visited — work tracks the frontier,
+    * never |V|². Fails LOUDLY if `maxIter` rounds leave a non-empty
+    * frontier: a silent truncation would undercount every downstream sum. */
+  private def taggedBfs(edges: DataFrame, sources: DataFrame, directed: Boolean,
+      maxIter: Int): DataFrame = {
     val e0 = edges.select("src", "dst").dropDuplicates("src", "dst")
     val e = (if (directed) e0
              else e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
@@ -1737,9 +1760,10 @@ object Algos {
       }
       i += 1
     }
-    acc.groupBy(col("s").as("id"))
-      .agg((count(lit(1)) - 1).as("n_reach"), sum(col("d")).as("farness"),
-        max(col("d")).as("eccentricity"))
+    if (!done)
+      throw new IllegalStateException(
+        s"taggedBfs: frontier still non-empty after maxIter=$maxIter rounds — raise maxIter")
+    acc
   }
 
   /** Interval partition of a flow graph (fermor algo.clj `intervals`; the
@@ -2078,32 +2102,7 @@ object Algos {
     * never |V|·|V|. Returns (id, n_reach, harmonic). */
   def harmonicCentrality(edges: DataFrame, sources: DataFrame, directed: Boolean = false,
       scale: Long = 840L, maxIter: Int = 100)(implicit spark: SparkSession): DataFrame = {
-    val e0 = edges.select("src", "dst").dropDuplicates("src", "dst")
-    val e = (if (directed) e0
-             else e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-               .dropDuplicates("src", "dst"))
-      .localCheckpoint(eager = false)
-    var frontier = sources.select(col(sources.columns.head).as("s")).dropDuplicates("s")
-      .withColumn("v", col("s")).withColumn("d", lit(0L))
-      .localCheckpoint(eager = false)
-    var acc = frontier
-    var visited = frontier.select("s", "v").localCheckpoint(eager = false)
-    var done = false
-    var i = 0
-    while (!done && i < maxIter) {
-      val next = frontier.join(e, frontier("v") === e("src"))
-        .select(col("s"), col("dst").as("v")).dropDuplicates("s", "v")
-        .join(visited, Seq("s", "v"), "left_anti")
-        .withColumn("d", lit(i + 1L))
-        .localCheckpoint(eager = true)
-      if (next.isEmpty) done = true
-      else {
-        acc = acc.unionByName(next)
-        visited = visited.unionByName(next.select("s", "v")).localCheckpoint(eager = false)
-        frontier = next
-      }
-      i += 1
-    }
+    val acc = taggedBfs(edges, sources, directed, maxIter)
     acc.where(col("d") > 0)
       .groupBy(col("s").as("id"))
       .agg(count(lit(1)).as("n_reach"),
@@ -2136,7 +2135,7 @@ object Algos {
     // bit-identical to the distributed loop (parity-spec'd), replacing
     // per-round scheduling latency below the guard; raw-pair guard skips
     // the distinct shuffle (dedup happens driver-side instead)
-    if (canon0.count() <= localMaxEdges) {
+    if (atMost(canon0, localMaxEdges)) {
       var pool = canon0.as[(Long, Long)].collect().distinct
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
       var r = 0
@@ -2247,6 +2246,13 @@ object Algos {
         if (d > maxDepth)
           throw new IllegalStateException(
             s"transitiveReduction: paths deeper than maxDepth=$maxDepth — not a bounded DAG?")
+        // a self-pair (s, s) is a cycle witness — on a DAG it can never
+        // appear; failing loudly here keeps the contract (a cycle shorter
+        // than maxDepth would otherwise drain and SILENTLY delete the
+        // cycle's edges as "implied")
+        if (!next.where(col("s") === col("v")).isEmpty)
+          throw new IllegalStateException(
+            "transitiveReduction: input contains a cycle — defined on DAGs only")
         implied = implied.unionByName(next).localCheckpoint(true)
         frontier = next
       }

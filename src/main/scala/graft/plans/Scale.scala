@@ -129,6 +129,8 @@ object Scale {
   def rangeJoin(points: DataFrame, tCol: String, intervals: DataFrame,
       loCol: String, hiCol: String, grain: Long): DataFrame = {
     require(grain > 0)
+    require(!points.columns.contains("__b") && !intervals.columns.contains("__b"),
+      "rangeJoin reserves the internal column name __b")
     val p = points.withColumn("__b", expr(s"cast($tCol as bigint) div ${grain}L"))
     val iv = intervals
       .where(col(loCol) <= col(hiCol))

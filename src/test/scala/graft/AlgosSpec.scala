@@ -903,5 +903,22 @@ class AlgosSpec extends AnyFunSuite {
         (1L to 12L).sliding(2).map(p => (p.head, p.last)).toSeq.toDF("src", "dst"),
         maxDepth = 3)
     }
+    // a cycle SHORTER than maxDepth also fails loudly (a silent pass would
+    // mark the cycle's own edges as implied and delete them)
+    intercept[IllegalStateException] {
+      Algos.transitiveReduction(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"))
+    }
+  }
+
+  test("taggedBfs centralities fail loudly when maxIter truncates the frontier") {
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Algos.harmonicCentrality(chain, Seq(1L).toDF("id"), maxIter = 3).collect()
+    }
+    intercept[IllegalStateException] {
+      Algos.closenessCentrality(chain, Seq(1L).toDF("id"), maxIter = 3).collect()
+    }
+    // at a sufficient bound the same call succeeds
+    assert(Algos.harmonicCentrality(chain, Seq(1L).toDF("id"), maxIter = 10).count() === 1)
   }
 }
