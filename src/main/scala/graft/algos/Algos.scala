@@ -449,6 +449,73 @@ object Algos {
     g.triangleCount().vertices.toDF("id", "triangles")
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT per vertex, integer-exact: coeff_bp =
+    * (triangles(v) * 20000) div (deg(v) * (deg(v) - 1)) — basis points of
+    * the closed-wedge ratio tri / C(deg, 2); vertices with deg < 2 get 0.
+    * Orientation/duplicate-insensitive (edges are symmetrized + distinct'd
+    * first), self-loops dropped.
+    *
+    * Plan shape (node-iterator): wedges = sym ⋈ sym on the center with an
+    * endpoint total order, closed against the canonical edge set — three
+    * keyed equi-joins, no cartesian, the same shape q_triangles' oracle
+    * replays. DataFrame-native (unlike [[triangleCount]]'s GraphX path) so
+    * AQE/broadcast apply; the classic hub caveat holds: wedge fan-out is
+    * Σ deg², so cap or sample hub vertices upstream at 100 TB (the
+    * butterfly census's hub-cap pattern). */
+  def localClustering(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val raw = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val sym = raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(false)
+    val canon = sym.where(col("src") < col("dst"))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+    val tri = sym.select(col("src").as("u"), col("dst").as("v1"))
+      .join(sym.select(col("src").as("u"), col("dst").as("v2")), "u")
+      .where(col("v1") < col("v2"))
+      .join(canon.select(col("src").as("v1"), col("dst").as("v2")), Seq("v1", "v2"))
+      .groupBy(col("u").as("id")).agg(count(lit(1)).as("triangles"))
+    vertices.select(col("id").cast("long").as("id"))
+      .join(deg, Seq("id"), "left")
+      .join(tri, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("coeff_bp",
+        when(col("degree") < 2, lit(0L))
+          .otherwise(expr("(triangles * 20000) div (degree * (degree - 1))")))
+  }
+
+  /** DEGREE ASSORTATIVITY (Newman 2002): the Pearson correlation of the
+    * endpoint degrees over the symmetrized edge list — positive when hubs
+    * attach to hubs, negative for hub-leaf (bipartite/star-like) mixing.
+    * One row `(n_edges, assortativity)`; null correlation (degenerate
+    * variance: regular graphs, single edge) surfaces as NULL rather than a
+    * fabricated 0. Scale shape: one distinct, one degree count, two keyed
+    * joins back, one global agg — every shuffle keyed by vertex id.
+    * Callers round the float for engine-exact comparison (the 2–6 dp
+    * convention). */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val raw = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val sym = raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(false)
+    val deg = sym.groupBy(col("src").as("k")).agg(count(lit(1)).as("d"))
+    sym
+      .join(deg.select(col("k").as("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("k").as("dst"), col("d").as("dy")), "dst")
+      .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+        covar_pop(col("dx"), col("dy")).as("__cv"),
+        stddev_pop(col("dx")).as("__sx"), stddev_pop(col("dy")).as("__sy"))
+      // corr = cov/(σx·σy), spelled out so the degenerate-variance case is
+      // a NULL by construction instead of an ANSI divide-by-zero error
+      // (Spark's corr divides inside the agg and throws under ANSI mode)
+      .select(col("n_edges"),
+        when(col("__sx") * col("__sy") > 0, col("__cv") / (col("__sx") * col("__sy")))
+          .otherwise(lit(null).cast("double")).as("assortativity"))
+  }
+
   /** Community detection via label propagation. */
   def labelPropagation(vertices: DataFrame, edges: DataFrame, iters: Int = 10)(
       implicit spark: SparkSession): DataFrame = {
@@ -1582,6 +1649,65 @@ object Algos {
     order.toSeq.zipWithIndex.map { case (v, i) => (v, i, order.length - 1 - i) }
       .toDF("id", "post_order", "reverse_post_order")
   }
+
+  /** Shared DFS for the sequential walk-reduce family: (preorder, postorder)
+    * vertex sequences from `entry`, successors id-sorted like
+    * [[postOrderNumbering]] so every walk order is deterministic. */
+  private def dfsOrders(entry: Long, edges: DataFrame): (Array[Long], Array[Long]) = {
+    val es = collectReachable(entry, edges)
+    val succ = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.sorted }
+    val pre = scala.collection.mutable.ArrayBuffer[Long]()
+    val post = scala.collection.mutable.ArrayBuffer[Long]()
+    val seen = scala.collection.mutable.HashSet[Long]()
+    val stack = scala.collection.mutable.Stack[(Long, Iterator[Long])]()
+    seen += entry; pre += entry
+    stack.push((entry, succ.getOrElse(entry, Array.empty[Long]).iterator))
+    while (stack.nonEmpty) {
+      val (u, it) = stack.top
+      if (it.hasNext) {
+        val v = it.next()
+        if (!seen(v)) {
+          seen += v; pre += v
+          stack.push((v, succ.getOrElse(v, Array.empty[Long]).iterator))
+        }
+      } else { stack.pop(); post += u }
+    }
+    (pre.toArray, post.toArray)
+  }
+
+  private def foldWalk[S](order: Array[Long], state: S, f: (S, Long) => S,
+      done: S => Boolean): S = {
+    var s = state
+    var i = 0
+    while (i < order.length && !done(s)) { s = f(s, order(i)); i += 1 }
+    s
+  }
+
+  /** fermor algo.clj:225 `prewalk-reduce`: fold an arbitrary (possibly
+    * non-associative) accumulator over the graph in DFS PREORDER from
+    * `entry`. `done` plays the role of Clojure's `reduced` early exit —
+    * checked before each step, so a satisfied accumulator stops the walk.
+    *
+    * This is the literal sequential contract; when `f` IS associative the
+    * distributed re-expressions ([[topoLevels]]/[[pushDown]]/[[rollup]])
+    * are the forms that survive 100 TB — this API exists for the reference's
+    * order-sensitive accumulators, which are CFG-scale by nature (the same
+    * driver-side regime as [[postOrderNumbering]], same collect guard). */
+  def prewalkReduce[S](entry: Long, edges: DataFrame, state: S,
+      done: S => Boolean = (_: S) => false)(f: (S, Long) => S): S =
+    foldWalk(dfsOrders(entry, edges)._1, state, f, done)
+
+  /** fermor algo.clj:204 `postwalk-reduce`: fold in DFS POSTORDER (children
+    * before parents). See [[prewalkReduce]] for the scale adjudication. */
+  def postwalkReduce[S](entry: Long, edges: DataFrame, state: S,
+      done: S => Boolean = (_: S) => false)(f: (S, Long) => S): S =
+    foldWalk(dfsOrders(entry, edges)._2, state, f, done)
+
+  /** fermor algo.clj:246 `reverse-postwalk-reduce`: fold in reverse
+    * postorder (the topological-ish "RPO" order dataflow analyses use). */
+  def reversePostwalkReduce[S](entry: Long, edges: DataFrame, state: S,
+      done: S => Boolean = (_: S) => false)(f: (S, Long) => S): S =
+    foldWalk(dfsOrders(entry, edges)._2.reverse, state, f, done)
 
   /** Natural-loop forest (fermor algo.clj `loop-tree` / `loop-info` /
     * `intervals`): back edges are edges u→h where h dominates u; each loop is

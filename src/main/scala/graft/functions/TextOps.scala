@@ -518,4 +518,35 @@ object TextOps {
     }
     out.toSeq.toDF("merge_rank", "a", "b", "cnt")
   }
+
+  /** BPE ENCODING — apply a learned merge table ([[bpeMerges]]'s output
+    * shape `(merge_rank, a, b, …)`) to a corpus and count each document's
+    * subword tokens. Applying merges in rank order with left-to-right
+    * non-overlapping replacement IS the greedy BPE encode convention (and
+    * exactly the rewrite [[bpeMerges]] itself performed while learning), so
+    * a corpus encoded with its own merges reproduces the training-time
+    * word shapes bit-for-bit.
+    *
+    * Scale: merges are applied to the DISTINCT-word table (vocabulary-
+    * sized, never corpus-sized) as ONE projection of ≤64 nested literal
+    * replaces (codegen-friendly, zero extra jobs); the corpus is scanned
+    * once and joins the encoded vocabulary on the word key — AQE broadcasts
+    * it when small. Documents with zero tokens have no subword count and
+    * are absent, matching [[oovRateBp]]'s convention. */
+  def bpeEncode(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      merges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ms = merges.orderBy("merge_rank").select("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    require(ms.length <= 64, s"merge table has ${ms.length} rows; bpeMerges caps at 64")
+    val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("wd"))
+    val encodedM = ms.foldLeft(regexp_replace(col("wd"), "(.)", "<$1>")) {
+      case (m, (a, b)) => replace(m, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+    }
+    val vocabEnc = toks.select("wd").distinct()
+      .withColumn("__m", encodedM)
+      .select(col("wd"), size(expr("regexp_extract_all(__m, '<([^>]*)>', 1)")).as("n_sub"))
+    toks.join(vocabEnc, "wd")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe"))
+  }
 }

@@ -352,6 +352,24 @@ final case class PropertyGraph(
     kinds.foreach { case (k, df) => df.createOrReplaceTempView(prefix + k) }
   }
 
+  /** fermor core.clj:89 `add-edges-from`: fan edges out from ONE vertex to
+    * every vertex in `vs` under `label`. `vs` needs an `id` column; any
+    * OTHER columns it carries become edge-property columns (the reference's
+    * optional per-edge `edge-documents` arity, zipped positionally there —
+    * here each row already pairs its target with its document columns, which
+    * is the same contract without the positional fragility). */
+  def addEdgesFrom(label: String, from: Long, vs: DataFrame): PropertyGraph =
+    addEdges(vs.select(
+      lit(from).as("src") +: col("id").as("dst") +: lit(label).as("label") +:
+        vs.columns.filterNot(_ == "id").map(col): _*))
+
+  /** fermor core.clj:113 `add-edges-to`: the mirror of [[addEdgesFrom]] —
+    * fan edges from every vertex in `vs` into ONE target vertex. */
+  def addEdgesTo(label: String, vs: DataFrame, to: Long): PropertyGraph =
+    addEdges(vs.select(
+      col("id").as("src") +: lit(to).as("dst") +: lit(label).as("label") +:
+        vs.columns.filterNot(_ == "id").map(col): _*))
+
   /** GraphX interop (plays the role of fermor's loom adapter): the unified
     * long-id vertex/edge RDD view for iterative algorithms. */
   def toGraphX(implicit spark: SparkSession): org.apache.spark.graphx.Graph[Long, String] = {
@@ -360,5 +378,26 @@ final case class PropertyGraph(
     val es = edges.select("src", "dst", "label").rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
     Graph(vs, es)
+  }
+}
+
+object PropertyGraph {
+
+  /** fermor graph.clj `graph-from-triples`: build a graph from a bag of
+    * `(src, label, dst)` triples (plus optional edge-property columns).
+    * Vertices are derived as the distinct endpoint set under one `kindName`
+    * kind table — the reference's triples carry no documents either; use
+    * [[PropertyGraph.withVertexProps]] to attach them afterwards. One
+    * narrow distinct over the union of both endpoint columns; edges keep
+    * whatever extra columns `triples` carries. */
+  def fromTriples(triples: DataFrame, kindName: String = "vertex"): PropertyGraph = {
+    val es = triples.select(
+      col("src").cast("long").as("src") +: col("dst").cast("long").as("dst") +:
+        col("label").cast("string").as("label") +:
+        triples.columns.filterNot(Set("src", "dst", "label")).map(col): _*)
+    val vs = es.select(col("src").as("id"))
+      .unionAll(es.select(col("dst").as("id")))
+      .distinct()
+    PropertyGraph(Map(kindName -> vs), es)
   }
 }

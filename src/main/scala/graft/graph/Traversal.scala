@@ -188,6 +188,22 @@ final case class Traversal(g: PropertyGraph, df: DataFrame) {
       .where(col("n") > 1)
       .groupBy("n").agg(sort_array(collect_list(col("k"))).as("keys"))
 
+  /** fermor `sorted-group-count` (core.clj:1477): [[groupCount]] whose
+    * result iterates in key order — the reference returns a `sorted-map`.
+    * In a DataFrame the content is identical and the ordering is a
+    * presentation property, so this is groupCount + a global key sort (one
+    * extra range-partitioned exchange only when the ordering is actually
+    * consumed; at 100 TB you'd usually keep the unsorted form). */
+  def sortedGroupCount(key: Column): DataFrame =
+    groupCount(key.as("k")).orderBy(col("k"))
+
+  /** fermor `sorted-group-by-count` (core.clj:1508): {count → set of keys
+    * with that count}, iterating in COUNT order with each key set itself
+    * sorted (the reference nests a set inside a sorted-map; the sorted
+    * array is the deterministic relational rendering of that set). */
+  def sortedGroupByCount(key: Column): DataFrame =
+    groupByCount(key).orderBy(col("n"))
+
   /** fermor `index-by` / `index-by-multi`: build a keyed lookup from the
     * route. A distributed index IS a keyed DataFrame — usable as a join
     * target (exact lookups stay distributed; no driver-side map). */

@@ -921,4 +921,56 @@ class AlgosSpec extends AnyFunSuite {
     // at a sufficient bound the same call succeeds
     assert(Algos.harmonicCentrality(chain, Seq(1L).toDF("id"), maxIter = 10).count() === 1)
   }
+
+  test("walk-reduce family folds in DFS pre/post/reverse-post order with early exit") {
+    // fermor algo.clj prewalk-reduce / postwalk-reduce / reverse-postwalk-reduce
+    // diamond: 1→{2,3}, {2,3}→4; id-sorted successors fix the DFS orders
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    def push(s: List[Long], v: Long): List[Long] = s :+ v
+    assert(Algos.prewalkReduce(1L, es, List.empty[Long])(push) === List(1L, 2L, 4L, 3L))
+    assert(Algos.postwalkReduce(1L, es, List.empty[Long])(push) === List(4L, 2L, 3L, 1L))
+    assert(Algos.reversePostwalkReduce(1L, es, List.empty[Long])(push) === List(1L, 3L, 2L, 4L))
+    // parity with the numbering the walks must agree with: postwalk order ==
+    // ascending post_order; reverse-postwalk == ascending reverse_post_order
+    val nums = Algos.postOrderNumbering(1L, es).as[(Long, Int, Int)].collect()
+    assert(nums.sortBy(_._2).map(_._1).toList ===
+      Algos.postwalkReduce(1L, es, List.empty[Long])(push))
+    assert(nums.sortBy(_._3).map(_._1).toList ===
+      Algos.reversePostwalkReduce(1L, es, List.empty[Long])(push))
+    // early exit (the reference's `reduced`): stop once two elements gathered
+    assert(Algos.prewalkReduce(1L, es, List.empty[Long],
+      done = (s: List[Long]) => s.length >= 2)(push) === List(1L, 2L))
+    // cycles terminate via the seen set, like the reference's volatile seen
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    assert(Algos.prewalkReduce(1L, cyc, 0L)(_ + _) === 6L)
+    assert(Algos.postwalkReduce(1L, cyc, List.empty[Long])(push) === List(3L, 2L, 1L))
+  }
+
+  test("localClustering: triangle+pendant closed form, orientation/duplicate-insensitive") {
+    val vs = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    // triangle 1-2-3 with pendant 3-4; vertex 5 isolated
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Algos.localClustering(vs, es)
+      .select("id", "degree", "triangles", "coeff_bp")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 1L, 10000L), (2L, 2L, 1L, 10000L),
+      (3L, 3L, 1L, 3333L), // 20000/6 floor
+      (4L, 1L, 0L, 0L), (5L, 0L, 0L, 0L)))
+    // flipped orientations, duplicates, and a self-loop change nothing
+    val messy = es.unionAll(Seq((2L, 1L), (3L, 2L), (1L, 2L), (4L, 4L)).toDF("src", "dst"))
+    assert(Algos.localClustering(vs, messy)
+      .select("id", "degree", "triangles", "coeff_bp")
+      .as[(Long, Long, Long, Long)].collect().toSet === got)
+  }
+
+  test("degreeAssortativity: star is perfectly disassortative, null on degenerate variance") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r = Algos.degreeAssortativity(star).as[(Long, Option[Double])].head()
+    assert(r._1 === 3L)
+    assert(math.abs(r._2.get - (-1.0)) < 1e-12)
+    // a single edge has zero degree variance: correlation undefined -> NULL
+    val one = Seq((7L, 8L)).toDF("src", "dst")
+    assert(Algos.degreeAssortativity(one).as[(Long, Option[Double])].head()._2.isEmpty)
+  }
 }

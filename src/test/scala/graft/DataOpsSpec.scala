@@ -1563,4 +1563,32 @@ class DataOpsSpec extends AnyFunSuite {
       .as[(Int, String, String, Long)].head()
     assert(first === ((1, "a", "b", 1L)))
   }
+
+  test("bpeEncode: subword counts track the merge table; training corpus round-trips") {
+    import graft.functions.TextOps
+    // same corpus as the bpeMerges spec: merges (a,a), (a,b), (aa,ab)
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    // zero merges: every word stays characters
+    val m0 = TextOps.bpeMerges(docs, "text", nMerges = 6).where(lit(false))
+    assert(TextOps.bpeEncode(docs, "doc_id", "text", m0)
+      .as[(Long, Long, Long)].collect().toSet ===
+      Set((1L, 2L, 6L), (2L, 1L, 4L))) // aaab=4 chars, ab=2
+    // one merge (a,a): aaab -> <aa><a><b> = 3, ab -> 2
+    val m1 = TextOps.bpeMerges(docs, "text", nMerges = 1)
+    assert(TextOps.bpeEncode(docs, "doc_id", "text", m1)
+      .as[(Long, Long, Long)].collect().toSet ===
+      Set((1L, 2L, 5L), (2L, 1L, 3L)))
+    // the full table collapses both words to single run-merged forms:
+    // aaab -> <aa><ab> -> <aaab> = 1 symbol, ab -> <ab> = 1
+    val mAll = TextOps.bpeMerges(docs, "text", nMerges = 6)
+    assert(TextOps.bpeEncode(docs, "doc_id", "text", mAll)
+      .as[(Long, Long, Long)].collect().toSet ===
+      Set((1L, 2L, 2L), (2L, 1L, 1L)))
+    // unseen words still encode with whatever merges apply: "aab" under
+    // (a,a) then (a,b) -> <aa><b>: the (a,b) merge no longer matches
+    val unseen = Seq((9L, "aab baa")).toDF("doc_id", "text")
+    val enc = TextOps.bpeEncode(unseen, "doc_id", "text", mAll)
+      .as[(Long, Long, Long)].head()
+    assert(enc === ((9L, 2L, 4L))) // aab -> <aa><b> (2), baa -> <b><aa> (2)
+  }
 }

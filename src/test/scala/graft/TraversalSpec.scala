@@ -558,5 +558,51 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
       fd.groupBy("id", "depth").count().as[(Long, Int, Long)].collect().toSet)
   }
 
+  test("fromTriples builds a graph whose vertex set is the distinct endpoints") {
+    // fermor graph.clj `graph-from-triples`
+    val t = Seq((1L, "knows", 2L, 5), (2L, "knows", 3L, 7), (1L, "likes", 3L, 1))
+      .toDF("src", "label", "dst", "w")
+    val g = PropertyGraph.fromTriples(t)
+    assert(ids(g.allVertices) === Set(1L, 2L, 3L))
+    assert(g.edges.columns.toSet === Set("src", "dst", "label", "w"))
+    assert(ids(g.from(Seq(1L).toDF("id")).out("knows")) === Set(2L))
+    assert(ids(g.from(Seq(1L).toDF("id")).out()) === Set(2L, 3L))
+    // edge-property column rides along
+    assert(g.edge(2L, 3L, "knows").select("w").as[Int].collect().toSeq === Seq(7))
+  }
+
+  test("addEdgesFrom / addEdgesTo fan edges from/to one vertex with edge docs") {
+    // fermor core.clj:89/:113 — the one-to-many / many-to-one arity of add-edges
+    val targets = Seq((blueprintsJob1, 1), (blueprintsJob2, 2)).toDF("id", "rank")
+    val gFrom = jobGraph.addEdgesFrom("bookmarked", bob, targets)
+    assert(ids(gFrom.from(Seq(bob).toDF("id")).out("bookmarked")) ===
+      Set(blueprintsJob1, blueprintsJob2))
+    assert(gFrom.edge(bob, blueprintsJob2, "bookmarked")
+      .select("rank").as[Int].collect().toSeq === Seq(2))
+    val sources = Seq(bob, stephen).toDF("id")
+    val gTo = jobGraph.addEdgesTo("memberOf", sources, blueprints)
+    assert(ids(gTo.from(Seq(blueprints).toDF("id")).in("memberOf")) === Set(bob, stephen))
+    // pre-existing edges and kinds untouched
+    assert(gTo.kinds.keySet === jobGraph.kinds.keySet)
+    assert(gTo.edges.count() === jobGraph.edges.count() + 2)
+  }
+
+  test("sortedGroupCount iterates in key order; sortedGroupByCount in count order") {
+    // fermor core.clj:1477/:1508 — the sorted-map variants of group-count
+    val t = jobGraph.from(jobGraph.kind("job")).in("appliesTo").in("completes")
+    val byKey = t.sortedGroupCount(col("id")).as[(Long, Long)].collect()
+    assert(byKey.map(_._1).toSeq === byKey.map(_._1).sorted.toSeq) // key-ordered
+    assert(byKey.toMap === Map(bob -> 2L, stephen -> 2L))
+    val byCount = jobGraph.allVertices.out()
+      .sortedGroupByCount(col("id")).collect()
+    val ns = byCount.map(_.getLong(0)).toSeq
+    assert(ns === ns.sorted) // count-ordered
+    // each key set itself sorted
+    byCount.foreach { r =>
+      val ks = r.getSeq[Long](1)
+      assert(ks === ks.sorted)
+    }
+  }
+
   override def afterAll(): Unit = { /* shared session; leave running */ }
 }
