@@ -741,6 +741,21 @@ object SparkEntry {
       // q_bpe itself still measures the learning loop fresh.
       graft.functions.TextOps.bpeEncode(
         Tpch.table(s, dir, "documents"), "doc_id", "text", bpeMergesMemo(s, dir))),
+    "q_fertility" -> ((s, dir) => {
+      // TOKENIZER FERTILITY per language (subwords per word, ×100 floor):
+      // the standard "is the tokenizer fair to each language" diagnostic —
+      // composes BPE encoding with language ID in one plan; the corpus is
+      // scanned once per side and joined on doc_id
+      import graft.functions.TextOps
+      val docs = Tpch.table(s, dir, "documents")
+      val enc = TextOps.bpeEncode(docs, "doc_id", "text", bpeMergesMemo(s, dir))
+      val lid = docs.select(col("doc_id"),
+        TextOps.langId(TextOps.tokens(col("text"))).as("lang"))
+      enc.join(lid, "doc_id").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"), sum("n_bpe").as("n_bpe"))
+        .withColumn("fertility_x100", expr("(n_bpe * 100) div n_words"))
+    }),
     "q_text_embed" -> ((s, dir) =>
       // deterministic hashed text embedding (tokenize → per-token hash
       // vector → per-doc sum), long format — the oracled stand-in whose
@@ -994,6 +1009,17 @@ object SparkEntry {
         JOIN g_nation n ON cn.dst = n.id
         GROUP BY n.n_name""")
     }),
+    "q_motif" -> ((s, dir) =>
+      // the THIRD query surface (fluent DSL, SQL views, motif patterns):
+      // "local purchases" — lineitems whose supplier sits in the customer's
+      // own nation. A DIAMOND pattern: two chains out of (l) that close on
+      // the shared variable (n), compiling to the same keyed hash-join
+      // cascade the fluent DSL would need five explicit hops + a self-join
+      // to express (negation is exercised by the motif specs)
+      g(s, dir).motif(
+        "(l)-[lineitem_order]->(o); (o)-[order_customer]->(c); " +
+        "(c)-[customer_nation]->(n); (l)-[lineitem_supplier]->(sp); " +
+        "(sp)-[supplier_nation]->(n)")),
     // ---- §2.4 text analysis ---------------------------------------------
     "q_token_count" -> ((s, dir) => {
       import graft.functions.TextOps
@@ -2014,6 +2040,34 @@ object SparkEntry {
     "q_dsir" -> dsirOracleSql(dsirBuckets),
     "q_bpe" -> bpeOracleSql(bpeN),
     "q_bpe_encode" -> bpeEncodeOracleSql(bpeN),
+    "q_fertility" ->
+      s"""WITH ${bpeChainSql(bpeN)},
+         |enc AS (SELECT regexp_replace(m, '[<>]', '', 'g') AS wd,
+         |               len(regexp_extract_all(m, '<([^>]*)>', 1))::BIGINT AS n_sub FROM w$bpeN),
+         |dt AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS wd
+         |       FROM documents),
+         |d AS (SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_sub)::BIGINT AS n_bpe
+         |      FROM dt JOIN enc USING (wd) GROUP BY 1),
+         |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
+         |sc AS (SELECT doc_id,
+         |         len(list_filter(ts, x -> x IN ('the','a'))) AS c_en,
+         |         len(list_filter(ts, x -> x IN ('table','join'))) AS c_de,
+         |         len(list_filter(ts, x -> x IN ('row','column'))) AS c_es,
+         |         len(list_filter(ts, x -> x IN ('filter','merge'))) AS c_fr,
+         |         len(list_filter(ts, x -> x IN ('window','batch'))) AS c_zh
+         |       FROM t),
+         |lid AS (SELECT doc_id,
+         |          CASE WHEN greatest(c_en,c_de,c_es,c_fr,c_zh) = 0 THEN 'und'
+         |               WHEN c_en = greatest(c_en,c_de,c_es,c_fr,c_zh) THEN 'en'
+         |               WHEN c_de = greatest(c_en,c_de,c_es,c_fr,c_zh) THEN 'de'
+         |               WHEN c_es = greatest(c_en,c_de,c_es,c_fr,c_zh) THEN 'es'
+         |               WHEN c_fr = greatest(c_en,c_de,c_es,c_fr,c_zh) THEN 'fr'
+         |               ELSE 'zh' END AS lang
+         |        FROM sc)
+         |SELECT lang, count(*)::BIGINT AS n_docs, sum(n_words)::BIGINT AS n_words,
+         |       sum(n_bpe)::BIGINT AS n_bpe,
+         |       ((sum(n_bpe) * 100) // sum(n_words))::BIGINT AS fertility_x100
+         |FROM d JOIN lid USING (doc_id) GROUP BY 1""".stripMargin,
     "q_matching" -> matchingOracleSql(matchingRounds),
     "q_text_embed" ->
       """SELECT doc_id, dim::BIGINT AS dim, sum(v)::BIGINT AS val
@@ -2724,6 +2778,21 @@ object SparkEntry {
       """SELECT n_name, count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name""",
+    "q_motif" ->
+      """WITH lo AS (SELECT (7000000000000 + l_orderkey * 8 + l_linenumber)::BIGINT AS l,
+                            l_orderkey FROM lineitem),
+              ls AS (SELECT (7000000000000 + l_orderkey * 8 + l_linenumber)::BIGINT AS l,
+                            l_suppkey FROM lineitem)
+         SELECT lo.l AS l,
+                (6000000000000 + lo.l_orderkey)::BIGINT AS o,
+                (3000000000000 + o.o_custkey)::BIGINT AS c,
+                (2000000000000 + c.c_nationkey)::BIGINT AS n,
+                (4000000000000 + ls.l_suppkey)::BIGINT AS sp
+         FROM lo JOIN ls ON lo.l = ls.l
+         JOIN orders o ON lo.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON ls.l_suppkey = s.s_suppkey
+         WHERE c.c_nationkey = s.s_nationkey""",
     "q_token_count" ->
       """SELECT doc_id,
                 len(list_filter(string_split(text, ' '), x -> len(x) > 0))::BIGINT AS n_ws,

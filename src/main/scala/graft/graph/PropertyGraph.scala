@@ -352,6 +352,68 @@ final case class PropertyGraph(
     kinds.foreach { case (k, df) => df.createOrReplaceTempView(prefix + k) }
   }
 
+  /** DECLARATIVE MOTIF FINDING (the pattern-matching query surface next to
+    * the fluent DSL and SQL views — GraphFrames' `find` dialect, the
+    * Spark-native rendering of the Cypher-ish patterns a fermor user writes
+    * as nested traversals): a pattern is `;`-separated edge terms
+    *
+    *   `(a)-[label]->(b)`   edge with that label binds vertex vars a, b
+    *   `(a)-[]->(b)`        any label
+    *   `()`                 anonymous vertex — matched but not returned
+    *   `!(a)-[label]->(b)`  NEGATION: no such edge exists (vars must be
+    *                        bound by positive terms; anonymous = "none at all")
+    *
+    * Returns one column per named variable (vertex id), bag semantics —
+    * one row per distinct binding of ALL variables including anonymous
+    * ones, so multiplicities mirror the traversal DSL's.
+    *
+    * Compilation: each positive term is the (label-filtered) edge table
+    * renamed to its variables, equi-joined on whatever variables it shares
+    * with the bindings so far (a chain compiles to the same keyed
+    * hash-join cascade the fluent `out()` produces; a term sharing BOTH
+    * endpoints closes cycles — triangles — on a two-column key). Negated
+    * terms project onto their bound variables and LEFT-ANTI join. Terms
+    * sharing no variable with the prefix cross-join — legal but called
+    * out: order the pattern so each term touches an earlier one. */
+  def motif(pattern: String): DataFrame = {
+    val termRe = raw"""(!?)\(([A-Za-z_]\w*)?\)-\[([A-Za-z_]\w*)?\]->\(([A-Za-z_]\w*)?\)""".r
+    var anon = 0
+    val terms = pattern.split(";").map(_.trim).filter(_.nonEmpty).map {
+      case termRe(neg, sv, lbl, dv) =>
+        def v(n: String) = Option(n).filter(_.nonEmpty).getOrElse { anon += 1; s"__anon$anon" }
+        (neg == "!", v(sv), Option(lbl).filter(_.nonEmpty), v(dv))
+      case t => throw new IllegalArgumentException(
+        s"motif term '$t' is not (a)-[label]->(b), (a)-[]->(b), or a !-negation")
+    }.toSeq
+    require(terms.exists(!_._1), "motif needs at least one positive term")
+    def term(sv: String, lbl: Option[String], dv: String): DataFrame = {
+      val e = lbl.map(l => edges.where(col("label") === l)).getOrElse(edges)
+      if (sv == dv)
+        e.where(col("src") === col("dst")).select(col("src").as(sv))
+      else e.select(col("src").as(sv), col("dst").as(dv))
+    }
+    val bound = terms.filter(!_._1)
+      .foldLeft(Option.empty[DataFrame]) { case (accOpt, (_, sv, lbl, dv)) =>
+        val e = term(sv, lbl, dv)
+        Some(accOpt.fold(e) { acc =>
+          val shared = acc.columns.intersect(e.columns).toSeq
+          if (shared.nonEmpty) acc.join(e, shared) else acc.crossJoin(e)
+        })
+      }.get
+    val full = terms.filter(_._1).foldLeft(bound) { case (acc, (_, sv, lbl, dv)) =>
+      val e = term(sv, lbl, dv)
+      val shared = acc.columns.intersect(e.columns).toSeq
+      require(shared.nonEmpty,
+        s"negated motif term over ($sv)->($dv) shares no bound variable with the positive terms")
+      acc.join(e.select(shared.map(col): _*), shared, "left_anti")
+    }
+    // named variables in first-appearance order (join/anti-join column
+    // reordering must not leak into the result contract)
+    val named = terms.filter(!_._1).flatMap(t => Seq(t._2, t._4))
+      .distinct.filterNot(_.startsWith("__anon"))
+    full.select(named.map(col): _*)
+  }
+
   /** fermor core.clj:89 `add-edges-from`: fan edges out from ONE vertex to
     * every vertex in `vs` under `label`. `vs` needs an `id` column; any
     * OTHER columns it carries become edge-property columns (the reference's

@@ -172,6 +172,20 @@ class PlanSpec extends AnyFunSuite {
     assert(executedPlan(anti).toLowerCase.contains("leftanti"))
   }
 
+  test("motif compiles to keyed joins: no cartesian, negation is left-anti") {
+    val g = Tpch.load(spark, dir)
+    val diamond = g.motif(
+      "(l)-[lineitem_order]->(o); (o)-[order_customer]->(c); " +
+      "(c)-[customer_nation]->(n); (l)-[lineitem_supplier]->(sp); " +
+      "(sp)-[supplier_nation]->(n)")
+    val dPlan = executedPlan(diamond)
+    assert(!dPlan.contains("CartesianProduct") && !dPlan.contains("BroadcastNestedLoopJoin"),
+      "the motif diamond must stay a keyed hash-join cascade:\n" + dPlan.take(3000))
+    val neg = g.motif("(c)-[customer_nation]->(n); !()-[order_customer]->(c)")
+    assert(executedPlan(neg).toLowerCase.contains("leftanti"),
+      "motif negation must compile to a left-anti join")
+  }
+
   test("chunkDocs / upsampleEpochs / splitAssign are zero-Exchange scan passes") {
     import graft.pipeline.Corpus
     val docs = Tpch.table(spark, dir, "documents")

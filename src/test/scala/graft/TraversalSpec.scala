@@ -604,5 +604,37 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("motif: chain + cycle-closing join, anonymous bag semantics, negation, errors") {
+    // chain with a shared-variable close: every application path plus the
+    // job's creator — each term equi-joins the bindings on its shared vars
+    val rows = jobGraph
+      .motif("(p)-[completes]->(ap); (ap)-[appliesTo]->(j); (co)-[created]->(j)")
+      .select("p", "ap", "j", "co").as[(Long, Long, Long, Long)].collect().toSet
+    assert(rows === Set(
+      (bob, appBob1, blueprintsJob1, blueprints),
+      (bob, appBob2, blueprintsJob2, blueprints),
+      (stephen, appStephen2, blueprintsJob3, blueprints),
+      (stephen, appStephen1, rexsterJob1, rexster)))
+    // anonymous vertices are matched but not returned — bag multiplicity
+    // per distinct anonymous binding survives
+    val bag = jobGraph.motif("(p)-[completes]->()").as[Long].collect().toSeq.sorted
+    assert(bag === Seq(bob, bob, stephen, stephen))
+    // negation: a freshly created job nobody applied to is the only survivor
+    val g2 = jobGraph
+      .addVertices("job", Seq(25L).toDF("id"))
+      .addEdges(Seq((blueprints, 25L, "created")).toDF("src", "dst", "label"))
+    val lonely = g2.motif("(co)-[created]->(j); !()-[appliesTo]->(j)")
+      .as[(Long, Long)].collect().toSet
+    assert(lonely === Set((blueprints, 25L)))
+    // unlabeled edge term matches any label
+    assert(jobGraph.motif("()-[]->(x)").count() === jobGraph.edges.count())
+    // a negation sharing no variable with the positive terms fails loudly
+    intercept[IllegalArgumentException] {
+      jobGraph.motif("(p)-[completes]->(ap); !(z)-[created]->(w)")
+    }
+    // malformed term fails loudly
+    intercept[IllegalArgumentException] { jobGraph.motif("(p)->(q)") }
+  }
+
   override def afterAll(): Unit = { /* shared session; leave running */ }
 }
