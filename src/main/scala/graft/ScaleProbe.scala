@@ -172,6 +172,31 @@ object ScaleProbe {
     println(f"[scale] hot-bucket guard at ${k}x: guarded ${cres(1)._2}%.2f s vs unguarded ${cres(0)._2}%.2f s " +
       f"(speedup ${cres(0)._2 / math.max(cres(1)._2, 1e-9)}%.2f x on the same ${cres(0)._3} pairs)")
 
+    // --- local clustering coefficient probe --------------------------------
+    // bounded-degree chain+shortcut graph on a DENSE id sequence (spark.range
+    // — orderkeys are sparse, so a +1 chain over them would dangle): i→i+1
+    // everywhere, i→i+2 at every 10th vertex closes triangles. Degree ≤ 4,
+    // so wedge fan-out is LINEAR in edges — the probe shows the three keyed
+    // joins absorbing 8× edges linearly; the hub regime is a data property
+    // the scaladoc's cap guidance addresses, not a plan property.
+    def clusterEdges(n: Long): DataFrame = {
+      val ids = spark.range(n).select(col("id"))
+      ids.where(col("id") < n - 1)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        .unionAll(ids.where(col("id") % 10 === 0 && col("id") < n - 2)
+          .select(col("id").as("src"), (col("id") + 2).as("dst")))
+        .localCheckpoint(true)
+    }
+    def clusterProbe(n: Long): Long = {
+      val es = clusterEdges(n)
+      graft.algos.Algos.localClustering(spark.range(n).select(col("id")), es)
+        .where(col("coeff_bp") > 0).count()
+    }
+    val cn = 1500000L
+    val (lc1, lcn1) = minTime(clusterProbe(cn))
+    val (lcK, lcnK) = minTime(clusterProbe(cn * k))
+    println(f"[scale] local_clustering   1x: $lc1%6.2f s (n=$lcn1%9d)   ${k}x: $lcK%6.2f s (n=$lcnK%9d)   time-ratio: ${lcK / math.max(lc1, 1e-9)}%5.2f")
+
     // --- LLM-pipeline probes (SURVEY §2.4 at scale) ------------------------
     // documents is tiny at sf0.1 (5k rows), so replicate k² (64×) for signal.
     // Copies keep their text (more volume, same distinct-content space —
@@ -202,7 +227,15 @@ object ScaleProbe {
         .dupSpanCoverage(d, "doc_id", "text", k = 3, minDf = 2L).count()),
       // unigram surprisal: one token-keyed count + one keyed join back
       "surprisal" -> (d => graft.functions.TextOps
-        .surprisalScore(d, "doc_id", "text").count()))
+        .surprisalScore(d, "doc_id", "text").count()),
+      // BPE encode in the train-once-encode-everything regime: the merge
+      // table is learned on the 1x corpus and applied to both sides — the
+      // distinct-word rewrite is vocabulary-sized (fixed under replication),
+      // so time should track the corpus join, linearly
+      "bpe_encode" -> {
+        lazy val merges = graft.functions.TextOps.bpeMerges(docs1, "text", nMerges = 6)
+        d => graft.functions.TextOps.bpeEncode(d, "doc_id", "text", merges).count()
+      })
     pipeProbes.foreach { case (name, f) =>
       val (t1, n1) = minTime(f(docs1))
       val (tK, nK) = minTime(f(docsK))

@@ -1145,6 +1145,18 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, dir) =>
       graft.dedup.Dedup.ngramJaccardPairs(Tpch.table(s, dir, "documents"), "doc_id", "text",
         k = 3, minBp = 5000)),
+    "q_dedup_verify" -> ((s, dir) => {
+      // the VERIFY stage after candidate generation: exact edit-distance
+      // similarity on the Jaccard candidate pairs only (the pair index is
+      // shared with q_dedup_jaccard under scan sharing) — O(|a|·|b|) per
+      // pair is affordable because the candidate set is keyed-join output,
+      // never the corpus cross product
+      val docs = Tpch.table(s, dir, "documents")
+      val cand = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, minBp = 5000).select("id_a", "id_b", "j_bp")
+      graft.dedup.Dedup.verifyPairs(docs, "doc_id", "text", cand, minSimBp = 9500)
+        .select("id_a", "id_b", "j_bp", "lev", "sim_bp")
+    }),
     "q_contamination" -> ((s, dir) => {
       // decontamination screen: corpus docs sharing >= 5 word-3-gram
       // shingles with a probe set (here: the first 10 docs standing in for
@@ -2944,6 +2956,23 @@ object SparkEntry {
                 (i * 10000) // (na.n + nb.n - i) AS j_bp
          FROM inter JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id
          WHERE i * 10000 >= 5000 * (na.n + nb.n - i)""",
+    "q_dedup_verify" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
+            sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+                   FROM toks, unnest(generate_series(1, greatest(len(ts) - 2, 0))) t(i)),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+            cand AS (SELECT id_a, id_b, (i * 10000) // (na.n + nb.n - i) AS j_bp
+                     FROM inter JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id
+                     WHERE i * 10000 >= 5000 * (na.n + nb.n - i)),
+            v AS (SELECT c.id_a, c.id_b, c.j_bp,
+                         levenshtein(da.text, db.text)::BIGINT AS lev,
+                         (10000 - (levenshtein(da.text, db.text) * 10000)
+                            // greatest(len(da.text), len(db.text)))::BIGINT AS sim_bp
+                  FROM cand c JOIN documents da ON c.id_a = da.doc_id
+                  JOIN documents db ON c.id_b = db.doc_id)
+         SELECT id_a, id_b, j_bp, lev, sim_bp FROM v WHERE sim_bp >= 9500""",
     "q_contamination" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
             sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s

@@ -377,4 +377,31 @@ object Dedup {
       .join(keptText, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("__txt"), lit("")).as("text_stripped"))
   }
+
+  /** Candidate-pair VERIFICATION — the stage every scalable dedup pipeline
+    * runs AFTER candidate generation: exact edit-distance similarity on the
+    * (small) candidate set only. `pairs` carries `id_a`/`id_b` (plus any
+    * provenance columns, kept); each pair joins its two texts back and gets
+    * `lev` (Levenshtein edits) and `sim_bp = 10000 − ⌊lev·10000 / max(len)⌋`;
+    * pairs below `minSimBp` drop.
+    *
+    * Scale shape: levenshtein is O(|a|·|b|) PER PAIR — affordable precisely
+    * because the input is the candidate output of a keyed generator (LSH
+    * band join, shingle prefix join), never the corpus cross product; the
+    * two text join-backs are id-keyed equi-joins. Both-empty pairs are
+    * identical (sim 10000), not a divide-by-zero. */
+  def verifyPairs(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, minSimBp: Long): DataFrame = {
+    val d = docs.select(col(idCol), col(textCol))
+    val withTexts = pairs
+      .join(d.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
+      .join(d.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
+    withTexts
+      .withColumn("lev", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn("sim_bp",
+        when(greatest(length(col("__ta")), length(col("__tb"))) === 0, lit(10000L))
+          .otherwise(expr("10000L - (lev * 10000L) div greatest(length(__ta), length(__tb))")))
+      .where(col("sim_bp") >= minSimBp)
+      .drop("__ta", "__tb")
+  }
 }

@@ -1564,6 +1564,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(first === ((1, "a", "b", 1L)))
   }
 
+  test("verifyPairs: exact edit-distance gate on candidate pairs, empty-text identity") {
+    import graft.dedup.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown cat"), // lev 3, len 19 -> sim 8421
+      (3L, "completely different words here"), (4L, ""), (5L, "")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, "x"), (1L, 3L, "y"), (4L, 5L, "z")).toDF("id_a", "id_b", "tag")
+    val all = Dedup.verifyPairs(docs, "doc_id", "text", pairs, minSimBp = 0L)
+      .select("id_a", "id_b", "tag", "lev", "sim_bp")
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    // lev("the quick brown fox","the quick brown cat")=3; 10000-3*10000/19=8422
+    assert(all.exists(r => r._1 == 1L && r._2 == 2L && r._3 == "x" && r._4 == 3L && r._5 == 8422L))
+    // both-empty pair: identical by convention, never a divide-by-zero
+    assert(all.exists(r => r._1 == 4L && r._2 == 5L && r._4 === 0L && r._5 === 10000L))
+    // the gate actually drops dissimilar candidates; provenance columns ride
+    val kept = Dedup.verifyPairs(docs, "doc_id", "text", pairs, minSimBp = 8000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(kept === Set((1L, 2L), (4L, 5L)))
+  }
+
   test("bpeEncode: subword counts track the merge table; training corpus round-trips") {
     import graft.functions.TextOps
     // same corpus as the bpeMerges spec: merges (a,a), (a,b), (aa,ab)

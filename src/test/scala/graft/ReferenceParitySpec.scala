@@ -60,6 +60,21 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(rows === Seq("G", "D", "B", "M", "E", "C", "T", "X").map(L))
   }
 
+  test("walk-reduce accumulators (fermor test-postwalk-reduce family, string-conj)") {
+    // algo_test.clj:27,37,102,107 — the reference folds (conj state (str id));
+    // the exact accumulated sequences must match on both ELI graphs
+    val R: Map[Long, String] = L.map(_.swap)
+    def conjStr(s: List[String], v: Long): List[String] = s :+ R(v)
+    assert(Algos.postwalkReduce(L("A"), simple, List.empty[String])(conjStr) ===
+      List("D", "B", "E", "C", "T", "A"))
+    assert(Algos.reversePostwalkReduce(L("A"), simple, List.empty[String])(conjStr) ===
+      List("A", "T", "C", "E", "B", "D"))
+    assert(Algos.postwalkReduce(L("X"), cyclic, List.empty[String])(conjStr) ===
+      List("G", "D", "B", "M", "E", "C", "T", "X"))
+    assert(Algos.reversePostwalkReduce(L("X"), cyclic, List.empty[String])(conjStr) ===
+      List("X", "T", "C", "E", "M", "B", "D", "G"))
+  }
+
   test("immediate dominators on the ELI cyclic graph (fermor dominance)") {
     val idom = Algos.immediateDominators(L("X"), cyclic)
       .as[(Long, Long)].collect().toMap
