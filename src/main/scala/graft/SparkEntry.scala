@@ -439,6 +439,18 @@ object SparkEntry {
         .select(col("n_edges"),
           round(col("assortativity") * 10000, 0).cast("long").as("assort_bp"))
     }),
+    "q_richclub" -> ((s, dir) => {
+      // rich-club coefficients of the same co-purchase graph at a geometric
+      // threshold ladder: hub-to-hub density in integer basis points — one
+      // pass against the broadcast threshold list, never per-k jobs
+      val cp = Tpch.table(s, dir, "lineitem")
+        .join(Tpch.table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(Vid.vid("customer", col("o_custkey")).as("src"),
+          Vid.vid("part", col("l_partkey")).as("dst"))
+        .distinct()
+      graft.algos.Algos.richClub(cp, Seq(1L, 2L, 4L, 8L, 16L))
+    }),
     "q_topo_level" -> ((s, dir) => {
       // maxIter = the FK graph's exact depth (lineitem→orders→customer→
       // nation→region = 4): the fixpoint is reached at round 4, so the bound
@@ -643,6 +655,15 @@ object SparkEntry {
       val probes = Seq("1", "2", "17", "123", "1999", "999999").toDF("k")
       graft.functions.Sketch.cmsEstimate(sk, probes, col("k"), depth = 4, width = 64)
     }),
+    "q_quantile_sketch" -> ((s, dir) => {
+      // log₂-histogram quantile sketch over lineitem price cents: ≤65-row
+      // summary, NO global sort (exact percentiles sort; q_length_stats is
+      // that baseline), quantile estimate = bucket upper bound — within 2×
+      // of truth by construction, bit-identical across engines
+      val li = Tpch.table(s, dir, "lineitem")
+      val sk = graft.functions.Sketch.histBuild(li, cents(col("l_extendedprice")))
+      graft.functions.Sketch.histQuantiles(sk, Seq(500, 900, 990))
+    }),
     "q_ktruss" -> ((s, dir) => {
       // 5-truss of the predicted-link graph (customers sharing >= 3 parts):
       // every surviving edge sits in >= 3 triangles within the truss —
@@ -714,6 +735,14 @@ object SparkEntry {
       // recomputes the identical sketch
       graft.functions.Sketch.hllRegisters(
         Tpch.table(s, dir, "orders"), col("o_orderkey"), b = hllB)),
+    "q_hll_bykey" -> ((s, dir) =>
+      // per-GROUP cardinality sketch: distinct order keys per return flag —
+      // the "distinct users per domain" shape at fixed memory per group;
+      // sparse registers, missing buckets folded into the readout exactly
+      graft.functions.Sketch.hllEstimateByKey(
+        graft.functions.Sketch.hllRegistersByKey(
+          Tpch.table(s, dir, "lineitem"), col("l_returnflag"), col("l_orderkey"), b = hllB),
+        b = hllB)),
     "q_hll_est" -> ((s, dir) =>
       // the integer-exact HLL readout over those registers: floor-division
       // alpha·m²·2^R / Σ2^(R−reg); spec pins |est − exact| within the
@@ -1775,6 +1804,23 @@ object SparkEntry {
   private def hllOracleSql(b: Int): String =
     s"WITH ${hllRegsSql(b)}\nSELECT bucket, reg FROM fl"
 
+  /** q_hll_bykey oracle: the per-group register pipeline + sparse readout —
+    * missing buckets contribute 2^R each via the (m − n_present) term. */
+  private def hllByKeyOracleSql(b: Int): String = {
+    val m = 1L << b
+    val maxRho = 64 - b
+    s"""WITH h AS (SELECT l_returnflag AS g,
+       |        (${duckHash64("l_orderkey::VARCHAR")}) & 9223372036854775807 AS h FROM lineitem),
+       |r AS (SELECT g, h % $m AS bucket, h // $m AS rest FROM h),
+       |rr AS (SELECT g, bucket, CASE WHEN rest = 0 THEN $maxRho ELSE $maxRho - length(bin(rest)) END AS rho FROM r),
+       |reg AS (SELECT g, bucket, max(rho) AS reg FROM rr GROUP BY 1, 2),
+       |agg AS (SELECT g, sum((1::BIGINT << ($maxRho - reg))::HUGEINT) AS sp,
+       |               count(*)::BIGINT AS np FROM reg GROUP BY 1)
+       |SELECT g, ((709::HUGEINT * ${m * m} * (1::BIGINT << $maxRho)::HUGEINT)
+       |           // (1000::HUGEINT * (sp + ($m - np)::HUGEINT * (1::BIGINT << $maxRho)::HUGEINT)))::BIGINT AS n_est
+       |FROM agg""".stripMargin
+  }
+
   /** q_hll_est oracle: the integer-exact readout — HUGEINT-scaled harmonic
     * sum Σ2^(R−reg), alpha as 709/1000, one floor division. */
   private def hllEstOracleSql(b: Int): String = {
@@ -2048,6 +2094,7 @@ object SparkEntry {
     "q_mst" -> mstOracleSql(mstRounds),
     "q_coloring" -> coloringOracleSql(coloringRounds),
     "q_hll" -> hllOracleSql(hllB),
+    "q_hll_bykey" -> hllByKeyOracleSql(hllB),
     "q_hll_est" -> hllEstOracleSql(hllB),
     "q_dsir" -> dsirOracleSql(dsirBuckets),
     "q_bpe" -> bpeOracleSql(bpeN),
@@ -2231,6 +2278,20 @@ object SparkEntry {
                    FROM probes p, rows_ r)
          SELECT pe.k, min(coalesce(cells.cnt, 0))::BIGINT AS est
          FROM pe LEFT JOIN cells ON cells.r = pe.r AND cells.cell = pe.cell
+         GROUP BY 1""",
+    "q_quantile_sketch" ->
+      """WITH v AS (SELECT round(l_extendedprice * 100)::BIGINT AS v FROM lineitem),
+            hb AS (SELECT (CASE WHEN v <= 0 THEN -1 ELSE len(bin(v)) - 1 END)::INT AS bucket,
+                          count(*)::BIGINT AS cnt
+                   FROM v GROUP BY 1),
+            tot AS (SELECT sum(cnt)::BIGINT AS total FROM hb),
+            cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket)::BIGINT AS cum FROM hb),
+            qs AS (SELECT unnest([500, 900, 990]) AS q_pm)
+         SELECT q_pm::BIGINT AS q_pm, min(bucket)::BIGINT AS bucket,
+                (CASE WHEN min(bucket) < 0 THEN 0
+                      ELSE (1::BIGINT << (min(bucket) + 1)) - 1 END)::BIGINT AS est
+         FROM cum, tot, qs
+         WHERE cum * 1000 >= q_pm * total
          GROUP BY 1""",
     "q_split" ->
       """SELECT doc_id, source,
@@ -2606,6 +2667,24 @@ object SparkEntry {
          SELECT (count(*) // 2)::BIGINT AS n_edges,
                 round(corr(dx.deg, dy.deg) * 10000)::BIGINT AS assort_bp
          FROM sym JOIN dg dx ON dx.u = sym.u JOIN dg dy ON dy.u = sym.v""",
+    "q_richclub" ->
+      """WITH cp AS (SELECT DISTINCT 3000000000000 + o.o_custkey AS s,
+                            5000000000000 + l.l_partkey AS d
+                     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+            sym AS (SELECT s AS u, d AS v FROM cp UNION ALL SELECT d, s FROM cp),
+            dg AS (SELECT u, count(*)::BIGINT AS deg FROM sym GROUP BY 1),
+            ks AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+            nk AS (SELECT k, count(*)::BIGINT AS n_nodes FROM dg, ks WHERE dg.deg > ks.k GROUP BY k),
+            ed AS (SELECT least(dx.deg, dy.deg) AS m
+                   FROM cp JOIN dg dx ON dx.u = cp.s JOIN dg dy ON dy.u = cp.d),
+            ek AS (SELECT k, count(*)::BIGINT AS n_edges FROM ed, ks WHERE ed.m > ks.k GROUP BY k)
+         SELECT ks.k::BIGINT AS k,
+                coalesce(n_nodes, 0)::BIGINT AS n_nodes,
+                coalesce(n_edges, 0)::BIGINT AS n_edges,
+                (CASE WHEN coalesce(n_nodes, 0) < 2 THEN 0
+                      ELSE (coalesce(n_edges, 0) * 2 * 10000) // (n_nodes * (n_nodes - 1))
+                 END)::BIGINT AS phi_bp
+         FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)""",
     "q_topo_level" ->
       """WITH ll AS (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem),
             ol AS (SELECT o_orderkey, o_custkey,

@@ -516,6 +516,45 @@ object Algos {
           .otherwise(lit(null).cast("double")).as("assortativity"))
   }
 
+  /** RICH-CLUB COEFFICIENT (Zhou & Mondragón 2004) at each degree threshold
+    * k: among the N_k vertices of degree > k, the realized fraction of the
+    * C(N_k, 2) possible edges — integer basis points, φ_bp =
+    * (2·E_k·10000) div (N_k·(N_k−1)); thresholds with fewer than 2 members
+    * report 0. Hub-to-hub interconnection, the structural complement of
+    * [[degreeAssortativity]]'s correlation view.
+    *
+    * Scale shape: one symmetrize+distinct, one degree agg, two keyed degree
+    * join-backs onto the canonical edge list, then ONE pass over vertices
+    * and edges against the BROADCAST threshold list (|ks| rows) — no
+    * per-threshold jobs, no pair enumeration. */
+  def richClub(edges: DataFrame, ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val raw = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val sym = raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(false)
+    val deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val ksDf = ks.distinct.sorted.toDF("k")
+    val nk = deg.crossJoin(broadcast(ksDf)).where(col("d") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val canon = sym.where(col("src") < col("dst"))
+      .join(deg.select(col("v").as("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("v").as("dst"), col("d").as("dy")), "dst")
+      .select(least(col("dx"), col("dy")).as("m"))
+    val ek = canon.crossJoin(broadcast(ksDf)).where(col("m") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    ksDf.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("phi_bp",
+        when(col("n_nodes") < 2, lit(0L))
+          .otherwise(expr("(n_edges * 2 * 10000) div (n_nodes * (n_nodes - 1))")))
+  }
+
   /** Community detection via label propagation. */
   def labelPropagation(vertices: DataFrame, edges: DataFrame, iters: Int = 10)(
       implicit spark: SparkSession): DataFrame = {

@@ -105,4 +105,83 @@ object Sketch {
       .join(sketch, Seq("r", "cell"), "left")
       .groupBy("k").agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** Per-GROUP HyperLogLog registers — "distinct users per domain" at
+    * sketch cost: same integer-exact register pipeline as [[hllRegisters]],
+    * keyed by a group column. Registers are SPARSE (absent bucket ≡ reg 0;
+    * a dense fill per group would be |groups|·m rows for no information);
+    * [[hllEstimateByKey]] accounts for the missing buckets exactly. Merge
+    * across partitions/batches = per-(g, bucket) max, as always. One
+    * (g, bucket)-keyed agg — the same shuffle a per-group exact
+    * count-distinct pays per DISTINCT VALUE, paid here per register. */
+  def hllRegistersByKey(df: DataFrame, group: Column, key: Column, b: Int = 6): DataFrame = {
+    require(b >= 4 && b <= 16)
+    val m = 1L << b
+    val maxRho = 64 - b
+    df.select(group.as("g"),
+        graft.dedup.Dedup.portableHash64(key.cast("string"))
+          .bitwiseAND(lit(Long.MaxValue)).as("h"))
+      .select(col("g"), pmod(col("h"), lit(m)).as("bucket"), expr(s"h div ${m}L").as("rest"))
+      .select(col("g"), col("bucket"),
+        when(col("rest") === 0L, lit(maxRho))
+          .otherwise(lit(maxRho) - length(bin(col("rest")))).cast("int").as("rho"))
+      .groupBy("g", "bucket").agg(max("rho").as("reg"))
+  }
+
+  /** Per-group readout of [[hllRegistersByKey]]: the [[hllEstimate]]
+    * integer-exact formula with the sparse groups' missing buckets folded
+    * in as (m − n_present)·2^R — bit-identical to a dense fill. */
+  def hllEstimateByKey(regs: DataFrame, b: Int = 6,
+      alphaNum: Long = 709, alphaDen: Long = 1000): DataFrame = {
+    require(b >= 4 && b <= 16)
+    val m = 1L << b
+    val maxRho = 64 - b
+    regs
+      .select(col("g"), expr(s"CAST(shiftleft(1L, $maxRho - reg) AS DECIMAL(38,0))").as("t"))
+      .groupBy("g").agg(sum("t").as("sp"), count(lit(1)).as("np"))
+      .select(col("g"), expr(
+        s"CAST(CAST($alphaNum AS DECIMAL(38,0)) * ${m * m}L * CAST(shiftleft(1L, $maxRho) AS DECIMAL(38,0)) " +
+        s"div (CAST($alphaDen AS DECIMAL(38,0)) * (sp + CAST(${m}L - np AS DECIMAL(38,0)) " +
+        s"* CAST(shiftleft(1L, $maxRho) AS DECIMAL(38,0)))) AS BIGINT)").as("n_est"))
+  }
+
+  /** LOG₂-HISTOGRAM quantile sketch build: bucket = ⌊log₂ v⌋ for v ≥ 1
+    * (non-positive values pool in bucket −1), computed INTEGER-EXACTLY as
+    * `length(bin(v)) − 1` — never float log, whose rounding at power-of-two
+    * boundaries engines disagree on. Returns `(bucket, cnt)`: at most 65
+    * rows no matter the input size — the fixed-memory quantile summary
+    * whose guarantee is a bounded RELATIVE error (estimate within 2× of
+    * the true quantile value, the bucket-width bound).
+    *
+    * Scale: one map-side-combinable agg over a scan — no global sort (an
+    * exact percentile sorts or multi-passes). Sketches MERGE by bucket-wise
+    * sum, so per-partition/per-day/per-micro-batch sketches compose into
+    * the corpus summary without touching raw data again (spec'd, like CMS). */
+  def histBuild(df: DataFrame, value: Column): DataFrame =
+    df.select(value.cast("long").as("__v"))
+      .select(when(col("__v") <= 0, lit(-1))
+        .otherwise(length(bin(col("__v"))) - 1).cast("int").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates from a [[histBuild]] sketch at permille ranks
+    * `qsPm`: the answer bucket is the smallest whose cumulative count
+    * reaches ⌈q·total/1000⌉, and the estimate is its inclusive upper bound
+    * 2^(b+1)−1 (bucket −1 → 0) — a deterministic convention both engines
+    * replay bit-for-bit. The sketch is ≤65 rows, so the rank scan is a
+    * broadcast-sized crossJoin + one small agg, never a job over the data. */
+  def histQuantiles(sketch: DataFrame, qsPm: Seq[Int]): DataFrame = {
+    require(qsPm.nonEmpty && qsPm.forall(q => q >= 1 && q <= 1000))
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val total = sketch.agg(sum("cnt").as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket").rowsBetween(Long.MinValue, 0)
+    val cum = sketch.withColumn("cum", sum("cnt").over(w)).crossJoin(total)
+    cum.crossJoin(broadcast(qsPm.distinct.sorted.toDF("q_pm")))
+      .where(col("cum") * 1000 >= col("q_pm") * col("total"))
+      .groupBy("q_pm").agg(min("bucket").as("bucket"))
+      .select(col("q_pm").cast("long").as("q_pm"), col("bucket").cast("long").as("bucket"),
+        when(col("bucket") < 0, lit(0L))
+          .otherwise(expr("shiftleft(1L, cast(bucket + 1 AS int)) - 1L")).as("est"))
+  }
 }

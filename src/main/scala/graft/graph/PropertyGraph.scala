@@ -376,16 +376,29 @@ final case class PropertyGraph(
     * sharing no variable with the prefix cross-join — legal but called
     * out: order the pattern so each term touches an earlier one. */
   def motif(pattern: String): DataFrame = {
-    val termRe = raw"""(!?)\(([A-Za-z_]\w*)?\)-\[([A-Za-z_]\w*)?\]->\(([A-Za-z_]\w*)?\)""".r
+    val vtx = raw"""\(([A-Za-z_]\w*)?(?::([A-Za-z_]\w*))?\)"""
+    val termRe = raw"""(!?)$vtx-\[([A-Za-z_]\w*)?\]->$vtx""".r
     var anon = 0
+    val kindOf = scala.collection.mutable.HashMap[String, String]()
     val terms = pattern.split(";").map(_.trim).filter(_.nonEmpty).map {
-      case termRe(neg, sv, lbl, dv) =>
-        def v(n: String) = Option(n).filter(_.nonEmpty).getOrElse { anon += 1; s"__anon$anon" }
-        (neg == "!", v(sv), Option(lbl).filter(_.nonEmpty), v(dv))
+      case termRe(neg, sv, sk, lbl, dv, dk) =>
+        def v(n: String, kd: String): String = {
+          val name = Option(n).filter(_.nonEmpty).getOrElse { anon += 1; s"__anon$anon" }
+          Option(kd).filter(_.nonEmpty).foreach { kk =>
+            kindOf.get(name).filter(_ != kk).foreach(prev =>
+              throw new IllegalArgumentException(
+                s"motif variable $name annotated with two kinds: $prev and $kk"))
+            kindOf(name) = kk
+          }
+          name
+        }
+        (neg == "!", v(sv, sk), Option(lbl).filter(_.nonEmpty), v(dv, dk))
       case t => throw new IllegalArgumentException(
-        s"motif term '$t' is not (a)-[label]->(b), (a)-[]->(b), or a !-negation")
+        s"motif term '$t' is not (a[:kind])-[label]->(b[:kind]), or a !-negation of one")
     }.toSeq
     require(terms.exists(!_._1), "motif needs at least one positive term")
+    kindOf.valuesIterator.foreach(kk => require(kinds.contains(kk),
+      s"motif kind annotation :$kk names no kind table (have: ${kinds.keys.mkString(", ")})"))
     def term(sv: String, lbl: Option[String], dv: String): DataFrame = {
       val e = lbl.map(l => edges.where(col("label") === l)).getOrElse(edges)
       if (sv == dv)
@@ -407,11 +420,16 @@ final case class PropertyGraph(
         s"negated motif term over ($sv)->($dv) shares no bound variable with the positive terms")
       acc.join(e.select(shared.map(col): _*), shared, "left_anti")
     }
+    // kind annotations: each annotated variable semi-joins its kind table
+    // (a narrow id set — broadcast-eligible; restriction, never fan-out)
+    val kinded = kindOf.toSeq.sortBy(_._1).foldLeft(full) { case (acc, (name, kk)) =>
+      acc.join(kinds(kk).select(col("id").as(name)), Seq(name), "left_semi")
+    }
     // named variables in first-appearance order (join/anti-join column
     // reordering must not leak into the result contract)
     val named = terms.filter(!_._1).flatMap(t => Seq(t._2, t._4))
       .distinct.filterNot(_.startsWith("__anon"))
-    full.select(named.map(col): _*)
+    kinded.select(named.map(col): _*)
   }
 
   /** fermor core.clj:89 `add-edges-from`: fan edges out from ONE vertex to

@@ -1073,6 +1073,36 @@ class DataOpsSpec extends AnyFunSuite {
     assert(acc.map { case ((r, c), n) => (r, c, n) }.toSet === whole)
   }
 
+  test("streaming quantile-sketch maintenance: per-batch histograms merge to the ORACLED batch sketch") {
+    // histBuild merges by bucket-wise sum (the CMS pattern): maintaining the
+    // quantile summary over a stream is foreachBatch + merge, and the merged
+    // sketch must equal the whole-corpus one — whose bucket arithmetic and
+    // quantile convention q_quantile_sketch oracles in DuckDB.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Sketch
+    val cents = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(round(col("l_extendedprice") * 100, 0).cast("long")).as[Long].collect().toSeq
+    val whole = Sketch.histBuild(cents.toDF("v"), col("v"))
+      .as[(Int, Long)].collect().toMap
+    val mem = MemoryStream[Long]
+    val acc = scala.collection.mutable.Map[Int, Long]()
+    val q = mem.toDS().toDF("v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Sketch.histBuild(batch, col("v")).as[(Int, Long)].collect()
+          .foreach { case (b, n) => acc(b) = acc.getOrElse(b, 0L) + n }
+      }.start()
+    val (h1, h2) = cents.splitAt(cents.size / 2)
+    mem.addData(h1); q.processAllAvailable()
+    mem.addData(h2); q.processAllAvailable()
+    q.stop()
+    assert(acc.toMap === whole)
+    // and the quantile readout of the maintained sketch matches the batch one
+    val maintained = acc.toSeq.toDF("bucket", "cnt")
+    assert(Sketch.histQuantiles(maintained, Seq(500, 900)).as[(Long, Long, Long)].collect().toSet ===
+      Sketch.histQuantiles(Sketch.histBuild(cents.toDF("v"), col("v")), Seq(500, 900))
+        .as[(Long, Long, Long)].collect().toSet)
+  }
+
   test("streaming per-domain quota admits arrival-order top-cap with state across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamQuota
@@ -1499,6 +1529,39 @@ class DataOpsSpec extends AnyFunSuite {
     assert(all.count() === 5L)
   }
 
+  test("histBuild/histQuantiles: exact buckets, quantile convention, bucket-wise sum merge") {
+    import graft.functions.Sketch
+    val vals = Seq(1L, 2L, 3L, 4L, 8L, 100L, 0L).toDF("v")
+    val sk = Sketch.histBuild(vals, col("v"))
+    // 1→b0, 2,3→b1, 4→b2, 8→b3, 100→b6, 0→b-1
+    assert(sk.as[(Int, Long)].collect().toMap ===
+      Map(-1 -> 1L, 0 -> 1L, 1 -> 2L, 2 -> 1L, 3 -> 1L, 6 -> 1L))
+    // q500 of 7 values: first cum ≥ 3.5 is bucket 1 → est 2²−1 = 3;
+    // q1000 → bucket 6 → 127; q100 → first cum ≥ 0.7 is the -1 pool → 0
+    val qs = Sketch.histQuantiles(sk, Seq(100, 500, 1000))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(qs === Map(100L -> (-1L, 0L), 500L -> (1L, 3L), 1000L -> (6L, 127L)))
+    // merge law: per-half sketches sum bucket-wise to the whole
+    val h1 = Sketch.histBuild(vals.limit(3), col("v"))
+    val h2 = Sketch.histBuild(vals.except(vals.limit(3)), col("v"))
+    // (except is a set op; rows here are distinct so the split is a partition)
+    val merged = h1.unionByName(h2).groupBy("bucket").agg(sum("cnt").as("cnt"))
+      .as[(Int, Long)].collect().toMap
+    assert(merged === sk.as[(Int, Long)].collect().toMap)
+  }
+
+  test("richClub: K4-with-pendants closed form") {
+    import graft.algos.Algos
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (6L, 2L)).toDF("src", "dst")
+    val got = Algos.richClub(es, Seq(0L, 1L, 3L, 4L))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(0L) === ((6L, 8L, 5333L))) // all 6 nodes, 8 edges, 2·8·10⁴/30
+    assert(got(1L) === ((4L, 6L, 10000L))) // the K4 is a perfect club
+    assert(got(3L) === ((2L, 1L, 10000L))) // deg-4 pair 1,2 still linked
+    assert(got(4L) === ((0L, 0L, 0L))) // empty club reports 0, not a crash
+  }
+
   test("hllRegisters/hllEstimate: estimate within the HLL envelope; bucket-wise max merge") {
     import graft.functions.Sketch
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
@@ -1523,6 +1586,27 @@ class DataOpsSpec extends AnyFunSuite {
     val re = Sketch.hllRegisters(orders.repartition(7), col("o_orderkey"))
       .as[(Long, Int)].collect().toMap
     assert(re === whole)
+  }
+
+  test("hllRegistersByKey/hllEstimateByKey: per-group ≡ per-slice global HLL, sparse exactness") {
+    import graft.functions.Sketch
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    // each group's sparse per-key estimate must equal running the GLOBAL
+    // dense pipeline on that group's slice alone — the sparse (m − np)·2^R
+    // term is exactly the dense fill's zero registers
+    val byKey = Sketch.hllEstimateByKey(
+      Sketch.hllRegistersByKey(orders, col("o_orderstatus"), col("o_orderkey")))
+      .as[(String, Long)].collect().toMap
+    val statuses = orders.select("o_orderstatus").distinct().as[String].collect()
+    statuses.foreach { st =>
+      val slice = orders.where(col("o_orderstatus") === st)
+      val dense = Sketch.hllEstimate(Sketch.hllRegisters(slice, col("o_orderkey")))
+        .as[Long].head()
+      assert(byKey(st) === dense, s"group $st: sparse ${byKey(st)} vs dense $dense")
+      val exact = slice.select("o_orderkey").distinct().count()
+      assert(math.abs(byKey(st) - exact).toDouble / exact < 0.39,
+        s"group $st: est ${byKey(st)} vs exact $exact")
+    }
   }
 
   test("dsirScore: floor-log2 likelihood ratio, hand-computed; partition-invariant") {

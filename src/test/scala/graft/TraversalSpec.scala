@@ -628,6 +628,21 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lonely === Set((blueprints, 25L)))
     // unlabeled edge term matches any label
     assert(jobGraph.motif("()-[]->(x)").count() === jobGraph.edges.count())
+    // kind annotations restrict a variable to a kind table (semi-join):
+    // un-annotated, the unlabeled 2-chain matches all label combinations;
+    // annotating the middle as an application keeps only completes→appliesTo
+    val annotated = jobGraph.motif("(p:person)-[]->(m:application); (m)-[]->(j:job)")
+    assert(annotated.count() === 4)
+    // a single unlabeled term matches all 12 edges; annotating either end
+    // restricts to that kind's incident edges
+    assert(jobGraph.motif("(c:company)-[]->(x)").count() === 4)
+    assert(jobGraph.motif("()-[]->(x:job)").count() === 8) // appliesTo + created
+    // conflicting kind annotations fail loudly
+    intercept[IllegalArgumentException] {
+      jobGraph.motif("(p:person)-[]->(m); (p:job)-[]->(x)")
+    }
+    // unknown kind fails loudly
+    intercept[IllegalArgumentException] { jobGraph.motif("(p:nope)-[]->(m)") }
     // a negation sharing no variable with the positive terms fails loudly
     intercept[IllegalArgumentException] {
       jobGraph.motif("(p)-[completes]->(ap); !(z)-[created]->(w)")
