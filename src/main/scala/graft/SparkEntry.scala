@@ -655,6 +655,27 @@ object SparkEntry {
       val probes = Seq("1", "2", "17", "123", "1999", "999999").toDF("k")
       graft.functions.Sketch.cmsEstimate(sk, probes, col("k"), depth = 4, width = 64)
     }),
+    "q_bloom" -> ((s, dir) => {
+      // Bloom pre-filter analysis: bits built from the ASIA customer keys,
+      // probed by every order AT THE SCAN (packed-word literal predicate,
+      // zero probe-side shuffle — Spark's runtime bloom pushdown made
+      // explicit + deterministic); the output row quantifies the classic
+      // guarantee: every true member kept, false positives bounded
+      val rkey = asiaKey(s, dir)
+      val asiaCust = Tpch.table(s, dir, "customer")
+        .join(Tpch.table(s, dir, "nation").where(col("n_regionkey") === rkey),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val bits = graft.functions.Sketch.bloomBuild(asiaCust, col("c_custkey"), m = 4096, k = 4)
+      val orders = Tpch.table(s, dir, "orders")
+      val kept = graft.functions.Sketch.bloomFilter(orders, col("o_custkey"), bits, m = 4096, k = 4)
+      val trueKept = kept.join(
+        asiaCust.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_semi")
+      orders.agg(count(lit(1)).as("n_probed"))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+        .crossJoin(trueKept.agg(count(lit(1)).as("n_true")))
+        .withColumn("n_false_pos", col("n_kept") - col("n_true"))
+    }),
     "q_quantile_sketch" -> ((s, dir) => {
       // log₂-histogram quantile sketch over lineitem price cents: ≤65-row
       // summary, NO global sort (exact percentiles sort; q_length_stats is
@@ -2279,6 +2300,25 @@ object SparkEntry {
          SELECT pe.k, min(coalesce(cells.cnt, 0))::BIGINT AS est
          FROM pe LEFT JOIN cells ON cells.r = pe.r AND cells.cell = pe.cell
          GROUP BY 1""",
+    "q_bloom" ->
+      """WITH ak AS (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'),
+            ac AS (SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+                   WHERE n_regionkey IN (SELECT r_regionkey FROM ak)),
+            js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+            bits AS (SELECT DISTINCT
+                       ('0x' || substr(md5(j::VARCHAR || ':' || c_custkey::VARCHAR), 1, 8))::BIGINT % 4096 AS bit
+                     FROM ac, js),
+            ck AS (SELECT DISTINCT o_custkey AS k FROM orders),
+            hits AS (SELECT k FROM ck, js
+                     WHERE ('0x' || substr(md5(j::VARCHAR || ':' || k::VARCHAR), 1, 8))::BIGINT % 4096
+                           IN (SELECT bit FROM bits)
+                     GROUP BY k HAVING count(*) = 4),
+            kept AS (SELECT o.o_orderkey, o.o_custkey FROM orders o JOIN hits ON o.o_custkey = hits.k)
+         SELECT (SELECT count(*) FROM orders)::BIGINT AS n_probed,
+                (SELECT count(*) FROM kept)::BIGINT AS n_kept,
+                (SELECT count(*) FROM kept WHERE o_custkey IN (SELECT c_custkey FROM ac))::BIGINT AS n_true,
+                ((SELECT count(*) FROM kept)
+                 - (SELECT count(*) FROM kept WHERE o_custkey IN (SELECT c_custkey FROM ac)))::BIGINT AS n_false_pos""",
     "q_quantile_sketch" ->
       """WITH v AS (SELECT round(l_extendedprice * 100)::BIGINT AS v FROM lineitem),
             hb AS (SELECT (CASE WHEN v <= 0 THEN -1 ELSE len(bin(v)) - 1 END)::INT AS bucket,

@@ -106,6 +106,52 @@ object Sketch {
       .groupBy("k").agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** DETERMINISTIC BLOOM FILTER build: the set-membership pre-filter that
+    * turns a 100 TB join into a scan-side drop. `k` md5-derived bit
+    * positions per key over an `m`-bit space; the sketch is the DISTINCT
+    * set-bit table `(bit)` — ≤ min(k·|keys|, m) rows, merge = union
+    * distinct. Same portability argument as CMS/HLL: the bits are a pure
+    * fact of the key bytes, so engines and reruns agree bit-for-bit. */
+  def bloomBuild(df: DataFrame, key: Column, m: Int, k: Int): DataFrame = {
+    require(k >= 1 && k <= 16 && m >= 2)
+    df.select(key.cast("string").as("kk"))
+      .select(col("kk"), explode(array((0 until k).map(lit(_)): _*)).as("r"))
+      .select(cell(col("r"), col("kk"), m).as("bit"))
+      .distinct()
+  }
+
+  /** Bloom PRE-FILTER: keep probe rows whose key has ALL `k` bits set —
+    * possible members (no false negatives by construction; false positives
+    * bounded by the classic (1−e^(−kn/m))^k). The bit table packs into
+    * ⌈m/64⌉ words shipped as a LITERAL map inside the predicate, so the
+    * probe side is a pure scan filter: ZERO shuffles, zero joins, no
+    * distinct — the whole point at 100 TB is dropping rows at the scan
+    * before anything exchanges (Spark's own runtime bloom pushdown, made
+    * explicit, deterministic, and mergeable across sources). `m` is capped
+    * so the literal stays codegen-friendly; the collect is sketch-sized by
+    * contract (≤ m/64 longs), the same class as broadcasting CMS cells. */
+  def bloomFilter(probe: DataFrame, key: Column, bits: DataFrame, m: Int, k: Int): DataFrame = {
+    require(k >= 1 && k <= 16 && m >= 2 && m <= 65536,
+      s"m=$m: the packed literal map wants m <= 65536 (1024 words)")
+    val words: Map[Long, Long] = bits.select(col("bit").cast("long")).collect()
+      .map(_.getLong(0)).groupBy(_ / 64)
+      .map { case (w, bs) => w -> bs.foldLeft(0L)((a, b) => a | (1L << (b % 64).toInt)) }
+    if (words.isEmpty) probe.where(lit(false))
+    else {
+      val wordMap = map(words.toSeq.sortBy(_._1)
+        .flatMap { case (w, v) => Seq(lit(w), lit(v)) }: _*)
+      val bitCols = (0 until k).map(j => s"__bit$j")
+      val withBits = (0 until k).foldLeft(probe.withColumn("__bk", key.cast("string"))) {
+        (df, j) => df.withColumn(s"__bit$j", cell(lit(j), col("__bk"), m))
+      }
+      val cond = (0 until k).map { j =>
+        coalesce(element_at(wordMap, expr(s"__bit$j div 64L")), lit(0L))
+          .bitwiseAND(expr(s"shiftleft(1L, cast(__bit$j % 64 AS int))")) =!= 0
+      }.reduce(_ && _)
+      withBits.where(cond).drop("__bk" +: bitCols: _*)
+    }
+  }
+
   /** Per-GROUP HyperLogLog registers — "distinct users per domain" at
     * sketch cost: same integer-exact register pipeline as [[hllRegisters]],
     * keyed by a group column. Registers are SPARSE (absent bucket ≡ reg 0;

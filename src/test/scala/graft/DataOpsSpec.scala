@@ -1529,6 +1529,29 @@ class DataOpsSpec extends AnyFunSuite {
     assert(all.count() === 5L)
   }
 
+  test("bloomBuild/bloomFilter: no false negatives, empty filter drops all, union merge") {
+    import graft.functions.Sketch
+    val members = (1L to 100L).toDF("k")
+    val bits = Sketch.bloomBuild(members, col("k"), m = 4096, k = 4)
+    val probe = (1L to 1000L).toDF("k")
+    val kept = Sketch.bloomFilter(probe, col("k"), bits, m = 4096, k = 4)
+      .as[Long].collect().toSet
+    // every true member survives — the Bloom contract has no false negatives
+    assert((1L to 100L).toSet.subsetOf(kept))
+    // false positives exist in principle but are bounded; at n=100, m=4096,
+    // k=4 the expected rate is ~(1-e^{-400/4096})^4 ≈ 0.8‰ of 900 probes
+    assert((kept -- (1L to 100L).toSet).size <= 20)
+    // an empty sketch keeps nothing
+    assert(Sketch.bloomFilter(probe, col("k"),
+      Sketch.bloomBuild(members.where(lit(false)), col("k"), 4096, 4), 4096, 4).count() === 0)
+    // merge = union-distinct of bit tables: two half-sketches ≡ the whole
+    val b1 = Sketch.bloomBuild(members.where(col("k") <= 50), col("k"), 4096, 4)
+    val b2 = Sketch.bloomBuild(members.where(col("k") > 50), col("k"), 4096, 4)
+    val mergedBits = b1.unionByName(b2).distinct()
+    assert(Sketch.bloomFilter(probe, col("k"), mergedBits, 4096, 4)
+      .as[Long].collect().toSet === kept)
+  }
+
   test("histBuild/histQuantiles: exact buckets, quantile convention, bucket-wise sum merge") {
     import graft.functions.Sketch
     val vals = Seq(1L, 2L, 3L, 4L, 8L, 100L, 0L).toDF("v")

@@ -172,6 +172,19 @@ class PlanSpec extends AnyFunSuite {
     assert(executedPlan(anti).toLowerCase.contains("leftanti"))
   }
 
+  test("bloomFilter probe side is a pure scan predicate: zero Exchange, zero joins") {
+    import graft.functions.Sketch
+    val spark2 = spark; import spark2.implicits._
+    val members = (1L to 100L).toDF("k")
+    val bits = Sketch.bloomBuild(members, col("k"), m = 4096, k = 4)
+    val probe = spark.read.parquet(s"$dir/orders.parquet")
+    val plan = executedPlan(Sketch.bloomFilter(probe, col("o_custkey"), bits, 4096, 4))
+    assert(!plan.contains("Exchange"),
+      "the bloom probe must filter at the scan, never shuffle:\n" + plan.take(2000))
+    assert(!plan.toLowerCase.contains("join"),
+      "the packed-literal predicate needs no join:\n" + plan.take(2000))
+  }
+
   test("motif compiles to keyed joins: no cartesian, negation is left-anti") {
     val g = Tpch.load(spark, dir)
     val diamond = g.motif(
