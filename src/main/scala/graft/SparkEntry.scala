@@ -655,6 +655,14 @@ object SparkEntry {
       val probes = Seq("1", "2", "17", "123", "1999", "999999").toDF("k")
       graft.functions.Sketch.cmsEstimate(sk, probes, col("k"), depth = 4, width = 64)
     }),
+    "q_zorder" -> ((s, dir) =>
+      // Morton layout key over (user, value-cents): the write-time
+      // clustering lever — exact integer bit interleave, oracled per row;
+      // the locality/containment properties that justify the layout are
+      // quantified in ScaleSpec
+      Tpch.events(s, dir).select(col("event_id"),
+        graft.plans.Scale.zValue(col("user_id"),
+          round(col("value") * 100, 0).cast("long"), bits = 16).as("z"))),
     "q_bloom" -> ((s, dir) => {
       // Bloom pre-filter analysis: bits built from the ASIA customer keys,
       // probed by every order AT THE SCAN (packed-word literal predicate,
@@ -1825,6 +1833,14 @@ object SparkEntry {
   private def hllOracleSql(b: Int): String =
     s"WITH ${hllRegsSql(b)}\nSELECT bucket, reg FROM fl"
 
+  /** q_zorder oracle: the Morton interleave as explicit shift-and-or terms. */
+  private def zOrderOracleSql(bits: Int): String = {
+    val terms = (0 until bits).map(i =>
+      s"(((u >> $i) & 1) << ${2 * i}) + (((v >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+    s"""WITH e AS (SELECT event_id, user_id::BIGINT AS u, round(value * 100)::BIGINT AS v FROM events)
+       |SELECT event_id, ($terms)::BIGINT AS z FROM e""".stripMargin
+  }
+
   /** q_hll_bykey oracle: the per-group register pipeline + sparse readout —
     * missing buckets contribute 2^R each via the (m − n_present) term. */
   private def hllByKeyOracleSql(b: Int): String = {
@@ -2300,6 +2316,7 @@ object SparkEntry {
          SELECT pe.k, min(coalesce(cells.cnt, 0))::BIGINT AS est
          FROM pe LEFT JOIN cells ON cells.r = pe.r AND cells.cell = pe.cell
          GROUP BY 1""",
+    "q_zorder" -> zOrderOracleSql(16),
     "q_bloom" ->
       """WITH ak AS (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'),
             ac AS (SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey

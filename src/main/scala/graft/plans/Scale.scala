@@ -152,4 +152,24 @@ object Scale {
     }.toMap
     graft.graph.PropertyGraph(kinds, spark.table(s"${prefix}_edges"))
   }
+
+  /** Z-ORDER (Morton) interleave key: the multi-dimensional data-layout
+    * lever — sort/cluster a table by `zValue(a, b)` once at write time and
+    * range predicates on EITHER dimension prune row groups, because the
+    * curve keeps both coordinates' locality in one sort key (the technique
+    * behind Delta/Iceberg OPTIMIZE ZORDER, spelled out as exact integer
+    * arithmetic). Interleaves the low `bits` bits of two non-negative
+    * longs, `a` on even positions, `b` on odd; bit-spreading is an order
+    * embedding per dimension, so for any axis-aligned box
+    * zValue(lo_a, lo_b) <= z(p) <= zValue(hi_a, hi_b) for every p inside —
+    * the containment that makes a box query one contiguous z-range scan
+    * plus BIGMIN-style false-positive filtering (spec'd quantitatively). */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31)
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
 }

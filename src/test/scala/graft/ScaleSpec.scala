@@ -167,4 +167,34 @@ class ScaleSpec extends AnyFunSuite {
         "bucketed traversal hop should have no Exchange:\n" + hop.queryExecution.executedPlan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("zValue: order embedding per dimension, box containment, and real locality") {
+    import graft.plans.Scale
+    import spark.implicits._
+    // closed form: z(a,b) interleaves a on even bits, b on odd
+    val z = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 0L), (0L, 3L), (5L, 9L))
+      .toDF("a", "b").select(col("a"), col("b"), Scale.zValue(col("a"), col("b"), 8).as("z"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(z((0L, 0L)) === 0L && z((1L, 0L)) === 1L && z((0L, 1L)) === 2L &&
+      z((1L, 1L)) === 3L && z((3L, 0L)) === 5L && z((0L, 3L)) === 10L)
+    assert(z((5L, 9L)) === 147L) // spread(101₂)=1+16, 2·spread(1001₂)=2·(1+64) → 17+130
+    // grid check: bit-spreading is an order embedding in each dimension,
+    // and every point of an axis-aligned box lies inside the corner z-range
+    val grid = spark.range(32).select(col("id").as("a"))
+      .crossJoin(spark.range(32).select(col("id").as("b")))
+      .select(col("a"), col("b"), Scale.zValue(col("a"), col("b"), 8).as("z"))
+      .as[(Long, Long, Long)].collect()
+    val zm = grid.map(r => (r._1, r._2) -> r._3).toMap
+    for (a <- 0L until 31L; b <- 0L until 31L) {
+      assert(zm((a + 1, b)) > zm((a, b)) && zm((a, b + 1)) > zm((a, b)))
+    }
+    val (loA, hiA, loB, hiB) = (5L, 12L, 20L, 27L)
+    val (zLo, zHi) = (zm((loA, loB)), zm((hiA, hiB)))
+    val box = grid.filter(r => r._1 >= loA && r._1 <= hiA && r._2 >= loB && r._2 <= hiB)
+    assert(box.forall(r => r._3 >= zLo && r._3 <= zHi)) // containment: one z-range scan suffices
+    // locality: the z-range covers FAR less than the full table — the
+    // row-group pruning win a z-sorted layout buys for box predicates
+    val inRange = grid.count(r => r._3 >= zLo && r._3 <= zHi)
+    assert(inRange < grid.length / 2, s"z-range spans $inRange of ${grid.length}")
+  }
 }
