@@ -1203,6 +1203,12 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, dir) =>
       graft.dedup.Dedup.ngramJaccardPairs(Tpch.table(s, dir, "documents"), "doc_id", "text",
         k = 3, minBp = 5000)),
+    "q_sparse_cosine" -> ((s, dir) =>
+      // the sparse-retrieval sibling of the dense ANN family: TF-vector
+      // cosine pairs via an inverted-index term join (docs sharing no term
+      // never meet), df-capped hub guard, exact squared-integer threshold
+      graft.sim.Ann.sparseCosinePairs(Tpch.table(s, dir, "documents"),
+        "doc_id", "text", maxDf = 50, minCos2Ppm = 500000)),
     "q_dedup_verify" -> ((s, dir) => {
       // the VERIFY stage after candidate generation: exact edit-distance
       // similarity on the Jaccard candidate pairs only (the pair index is
@@ -3092,6 +3098,19 @@ object SparkEntry {
                 (i * 10000) // (na.n + nb.n - i) AS j_bp
          FROM inter JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id
          WHERE i * 10000 >= 5000 * (na.n + nb.n - i)""",
+    "q_sparse_cosine" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t
+                       FROM documents),
+            tf AS (SELECT doc_id, t, count(*)::BIGINT AS w FROM toks GROUP BY 1, 2),
+            kept AS (SELECT t FROM tf GROUP BY t HAVING count(*) >= 2 AND count(*) <= 50),
+            tfk AS (SELECT tf.* FROM tf JOIN kept USING (t)),
+            norms AS (SELECT doc_id, sum(w * w)::BIGINT AS n2 FROM tfk GROUP BY 1),
+            dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w)::BIGINT AS dot
+                     FROM tfk a JOIN tfk b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT id_a, id_b, dot,
+                ((1000000::HUGEINT * dot * dot) // (na.n2::HUGEINT * nb.n2))::BIGINT AS cos2_ppm
+         FROM dots JOIN norms na ON na.doc_id = id_a JOIN norms nb ON nb.doc_id = id_b
+         WHERE 1000000::HUGEINT * dot * dot >= 500000::HUGEINT * na.n2 * nb.n2""",
     "q_dedup_verify" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
             sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s

@@ -277,4 +277,44 @@ object Ann {
         coalesce(col("component"), col("id")).as("cluster"),
         (coalesce(col("component"), col("id")) === col("id")).cast("int").as("keep"))
   }
+
+  /** SPARSE cosine similarity pairs over TEXT — the inverted-index sibling
+    * of the dense [[cosinePairs]]: documents as term-frequency vectors,
+    * candidate pairs generated by equi-joining the inverted index ON THE
+    * TERM (docs sharing no term never meet), dot products summed per pair,
+    * and the cosine threshold applied in the repo's exact squared-integer
+    * form (cos²·10⁶ as DECIMAL(38,0) — no sqrt, no float, engine-exact).
+    *
+    * `maxDf` drops terms appearing in more than that many documents BEFORE
+    * the self-join — the sparse-retrieval hub guard (a stopword-grade term
+    * would pair everything with everything; at 100 TB this cap is what
+    * keeps the index join linear in posting-list mass). df=1 terms are
+    * pruned too (they cannot form a pair). Norms are over the KEPT term
+    * space, so the metric is the cosine in the filtered vocabulary —
+    * stated, and mirrored exactly by the oracle. */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Long, minCos2Ppm: Long): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextOps.tokens(col(textCol))).as("t"))
+    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("w"))
+      .localCheckpoint(false)
+    val kept = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
+      .select("t")
+    val tfk = tf.join(kept, "t").localCheckpoint(false)
+    val norms = tfk.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val dots = tfk.select(col("t"), col("doc_id").as("id_a"), col("w").as("wa"))
+      .join(tfk.select(col("t"), col("doc_id").as("id_b"), col("w").as("wb")), "t")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(sum(col("wa") * col("wb")).as("dot"))
+    val dec = "decimal(38,0)"
+    dots
+      .join(norms.select(col("doc_id").as("id_a"), col("n2").as("na")), "id_a")
+      .join(norms.select(col("doc_id").as("id_b"), col("n2").as("nb")), "id_b")
+      .withColumn("cos2_ppm",
+        (lit(1000000L).cast(dec) * col("dot").cast(dec) * col("dot").cast(dec) /
+          (col("na").cast(dec) * col("nb").cast(dec))).cast("long"))
+      .where(col("cos2_ppm") >= minCos2Ppm)
+      .select(col("id_a"), col("id_b"), col("dot"), col("cos2_ppm"))
+  }
 }

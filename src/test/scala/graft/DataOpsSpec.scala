@@ -1529,6 +1529,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(all.count() === 5L)
   }
 
+  test("sparseCosinePairs: weighted closed form, df hub guard prunes the pair space") {
+    import graft.sim.Ann
+    // tf weights: doc1 = {a:2, b:1}, doc2 = {a:1, b:2} → dot 4, norms 5,5
+    // → cos² = 16/25 = 640000 ppm (cos 0.8)
+    val docs = Seq((1L, "a a b"), (2L, "a b b")).toDF("doc_id", "text")
+    val got = Ann.sparseCosinePairs(docs, "doc_id", "text", maxDf = 10, minCos2Ppm = 500000)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 4L, 640000L)))
+    assert(Ann.sparseCosinePairs(docs, "doc_id", "text", 10, 650000).count() === 0)
+    // the df cap prunes hub terms BEFORE the join: 'z' is in every doc and
+    // would pair everything; with maxDf=2 only docs sharing rare terms meet
+    val hub = Seq((1L, "a b z"), (2L, "a b z"), (3L, "c d z")).toDF("doc_id", "text")
+    val kept = Ann.sparseCosinePairs(hub, "doc_id", "text", maxDf = 2, minCos2Ppm = 0)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // docs 1,2 are identical in the kept space {a,b}; doc 3 shares only the
+    // pruned hub term and forms no pair at all
+    assert(kept === Seq((1L, 2L, 2L, 1000000L)))
+  }
+
   test("bloomBuild/bloomFilter: no false negatives, empty filter drops all, union merge") {
     import graft.functions.Sketch
     val members = (1L to 100L).toDF("k")
