@@ -359,6 +359,8 @@ final case class PropertyGraph(
     *
     *   `(a)-[label]->(b)`   edge with that label binds vertex vars a, b
     *   `(a)-[]->(b)`        any label
+    *   `(a)-[label]-(b)`    UNDIRECTED: either orientation matches
+    *   `(a:kind)`           kind annotation — semi-join restriction
     *   `()`                 anonymous vertex — matched but not returned
     *   `!(a)-[label]->(b)`  NEGATION: no such edge exists (vars must be
     *                        bound by positive terms; anonymous = "none at all")
@@ -377,11 +379,11 @@ final case class PropertyGraph(
     * out: order the pattern so each term touches an earlier one. */
   def motif(pattern: String): DataFrame = {
     val vtx = raw"""\(([A-Za-z_]\w*)?(?::([A-Za-z_]\w*))?\)"""
-    val termRe = raw"""(!?)$vtx-\[([A-Za-z_]\w*)?\]->$vtx""".r
+    val termRe = raw"""(!?)$vtx-\[([A-Za-z_]\w*)?\](->|-)$vtx""".r
     var anon = 0
     val kindOf = scala.collection.mutable.HashMap[String, String]()
     val terms = pattern.split(";").map(_.trim).filter(_.nonEmpty).map {
-      case termRe(neg, sv, sk, lbl, dv, dk) =>
+      case termRe(neg, sv, sk, lbl, arrow, dv, dk) =>
         def v(n: String, kd: String): String = {
           val name = Option(n).filter(_.nonEmpty).getOrElse { anon += 1; s"__anon$anon" }
           Option(kd).filter(_.nonEmpty).foreach { kk =>
@@ -392,29 +394,37 @@ final case class PropertyGraph(
           }
           name
         }
-        (neg == "!", v(sv, sk), Option(lbl).filter(_.nonEmpty), v(dv, dk))
+        (neg == "!", v(sv, sk), Option(lbl).filter(_.nonEmpty), v(dv, dk), arrow == "-")
       case t => throw new IllegalArgumentException(
-        s"motif term '$t' is not (a[:kind])-[label]->(b[:kind]), or a !-negation of one")
+        s"motif term '$t' is not (a[:kind])-[label]->(b[:kind]), its undirected " +
+          "-[label]- form, or a !-negation of one")
     }.toSeq
     require(terms.exists(!_._1), "motif needs at least one positive term")
     kindOf.valuesIterator.foreach(kk => require(kinds.contains(kk),
       s"motif kind annotation :$kk names no kind table (have: ${kinds.keys.mkString(", ")})"))
-    def term(sv: String, lbl: Option[String], dv: String): DataFrame = {
+    def term(sv: String, lbl: Option[String], dv: String, undirected: Boolean): DataFrame = {
       val e = lbl.map(l => edges.where(col("label") === l)).getOrElse(edges)
       if (sv == dv)
         e.where(col("src") === col("dst")).select(col("src").as(sv))
-      else e.select(col("src").as(sv), col("dst").as(dv))
+      else {
+        val fwd = e.select(col("src").as(sv), col("dst").as(dv))
+        // undirected `-[l]-`: either orientation matches (Cypher's
+        // relationship-direction-agnostic form) — the union keeps bag
+        // semantics, so a physical edge binds (a,b) AND (b,a)
+        if (undirected) fwd.unionAll(e.select(col("dst").as(sv), col("src").as(dv)))
+        else fwd
+      }
     }
     val bound = terms.filter(!_._1)
-      .foldLeft(Option.empty[DataFrame]) { case (accOpt, (_, sv, lbl, dv)) =>
-        val e = term(sv, lbl, dv)
+      .foldLeft(Option.empty[DataFrame]) { case (accOpt, (_, sv, lbl, dv, und)) =>
+        val e = term(sv, lbl, dv, und)
         Some(accOpt.fold(e) { acc =>
           val shared = acc.columns.intersect(e.columns).toSeq
           if (shared.nonEmpty) acc.join(e, shared) else acc.crossJoin(e)
         })
       }.get
-    val full = terms.filter(_._1).foldLeft(bound) { case (acc, (_, sv, lbl, dv)) =>
-      val e = term(sv, lbl, dv)
+    val full = terms.filter(_._1).foldLeft(bound) { case (acc, (_, sv, lbl, dv, und)) =>
+      val e = term(sv, lbl, dv, und)
       val shared = acc.columns.intersect(e.columns).toSeq
       require(shared.nonEmpty,
         s"negated motif term over ($sv)->($dv) shares no bound variable with the positive terms")

@@ -637,6 +637,15 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // restricts to that kind's incident edges
     assert(jobGraph.motif("(c:company)-[]->(x)").count() === 4)
     assert(jobGraph.motif("()-[]->(x:job)").count() === 8) // appliesTo + created
+    // undirected terms match either orientation (Cypher's -[l]- form):
+    // each physical edge binds both (x,y) and (y,x)
+    assert(jobGraph.motif("(x)-[completes]-(y)").count() === 8)
+    // jobs touch 8 edges in any direction (4 appliesTo in + 4 created in)
+    assert(jobGraph.motif("(j:job)-[]-(n)").count() === 8)
+    // an undirected 2-path through a job: app -[appliesTo]- job -[created]- company
+    val thru = jobGraph.motif("(a:application)-[appliesTo]-(j:job); (j)-[created]-(co:company)")
+      .select("a", "j", "co").as[(Long, Long, Long)].collect().toSet
+    assert(thru.size === 4 && thru.contains((appBob1, blueprintsJob1, blueprints)))
     // conflicting kind annotations fail loudly
     intercept[IllegalArgumentException] {
       jobGraph.motif("(p:person)-[]->(m); (p:job)-[]->(x)")
