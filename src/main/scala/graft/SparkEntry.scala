@@ -1203,6 +1203,12 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, dir) =>
       graft.dedup.Dedup.ngramJaccardPairs(Tpch.table(s, dir, "documents"), "doc_id", "text",
         k = 3, minBp = 5000)),
+    "q_lang_consistency" -> ((s, dir) =>
+      // mixed-language detection: majority language + chunk agreement bp
+      // over non-overlapping 8-token windows — monolingual docs score
+      // 10000, merged crawls surface in the 3000-7000 band
+      graft.functions.TextOps.langConsistency(
+        Tpch.table(s, dir, "documents"), "doc_id", "text", chunkTokens = 8)),
     "q_sparse_cosine" -> ((s, dir) =>
       // the sparse-retrieval sibling of the dense ANN family: TF-vector
       // cosine pairs via an inverted-index term join (docs sharing no term
@@ -1288,6 +1294,9 @@ object SparkEntry {
       val minDf = (docs.count() * 160L + 9999L) / 10000L
       val stripped = graft.dedup.Dedup.stripDupSpans(docs, "doc_id", "text", k = 3, minDf = minDf)
         .select(col("doc_id"), col("text_stripped").as("text"))
+        // consumed TWICE (the gate derives from it, survivors re-join it):
+        // materialize once or the whole span-strip subplan runs twice
+        .localCheckpoint(false)
       val gated = graft.functions.TextOps.gopherQuality(stripped, "doc_id", "text")
         .where(col("keep") === 1L).select("doc_id")
       val survivors = stripped.join(gated, Seq("doc_id"), "left_semi")
@@ -3098,6 +3107,35 @@ object SparkEntry {
                 (i * 10000) // (na.n + nb.n - i) AS j_bp
          FROM inter JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id
          WHERE i * 10000 >= 5000 * (na.n + nb.n - i)""",
+    "q_lang_consistency" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
+            m AS (SELECT doc_id, ts, len(ts)::BIGINT AS n FROM t WHERE len(ts) > 0),
+            c AS (SELECT doc_id, ts,
+                    unnest(generate_series(0, greatest(0, (n - 8 + 8 - 1) // 8)))::BIGINT AS chunk_id
+                  FROM m),
+            cc AS (SELECT doc_id, chunk_id, ts[chunk_id * 8 + 1 : chunk_id * 8 + 8] AS cts FROM c),
+            sc AS (SELECT doc_id, chunk_id,
+                     len(list_filter(cts, x -> x IN ('the','a'))) AS c_en,
+                     len(list_filter(cts, x -> x IN ('table','join'))) AS c_de,
+                     len(list_filter(cts, x -> x IN ('row','column'))) AS c_es,
+                     len(list_filter(cts, x -> x IN ('filter','merge'))) AS c_fr,
+                     len(list_filter(cts, x -> x IN ('window','batch'))) AS c_zh
+                   FROM cc),
+            lid AS (SELECT doc_id, chunk_id,
+                      CASE WHEN greatest(c_en,c_de,c_es,c_fr,c_zh) = 0 THEN 'und'
+                           WHEN c_en = greatest(c_en,c_de,c_es,c_fr,c_zh) THEN 'en'
+                           WHEN c_de = greatest(c_en,c_de,c_es,c_fr,c_zh) THEN 'de'
+                           WHEN c_es = greatest(c_en,c_de,c_es,c_fr,c_zh) THEN 'es'
+                           WHEN c_fr = greatest(c_en,c_de,c_es,c_fr,c_zh) THEN 'fr'
+                           ELSE 'zh' END AS lang
+                    FROM sc),
+            cl AS (SELECT doc_id, lang, count(*)::BIGINT AS n FROM lid GROUP BY 1, 2),
+            tot AS (SELECT doc_id, sum(n)::BIGINT AS n_chunks FROM cl GROUP BY 1),
+            mj AS (SELECT doc_id, lang, n,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rn FROM cl)
+         SELECT mj.doc_id, tot.n_chunks, mj.lang AS major_lang,
+                ((mj.n * 10000) // tot.n_chunks)::BIGINT AS agree_bp
+         FROM mj JOIN tot ON mj.doc_id = tot.doc_id WHERE rn = 1""",
     "q_sparse_cosine" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t
                        FROM documents),

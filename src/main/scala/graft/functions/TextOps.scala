@@ -519,6 +519,33 @@ object TextOps {
     out.toSeq.toDF("merge_rank", "a", "b", "cnt")
   }
 
+  /** LANGUAGE-CONSISTENCY scoring — the mixed-language document detector
+    * (code-switching, wrongly-merged crawls, boilerplate in a second
+    * language): chunk the document into non-overlapping token windows,
+    * language-ID each chunk, and report the majority language plus the
+    * agreement ratio in basis points. A monolingual document scores 10000;
+    * a half-and-half merge scores ~5000 and gets routed to splitting, not
+    * dropping. Majority ties break (count desc, lang asc) —
+    * deterministic, oracle-replayable.
+    *
+    * One chunk explode + two keyed aggs + one window over per-doc language
+    * counts (≤ |langs| rows per doc) — corpus-linear, no pair work. */
+  def langConsistency(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = graft.pipeline.Corpus.chunkDocs(docs, idCol, textCol,
+      size = chunkTokens, stride = chunkTokens)
+    val cl = ch.select(col("doc_id"), langId(tokens(col("chunk_text"))).as("lang"))
+      .groupBy("doc_id", "lang").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val tot = cl.groupBy("doc_id").agg(sum("n").as("n_chunks"))
+    val w = Window.partitionBy("doc_id").orderBy(col("n").desc, col("lang").asc)
+    cl.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .join(tot, "doc_id")
+      .select(col("doc_id"), col("n_chunks"), col("lang").as("major_lang"),
+        expr("(n * 10000) div n_chunks").as("agree_bp"))
+  }
+
   /** BPE ENCODING — apply a learned merge table ([[bpeMerges]]'s output
     * shape `(merge_rank, a, b, …)`) to a corpus and count each document's
     * subword tokens. Applying merges in rank order with left-to-right

@@ -1529,6 +1529,21 @@ class DataOpsSpec extends AnyFunSuite {
     assert(all.count() === 5L)
   }
 
+  test("langConsistency: monolingual 10000, half-merge 5000 with deterministic tie") {
+    import graft.functions.TextOps
+    val en8 = "the a the a the a the a"           // one 8-token en chunk
+    val de8 = "table join table join table join table join"
+    val docs = Seq(
+      (1L, s"$en8 $en8"),   // 2 chunks, both en
+      (2L, s"$en8 $de8"),   // en chunk + de chunk: 50/50, tie -> lang asc = de
+      (3L, en8)).toDF("doc_id", "text")
+    val got = TextOps.langConsistency(docs, "doc_id", "text", chunkTokens = 8)
+      .as[(Long, Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) === ((2L, "en", 10000L)))
+    assert(got(2L) === ((2L, "de", 5000L))) // the tie-break is part of the contract
+    assert(got(3L) === ((1L, "en", 10000L)))
+  }
+
   test("sparseCosinePairs: weighted closed form, df hub guard prunes the pair space") {
     import graft.sim.Ann
     // tf weights: doc1 = {a:2, b:1}, doc2 = {a:1, b:2} → dot 4, norms 5,5
