@@ -1203,6 +1203,20 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, dir) =>
       graft.dedup.Dedup.ngramJaccardPairs(Tpch.table(s, dir, "documents"), "doc_id", "text",
         k = 3, minBp = 5000)),
+    "q_split_leakage" -> ((s, dir) => {
+      // eval-hygiene audit composing two oracled ops: assign train/val/test
+      // (q_split's exact hash spans), then screen the TRAIN corpus against
+      // the VAL docs as probes (q_contamination's broadcast shingle join) —
+      // every (train doc, val doc) pair sharing >= 3 word-3-grams is a
+      // leak candidate a decontamination pass must strip before training
+      val assigned = graft.pipeline.Corpus.splitAssign(
+        Tpch.table(s, dir, "documents"), col("doc_id"),
+        Seq("train" -> 9000, "val" -> 500, "test" -> 500))
+      val train = assigned.where(col("split") === "train")
+      val valDocs = assigned.where(col("split") === "val")
+      graft.dedup.Dedup.contamination(train, valDocs, "doc_id", "text",
+        k = 3, minShared = 3L)
+    }),
     "q_lang_consistency" -> ((s, dir) =>
       // mixed-language detection: majority language + chunk agreement bp
       // over non-overlapping 8-token windows — monolingual docs score
@@ -3107,6 +3121,22 @@ object SparkEntry {
                 (i * 10000) // (na.n + nb.n - i) AS j_bp
          FROM inter JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id
          WHERE i * 10000 >= 5000 * (na.n + nb.n - i)""",
+    "q_split_leakage" ->
+      """WITH sp AS (SELECT doc_id, text,
+                       CASE WHEN h * 10000 < 9000 * 65536 THEN 'train'
+                            WHEN h * 10000 < 9500 * 65536 THEN 'val'
+                            ELSE 'test' END AS split
+                     FROM (SELECT doc_id, text,
+                             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT AS h
+                           FROM documents)),
+            toks AS (SELECT doc_id, split, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM sp),
+            sh AS (SELECT DISTINCT doc_id, split, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+                   FROM toks, unnest(generate_series(1, greatest(len(ts) - 2, 0))) t(i)),
+            tr AS (SELECT doc_id, s FROM sh WHERE split = 'train'),
+            pr AS (SELECT doc_id AS probe_id, s FROM sh WHERE split = 'val')
+         SELECT tr.doc_id, pr.probe_id, count(*)::BIGINT AS shared_n
+         FROM tr JOIN pr ON tr.s = pr.s AND tr.doc_id <> pr.probe_id
+         GROUP BY 1, 2 HAVING count(*) >= 3""",
     "q_lang_consistency" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
             m AS (SELECT doc_id, ts, len(ts)::BIGINT AS n FROM t WHERE len(ts) > 0),

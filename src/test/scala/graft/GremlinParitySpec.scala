@@ -152,6 +152,31 @@ class GremlinParitySpec extends AnyFunSuite {
       ("Don", "Heat", Seq.empty[String], Seq(("Dan", Seq("Heat", "Matrix"))))))
   }
 
+  test("cypher MATCH patterns express directly as motifs (fermor cypher_examples)") {
+    // the Cypher MATCH clauses underlying the movie examples, written in
+    // the motif surface instead of the fluent DSL — same graph, same rows
+    val people = Seq((1L, "Alice"), (2L, "Tom"), (3L, "Tina"), (4L, "Dan"), (5L, "Don"))
+      .toDF("id", "name")
+    val movies = Seq((101L, "Matrix"), (102L, "Speed"), (103L, "Heat")).toDF("id", "title")
+    val acted = Seq((1L, 101L), (2L, 101L), (3L, 101L), (1L, 102L), (2L, 102L), (5L, 103L))
+      .toDF("src", "dst").withColumn("label", lit("acted_in"))
+    val directed = Seq((4L, 101L), (4L, 103L), (5L, 102L))
+      .toDF("src", "dst").withColumn("label", lit("directed"))
+    val g = PropertyGraph(Map("person" -> people, "movie" -> movies),
+      acted.unionByName(directed))
+    // MATCH (a)-[:ACTED_IN]->(m)<-[:ACTED_IN]-(co) WHERE a <> co
+    val coact = g.motif("(a:person)-[acted_in]->(m:movie); (co)-[acted_in]->(m)")
+      .where(col("a") =!= col("co"))
+    assert(coact.count() === 8) // Matrix: 3·2 ordered pairs, Speed: 2, Heat: 0
+    // MATCH (a)-[:ACTED_IN]->() WHERE NOT (a)-[:DIRECTED]->() — pure actors
+    val pure = g.motif("(a:person)-[acted_in]->(); !(a)-[directed]->()")
+    assert(pure.as[Long].collect().toSeq.sorted === Seq(1L, 1L, 2L, 2L, 3L))
+    // MATCH (d)-[:DIRECTED]->(m)<-[:ACTED_IN]-(d) — directed AND acted in
+    // the same movie (cycle-closing on both endpoints): Don in Speed? Don
+    // directed Speed but acted in Heat only -> empty; nobody self-acts
+    assert(g.motif("(d)-[directed]->(m); (d)-[acted_in]->(m)").count() === 0)
+  }
+
   test("cypher hyperedge example: common groups via shared roles (fermor cypher_examples)") {
     // the Neo4j hyperedges cookbook pattern: (user)->(hyperedge)->(group)
     // and (hyperedge)->(role); common groups of two users counted by shared
