@@ -424,6 +424,22 @@ object SparkEntry {
         .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
       graft.algos.Algos.localClustering(gr.kind("nation").select("id"), canon)
     }),
+    "q_core" -> ((s, dir) => {
+      // CORE NUMBERS (degeneracy) on the same co-region+chain nation graph
+      // as q_clustering: the whole k-core family in one pass — Matula–Beck
+      // exact peel below the guard, h-index iteration distributed; the
+      // oracle replays the full peel for every k and takes the max
+      val n = Tpch.table(s, dir, "nation")
+      val a = n.select(col("n_nationkey").as("k1"), col("n_regionkey").as("rk"))
+      val b = n.select(col("n_nationkey").as("k2"), col("n_regionkey").as("rk"))
+      val co = a.join(b, "rk").where(col("k1") < col("k2")).select("k1", "k2")
+      val chain = n.select(col("n_nationkey").as("k1"))
+        .join(n.select(col("n_nationkey").as("k2")), col("k2") === col("k1") + 1)
+        .select("k1", "k2")
+      val canon = co.unionAll(chain).distinct()
+        .select(Vid.vid("nation", col("k1")).as("src"), Vid.vid("nation", col("k2")).as("dst"))
+      graft.algos.Algos.coreNumbers(canon)
+    }),
     "q_assortativity" -> ((s, dir) => {
       // degree assortativity of the customer–part co-purchase bipartite
       // graph (the linkpred base): strongly negative, as hub parts attach
@@ -1862,6 +1878,37 @@ object SparkEntry {
   private def hllOracleSql(b: Int): String =
     s"WITH ${hllRegsSql(b)}\nSELECT bucket, reg FROM fl"
 
+  /** q_core oracle: the full [[kCoreOracleSql]]-style peel replayed for
+    * EVERY k in 1..kMax over the (fixed-size) nation co-region+chain graph,
+    * core = max k whose peel the vertex survives. k=1 keeps every endpoint,
+    * so no vertex is missing; over-unrolling k past the true degeneracy
+    * yields empty cores and over-unrolling rounds is idempotent — both
+    * exact with margin. */
+  private def coreOracleSql(kMax: Int, rounds: Int): String = {
+    val base =
+      """ce AS MATERIALIZED (SELECT a.n_nationkey AS u, b.n_nationkey AS v FROM nation a
+        |       JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+        |     UNION SELECT a.n_nationkey, b.n_nationkey FROM nation a
+        |       JOIN nation b ON b.n_nationkey = a.n_nationkey + 1),
+        |s0 AS MATERIALIZED (SELECT u, v FROM ce UNION ALL SELECT v, u FROM ce)""".stripMargin
+    val chains = (1 to kMax).map { k =>
+      val rs = (1 to rounds).map { r =>
+        val prev = if (r == 1) "s0" else s"s${k}_${r - 1}"
+        s"""k${k}_$r AS MATERIALIZED (SELECT u AS id FROM $prev GROUP BY u HAVING count(*) >= $k),
+           |s${k}_$r AS MATERIALIZED (SELECT s.u, s.v FROM $prev s
+           |    JOIN k${k}_$r a ON s.u = a.id JOIN k${k}_$r b ON s.v = b.id)""".stripMargin
+      }.mkString(",\n")
+      rs
+    }.mkString(",\n")
+    val un = (1 to kMax).map(k =>
+      s"SELECT u AS id, $k AS k FROM s${k}_$rounds GROUP BY u HAVING count(*) >= $k")
+      .mkString("\nUNION ALL ")
+    s"""WITH $base,
+       |$chains,
+       |u AS ($un)
+       |SELECT (2000000000000 + id)::BIGINT AS id, max(k)::BIGINT AS core FROM u GROUP BY 1""".stripMargin
+  }
+
   /** q_zorder oracle: the Morton interleave as explicit shift-and-or terms. */
   private def zOrderOracleSql(bits: Int): String = {
     val terms = (0 until bits).map(i =>
@@ -2155,6 +2202,7 @@ object SparkEntry {
          FROM (SELECT doc_id FROM t WHERE len(ts) > 0) d
          LEFT JOIN keep k ON d.doc_id = k.doc_id GROUP BY d.doc_id""",
     "q_kcore" -> kCoreOracleSql(kCoreK, 6),
+    "q_core" -> coreOracleSql(8, 8),
     "q_mis" -> misOracleSql(16),
     "q_ktruss" -> ktrussOracleSql(5, 12),
     "q_mst" -> mstOracleSql(mstRounds),

@@ -808,6 +808,91 @@ object Algos {
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")).where(col("deg") >= k)
   }
 
+  /** CORE NUMBERS (degeneracy decomposition): per-vertex max k such that
+    * the vertex survives in the k-core — the whole [[kCore]] family in one
+    * pass, and the standard "how deep in the dense part" ordering for
+    * graph mining. Two regimes:
+    *
+    *  - below the guard, the exact Matula–Beck min-degree peel (a linear
+    *    bucket queue), the textbook O(E) algorithm — unique answer;
+    *  - distributed, the h-index iteration (Lü et al. 2016): h(v) starts
+    *    at deg(v); each round h'(v) = H(neighbors' h) = max k such that at
+    *    least k neighbors have h ≥ k. h is non-increasing and its fixpoint
+    *    IS the core number (locality of coreness); convergence is an EXACT
+    *    zero-changes test, never a signature. Per round: one h join onto
+    *    the symmetrized edges + one per-vertex descending window + one agg
+    *    — all keyed by vertex, cost linear in edges; rounds are
+    *    data-dependent (bounded by graph structure, small in practice),
+    *    `maxRounds` exceeded throws rather than returning a plausible
+    *    non-fixpoint. Both regimes are parity-spec'd against each other on
+    *    randomized graphs. */
+  def coreNumbers(edges: DataFrame, maxRounds: Int = 100,
+      localMaxEdges: Long = 2000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    if (atMost(sym0, localMaxEdges / 2)) {
+      val (ids, adj) = indexedAdj(sym0.as[(Long, Long)].collect())
+      val n = ids.length
+      val deg = adj.map(_.length)
+      val core = new Array[Int](n)
+      // Matula–Beck: process vertices in nondecreasing current-degree
+      // order via bucket queues; core(v) = running max of its peel degree
+      val maxDeg = if (n == 0) 0 else deg.max
+      val buckets = Array.fill(maxDeg + 1)(new scala.collection.mutable.ArrayDeque[Int]())
+      (0 until n).foreach(i => buckets(deg(i)) += i)
+      val removed = new Array[Boolean](n)
+      val cur = deg.clone()
+      var k = 0
+      var b = 0
+      while (b <= maxDeg) {
+        val q = buckets(b)
+        if (q.isEmpty) b += 1
+        else {
+          val i = q.removeHead()
+          if (!removed(i) && cur(i) == b) {
+            removed(i) = true
+            k = math.max(k, b)
+            core(i) = k
+            adj(i).foreach { j =>
+              if (!removed(j) && cur(j) > b) {
+                cur(j) -= 1
+                buckets(cur(j)) += j
+                if (cur(j) < b) b = cur(j) // can only drop to b-1
+              }
+            }
+          }
+        }
+      }
+      (0 until n).map(i => (ids(i), core(i).toLong)).toDF("id", "core")
+    } else {
+      val sym = sym0.unionAll(sym0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
+      var h = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("h"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < maxRounds) {
+        rounds += 1
+        val nb = sym.join(h.select(col("id").as("dst"), col("h").as("hu")), "dst")
+          .select(col("src").as("id"), col("hu"))
+        val w = Window.partitionBy("id").orderBy(col("hu").desc)
+        val h2 = nb.withColumn("rn", row_number().over(w))
+          .groupBy("id").agg(max(least(col("rn").cast("long"), col("hu"))).as("h"))
+          .localCheckpoint(true)
+        changed = h.join(h2.withColumnRenamed("h", "h2"), "id")
+          .where(col("h") =!= col("h2")).count()
+        h = h2
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"coreNumbers h-index iteration did not converge within $maxRounds rounds")
+      h.select(col("id"), col("h").as("core"))
+    }
+  }
+
   /** k-truss decomposition (fixed k): the maximal subgraph in which every
     * edge participates in >= k−2 triangles WITHIN the subgraph — the
     * community-detection sibling of [[kCore]] (a k-truss is a stricter,

@@ -298,4 +298,47 @@ class RandomizedParitySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("coreNumbers: local peel ≡ distributed h-index ≡ naive on random graphs") {
+    def naiveCore(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      // textbook min-degree peel with a mutable map (small n)
+      val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+      es.filter(e => e._1 != e._2).foreach { case (a, b) =>
+        adj(a) = adj(a) + b; adj(b) = adj(b) + a
+      }
+      val core = scala.collection.mutable.Map[Long, Long]()
+      var k = 0L
+      while (adj.nonEmpty) {
+        val minDeg = adj.valuesIterator.map(_.size).min
+        k = math.max(k, minDeg.toLong)
+        val v = adj.filter(_._2.size == minDeg).keys.min // any order is exact
+        core(v) = k
+        adj(v).foreach(u => adj(u) = adj(u) - v)
+        adj -= v
+      }
+      core.toMap
+    }
+    for (seed <- 51 to 56) {
+      val (vs, es0) = randomGraph(seed, n = 12, nEdges = 20)
+      val es = es0.filter(e => e._1 != e._2)
+      val naive = naiveCore(es)
+      val local = Algos.coreNumbers(es.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      val dist = Algos.coreNumbers(es.toDF("src", "dst"), localMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(local === naive, s"seed=$seed local es=$es")
+      assert(dist === naive, s"seed=$seed h-index es=$es")
+    }
+    // closed forms: K4 all core 3; a path all core 1; clique+pendant
+    val k4 = (for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)).toSeq
+    assert(Algos.coreNumbers(k4.toDF("src", "dst")).as[(Long, Long)].collect().toMap ===
+      (0L to 3L).map(_ -> 3L).toMap)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(Algos.coreNumbers(path.toDF("src", "dst")).as[(Long, Long)].collect().toMap ===
+      (1L to 4L).map(_ -> 1L).toMap)
+    val pend = k4 :+ ((3L, 9L))
+    assert(Algos.coreNumbers(pend.toDF("src", "dst"), localMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap ===
+      ((0L to 3L).map(_ -> 3L) :+ (9L -> 1L)).toMap)
+  }
 }
