@@ -679,6 +679,16 @@ object SparkEntry {
       Tpch.events(s, dir).select(col("event_id"),
         graft.plans.Scale.zValue(col("user_id"),
           round(col("value") * 100, 0).cast("long"), bits = 16).as("z"))),
+    "q_quantile_by_lang" -> ((s, dir) => {
+      // per-language length-distribution sketch: ≤65 rows per language, no
+      // per-group sort (q_length_stats' exact percentile is the sorting
+      // baseline); same quantile convention as q_quantile_sketch, grouped
+      val d = Tpch.table(s, dir, "documents")
+      graft.functions.Sketch.histQuantilesByKey(
+        graft.functions.Sketch.histBuildByKey(d, col("lang"), col("n_chars")),
+        Seq(500, 900))
+        .withColumnRenamed("g", "lang")
+    }),
     "q_bloom" -> ((s, dir) => {
       // Bloom pre-filter analysis: bits built from the ASIA customer keys,
       // probed by every order AT THE SCAN (packed-word literal predicate,
@@ -2394,6 +2404,18 @@ object SparkEntry {
          FROM pe LEFT JOIN cells ON cells.r = pe.r AND cells.cell = pe.cell
          GROUP BY 1""",
     "q_zorder" -> zOrderOracleSql(16),
+    "q_quantile_by_lang" ->
+      """WITH hb AS (SELECT lang AS g,
+                       (CASE WHEN n_chars <= 0 THEN -1 ELSE len(bin(n_chars)) - 1 END)::INT AS bucket,
+                       count(*)::BIGINT AS cnt FROM documents GROUP BY 1, 2),
+            tot AS (SELECT g, sum(cnt)::BIGINT AS total FROM hb GROUP BY 1),
+            cum AS (SELECT g, bucket, sum(cnt) OVER (PARTITION BY g ORDER BY bucket)::BIGINT AS cum FROM hb),
+            qs AS (SELECT unnest([500, 900]) AS q_pm)
+         SELECT cum.g AS lang, q_pm::BIGINT AS q_pm, min(bucket)::BIGINT AS bucket,
+                (CASE WHEN min(bucket) < 0 THEN 0
+                      ELSE (1::BIGINT << (min(bucket) + 1)) - 1 END)::BIGINT AS est
+         FROM cum JOIN tot ON cum.g = tot.g, qs
+         WHERE cum * 1000 >= q_pm * total GROUP BY 1, 2""",
     "q_bloom" ->
       """WITH ak AS (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'),
             ac AS (SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -822,9 +822,12 @@ object Algos {
     *    zero-changes test, never a signature. Per round: one h join onto
     *    the symmetrized edges + one per-vertex descending window + one agg
     *    — all keyed by vertex, cost linear in edges; rounds are
-    *    data-dependent (bounded by graph structure, small in practice),
-    *    `maxRounds` exceeded throws rather than returning a plausible
-    *    non-fixpoint. Both regimes are parity-spec'd against each other on
+    *    data-dependent: small on dense/clustered graphs, but O(diameter)
+    *    on path-like graphs (a low h value propagates one hop per round —
+    *    the same deep-chain regime ccAlternating exists for). `maxRounds`
+    *    exceeded THROWS rather than returning a plausible non-fixpoint;
+    *    raise it (or pre-contract degree-1 chains) for pathological
+    *    diameters. Both regimes are parity-spec'd against each other on
     *    randomized graphs. */
   def coreNumbers(edges: DataFrame, maxRounds: Int = 100,
       localMaxEdges: Long = 2000000L): DataFrame = {

@@ -209,6 +209,36 @@ object Sketch {
         .otherwise(length(bin(col("__v"))) - 1).cast("int").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
+  /** Per-GROUP [[histBuild]]: `(g, bucket, cnt)` — at most 65 rows per
+    * group whatever the group's size; same integer-exact bucketing, same
+    * bucket-wise-sum merge law per group. The per-language length-
+    * distribution shape ("p90 tokens per lang") without a per-group sort. */
+  def histBuildByKey(df: DataFrame, group: Column, value: Column): DataFrame =
+    df.select(group.as("g"), value.cast("long").as("__v"))
+      .select(col("g"), when(col("__v") <= 0, lit(-1))
+        .otherwise(length(bin(col("__v"))) - 1).cast("int").as("bucket"))
+      .groupBy("g", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Per-group readout of [[histBuildByKey]] at permille ranks `qsPm` —
+    * the [[histQuantiles]] convention applied within each group (window
+    * cumsum keyed by group, rank scan against the broadcast q ladder). */
+  def histQuantilesByKey(sketch: DataFrame, qsPm: Seq[Int]): DataFrame = {
+    require(qsPm.nonEmpty && qsPm.forall(q => q >= 1 && q <= 1000))
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("bucket").rowsBetween(Long.MinValue, 0)
+    val tot = sketch.groupBy("g").agg(sum("cnt").as("total"))
+    val cum = sketch.withColumn("cum", sum("cnt").over(w)).join(tot, "g")
+    cum.crossJoin(broadcast(qsPm.distinct.sorted.toDF("q_pm")))
+      .where(col("cum") * 1000 >= col("q_pm") * col("total"))
+      .groupBy("g", "q_pm").agg(min("bucket").as("bucket"))
+      .select(col("g"), col("q_pm").cast("long").as("q_pm"),
+        col("bucket").cast("long").as("bucket"),
+        when(col("bucket") < 0, lit(0L))
+          .otherwise(expr("shiftleft(1L, cast(bucket + 1 AS int)) - 1L")).as("est"))
+  }
+
   /** Quantile estimates from a [[histBuild]] sketch at permille ranks
     * `qsPm`: the answer bucket is the smallest whose cumulative count
     * reaches ⌈q·total/1000⌉, and the estimate is its inclusive upper bound

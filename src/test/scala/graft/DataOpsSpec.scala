@@ -1103,6 +1103,39 @@ class DataOpsSpec extends AnyFunSuite {
         .as[(Long, Long, Long)].collect().toSet)
   }
 
+  test("streaming Bloom maintenance: per-batch bit tables union to the ORACLED whole-set filter") {
+    // bloomBuild merges by union-distinct, so maintaining the membership
+    // pre-filter over a stream is foreachBatch + union — and the maintained
+    // filter must admit EXACTLY what the whole-corpus filter admits (whose
+    // bit arithmetic q_bloom oracles in DuckDB).
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Sketch
+    val keys = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey").cast("long")).as[Long].collect().toSeq
+    val whole = Sketch.bloomBuild(keys.toDF("k"), col("k"), 4096, 4)
+      .as[Long].collect().toSet
+    val mem = MemoryStream[Long]
+    val acc = scala.collection.mutable.Set[Long]()
+    val q = mem.toDS().toDF("k").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc ++= Sketch.bloomBuild(batch, col("k"), 4096, 4).as[Long].collect()
+        ()
+      }.start()
+    val (h1, h2) = keys.splitAt(keys.size / 2)
+    mem.addData(h1); q.processAllAvailable()
+    mem.addData(h2); q.processAllAvailable()
+    q.stop()
+    assert(acc.toSet === whole)
+    // and the maintained filter's verdicts match the batch filter's
+    val probe = (1L to 3000L).toDF("k")
+    val a = Sketch.bloomFilter(probe, col("k"), acc.toSeq.toDF("bit"), 4096, 4)
+      .as[Long].collect().toSet
+    val b = Sketch.bloomFilter(probe, col("k"),
+      Sketch.bloomBuild(keys.toDF("k"), col("k"), 4096, 4), 4096, 4)
+      .as[Long].collect().toSet
+    assert(a === b)
+  }
+
   test("streaming per-domain quota admits arrival-order top-cap with state across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamQuota

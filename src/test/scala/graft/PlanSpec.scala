@@ -172,6 +172,14 @@ class PlanSpec extends AnyFunSuite {
     assert(executedPlan(anti).toLowerCase.contains("leftanti"))
   }
 
+  test("sparseCosinePairs is keyed through the inverted index: no cartesian/BNLJ") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = executedPlan(
+      graft.sim.Ann.sparseCosinePairs(docs, "doc_id", "text", maxDf = 50, minCos2Ppm = 500000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "sparse cosine must meet only through the term join:\n" + plan.take(3000))
+  }
+
   test("bloomFilter probe side is a pure scan predicate: zero Exchange, zero joins") {
     import graft.functions.Sketch
     val spark2 = spark; import spark2.implicits._
