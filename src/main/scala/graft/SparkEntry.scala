@@ -1249,6 +1249,19 @@ object SparkEntry {
       // 10000, merged crawls surface in the 3000-7000 band
       graft.functions.TextOps.langConsistency(
         Tpch.table(s, dir, "documents"), "doc_id", "text", chunkTokens = 8)),
+    "q_pipeline_neardup" -> ((s, dir) => {
+      // the near-dup pipeline END-TO-END, each stage independently oracled:
+      // Jaccard candidates (q_dedup_jaccard, shared pair index) →
+      // edit-distance verification (q_dedup_verify's gate) → connected-
+      // component clusters with min-id keepers (q_dedup_clusters'
+      // convention) — candidates the verifier rejects do NOT merge clusters
+      val docs = Tpch.table(s, dir, "documents")
+      val cand = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, minBp = 5000).select("id_a", "id_b")
+      val verified = graft.dedup.Dedup.verifyPairs(docs, "doc_id", "text", cand,
+        minSimBp = 9500).select("id_a", "id_b")
+      graft.dedup.Dedup.clustersFromPairs(docs, "doc_id", verified)
+    }),
     "q_sparse_cosine" -> ((s, dir) =>
       // the sparse-retrieval sibling of the dense ANN family: TF-vector
       // cosine pairs via an inverted-index term join (docs sharing no term
@@ -3236,6 +3249,28 @@ object SparkEntry {
          SELECT mj.doc_id, tot.n_chunks, mj.lang AS major_lang,
                 ((mj.n * 10000) // tot.n_chunks)::BIGINT AS agree_bp
          FROM mj JOIN tot ON mj.doc_id = tot.doc_id WHERE rn = 1""",
+    "q_pipeline_neardup" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
+            sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+                   FROM toks, unnest(generate_series(1, greatest(len(ts) - 2, 0))) t(i)),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+            cand AS (SELECT id_a, id_b FROM inter
+                     JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id
+                     WHERE i * 10000 >= 5000 * (na.n + nb.n - i)),
+            ver AS (SELECT c.id_a, c.id_b FROM cand c
+                    JOIN documents da ON c.id_a = da.doc_id
+                    JOIN documents db ON c.id_b = db.doc_id
+                    WHERE 10000 - (levenshtein(da.text, db.text) * 10000)
+                            // greatest(len(da.text), len(db.text)) >= 9500),
+            e AS (SELECT id_a AS a, id_b AS b FROM ver UNION SELECT id_b, id_a FROM ver),
+            reach(a, b) AS (SELECT a, b FROM e
+                            UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+            lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+         SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster,
+                (d.doc_id = coalesce(l.cluster, d.doc_id))::INT AS keep
+         FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id""",
     "q_sparse_cosine" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t
                        FROM documents),

@@ -119,13 +119,20 @@ object Dedup {
     * GraphX Pregel (the pair graph is the tiny output of candidate
     * generation, but the same code is scale-safe if it isn't). */
   def clusters(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, minBp: Int = 5000): DataFrame = {
+      k: Int = 3, minBp: Int = 5000): DataFrame =
+    clustersFromPairs(docs, idCol,
+      ngramJaccardPairs(docs, idCol, textCol, k, minBp))
+
+  /** Cluster assignment from an ARBITRARY duplicate-pair table (`id_a`,
+    * `id_b`) — the closure step factored out so any candidate generator +
+    * verifier chain (Jaccard, MinHash bands, edit-distance gate, SimHash)
+    * feeds the same CC + min-id-keeper convention. */
+  def clustersFromPairs(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     implicit val sp: org.apache.spark.sql.SparkSession = spark
-    val pairs = ngramJaccardPairs(docs, idCol, textCol, k, minBp)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
     val vs = docs.select(col(idCol).as("id"))
-    val cc = graft.algos.Algos.connectedComponents(vs, pairs)
+    val cc = graft.algos.Algos.connectedComponents(vs,
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
     cc.select(col("id").as("doc_id"), col("component").as("cluster"),
       (col("id") === col("component")).cast("int").as("keep"))
   }

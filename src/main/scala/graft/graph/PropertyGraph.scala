@@ -360,6 +360,8 @@ final case class PropertyGraph(
     *   `(a)-[label]->(b)`   edge with that label binds vertex vars a, b
     *   `(a)-[]->(b)`        any label
     *   `(a)-[label]-(b)`    UNDIRECTED: either orientation matches
+    *   `(a)-[label*1..3]->(b)` VARIABLE-LENGTH: 1 to 3 hops (≤8; Cypher's
+    *                        star — a union of fixed-length chain joins)
     *   `(a:kind)`           kind annotation — semi-join restriction
     *   `()`                 anonymous vertex — matched but not returned
     *   `!(a)-[label]->(b)`  NEGATION: no such edge exists (vars must be
@@ -379,11 +381,11 @@ final case class PropertyGraph(
     * out: order the pattern so each term touches an earlier one. */
   def motif(pattern: String): DataFrame = {
     val vtx = raw"""\(([A-Za-z_]\w*)?(?::([A-Za-z_]\w*))?\)"""
-    val termRe = raw"""(!?)$vtx-\[([A-Za-z_]\w*)?\](->|-)$vtx""".r
+    val termRe = raw"""(!?)$vtx-\[([A-Za-z_]\w*)?(?:\*(\d+)\.\.(\d+))?\](->|-)$vtx""".r
     var anon = 0
     val kindOf = scala.collection.mutable.HashMap[String, String]()
     val terms = pattern.split(";").map(_.trim).filter(_.nonEmpty).map {
-      case termRe(neg, sv, sk, lbl, arrow, dv, dk) =>
+      case termRe(neg, sv, sk, lbl, lo, hi, arrow, dv, dk) =>
         def v(n: String, kd: String): String = {
           val name = Option(n).filter(_.nonEmpty).getOrElse { anon += 1; s"__anon$anon" }
           Option(kd).filter(_.nonEmpty).foreach { kk =>
@@ -394,17 +396,40 @@ final case class PropertyGraph(
           }
           name
         }
-        (neg == "!", v(sv, sk), Option(lbl).filter(_.nonEmpty), v(dv, dk), arrow == "-")
+        val (mn, mx) =
+          if (lo == null) (1, 1)
+          else {
+            require(arrow == "->", s"variable-length motif terms must be directed: '$pattern'")
+            val (a, b) = (lo.toInt, hi.toInt)
+            require(a >= 1 && b >= a && b <= 8,
+              s"motif star range *$a..$b out of bounds (1 <= min <= max <= 8)")
+            (a, b)
+          }
+        (neg == "!", v(sv, sk), Option(lbl).filter(_.nonEmpty), v(dv, dk), arrow == "-", mn, mx)
       case t => throw new IllegalArgumentException(
         s"motif term '$t' is not (a[:kind])-[label]->(b[:kind]), its undirected " +
-          "-[label]- form, or a !-negation of one")
+          "-[label]- or variable-length -[label*1..3]-> form, or a !-negation of one")
     }.toSeq
     require(terms.exists(!_._1), "motif needs at least one positive term")
     kindOf.valuesIterator.foreach(kk => require(kinds.contains(kk),
       s"motif kind annotation :$kk names no kind table (have: ${kinds.keys.mkString(", ")})"))
-    def term(sv: String, lbl: Option[String], dv: String, undirected: Boolean): DataFrame = {
+    def term(sv: String, lbl: Option[String], dv: String, undirected: Boolean,
+        mn: Int, mx: Int): DataFrame = {
       val e = lbl.map(l => edges.where(col("label") === l)).getOrElse(edges)
-      if (sv == dv)
+      def chain(len: Int): DataFrame = {
+        // len-hop chain with internal join columns — Cypher's `*min..max`
+        // expands to a union of fixed-length keyed-join chains (bag
+        // semantics: one row per PATH instance, like the fluent out().out())
+        var df = e.select(col("src").as(sv), col("dst").as("__vl"))
+        (2 to len).foreach { _ =>
+          df = df.join(e.select(col("src").as("__vl"), col("dst").as("__vl2")), "__vl")
+            .drop("__vl").withColumnRenamed("__vl2", "__vl")
+        }
+        if (sv == dv) df.where(col(sv) === col("__vl")).select(col(sv))
+        else df.withColumnRenamed("__vl", dv)
+      }
+      if (mx > 1) (mn to mx).map(chain).reduce(_.unionAll(_))
+      else if (sv == dv)
         e.where(col("src") === col("dst")).select(col("src").as(sv))
       else {
         val fwd = e.select(col("src").as(sv), col("dst").as(dv))
@@ -416,15 +441,15 @@ final case class PropertyGraph(
       }
     }
     val bound = terms.filter(!_._1)
-      .foldLeft(Option.empty[DataFrame]) { case (accOpt, (_, sv, lbl, dv, und)) =>
-        val e = term(sv, lbl, dv, und)
+      .foldLeft(Option.empty[DataFrame]) { case (accOpt, (_, sv, lbl, dv, und, mn, mx)) =>
+        val e = term(sv, lbl, dv, und, mn, mx)
         Some(accOpt.fold(e) { acc =>
           val shared = acc.columns.intersect(e.columns).toSeq
           if (shared.nonEmpty) acc.join(e, shared) else acc.crossJoin(e)
         })
       }.get
-    val full = terms.filter(_._1).foldLeft(bound) { case (acc, (_, sv, lbl, dv, und)) =>
-      val e = term(sv, lbl, dv, und)
+    val full = terms.filter(_._1).foldLeft(bound) { case (acc, (_, sv, lbl, dv, und, mn, mx)) =>
+      val e = term(sv, lbl, dv, und, mn, mx)
       val shared = acc.columns.intersect(e.columns).toSeq
       require(shared.nonEmpty,
         s"negated motif term over ($sv)->($dv) shares no bound variable with the positive terms")

@@ -658,6 +658,17 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // malformed term fails loudly
     intercept[IllegalArgumentException] { jobGraph.motif("(p)->(q)") }
+    // variable-length star: union of fixed-length chains, bag semantics
+    assert(jobGraph.motif("(p:person)-[*1..2]->(x)").count() === 8) // 4 apps + 4 jobs
+    assert(jobGraph.motif("(p:person)-[*2..3]->(x)").count() === 4) // jobs only; no 3-hop
+    assert(jobGraph.motif("(p)-[completes*1..2]->(x)").count() === 4) // no completes∘completes
+    // the star range composes with further terms on the endpoint
+    val reach = jobGraph.motif("(p:person)-[*2..2]->(j); (co)-[created]->(j)")
+      .select("p", "j", "co").as[(Long, Long, Long)].collect().toSet
+    assert(reach.contains((stephen, rexsterJob1, rexster)) && reach.size === 4)
+    // stars must be directed and bounded
+    intercept[IllegalArgumentException] { jobGraph.motif("(p)-[completes*1..2]-(x)") }
+    intercept[IllegalArgumentException] { jobGraph.motif("(p)-[*1..9]->(x)") }
   }
 
   override def afterAll(): Unit = { /* shared session; leave running */ }
