@@ -363,6 +363,8 @@ final case class PropertyGraph(
     *   `(a)-[label*1..3]->(b)` VARIABLE-LENGTH: 1 to 3 hops (≤8; Cypher's
     *                        star — a union of fixed-length chain joins)
     *   `(a:kind)`           kind annotation — semi-join restriction
+    *   `(a=123)`            id anchor — a pushed-down equality (get-vertex
+    *                        point queries; combines as `(a:kind=123)`)
     *   `()`                 anonymous vertex — matched but not returned
     *   `!(a)-[label]->(b)`  NEGATION: no such edge exists (vars must be
     *                        bound by positive terms; anonymous = "none at all")
@@ -380,19 +382,27 @@ final case class PropertyGraph(
     * sharing no variable with the prefix cross-join — legal but called
     * out: order the pattern so each term touches an earlier one. */
   def motif(pattern: String): DataFrame = {
-    val vtx = raw"""\(([A-Za-z_]\w*)?(?::([A-Za-z_]\w*))?\)"""
+    val vtx = raw"""\(([A-Za-z_]\w*)?(?::([A-Za-z_]\w*))?(?:=(-?\d+))?\)"""
     val termRe = raw"""(!?)$vtx-\[([A-Za-z_]\w*)?(?:\*(\d+)\.\.(\d+))?\](->|-)$vtx""".r
     var anon = 0
     val kindOf = scala.collection.mutable.HashMap[String, String]()
+    val anchorOf = scala.collection.mutable.HashMap[String, Long]()
     val terms = pattern.split(";").map(_.trim).filter(_.nonEmpty).map {
-      case termRe(neg, sv, sk, lbl, lo, hi, arrow, dv, dk) =>
-        def v(n: String, kd: String): String = {
+      case termRe(neg, sv, sk, sa, lbl, lo, hi, arrow, dv, dk, da) =>
+        def v(n: String, kd: String, anchor: String): String = {
           val name = Option(n).filter(_.nonEmpty).getOrElse { anon += 1; s"__anon$anon" }
           Option(kd).filter(_.nonEmpty).foreach { kk =>
             kindOf.get(name).filter(_ != kk).foreach(prev =>
               throw new IllegalArgumentException(
                 s"motif variable $name annotated with two kinds: $prev and $kk"))
             kindOf(name) = kk
+          }
+          Option(anchor).filter(_.nonEmpty).foreach { av =>
+            val a = av.toLong
+            anchorOf.get(name).filter(_ != a).foreach(prev =>
+              throw new IllegalArgumentException(
+                s"motif variable $name anchored to two ids: $prev and $a"))
+            anchorOf(name) = a
           }
           name
         }
@@ -405,7 +415,7 @@ final case class PropertyGraph(
               s"motif star range *$a..$b out of bounds (1 <= min <= max <= 8)")
             (a, b)
           }
-        (neg == "!", v(sv, sk), Option(lbl).filter(_.nonEmpty), v(dv, dk), arrow == "-", mn, mx)
+        (neg == "!", v(sv, sk, sa), Option(lbl).filter(_.nonEmpty), v(dv, dk, da), arrow == "-", mn, mx)
       case t => throw new IllegalArgumentException(
         s"motif term '$t' is not (a[:kind])-[label]->(b[:kind]), its undirected " +
           "-[label]- or variable-length -[label*1..3]-> form, or a !-negation of one")
@@ -457,8 +467,13 @@ final case class PropertyGraph(
     }
     // kind annotations: each annotated variable semi-joins its kind table
     // (a narrow id set — broadcast-eligible; restriction, never fan-out)
-    val kinded = kindOf.toSeq.sortBy(_._1).foldLeft(full) { case (acc, (name, kk)) =>
+    val kinded0 = kindOf.toSeq.sortBy(_._1).foldLeft(full) { case (acc, (name, kk)) =>
       acc.join(kinds(kk).select(col("id").as(name)), Seq(name), "left_semi")
+    }
+    // id anchors `(a=123)`: plain pushed-down equality predicates — the
+    // get-vertex/point-query arity of the pattern surface
+    val kinded = anchorOf.toSeq.sortBy(_._1).foldLeft(kinded0) { case (acc, (name, a)) =>
+      acc.where(col(name) === a)
     }
     // named variables in first-appearance order (join/anti-join column
     // reordering must not leak into the result contract)

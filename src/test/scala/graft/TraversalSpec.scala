@@ -669,6 +669,17 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // stars must be directed and bounded
     intercept[IllegalArgumentException] { jobGraph.motif("(p)-[completes*1..2]-(x)") }
     intercept[IllegalArgumentException] { jobGraph.motif("(p)-[*1..9]->(x)") }
+    // id anchors: the get-vertex point-query arity, a pushed-down equality
+    assert(jobGraph.motif(s"(p=$bob)-[completes]->(ap)").as[(Long, Long)].collect().toSet ===
+      Set((bob, appBob1), (bob, appBob2)))
+    // anchor + kind + star compose
+    assert(jobGraph.motif(s"(p:person=$stephen)-[*2..2]->(j)")
+      .as[(Long, Long)].collect().toSet ===
+      Set((stephen, rexsterJob1), (stephen, blueprintsJob3)))
+    // conflicting anchors fail loudly
+    intercept[IllegalArgumentException] {
+      jobGraph.motif(s"(p=1)-[completes]->(x); (p=2)-[completes]->(y)")
+    }
   }
 
   override def afterAll(): Unit = { /* shared session; leave running */ }
