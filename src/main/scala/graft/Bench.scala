@@ -49,6 +49,14 @@ object Bench {
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    // BENCH_r06 recorded parsed:null because 153 per-query entries outgrew the
+    // driver's bounded stdout tail capture, truncating the line mid-object.
+    // Print a compact total-only object LAST so any tail of the output always
+    // ends with one complete parsable JSON line; per-query detail survives in
+    // the line above and in bench_out.json.
+    val compact =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
+    println(compact)
     try {
       val p = java.nio.file.Paths.get("bench_out.json")
       java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))

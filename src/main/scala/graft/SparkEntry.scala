@@ -1905,9 +1905,16 @@ object SparkEntry {
     * EVERY k in 1..kMax over the (fixed-size) nation co-region+chain graph,
     * core = max k whose peel the vertex survives. k=1 keeps every endpoint,
     * so no vertex is missing; over-unrolling k past the true degeneracy
-    * yields empty cores and over-unrolling rounds is idempotent — both
-    * exact with margin. */
+    * yields empty cores and over-unrolling rounds is idempotent — exact
+    * with margin in the UPWARD direction only. UNDER-unrolling rounds is
+    * NOT safe: a peel can cascade one vertex per round (a path peels end-in),
+    * so a fixed `rounds` that stops early silently over-reports cores. The
+    * generated SQL therefore carries a CONVERGENCE ASSERTION — per k, the
+    * edge count of round `rounds` must equal round `rounds-1` (the exact
+    * fixpoint criterion on a monotonically shrinking set) or the query
+    * raises via error() instead of returning a plausible wrong answer. */
   private def coreOracleSql(kMax: Int, rounds: Int): String = {
+    require(rounds >= 2, "convergence assertion needs two trailing rounds to compare")
     val base =
       """ce AS MATERIALIZED (SELECT a.n_nationkey AS u, b.n_nationkey AS v FROM nation a
         |       JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
@@ -1926,10 +1933,16 @@ object SparkEntry {
     val un = (1 to kMax).map(k =>
       s"SELECT u AS id, $k AS k FROM s${k}_$rounds GROUP BY u HAVING count(*) >= $k")
       .mkString("\nUNION ALL ")
+    val conv = (1 to kMax).map(k =>
+      s"(SELECT count(*) FROM s${k}_$rounds) = (SELECT count(*) FROM s${k}_${rounds - 1})")
+      .mkString(" AND ")
     s"""WITH $base,
        |$chains,
-       |u AS ($un)
-       |SELECT (2000000000000 + id)::BIGINT AS id, max(k)::BIGINT AS core FROM u GROUP BY 1""".stripMargin
+       |u AS ($un),
+       |conv AS (SELECT CASE WHEN $conv THEN 1
+       |  ELSE error('core oracle: peel not converged within $rounds rounds - raise rounds') END AS ok)
+       |SELECT (2000000000000 + id)::BIGINT AS id, max(k)::BIGINT AS core
+       |FROM u, conv GROUP BY 1""".stripMargin
   }
 
   /** q_zorder oracle: the Morton interleave as explicit shift-and-or terms. */
@@ -2827,15 +2840,26 @@ object SparkEntry {
                       ELSE (coalesce(tr.t, 0) * 20000) // (dg.degree * (dg.degree - 1))
                  END)::BIGINT AS coeff_bp
          FROM nation LEFT JOIN dg ON dg.u = n_nationkey LEFT JOIN tr ON tr.u = n_nationkey""",
+    // exact integer sums (HUGEINT) + the SAME fixed double finish the Spark
+    // side runs: identical integer inputs through identical IEEE-correctly-
+    // rounded ops (cast, sqrt, mul, div) are bit-identical across engines —
+    // unlike corr(), whose float accumulation order differs and can flip
+    // round() at a half-ulp boundary
     "q_assortativity" ->
       """WITH cp AS (SELECT DISTINCT 3000000000000 + o.o_custkey AS s,
                             5000000000000 + l.l_partkey AS d
                      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
             sym AS (SELECT s AS u, d AS v FROM cp UNION ALL SELECT d, s FROM cp),
-            dg AS (SELECT u, count(*)::BIGINT AS deg FROM sym GROUP BY 1)
-         SELECT (count(*) // 2)::BIGINT AS n_edges,
-                round(corr(dx.deg, dy.deg) * 10000)::BIGINT AS assort_bp
-         FROM sym JOIN dg dx ON dx.u = sym.u JOIN dg dy ON dy.u = sym.v""",
+            dg AS (SELECT u, count(*)::BIGINT AS deg FROM sym GROUP BY 1),
+            j AS (SELECT dx.deg::HUGEINT AS x, dy.deg::HUGEINT AS y
+                  FROM sym JOIN dg dx ON dx.u = sym.u JOIN dg dy ON dy.u = sym.v),
+            sm AS (SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+                          sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM j)
+         SELECT (n // 2)::BIGINT AS n_edges,
+                round(((n*sxy - sx*sy)::DOUBLE /
+                       (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)))
+                      * 10000)::BIGINT AS assort_bp
+         FROM sm""",
     "q_richclub" ->
       """WITH cp AS (SELECT DISTINCT 3000000000000 + o.o_custkey AS s,
                             5000000000000 + l.l_partkey AS d

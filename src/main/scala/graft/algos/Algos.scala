@@ -493,8 +493,18 @@ object Algos {
     * variance: regular graphs, single edge) surfaces as NULL rather than a
     * fabricated 0. Scale shape: one distinct, one degree count, two keyed
     * joins back, one global agg — every shuffle keyed by vertex id.
-    * Callers round the float for engine-exact comparison (the 2–6 dp
-    * convention). */
+    *
+    * ENGINE-EXACT by construction: the aggregation accumulates the six
+    * EXACT integer sums (n, Σx, Σy, Σxy, Σx², Σy²) in DECIMAL(38,0) —
+    * order-independent integer addition, never a float accumulator (Spark
+    * covar_pop/stddev_pop vs DuckDB corr() accumulate in different orders,
+    * so their doubles can differ by an ulp and flip a rounded comparison).
+    * The FINISH r = (n·Σxy − ΣxΣy) / (√(n·Σx²−Σx²ₛ)·√(n·Σy²−Σy²ₛ)) is a
+    * fixed sequence of IEEE-754 correctly-rounded double ops (cast, sqrt,
+    * mul, div) on identical integer inputs — bit-identical in any engine
+    * that replays the SAME expression shape, which the oracle does. All
+    * integer intermediates stay ≤ ~10²⁶ for any plausible edge count, far
+    * inside DECIMAL(38,0)/HUGEINT range — no overflow cliff. */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     val raw = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
@@ -502,17 +512,24 @@ object Algos {
       .dropDuplicates("src", "dst")
       .localCheckpoint(false)
     val deg = sym.groupBy(col("src").as("k")).agg(count(lit(1)).as("d"))
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
     sym
       .join(deg.select(col("k").as("src"), col("d").as("dx")), "src")
       .join(deg.select(col("k").as("dst"), col("d").as("dy")), "dst")
-      .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
-        covar_pop(col("dx"), col("dy")).as("__cv"),
-        stddev_pop(col("dx")).as("__sx"), stddev_pop(col("dy")).as("__sy"))
-      // corr = cov/(σx·σy), spelled out so the degenerate-variance case is
-      // a NULL by construction instead of an ANSI divide-by-zero error
-      // (Spark's corr divides inside the agg and throws under ANSI mode)
+      .agg(count(lit(1)).as("__n"),
+        sum(d(col("dx"))).as("__sx"), sum(d(col("dy"))).as("__sy"),
+        sum(d(col("dx")) * d(col("dy"))).as("__sxy"),
+        sum(d(col("dx")) * d(col("dx"))).as("__sxx"),
+        sum(d(col("dy")) * d(col("dy"))).as("__syy"))
+      .select((col("__n") / 2).cast("long").as("n_edges"),
+        (d(col("__n")) * col("__sxy") - col("__sx") * col("__sy")).as("__num"),
+        (d(col("__n")) * col("__sxx") - col("__sx") * col("__sx")).as("__d1"),
+        (d(col("__n")) * col("__syy") - col("__sy") * col("__sy")).as("__d2"))
       .select(col("n_edges"),
-        when(col("__sx") * col("__sy") > 0, col("__cv") / (col("__sx") * col("__sy")))
+        when(col("__d1") > 0 && col("__d2") > 0,
+          col("__num").cast("double") /
+            (sqrt(col("__d1").cast("double")) * sqrt(col("__d2").cast("double"))))
           .otherwise(lit(null).cast("double")).as("assortativity"))
   }
 

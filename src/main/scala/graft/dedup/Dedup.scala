@@ -399,6 +399,14 @@ object Dedup {
     * identical (sim 10000), not a divide-by-zero. */
   def verifyPairs(docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, minSimBp: Long): DataFrame = {
+    // provenance columns pass through, so a caller column named like one of
+    // the internally generated ones would silently collide (withColumn
+    // replaces `lev`/`sim_bp`; `__ta`/`__tb` would be an ambiguous
+    // reference) — refuse loudly instead
+    val reserved = Seq("lev", "sim_bp", "__ta", "__tb").filter(pairs.columns.contains)
+    require(reserved.isEmpty,
+      s"verifyPairs: `pairs` carries reserved column name(s) ${reserved.mkString(", ")} " +
+        "(generated internally); rename or drop them before verification")
     val d = docs.select(col(idCol), col(textCol))
     val withTexts = pairs
       .join(d.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")

@@ -27,4 +27,10 @@ object NativeOps {
     * quantized vector (vs numBits interpreted zip_with/aggregate passes). */
   def hyperplaneSig(q: Column, weights: Array[Array[Long]]): Column =
     org.apache.spark.sql.graft.HyperplaneSig.column(q, weights)
+
+  /** Fused dot-product + exact cosine-threshold gate: the dot if
+    * `dot > 0 ∧ 10⁶·dot² ≥ t2·na·nb`, else NULL — one loop evaluation per
+    * candidate row (FilterExec re-evaluates per conjunct otherwise). */
+  def cosineGateDot(a: Column, b: Column, na: Column, nb: Column, t2: Long): Column =
+    org.apache.spark.sql.graft.CosineGateDot.column(a, b, na, nb, t2)
 }

@@ -378,10 +378,13 @@ final case class PropertyGraph(
     * with the bindings so far (a chain compiles to the same keyed
     * hash-join cascade the fluent `out()` produces; a term sharing BOTH
     * endpoints closes cycles — triangles — on a two-column key). Negated
-    * terms project onto their bound variables and LEFT-ANTI join. Terms
-    * sharing no variable with the prefix cross-join — legal but called
-    * out: order the pattern so each term touches an earlier one. */
-  def motif(pattern: String): DataFrame = {
+    * terms project onto their bound variables and LEFT-ANTI join. A
+    * positive term sharing NO variable with the bindings so far is
+    * REJECTED by default: a disconnected pattern is semantically a
+    * cartesian product, and at scale the overwhelmingly common cause is a
+    * typo'd variable name, which would silently explode into |V|² rows.
+    * Pass `allowDisconnected = true` to state the product is intended. */
+  def motif(pattern: String, allowDisconnected: Boolean = false): DataFrame = {
     val vtx = raw"""\(([A-Za-z_]\w*)?(?::([A-Za-z_]\w*))?(?:=(-?\d+))?\)"""
     val termRe = raw"""(!?)$vtx-\[([A-Za-z_]\w*)?(?:\*(\d+)\.\.(\d+))?\](->|-)$vtx""".r
     var anon = 0
@@ -390,6 +393,10 @@ final case class PropertyGraph(
     val terms = pattern.split(";").map(_.trim).filter(_.nonEmpty).map {
       case termRe(neg, sv, sk, sa, lbl, lo, hi, arrow, dv, dk, da) =>
         def v(n: String, kd: String, anchor: String): String = {
+          Option(n).filter(_.startsWith("__")).foreach(bad =>
+            throw new IllegalArgumentException(
+              s"motif variable '$bad' uses the reserved '__' prefix (internal " +
+                "names like __anon1/__vl live there); rename it"))
           val name = Option(n).filter(_.nonEmpty).getOrElse { anon += 1; s"__anon$anon" }
           Option(kd).filter(_.nonEmpty).foreach { kk =>
             kindOf.get(name).filter(_ != kk).foreach(prev =>
@@ -455,7 +462,13 @@ final case class PropertyGraph(
         val e = term(sv, lbl, dv, und, mn, mx)
         Some(accOpt.fold(e) { acc =>
           val shared = acc.columns.intersect(e.columns).toSeq
-          if (shared.nonEmpty) acc.join(e, shared) else acc.crossJoin(e)
+          if (shared.nonEmpty) acc.join(e, shared)
+          else if (allowDisconnected) acc.crossJoin(e)
+          else throw new IllegalArgumentException(
+            s"motif term ($sv)-...->($dv) shares no variable with the terms " +
+              "before it — a cartesian product. If the disconnected pattern is " +
+              "intended, pass allowDisconnected = true; otherwise check the " +
+              "variable names (this usually flags a typo).")
         })
       }.get
     val full = terms.filter(_._1).foldLeft(bound) { case (acc, (_, sv, lbl, dv, und, mn, mx)) =>
@@ -479,6 +492,9 @@ final case class PropertyGraph(
     // reordering must not leak into the result contract)
     val named = terms.filter(!_._1).flatMap(t => Seq(t._2, t._4))
       .distinct.filterNot(_.startsWith("__anon"))
+    require(named.nonEmpty,
+      "motif pattern binds no named variables — every vertex is anonymous, so " +
+        "there is nothing to return; name at least one, e.g. (a)-[knows]->()")
     kinded.select(named.map(col): _*)
   }
 

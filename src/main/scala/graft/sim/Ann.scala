@@ -47,18 +47,22 @@ object Ann {
       .withColumn("nq", dotQ(col("q"), col("q"), dim))
       .localCheckpoint(false)
 
-  /** The threshold test 10⁶·dot² >= τ²·|a|²·|b|² in DECIMAL(38,0): exact at
-    * any magnitude the quantization can produce (per-component |x| up to
-    * ~10³ keeps every product under 10³⁸). Pure LONG cross-multiplication
-    * overflows past L2 norm ≈ 1.75 — i.e. on any UNNORMALIZED embedding —
-    * and under ANSI mode that's a query-killing error, not even a wrong
-    * answer. Decimal math costs a few extra ns on the candidate rows only;
-    * the dot product itself stays a primitive long loop. */
-  private def cosAtLeastTau(dot: Column, na: Column, nb: Column, t2: Column): Column = {
-    val dec = "decimal(38,0)"
-    lit(1000000L).cast(dec) * dot.cast(dec) * dot.cast(dec) >=
-      t2.cast(dec) * na.cast(dec) * nb.cast(dec)
-  }
+  /** The threshold test `dot > 0 ∧ 10⁶·dot² >= τ²·|a|²·|b|²`, fused with
+    * the dot-product loop in the native
+    * [[org.apache.spark.sql.graft.CosineGateDot]] expression: NULL =
+    * rejected. Exactness contract unchanged from the all-DECIMAL(38,0)
+    * formulation the oracles replay (double prescreen with a 10⁻⁶ margin,
+    * BigInt on near-boundary rows — see the expression's scaladoc for why
+    * a multi-conjunct filter re-ran the dot loop three times per row). */
+  private def gatedDot(qa: Column, qb: Column, na: Column, nb: Column, tauPm: Int): Column =
+    graft.functions.NativeOps.cosineGateDot(qa, qb, na, nb, tauPm.toLong * tauPm)
+
+  /** Sentinel default for `querySide`: reference-compared so [[cosinePairs]]
+    * can detect the no-restriction (symmetric) case and take the half-work
+    * `id_a < id_b` join. A caller passing its own lambda — even one that is
+    * behaviorally the identity — gets the general two-sided path, which is
+    * correct just slower. */
+  val wholeCollection: DataFrame => DataFrame = identity
 
   /** All pairs (id_a < id_b) with cosine >= tau, exactly, on quantized
     * vectors. tauPm is cosine in per-mille (450 = 0.45). `querySide`
@@ -66,23 +70,37 @@ object Ann {
     * query filter on one side and the pair normalized to (id_a < id_b)
     * afterwards, so a qualifying (query, non-query) pair is found whichever
     * member has the lower id (a one-sided `id_a < id_b` join silently
-    * dropped pairs whose query member had the HIGHER id). */
+    * dropped pairs whose query member had the HIGHER id).
+    *
+    * When `querySide` is the default [[wholeCollection]] the problem is
+    * symmetric, so the join is restricted to `id_a < id_b` up front: each
+    * pair is generated and scored exactly once and the trailing
+    * `dropDuplicates` exchange disappears — half the dot products of the
+    * two-sided form (which round 6 paid on every bench run). */
   def cosinePairs(vecs: DataFrame, idCol: String, embCol: String, tauPm: Int,
-      querySide: DataFrame => DataFrame = identity, dim: Int = 64): DataFrame = {
+      querySide: DataFrame => DataFrame = wholeCollection, dim: Int = 64): DataFrame = {
     val qd = withQuantNorm(vecs, idCol, embCol, dim)
-    val a = querySide(qd).select(col("id").as("id_q"), col("q").as("qa"), col("nq").as("nqa"))
-    val b = qd.select(col("id").as("id_o"), col("q").as("qb"), col("nq").as("nqo"))
-    val t2 = lit(tauPm.toLong * tauPm) // tau² in 1e6 units
-    a.join(b, col("id_q") =!= col("id_o"))
-      .withColumn("dot", dotQ(col("qa"), col("qb"), dim))
-      .where(col("dot") > 0 && cosAtLeastTau(col("dot"), col("nqa"), col("nqo"), t2))
-      .select(
-        least(col("id_q"), col("id_o")).as("id_a"),
-        greatest(col("id_q"), col("id_o")).as("id_b"),
-        col("dot"),
-        when(col("id_q") < col("id_o"), col("nqa")).otherwise(col("nqo")).as("na"),
-        when(col("id_q") < col("id_o"), col("nqo")).otherwise(col("nqa")).as("nb"))
-      .dropDuplicates("id_a", "id_b") // identity querySide yields each pair twice
+    if (querySide eq wholeCollection) {
+      val a = qd.select(col("id").as("id_a"), col("q").as("qa"), col("nq").as("na"))
+      val b = qd.select(col("id").as("id_b"), col("q").as("qb"), col("nq").as("nb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("dot", gatedDot(col("qa"), col("qb"), col("na"), col("nb"), tauPm))
+        .where(col("dot").isNotNull)
+        .select(col("id_a"), col("id_b"), col("dot"), col("na"), col("nb"))
+    } else {
+      val a = querySide(qd).select(col("id").as("id_q"), col("q").as("qa"), col("nq").as("nqa"))
+      val b = qd.select(col("id").as("id_o"), col("q").as("qb"), col("nq").as("nqo"))
+      a.join(b, col("id_q") =!= col("id_o"))
+        .withColumn("dot", gatedDot(col("qa"), col("qb"), col("nqa"), col("nqo"), tauPm))
+        .where(col("dot").isNotNull)
+        .select(
+          least(col("id_q"), col("id_o")).as("id_a"),
+          greatest(col("id_q"), col("id_o")).as("id_b"),
+          col("dot"),
+          when(col("id_q") < col("id_o"), col("nqa")).otherwise(col("nqo")).as("na"),
+          when(col("id_q") < col("id_o"), col("nqo")).otherwise(col("nqa")).as("nb"))
+        .dropDuplicates("id_a", "id_b") // querySide ∩ rest yields each pair twice
+    }
   }
 
   /** Brute-force top-k positive-cosine neighbors for a query subset.
@@ -158,7 +176,6 @@ object Ann {
           lit(b.toLong << rows).bitwiseOR(
             shiftright(col("sig"), b * rows).bitwiseAND((1L << rows) - 1))
         }: _*)).as("bk"): _*)
-    val t2 = lit(tauPm.toLong * tauPm)
     val mask = (1L << rows) - 1
     val firstShared = {
       val x = col("a.sig").bitwiseXOR(col("b.sig"))
@@ -176,8 +193,9 @@ object Ann {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.p").as("pa"))
     cands
       .join(qp.select(col("id").as("id_b"), col("p").as("pb")), "id_b")
-      .withColumn("dot", dotQ(col("pa.q"), col("pb.q"), dim))
-      .where(col("dot") > 0 && cosAtLeastTau(col("dot"), col("pa.nq"), col("pb.nq"), t2))
+      .withColumn("dot",
+        gatedDot(col("pa.q"), col("pb.q"), col("pa.nq"), col("pb.nq"), tauPm))
+      .where(col("dot").isNotNull)
       .select("id_a", "id_b", "dot")
   }
 
@@ -260,11 +278,10 @@ object Ann {
     val cells = rankedCells(qd, leadersOf(qd, nlist), "id", dim)
       .where(col("lrn") === 1).drop("lrn")
     val sided = cells.join(qd, "id").localCheckpoint(false)
-    val t2 = lit(tauPm.toLong * tauPm)
     val pairs = sided.as("a").join(sided.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .withColumn("dot", dotQ(col("a.q"), col("b.q"), dim))
-      .where(col("dot") > 0 && cosAtLeastTau(col("dot"), col("a.nq"), col("b.nq"), t2))
+      .withColumn("dot", gatedDot(col("a.q"), col("b.q"), col("a.nq"), col("b.nq"), tauPm))
+      .where(col("dot").isNotNull)
       .select(col("a.id").as("src"), col("b.id").as("dst"))
     // CC runs on the PAIR-TOUCHED vertices only — the pair graph is tiny
     // relative to the collection, so isolated vectors never enter Pregel;

@@ -1755,6 +1755,13 @@ class DataOpsSpec extends AnyFunSuite {
     val kept = Dedup.verifyPairs(docs, "doc_id", "text", pairs, minSimBp = 8000L)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(kept === Set((1L, 2L), (4L, 5L)))
+    // provenance columns that collide with the internally generated names
+    // are refused loudly rather than silently replaced/ambiguous
+    val clash = pairs.withColumn("sim_bp", lit(1L))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.verifyPairs(docs, "doc_id", "text", clash, minSimBp = 0L)
+    }
+    assert(ex.getMessage.contains("sim_bp"))
   }
 
   test("bpeEncode: subword counts track the merge table; training corpus round-trips") {

@@ -682,5 +682,23 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("motif guards: disconnected terms, anonymous-only patterns, reserved names") {
+    // disconnected positive terms are a cartesian product — almost always a
+    // typo'd variable; rejected by default with a loud message
+    val ex = intercept[IllegalArgumentException] {
+      jobGraph.motif("(p)-[completes]->(ap); (q)-[created]->(j)")
+    }
+    assert(ex.getMessage.contains("allowDisconnected"))
+    // ... but the product is computable when explicitly requested
+    assert(jobGraph.motif("(p)-[completes]->(ap); (q)-[created]->(j)",
+      allowDisconnected = true).count() === 16) // 4 completes × 4 created
+    // an all-anonymous pattern returns nothing by construction — loud error
+    val anonEx = intercept[IllegalArgumentException] { jobGraph.motif("()-[completes]->()") }
+    assert(anonEx.getMessage.contains("anonymous"))
+    // user variables must not collide with the internal __ namespace
+    intercept[IllegalArgumentException] { jobGraph.motif("(__anon1)-[completes]->(x)") }
+    intercept[IllegalArgumentException] { jobGraph.motif("(p)-[*1..2]->(__vl)") }
+  }
+
   override def afterAll(): Unit = { /* shared session; leave running */ }
 }
