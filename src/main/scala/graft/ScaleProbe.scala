@@ -382,6 +382,55 @@ object ScaleProbe {
     val (bmK, bmnK) = minTime(bm25Of(docsK))
     println(f"[scale] bm25               1x: $bm1%6.2f s (n=$bmn1%9d)   ${kk}x: $bmK%6.2f s (n=$bmnK%9d)   time-ratio: ${bmK / math.max(bm1, 1e-9)}%5.2f")
 
+    // --- motif probes: chain + sibling-close on the replicated fact graph --
+    // chain = the keyed hash-join cascade (fact-linear); the close pattern
+    // adds a second lineitem variable on the SAME order — a two-column-key
+    // cycle-closing join whose fan-out is bounded by lineitems-per-order
+    // (≤7), so output and time stay fact-linear, never pair-quadratic
+    def motifChainOf(g: PropertyGraph): Long =
+      g.motif("(l)-[lineitem_order]->(o); (o)-[order_customer]->(c)").count()
+    val (mc1, mcn1) = minTime(motifChainOf(g1))
+    val (mcK, mcnK) = minTime(motifChainOf(gK))
+    println(f"[scale] motif_chain        1x: $mc1%6.2f s (n=$mcn1%9d)   ${k}x: $mcK%6.2f s (n=$mcnK%9d)   time-ratio: ${mcK / math.max(mc1, 1e-9)}%5.2f")
+    def motifCloseOf(g: PropertyGraph): Long =
+      g.motif("(l)-[lineitem_order]->(o); (l2)-[lineitem_order]->(o); " +
+        "(o)-[order_customer]->(c)").where(col("l") < col("l2")).count()
+    val (md1, mdn1) = minTime(motifCloseOf(g1))
+    val (mdK, mdnK) = minTime(motifCloseOf(gK))
+    println(f"[scale] motif_close        1x: $md1%6.2f s (n=$mdn1%9d)   ${k}x: $mdK%6.2f s (n=$mdnK%9d)   time-ratio: ${mdK / math.max(md1, 1e-9)}%5.2f")
+
+    // --- streaming near-dup band bridge at 8× docs: the stateful LSH filter
+    // replayed through a MemoryStream in 4 micro-batches. State is keyed by
+    // band bucket (the batch path's join key), so per-batch work is the
+    // banded explode + state lookups for that batch's buckets — doc-linear;
+    // the 8× feed should cost ≈8× the 1× feed, never superlinear (state
+    // lookups don't rescan history).
+    val docs8 = (0 until k).map(i =>
+        docs1.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_.unionByName(_)).localCheckpoint(true)
+    def streamNearDupOf(d: DataFrame, name: String): Long = {
+      implicit val sp: SparkSession = spark
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = d.select(col("doc_id"), lit(new java.sql.Timestamp(0L)).as("ts"), col("text"))
+        .as[graft.streaming.StreamDedup.Doc].collect()
+      val mem = MemoryStream[graft.streaming.StreamDedup.Doc]
+      val q = graft.streaming.StreamDedup.bandVerdicts(mem.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val n = graft.streaming.StreamDedup.collapseVerdicts(spark.table(name))
+        .where(!col("keep")).count()
+      q.stop(); n
+    }
+    var sdi = 0
+    def streamProbe(d: DataFrame): Long = { sdi += 1; streamNearDupOf(d, s"sp_neardup_$sdi") }
+    val (sn1t, snn1) = minTime(streamProbe(docs1))
+    val (sn8t, snn8) = minTime(streamProbe(docs8))
+    println(f"[scale] stream_neardup     1x: $sn1t%6.2f s (n=$snn1%9d)   ${k}x: $sn8t%6.2f s (n=$snn8%9d)   time-ratio: ${sn8t / math.max(sn1t, 1e-9)}%5.2f")
+
     spark.stop()
   }
 }

@@ -573,6 +573,62 @@ class DataOpsSpec extends AnyFunSuite {
     assert(rows === Set((7L, 6000000L, 500L, Some(2.0)))) // left_ts in millis
   }
 
+  test("stream-stream as-of state is BOUNDED: buffered rows flush to one kept right per key") {
+    // Turns the scaladoc state-bound claim (pending lefts + rights above the
+    // watermark + ONE right at-or-below it, per key) into numeric evidence
+    // via lastProgress.stateOperators on a long replay: 50 keys × (10 rights
+    // + 5 lefts) buffer pre-watermark, then the watermark passes everything
+    // and the state must collapse to exactly one row per key holding exactly
+    // the LATEST right — proven both by numRowsTotal and by later lefts
+    // still attributing to that right's value.
+    import graft.streaming.AsOf
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AsOf.AsOfEvent]
+    val q = AsOf.streamingAsOf(mem.toDS())
+      .writeStream.format("memory").queryName("ss_asof_bound").outputMode("append").start()
+    def t(min: Long) = new Timestamp(min * 60000L)
+    def stateRows(): Long = q.lastProgress.stateOperators.head.numRowsTotal
+    def stateBytes(): Long = q.lastProgress.stateOperators.head.memoryUsedBytes
+    // phase A: everything above the (still negative) watermark — all buffered
+    val phaseA = for (k <- 0L until 50L; e <- (0 to 9).map(m => AsOf.AsOfEvent(k, t(m), 0, 0L, m.toDouble)) ++
+      (0 to 4).map(j => AsOf.AsOfEvent(k, t(20 + j), 1, k * 10 + j, 0.0))) yield e
+    mem.addData(phaseA)
+    q.processAllAvailable()
+    assert(stateRows() === 50L) // one state row per key, 15 events buffered in each
+    val preFlushBytes = stateBytes()
+    assert(spark.table("ss_asof_bound").count() === 0L)
+    // phase B: watermark jumps past every buffered event; second batch fires
+    // the flush timeouts
+    mem.addData(AsOf.AsOfEvent(-1L, t(1000), 0, 0L, 0.0))
+    q.processAllAvailable()
+    mem.addData(AsOf.AsOfEvent(-1L, t(1001), 0, 0L, 0.0))
+    q.processAllAvailable()
+    val emitted = spark.table("ss_asof_bound")
+    assert(emitted.count() === 250L) // every left emitted exactly once
+    // every left attributed to the LATEST right at-or-below it (minute 9)
+    assert(emitted.select("asof_value").as[Option[Double]].collect().forall(_ === Some(9.0)))
+    // the BOUND: despite 500 rights + 250 lefts having passed through, state
+    // is back to one row per key — 50 data keys (one kept right each) + the
+    // -1 watermark key (its rights are still above the watermark)
+    assert(stateRows() === 51L)
+    assert(preFlushBytes > stateBytes(),
+      s"flushed state ($preFlushBytes B) must shrink below the buffered peak (${stateBytes()} B)")
+    // phase C: a NEW left per key long after the flush still attributes to
+    // the single kept right — the "one below the watermark" retention is
+    // exactly the latest right, nothing more, nothing lost
+    mem.addData((0L until 50L).map(k => AsOf.AsOfEvent(k, t(1100), 1, 90000L + k, 0.0)))
+    q.processAllAvailable()
+    mem.addData(AsOf.AsOfEvent(-1L, t(2000), 0, 0L, 0.0))
+    q.processAllAvailable()
+    mem.addData(AsOf.AsOfEvent(-1L, t(2100), 0, 0L, 0.0))
+    q.processAllAvailable()
+    val late = spark.table("ss_asof_bound").where(col("left_id") >= 90000L)
+    assert(late.count() === 50L)
+    assert(late.select("asof_value").as[Option[Double]].collect().forall(_ === Some(9.0)))
+    assert(stateRows() === 51L) // no growth: emitted lefts leave state, kept rights stay
+    q.stop()
+  }
+
   test("stream-stream as-of matches the ORACLED batch as-of on the events table") {
     // Batch-shadow oracle bridge: q_asof's viaWindow path is hash-matched
     // against DuckDB's ASOF JOIN by the correctness gate; replaying the same

@@ -66,6 +66,22 @@ class GremlinParitySpec extends AnyFunSuite {
     val both2 = (port(2L).as[(Long, Long, String, Long)].collect() ++ port(1L).as[(Long, Long, String, Long)].collect()).toSet
     assert(both1 === both2)
     assert(both1.size === 4) // bob's two blueprints jobs + stephen's two
+    // version 3 — the SAME query on the motif surface (the worked example
+    // published in SURVEY §2.2): the cypher_examples-style MATCH
+    //   MATCH (p)-[:completes]->(ap)-[:appliesTo]->(j)<-[:created]-(co)
+    //   WHERE id(p) = $person RETURN j, co, ap
+    // translated term-for-term into one motif string — the id anchor is the
+    // WHERE equality, the shared variables are the chain/close joins. Motifs
+    // bind VERTEX variables; the created-edge property joins back on its
+    // (job, company) endpoint key.
+    def viaMotif(person: Long) =
+      g.motif(s"(p=$person)-[completes]->(ap); (ap)-[appliesTo]->(j); (co)-[created]->(j)")
+        .select(col("j").as("job"), col("co").as("company"), col("ap").as("application"))
+        .join(created, Seq("job", "company"))
+        .select("job", "company", "creationDate", "application")
+    val both3 = (viaMotif(2L).as[(Long, Long, String, Long)].collect() ++
+      viaMotif(1L).as[(Long, Long, String, Long)].collect()).toSet
+    assert(both3 === both1) // all three surfaces agree, row for row
   }
 
   test("degree centrality on the job graph (fermor centrality)") {

@@ -248,6 +248,71 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(gx.vertices.keys.collect().toSet === Set(1L, 2L, 3L, 4L))
   }
 
+  test("loom protocols: label restriction + weight defaults (fermor loom_test)") {
+    // loom_test.clj:10-55 loom-protocols: graph with edges loom(a→b, weight 4),
+    // xyz(c→d, NO weight), nope(d→b); the loom view is restricted to
+    // :edge-labels [:loom :xyz] with :weight/nil 9 and :weight/no-edge 33.
+    // ids: a=1 b=2 c=3 d=4. Our label restriction is edgeSubgraph; the weight
+    // defaults are the adapter contract, expressed as coalesce + miss-default.
+    import graft.graph.PropertyGraph
+    val g0 = PropertyGraph(Map("v" -> Seq(1L, 2L, 3L, 4L).toDF("id")),
+      Seq((1L, 2L, "loom", Some(4L)), (3L, 4L, "xyz", None), (4L, 2L, "nope", None))
+        .toDF("src", "dst", "label", "weight"))
+    val g = g0.edgeSubgraph("loom", "xyz")
+    def weight(gr: PropertyGraph, s: Long, d: Long, nilW: Long, noEdgeW: Long): Long = {
+      val w = gr.edges.where(col("src") === s && col("dst") === d)
+        .select(coalesce(col("weight"), lit(nilW))).as[Long].collect()
+      if (w.isEmpty) noEdgeW else w.head
+    }
+    def succ(gr: PropertyGraph, v: Long) =
+      gr.from(Seq(v).toDF("id")).out().df.select("id").as[Long].collect().toSeq
+    def pred(gr: PropertyGraph, v: Long) =
+      gr.from(Seq(v).toDF("id")).in().df.select("id").as[Long].collect().toSeq
+    assert(succ(g, 1L) === Seq(2L))                    // successors* g :a = [:b]
+    assert(succ(g, 1L).size === 1)                     // out-degree 1
+    assert(g.edges.where(col("src") === 1).select("src", "dst")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 2L))) // out-edges [[:a :b]]
+    assert(pred(g, 2L) === Seq(1L))                    // predecessors* g :b = [:a] (nope hidden)
+    assert(weight(g, 1L, 2L, 9L, 33L) === 4L)          // weight* :a :b = 4
+    assert(weight(g, 3L, 4L, 9L, 33L) === 9L)          // nil weight default
+    assert(weight(g, 1L, 4L, 9L, 33L) === 33L)         // no-edge default
+    assert(g.vertices.select("id").as[Long].collect().toSet === Set(1L, 2L, 3L, 4L))
+    assert(g.edges.select("src", "dst").as[(Long, Long)].collect().toSet ===
+      Set((1L, 2L), (3L, 4L)))                         // nope not in the view
+    assert(g.transpose.edges.select("src", "dst").as[(Long, Long)].collect().toSet ===
+      Set((2L, 1L), (4L, 3L)))
+    assert(g.hasVertex(1L) && g.hasVertex(4L) && !g.hasVertex(5L))
+    assert(!g.edge(1L, 2L, "loom").isEmpty)            // has-edge? :a :b
+    assert(g.edges.where(col("src") === 1 && col("dst") === 3).isEmpty)
+    assert(g.edges.where(col("src") === 4 && col("dst") === 2).isEmpty) // nope restricted away
+  }
+
+  test("loom weighted digraph: weight carry, default 1, transpose keeps weight (fermor loom_test)") {
+    // loom_test.clj:197-249 weighted-digraph-test: edges 1→2 w77, 1→3 w88,
+    // 2→3 w99 (+ node 4); g4 adds 5→6 w88, 6→5 w88, 7→8 UNWEIGHTED (loom's
+    // default weight 1, the reference's `(== 1 (loom/weight g4 7 8))`);
+    // g6 = transpose g1 keeps the weight on the reversed edge.
+    import graft.graph.PropertyGraph
+    val g1 = PropertyGraph(Map("v" -> Seq(1L, 2L, 3L, 4L).toDF("id")),
+      Seq((1L, 2L, Some(77L)), (1L, 3L, Some(88L)), (2L, 3L, Some(99L)))
+        .toDF("src", "dst", "weight").withColumn("label", lit("w")))
+    val g4 = g1
+      .addVertices("v", Seq(5L, 6L, 7L, 8L, 9L).toDF("id"))
+      .addEdges(Seq((5L, 6L, Some(88L)), (6L, 5L, Some(88L)), (7L, 8L, None))
+        .toDF("src", "dst", "weight").withColumn("label", lit("w")))
+    def weight(gr: PropertyGraph, s: Long, d: Long): Long =
+      gr.edges.where(col("src") === s && col("dst") === d)
+        .select(coalesce(col("weight"), lit(1L))).as[Long].head()
+    assert(weight(g1, 1L, 2L) === 77L)
+    assert(weight(g4, 6L, 5L) === 88L)
+    assert(weight(g4, 7L, 8L) === 1L)                  // loom's unweighted default
+    val g6 = g1.transpose
+    assert(weight(g6, 2L, 1L) === 77L)                 // transpose carries the weight
+    assert(g6.edges.select("src", "dst").as[(Long, Long)].collect().toSet ===
+      Set((2L, 1L), (3L, 1L), (3L, 2L)))
+    assert(g4.vertices.select("id").as[Long].collect().toSet === (1L to 9L).toSet)
+  }
+
   test("edge flavours: unique/parallel/weighted builders (fermor edge-flavours)") {
     // core_test.clj:167 — the three edge builders on one graph. ids:
     // a=1 b=2 c=3 x=24 y=25. Within-seq ordering maps to CALL order here
