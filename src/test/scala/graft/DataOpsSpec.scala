@@ -1794,6 +1794,40 @@ class DataOpsSpec extends AnyFunSuite {
     assert(first === ((1, "a", "b", 1L)))
   }
 
+  test("CosineGateDot: exact boundary admission, codegen/interpreted/BigInt agreement") {
+    import org.apache.spark.sql.graft.CosineGateDot
+    // identical vectors: dot = na = nb = n, so the test 10⁶·n² >= t2·n²
+    // reduces to t2 <=> 10⁶ — an EXACT boundary at tauPm = 1000 that the
+    // double prescreen cannot decide (ratio 1.0 sits inside its ±1e-6
+    // margin), forcing the BigInt branch: >= must admit at equality
+    assert(CosineGateDot.admit(12345L, 12345L, 12345L, 1000L * 1000L))
+    assert(!CosineGateDot.admit(12345L, 12345L, 12345L, 1001L * 1001L))
+    assert(!CosineGateDot.admit(0L, 5L, 5L, 0L))     // dot <= 0 never admits
+    assert(!CosineGateDot.admit(-3L, 5L, 5L, 0L))
+    // far-from-boundary cases decide in the double fast path; spot-check
+    // they agree with the exact integer form on big unnormalized norms
+    // (the long-overflow regime the decimal tier was built for)
+    val na = 40000000000L; val nb = 90000000000L // |a|²,|b|² ~ norm 2e5, 3e5
+    def exact(dot: Long, t2: Long) =
+      (BigInt(dot) * dot * 1000000L) >= (BigInt(t2) * na * nb)
+    for (dot <- Seq(1L, 1000000L, 30000000000L, 59999999999L, 60000000001L, 3600000000000L);
+         t2 <- Seq(1L, 450L * 450L, 1000L * 1000L))
+      assert(CosineGateDot.admit(dot, na, nb, t2) === exact(dot, t2), s"dot=$dot t2=$t2")
+    // end-to-end through whole-stage codegen: the expression admits exactly
+    // the rows the decimal formulation does, and returns the dot itself
+    val vecs = Seq(
+      (1L, Seq(1000.0f, 0.0f)), (2L, Seq(1000.0f, 0.0f)),   // cos = 1 (boundary at tau=1000)
+      (3L, Seq(0.0f, 1000.0f)),                              // orthogonal to 1,2
+      (4L, Seq(700.0f, 700.0f))                              // cos ≈ 0.707 to both axes
+    ).toDF("vec_id", "embedding")
+    val got = graft.sim.Ann.cosinePairs(vecs, "vec_id", "embedding", tauPm = 1000, dim = 2)
+      .select("id_a", "id_b", "dot").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 1000000L * 1000000L))) // dot of two milli-quantized (1000,0) vectors
+    val loose = graft.sim.Ann.cosinePairs(vecs, "vec_id", "embedding", tauPm = 700, dim = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(loose === Set((1L, 2L), (1L, 4L), (2L, 4L), (3L, 4L)))
+  }
+
   test("verifyPairs: exact edit-distance gate on candidate pairs, empty-text identity") {
     import graft.dedup.Dedup
     val docs = Seq(
