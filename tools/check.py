@@ -1,14 +1,20 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check.py <sfdir> <verify_out_dir>
+Usage: python3 tools/check.py <sfdir> <verify_out_dir> [only_csv] [skip_csv]
 Registers each parquet table as a DuckDB view, runs every oracle_sql.json
 entry, and compares against the Spark-written parquet in <verify_out_dir>/<q>:
 column names (sorted), row count, and a hash of the value matrix after
 sorting columns by name and rows lexicographically. Floats rounded to 6dp
 before hashing (the Spark side should already round aggregates explicitly).
+
+Results print INCREMENTALLY (one line per query, flushed) so a crash or kill
+mid-run loses nothing; DuckDB gets all threads plus a memory limit with
+spill-to-disk, which the quadratic ground-truth oracles (brute ANN pairs at
+10x data = ~13G join rows) need to finish instead of OOMing. only_csv /
+skip_csv restrict the query set for targeted or split runs.
 """
-import sys, json, glob, hashlib
+import sys, json, glob, hashlib, os
 import duckdb
 import pandas as pd
 
@@ -23,23 +29,33 @@ def canon(df: pd.DataFrame) -> tuple:
     h = hashlib.md5(repr(rows).encode()).hexdigest()
     return tuple(df.columns), len(rows), h, rows[:3]
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, only=None, skip=None):
     con = duckdb.connect()
+    con.sql(f"SET threads={os.cpu_count()}")
+    con.sql("SET memory_limit='80GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for p in glob.glob(f"{sfdir}/*.parquet"):
         name = p.split("/")[-1].replace(".parquet", "")
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only:
+        oracle = {q: s for q, s in oracle.items() if q in only}
+    if skip:
+        oracle = {q: s for q, s in oracle.items() if q not in skip}
+    width = max(len(q) for q in oracle) if oracle else 0
     results = {}
     for q, sql in sorted(oracle.items()):
         try:
             exp = con.sql(sql).df()
         except Exception as e:
             results[q] = f"ORACLE-ERROR {e}"
+            print(f"{q:<{width}}  {results[q][:400]}", flush=True)
             continue
         try:
             got = pd.read_parquet(f"{outdir}/{q}")
         except Exception as e:
             results[q] = f"SPARK-MISSING {e}"
+            print(f"{q:<{width}}  {results[q][:400]}", flush=True)
             continue
         ce, ne, he, se = canon(exp)
         cg, ng, hg, sg = canon(got)
@@ -51,12 +67,12 @@ def main(sfdir, outdir):
             results[q] = f"HASH-MISMATCH n={ne} oracle_head={se} spark_head={sg}"
         else:
             results[q] = f"OK n={ne}"
-    width = max(len(q) for q in results) if results else 0
+        print(f"{q:<{width}}  {results[q][:400]}", flush=True)
     ok = sum(1 for v in results.values() if v.startswith("OK"))
-    for q, v in sorted(results.items()):
-        print(f"{q:<{width}}  {v[:400]}")
-    print(f"== {ok}/{len(results)} OK ==")
+    print(f"== {ok}/{len(results)} OK ==", flush=True)
     return 0 if ok == len(results) else 1
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 and sys.argv[3] else None
+    skip = set(sys.argv[4].split(",")) if len(sys.argv) > 4 and sys.argv[4] else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only, skip))
