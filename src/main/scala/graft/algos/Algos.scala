@@ -1687,7 +1687,14 @@ object Algos {
   def immediateDominators(entry: Long, edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    idomMap(entry, edges).toSeq.toDF("id", "idom")
+    // parallelize, not toDF-on-local-Seq: a LocalRelation encodes every row
+    // single-threaded on the driver, which at millions of CFG blocks cost
+    // more than the CHK solve itself (the 10× sweep's whole q_dominators
+    // overhead); RDD partitions encode in parallel across the executors
+    val arr = idomMap(entry, edges).toArray
+    spark.sparkContext
+      .parallelize(arr.toIndexedSeq, math.min(32, 1 + arr.length / 65536))
+      .toDF("id", "idom")
   }
 
   /** The idom map behind [[immediateDominators]] / [[dominatorDepth]] —
@@ -1723,30 +1730,60 @@ object Algos {
       } else { stack.pop(); rpoList += u }
     }
     val rpo = rpoList.reverse.toArray // entry first
-    val rpoNum = rpo.zipWithIndex.toMap
-    val preds = es.filter { case (s, d) => rpoNum.contains(s) && rpoNum.contains(d) }
-      .groupBy(_._2).map { case (k, v) => k -> v.map(_._1).distinct }
-    val idom = scala.collection.mutable.HashMap[Long, Long](entry -> entry)
-    def intersect(a: Long, b: Long): Long = {
+    val n = rpo.length
+    // index-based CHK from here: the fixpoint's intersect loop does two map
+    // lookups per dominator-chain step, and boxed-Long HashMaps made it the
+    // entire cost at millions of edges (the 10× sweep read 15× wall for 10×
+    // edges); remap vertices to 0..n-1 once and run the loops on int arrays
+    val ix = new scala.collection.mutable.HashMap[Long, Int]()
+    ix.sizeHint(n)
+    var i = 0
+    while (i < n) { ix(rpo(i)) = i; i += 1 } // ix == rpo position (entry = 0)
+    // CSR-style predecessor lists over reachable endpoints only
+    val predCnt = new Array[Int](n)
+    es.foreach { case (s, d) =>
+      if (ix.contains(s)) ix.get(d).foreach(di => predCnt(di) += 1)
+    }
+    val predOff = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { predOff(i + 1) = predOff(i) + predCnt(i); i += 1 }
+    val predArr = new Array[Int](predOff(n))
+    val fill = java.util.Arrays.copyOf(predOff, n)
+    es.foreach { case (s, d) =>
+      val si = ix.getOrElse(s, -1)
+      if (si >= 0) ix.get(d).foreach { di => predArr(fill(di)) = si; fill(di) += 1 }
+    }
+    val idom = Array.fill(n)(-1)
+    idom(0) = 0
+    def intersect(a: Int, b: Int): Int = {
       var f1 = a; var f2 = b
       while (f1 != f2) {
-        while (rpoNum(f1) > rpoNum(f2)) f1 = idom(f1)
-        while (rpoNum(f2) > rpoNum(f1)) f2 = idom(f2)
+        while (f1 > f2) f1 = idom(f1)
+        while (f2 > f1) f2 = idom(f2)
       }
       f1
     }
     var changed = true
     while (changed) {
       changed = false
-      rpo.drop(1).foreach { v =>
-        val ps = preds.getOrElse(v, Array.empty[Long]).filter(idom.contains)
-        if (ps.nonEmpty) {
-          val newIdom = ps.reduce(intersect)
-          if (!idom.get(v).contains(newIdom)) { idom(v) = newIdom; changed = true }
+      var v = 1
+      while (v < n) {
+        var ni = -1
+        var p = predOff(v)
+        while (p < predOff(v + 1)) {
+          val u = predArr(p)
+          if (idom(u) >= 0) ni = if (ni < 0) u else intersect(ni, u)
+          p += 1
         }
+        if (ni >= 0 && idom(v) != ni) { idom(v) = ni; changed = true }
+        v += 1
       }
     }
-    idom
+    val out = scala.collection.mutable.HashMap[Long, Long]()
+    out.sizeHint(n)
+    i = 0
+    while (i < n) { if (idom(i) >= 0) out(rpo(i)) = rpo(idom(i)); i += 1 }
+    out
   }
 
   /** Depth of each vertex in the dominator tree (fermor `dominator-depth`). */
@@ -1767,7 +1804,10 @@ object Algos {
       while (j >= 0) { d += 1; memo(chain(j)) = d; j -= 1 }
       memo(v0)
     })
-    idom.keys.toSeq.map(v => (v, depth(v))).toDF("id", "depth")
+    val arr = idom.keysIterator.map(v => (v, depth(v))).toArray
+    spark.sparkContext // parallel row encode — see immediateDominators
+      .parallelize(arr.toIndexedSeq, math.min(32, 1 + arr.length / 65536))
+      .toDF("id", "depth")
   }
 
   /** Post-order / reverse-post-order DFS numbering from an entry (fermor
