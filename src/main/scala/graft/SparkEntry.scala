@@ -1942,7 +1942,10 @@ object SparkEntry {
        |conv AS (SELECT CASE WHEN $conv THEN 1
        |  ELSE error('core oracle: peel not converged within $rounds rounds - raise rounds') END AS ok)
        |SELECT (2000000000000 + id)::BIGINT AS id, max(k)::BIGINT AS core
-       |FROM u, conv GROUP BY 1""".stripMargin
+       |FROM u, conv WHERE conv.ok = 1 GROUP BY 1""".stripMargin
+    // ^ the WHERE reference is load-bearing: an UNREFERENCED conv.ok column
+    // is pruned by DuckDB's optimizer and the error() never evaluates (found
+    // by review, reproduced against DuckDB) — the predicate forces the CASE
   }
 
   /** q_zorder oracle: the Morton interleave as explicit shift-and-or terms. */

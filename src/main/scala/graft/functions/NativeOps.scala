@@ -30,7 +30,9 @@ object NativeOps {
 
   /** Fused dot-product + exact cosine-threshold gate: the dot if
     * `dot > 0 ∧ 10⁶·dot² ≥ t2·na·nb`, else NULL — one loop evaluation per
-    * candidate row (FilterExec re-evaluates per conjunct otherwise). */
+    * REJECTED candidate row (a multi-conjunct filter re-evaluates per
+    * conjunct; admitted rows, the filtered tail, pay one more in the
+    * projection). */
   def cosineGateDot(a: Column, b: Column, na: Column, nb: Column, t2: Long): Column =
     org.apache.spark.sql.graft.CosineGateDot.column(a, b, na, nb, t2)
 }

@@ -378,12 +378,14 @@ final case class PropertyGraph(
     * with the bindings so far (a chain compiles to the same keyed
     * hash-join cascade the fluent `out()` produces; a term sharing BOTH
     * endpoints closes cycles — triangles — on a two-column key). Negated
-    * terms project onto their bound variables and LEFT-ANTI join. A
-    * positive term sharing NO variable with the bindings so far is
-    * REJECTED by default: a disconnected pattern is semantically a
-    * cartesian product, and at scale the overwhelmingly common cause is a
-    * typo'd variable name, which would silently explode into |V|² rows.
-    * Pass `allowDisconnected = true` to state the product is intended. */
+    * terms project onto their bound variables and LEFT-ANTI join. Positive
+    * terms are joined in GREEDY CONNECTIVITY order (each joined term shares
+    * a variable with the bindings so far), so a connected pattern is
+    * accepted however its terms are ordered; a pattern that is disconnected
+    * AS A WHOLE is rejected by default — semantically a cartesian product,
+    * and at scale the overwhelmingly common cause is a typo'd variable
+    * name, which would silently explode into |V|² rows. Pass
+    * `allowDisconnected = true` to state the product is intended. */
   def motif(pattern: String, allowDisconnected: Boolean = false): DataFrame = {
     val vtx = raw"""\(([A-Za-z_]\w*)?(?::([A-Za-z_]\w*))?(?:=(-?\d+))?\)"""
     val termRe = raw"""(!?)$vtx-\[([A-Za-z_]\w*)?(?:\*(\d+)\.\.(\d+))?\](->|-)$vtx""".r
@@ -457,20 +459,40 @@ final case class PropertyGraph(
         else fwd
       }
     }
-    val bound = terms.filter(!_._1)
-      .foldLeft(Option.empty[DataFrame]) { case (accOpt, (_, sv, lbl, dv, und, mn, mx)) =>
-        val e = term(sv, lbl, dv, und, mn, mx)
-        Some(accOpt.fold(e) { acc =>
-          val shared = acc.columns.intersect(e.columns).toSeq
-          if (shared.nonEmpty) acc.join(e, shared)
-          else if (allowDisconnected) acc.crossJoin(e)
-          else throw new IllegalArgumentException(
-            s"motif term ($sv)-...->($dv) shares no variable with the terms " +
-              "before it — a cartesian product. If the disconnected pattern is " +
-              "intended, pass allowDisconnected = true; otherwise check the " +
-              "variable names (this usually flags a typo).")
-        })
-      }.get
+    // positive terms join greedily: always pick a not-yet-joined term that
+    // shares a variable with the bindings so far, so a CONNECTED pattern is
+    // accepted (and compiled as keyed joins) regardless of the order its
+    // terms are written in — "(a)->(b); (c)->(d); (b)->(c)" is a path, not a
+    // product, even though term 2 touches term 1 only through term 3. Only
+    // when NO remaining term connects is the pattern genuinely disconnected.
+    val remaining = scala.collection.mutable.ArrayBuffer(terms.filter(!_._1): _*)
+    var acc: DataFrame = null
+    while (remaining.nonEmpty) {
+      val idx =
+        if (acc == null) 0
+        else {
+          val cols = acc.columns.toSet
+          remaining.indexWhere(t => cols.contains(t._2) || cols.contains(t._4))
+        }
+      if (idx >= 0) {
+        val t = remaining.remove(idx)
+        val e = term(t._2, t._3, t._4, t._5, t._6, t._7)
+        acc = if (acc == null) e
+          else acc.join(e, acc.columns.intersect(e.columns).toSeq)
+      } else if (allowDisconnected) {
+        val t = remaining.remove(0)
+        acc = acc.crossJoin(term(t._2, t._3, t._4, t._5, t._6, t._7))
+      } else {
+        val vars = remaining.flatMap(t => Seq(t._2, t._4)).distinct
+          .filterNot(_.startsWith("__anon"))
+        throw new IllegalArgumentException(
+          s"motif terms over (${vars.mkString(", ")}) share no variable with " +
+            "the rest of the pattern — a cartesian product. If the disconnected " +
+            "pattern is intended, pass allowDisconnected = true; otherwise check " +
+            "the variable names (this usually flags a typo).")
+      }
+    }
+    val bound = acc
     val full = terms.filter(_._1).foldLeft(bound) { case (acc, (_, sv, lbl, dv, und, mn, mx)) =>
       val e = term(sv, lbl, dv, und, mn, mx)
       val shared = acc.columns.intersect(e.columns).toSeq

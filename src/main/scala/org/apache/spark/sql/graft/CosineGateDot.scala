@@ -16,8 +16,11 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
   * projected `dot` column gets each conjunct's `dot` reference inlined
   * SEPARATELY by predicate pushdown, so the 64-term dot loop ran three times
   * per candidate row (measured: ~0.3 s per extra evaluation per million
-  * rows at sf0.1). This expression evaluates the loop once and decides
-  * admission inside.
+  * rows at sf0.1). Fused, every REJECTED row — the overwhelming majority of
+  * an all-pairs candidate stream — costs exactly one loop; an ADMITTED row
+  * still pays a second evaluation in the projection above the pushed-down
+  * filter (no cross-operator CSE either), which is fine because admissions
+  * are the tiny filtered tail, not the stream.
   *
   * Exactness: admission is decided by a conservative double prescreen
   * (relative margin 10⁻⁶, nine orders of magnitude above the accumulated
@@ -35,31 +38,21 @@ case class CosineGateDot(first: Expression, second: Expression,
   override def prettyName: String = "cosine_gate_dot"
 
   override def nullSafeEval(a: Any, b: Any, na: Any, nb: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0L; var i = 0
-    while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getLong(i) * y.getLong(i)
-      i += 1
-    }
+    val acc = LongArrayDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     if (CosineGateDot.admit(acc, na.asInstanceOf[Long], nb.asInstanceOf[Long], t2)) acc
     else null
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b, na, nb) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val gate = classOf[CosineGateDot].getName
+      val dotCls = classOf[LongArrayDot].getName
+      // both the dot and the admission are static-forwarder calls (JIT
+      // inlines them): ONE definition of the loop shared with LongArrayDot,
+      // so the fused gate cannot drift from the plain dot the oracles mirror
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $acc += $a.getLong($i) * $b.getLong($i);
-         |  }
-         |}
+         |final long $acc = $dotCls.dot($a, $b);
          |if ($gate.admit($acc, $na, $nb, ${t2}L)) {
          |  ${ev.value} = $acc;
          |} else {

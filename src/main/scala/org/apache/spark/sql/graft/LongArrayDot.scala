@@ -34,16 +34,8 @@ case class LongArrayDot(left: Expression, right: Expression)
   // arrays must not NPE; a raw getLong on a null slot NPEs on generic
   // arrays and silently reads 0 on unsafe ones — neither is acceptable
   // surface behavior. Internal ANN callers never produce null components.
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0L; var i = 0
-    while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getLong(i) * y.getLong(i)
-      i += 1
-    }
-    acc
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LongArrayDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -69,4 +61,20 @@ case class LongArrayDot(left: Expression, right: Expression)
 object LongArrayDot {
   def column(a: Column, b: Column): Column =
     ExpressionUtils.column(LongArrayDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** THE dot-product semantics, in one place: null elements contribute
+    * nothing (matching the SQL-oracle sum-of-products formulation). Static
+    * forwarder — shared by this expression's interpreted eval, by
+    * [[CosineGateDot]]'s eval AND generated code, so the two expressions
+    * cannot silently diverge. The inlined loop in [[LongArrayDot.doGenCode]]
+    * must mirror this body. */
+  def dot(x: ArrayData, y: ArrayData): Long = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L; var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
 }

@@ -612,7 +612,7 @@ class DataOpsSpec extends AnyFunSuite {
     // -1 watermark key (its rights are still above the watermark)
     assert(stateRows() === 51L)
     assert(preFlushBytes > stateBytes(),
-      s"flushed state ($preFlushBytes B) must shrink below the buffered peak (${stateBytes()} B)")
+      s"flushed state (${stateBytes()} B) must shrink below the buffered peak ($preFlushBytes B)")
     // phase C: a NEW left per key long after the flush still attributes to
     // the single kept right — the "one below the watermark" retention is
     // exactly the latest right, nothing more, nothing lost

@@ -692,6 +692,16 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ... but the product is computable when explicitly requested
     assert(jobGraph.motif("(p)-[completes]->(ap); (q)-[created]->(j)",
       allowDisconnected = true).count() === 16) // 4 completes × 4 created
+    // a CONNECTED pattern written in bridge order (term 2 touches term 1
+    // only through term 3) is NOT a product — greedy connectivity ordering
+    // accepts it and compiles keyed joins (order of terms must not matter)
+    val bridged = jobGraph
+      .motif("(p)-[completes]->(ap); (co)-[created]->(j); (ap)-[appliesTo]->(j)")
+      .select("p", "ap", "j", "co").as[(Long, Long, Long, Long)].collect().toSet
+    val straight = jobGraph
+      .motif("(p)-[completes]->(ap); (ap)-[appliesTo]->(j); (co)-[created]->(j)")
+      .select("p", "ap", "j", "co").as[(Long, Long, Long, Long)].collect().toSet
+    assert(bridged === straight && bridged.size === 4)
     // an all-anonymous pattern returns nothing by construction — loud error
     val anonEx = intercept[IllegalArgumentException] { jobGraph.motif("()-[completes]->()") }
     assert(anonEx.getMessage.contains("anonymous"))

@@ -39,9 +39,16 @@ def main(sfdir, outdir, only=None, skip=None):
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     if only:
+        missing = only - set(oracle)
+        if missing:  # a typo'd filter must not become a silent 0/0 pass
+            print(f"== ERROR: only-names not in oracle_sql.json: {sorted(missing)} ==")
+            return 1
         oracle = {q: s for q, s in oracle.items() if q in only}
     if skip:
         oracle = {q: s for q, s in oracle.items() if q not in skip}
+    if not oracle:
+        print("== ERROR: query filter left nothing to check — refusing a 0/0 'pass' ==")
+        return 1
     width = max(len(q) for q in oracle) if oracle else 0
     results = {}
     for q, sql in sorted(oracle.items()):
