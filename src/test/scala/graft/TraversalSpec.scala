@@ -405,15 +405,12 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(secs < 120, s"20-deep allPathsTo took ${secs}s — lineage is growing quadratically again")
   }
 
-  test("SQL extension registers long_array_dot for pure-SQL users") {
+  test("SQL extension registers the full native tier for pure-SQL users") {
     // (a fresh session would use .withExtensions(new GraftExtensions);
-    // the shared test session registers on its registry directly)
+    // the shared test session registers the SAME builder list directly)
     val fr = spark.sessionState.functionRegistry
-    if (!fr.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("long_array_dot"))) {
-      fr.createOrReplaceTempFunction("long_array_dot",
-        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          org.apache.spark.sql.graft.LongArrayDot(children(0), children(1)),
-        "built-in")
+    graft.GraftExtensions.functions.foreach { case (id, _, builder) =>
+      fr.createOrReplaceTempFunction(id.funcName, builder, "built-in")
     }
     val r = spark.sql("SELECT long_array_dot(array(1L, 2L), array(3L, 4L)) AS d").head().getLong(0)
     assert(r === 11L)
@@ -423,6 +420,42 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT long_array_dot(array(1L, CAST(NULL AS BIGINT), 5L), array(3L, 4L, 2L)) AS d")
       .head().getLong(0)
     assert(rn === 13L)
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array('a','c','e'), array('c','d','e')) AS n")
+      .head().getLong(0) === 2L)
+    assert(spark.sql("SELECT word_shingles('a b  c d', 3) AS s")
+      .head().getSeq[String](0) === Seq("a b c", "b c d"))
+    // parameterized expressions: SQL form ≡ the DataFrame-API form bit-for-bit
+    val hashes = spark.sql("SELECT array(7L, 11L, 13L) AS h")
+    val viaSql = spark.sql("SELECT minhash_sigs(array(7L, 11L, 13L), 8) AS sig")
+      .head().getSeq[Long](0)
+    val viaDf = hashes.select(
+      graft.functions.NativeOps.minhashSigs(col("h"), 8).as("sig")).head().getSeq[Long](0)
+    assert(viaSql === viaDf)
+    val vec = spark.sql("SELECT array(5L, -3L, 2L, 9L) AS v")
+    val hSql = spark.sql("SELECT hyperplane_sig(array(5L, -3L, 2L, 9L), 16, 4) AS s")
+      .head().getLong(0)
+    val hDf = vec.select(graft.functions.NativeOps.hyperplaneSig(
+      col("v"), graft.sim.Ann.planeWeights(4, 16)).as("s")).head().getLong(0)
+    assert(hSql === hDf)
+    // cosine gate: identical vectors admit at t2 ≤ 10⁶ (cos²=1), reject above
+    val gate = spark.sql(
+      """SELECT cosine_gate_dot(array(3L,4L), array(3L,4L), 25L, 25L, 999999L) AS admit,
+        |       cosine_gate_dot(array(3L,4L), array(-4L,3L), 25L, 25L, 1L) AS ortho
+        |""".stripMargin).head()
+    assert(gate.getLong(0) === 25L && gate.isNullAt(1))
+    // aggregate registration: analyzer must wrap the AggregateFunction
+    val sim = spark.sql(
+      "SELECT simhash_agg(h) AS s FROM VALUES (1L),(3L),(3L) AS t(h)").head().getLong(0)
+    val simDf = Seq(1L, 3L, 3L).toDF("h")
+      .agg(org.apache.spark.sql.graft.SimHashAgg.column(col("h")).as("s")).head().getLong(0)
+    assert(sim === simDf)
+    // structural params must be literals: a column reference fails at analysis
+    val err = intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b c', cast(id AS int)) FROM range(1)").collect()
+    }
+    assert(err.getMessage.contains("argument 2 must be an integer literal"),
+      s"wrong failure: ${err.getMessage.take(200)}")
   }
 
   test("merge: the LATER graph's document wins on id conflict (fermor merge)") {
