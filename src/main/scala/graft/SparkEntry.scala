@@ -703,11 +703,12 @@ object SparkEntry {
       val bits = graft.functions.Sketch.bloomBuild(asiaCust, col("c_custkey"), m = 4096, k = 4)
       val orders = Tpch.table(s, dir, "orders")
       val kept = graft.functions.Sketch.bloomFilter(orders, col("o_custkey"), bits, m = 4096, k = 4)
-      val trueKept = kept.join(
-        asiaCust.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_semi")
+      // ONE scan of the kept stream yields both counts: a left join against
+      // the (unique-key) member list marks true members inline
+      val mark = asiaCust.select(col("c_custkey").as("o_custkey")).withColumn("__m", lit(1))
       orders.agg(count(lit(1)).as("n_probed"))
-        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
-        .crossJoin(trueKept.agg(count(lit(1)).as("n_true")))
+        .crossJoin(kept.join(mark, Seq("o_custkey"), "left")
+          .agg(count(lit(1)).as("n_kept"), count(col("__m")).as("n_true")))
         .withColumn("n_false_pos", col("n_kept") - col("n_true"))
     }),
     "q_quantile_sketch" -> ((s, dir) => {

@@ -348,22 +348,20 @@ object Algos {
         .join(dist.withColumnRenamed("cost", "__old"), Seq("id"), "left")
         .where(col("__old").isNull || col("cost") < col("__old"))
         .select("id", "cost")
-        .localCheckpoint(eager = true) // materialized once; isEmpty/agg below are cheap
-      if (improved.isEmpty) done = true
+        .localCheckpoint(eager = true) // materialized once; the agg below is cheap
+      // ONE agg job on the materialized frontier doubles as the drain probe:
+      // a null frontier minimum means no row improved
+      val row = improved.agg(min(col("cost")),
+        min(when(accept.get, col("cost")))).head()
+      if (row.isNullAt(0)) done = true
       else {
         dist = dist.join(improved.select("id"), Seq("id"), "left_anti")
           .unionByName(improved).localCheckpoint(eager = false)
         frontier = improved
-        accept.foreach { pred =>
-          // one combined agg job on the already-materialized frontier
-          val row = improved.agg(min(col("cost")),
-            min(when(pred, col("cost")))).head()
-          if (!row.isNullAt(1)) bestAccepted = math.min(bestAccepted, row.getLong(1))
-          val frontierMin = row.getLong(0)
-          // strictly positive costs: every future relaxation strictly exceeds
-          // the frontier minimum, so the accepted set at bestAccepted is final
-          if (frontierMin >= bestAccepted) done = true
-        }
+        if (!row.isNullAt(1)) bestAccepted = math.min(bestAccepted, row.getLong(1))
+        // strictly positive costs: every future relaxation strictly exceeds
+        // the frontier minimum, so the accepted set at bestAccepted is final
+        if (row.getLong(0) >= bestAccepted) done = true
       }
       i += 1
     }
@@ -491,8 +489,13 @@ object Algos {
     * attach to hubs, negative for hub-leaf (bipartite/star-like) mixing.
     * One row `(n_edges, assortativity)`; null correlation (degenerate
     * variance: regular graphs, single edge) surfaces as NULL rather than a
-    * fabricated 0. Scale shape: one distinct, one degree count, two keyed
-    * joins back, one global agg — every shuffle keyed by vertex id.
+    * fabricated 0. Scale shape: one distinct, one degree count, ONE keyed
+    * join back, tiny per-vertex aggs — every shuffle keyed by vertex id.
+    * Five of the six per-edge sums are pure degree-table moments (vertex v
+    * contributes its degree as dx to exactly d_v symmetric edges, so
+    * n = Σd, Σx = Σy = Σd², Σx² = Σy² = Σd³); only Σxy needs the edge
+    * list, as Σ_v d_v·S(v) with S(v) = Σ_{u∈N(v)} d_u — one |E| join
+    * instead of two, and the DECIMAL products run over |V| rows, not |E|.
     *
     * ENGINE-EXACT by construction: the aggregation accumulates the six
     * EXACT integer sums (n, Σx, Σy, Σxy, Σx², Σy²) in DECIMAL(38,0) —
@@ -512,20 +515,26 @@ object Algos {
       .dropDuplicates("src", "dst")
       .localCheckpoint(false)
     val deg = sym.groupBy(col("src").as("k")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(false) // two consumers: the moment agg and the S-join
     val dec = "decimal(38,0)"
     def d(c: Column): Column = c.cast(dec)
-    sym
-      .join(deg.select(col("k").as("src"), col("d").as("dx")), "src")
+    val zero = lit(0).cast(dec)
+    // exact integer moments of the degree table (see scaladoc identity)
+    val moments = deg.agg(
+      coalesce(sum(d(col("d"))), zero).as("__n"),
+      coalesce(sum(d(col("d")) * d(col("d"))), zero).as("__s1"),
+      coalesce(sum(d(col("d")) * d(col("d")) * d(col("d"))), zero).as("__s2"))
+    // Σxy = Σ_v d_v·S(v), S(v) = Σ of neighbor degrees — the one |E| join
+    val sxy = sym
       .join(deg.select(col("k").as("dst"), col("d").as("dy")), "dst")
-      .agg(count(lit(1)).as("__n"),
-        sum(d(col("dx"))).as("__sx"), sum(d(col("dy"))).as("__sy"),
-        sum(d(col("dx")) * d(col("dy"))).as("__sxy"),
-        sum(d(col("dx")) * d(col("dx"))).as("__sxx"),
-        sum(d(col("dy")) * d(col("dy"))).as("__syy"))
+      .groupBy(col("src").as("k")).agg(sum(d(col("dy"))).as("__sv"))
+      .join(deg, "k")
+      .agg(coalesce(sum(d(col("d")) * col("__sv")), zero).as("__sxy"))
+    moments.crossJoin(sxy)
       .select((col("__n") / 2).cast("long").as("n_edges"),
-        (d(col("__n")) * col("__sxy") - col("__sx") * col("__sy")).as("__num"),
-        (d(col("__n")) * col("__sxx") - col("__sx") * col("__sx")).as("__d1"),
-        (d(col("__n")) * col("__syy") - col("__sy") * col("__sy")).as("__d2"))
+        (col("__n") * col("__sxy") - col("__s1") * col("__s1")).as("__num"),
+        (col("__n") * col("__s2") - col("__s1") * col("__s1")).as("__d1"),
+        (col("__n") * col("__s2") - col("__s1") * col("__s1")).as("__d2"))
       .select(col("n_edges"),
         when(col("__d1") > 0 && col("__d2") > 0,
           col("__num").cast("double") /
@@ -2551,19 +2560,24 @@ object Algos {
         .join(implied, Seq("s", "v"), "left_anti")
         .localCheckpoint(true)
       d += 1
-      if (next.isEmpty) drained = true
+      // ONE scan of the checkpointed delta yields both loop controls: the
+      // drain count and the cycle witness — a self-pair (s, s) can never
+      // appear on a DAG; failing loudly here keeps the contract (a cycle
+      // shorter than maxDepth would otherwise drain and SILENTLY delete
+      // the cycle's edges as "implied")
+      val st = next.agg(count(lit(1)).as("n"),
+        max(when(col("s") === col("v"), 1).otherwise(0)).as("cyc")).head()
+      if (st.getLong(0) == 0L) drained = true
       else {
         if (d > maxDepth)
           throw new IllegalStateException(
             s"transitiveReduction: paths deeper than maxDepth=$maxDepth — not a bounded DAG?")
-        // a self-pair (s, s) is a cycle witness — on a DAG it can never
-        // appear; failing loudly here keeps the contract (a cycle shorter
-        // than maxDepth would otherwise drain and SILENTLY delete the
-        // cycle's edges as "implied")
-        if (!next.where(col("s") === col("v")).isEmpty)
+        if (st.getInt(1) == 1)
           throw new IllegalStateException(
             "transitiveReduction: input contains a cycle — defined on DAGs only")
-        implied = implied.unionByName(next).localCheckpoint(true)
+        // implied is a union of eagerly-checkpointed deltas — lineage stays
+        // depth-1 without re-materializing the accumulated set each round
+        implied = implied.unionByName(next)
         frontier = next
       }
     }
