@@ -73,6 +73,11 @@ object Scale {
         .select(bucketCols.map(col) :+ col("i1") :+ col("i2"): _*)
     val cold = its.join(hotKeys, bucketCols, "left_anti")
     val hot = its.join(hotKeys, bucketCols, "left_semi")
+    // the cold branch keeps AQE's coalescing: per-bucket fan-out is bounded
+    // by hotThreshold², so no single reducer can inherit an unbounded m² —
+    // a REPARTITION_BY_NUM pin here was measured to double total task time
+    // for ~8% wall (an extra full shuffle), the wrong CPU trade; only the
+    // hot branch (unbounded fan-out) needs the pin, inside skewJoin
     val coldPairs = pairs(side(cold, "i1").join(side(cold, "i2"), bucketCols))
     val hotPairs = pairs(skewJoin(side(hot, "i1"), side(hot, "i2"), bucketCols, salt))
     coldPairs.unionByName(hotPairs)
