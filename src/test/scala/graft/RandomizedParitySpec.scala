@@ -284,6 +284,34 @@ class RandomizedParitySpec extends AnyFunSuite {
     }
   }
 
+  test("degreeAssortativity moment form matches the per-edge formulation on random graphs") {
+    // guards the restructured identity (n = Σd, Σx = Σd², Σx² = Σd³,
+    // Σxy = Σ_v d_v·S(v)) against the direct per-edge sums it replaced —
+    // exact BigInt replay of the ORIGINAL formulation, then the same
+    // pinned IEEE double finish
+    for (seed <- 51 to 57) {
+      val (_, es) = randomGraph(seed, n = 10, nEdges = 18)
+      val sym = es.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, (e._2, e._1))).distinct
+      val deg = sym.groupBy(_._1).map { case (k, v) => k -> BigInt(v.size) }
+      val xy = sym.map { case (u, v) => (deg(u), deg(v)) }
+      val n = BigInt(xy.size)
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum; val syy = xy.map(p => p._2 * p._2).sum
+      val num = n * sxy - sx * sy
+      val d1 = n * sxx - sx * sx; val d2 = n * syy - sy * sy
+      val expected =
+        if (d1 > 0 && d2 > 0)
+          Some(num.toDouble / (math.sqrt(d1.toDouble) * math.sqrt(d2.toDouble)))
+        else None
+      val got = Algos.degreeAssortativity(es.toDF("src", "dst"))
+        .as[(Long, Option[Double])].head()
+      assert(got._1 === xy.size / 2, s"seed=$seed n_edges")
+      assert(got._2 === expected, s"seed=$seed assortativity")
+    }
+  }
+
   test("maximal matching is a maximal vertex-disjoint subset on random graphs") {
     for (seed <- 41 to 46) {
       val (_, es) = randomGraph(seed, n = 12, nEdges = 20)
