@@ -116,9 +116,20 @@ object ScaleProbe {
         graft.algos.Algos.brandesBetweenness(
           g.edges.where(col("label") === "order_customer"),
           g.kind("customer").select("id").limit(50), directed = false, maxIter = 4).count()
+      },
+      "assortativity" -> { g =>
+        // moment-form degree assortativity: one |E| keyed join, DECIMAL
+        // products over |V| rows only — ratio should track the edge factor
+        graft.algos.Algos.degreeAssortativity(
+          g.edges.where(col("label") === "order_customer").select("src", "dst")).count()
       })
 
-    val results = probes.map { case (name, p) =>
+    // optional probe-name substring filter (arg 2) — run one probe without
+    // paying for the whole sweep; a typo'd filter fails loudly
+    val only = if (args.length > 1) Some(args(1)) else None
+    val selected = only.map(f => probes.filter(_._1.contains(f))).getOrElse(probes)
+    require(selected.nonEmpty, s"probe filter '${only.get}' matches nothing")
+    val results = selected.map { case (name, p) =>
       val (t1, n1) = minTime(p(g1))
       val (tK, nK) = minTime(p(gK))
       val ratio = tK / math.max(t1, 1e-9)
@@ -128,6 +139,7 @@ object ScaleProbe {
     val worst = results.maxBy(_._4)
     println(f"[scale] data ${k}x -> worst time-ratio ${worst._4}%.2f (${worst._1}); " +
       "ratios at or below the data factor indicate shuffle-linear plans")
+    if (only.isDefined) { spark.stop(); return } // filtered run: graph probes only
 
     // --- co-occurrence guard probe (SURVEY §4): planted hot bucket ---------
     // items = orders bucketed modularly, plus ONE planted hot bucket holding
