@@ -39,6 +39,12 @@ object Descend {
 
     val e0 = if (labels.isEmpty) g.edges else g.edges.where(col("label").isin(labels: _*))
     val (from, to) = if (forward) ("src", "dst") else ("dst", "src")
+    // deliberately NOT checkpointed: each level re-derives this projection
+    // from the (shareScans-cached) base tables, which measures CHEAPER than
+    // materializing the 2-long frame once — a lazy localCheckpoint here
+    // cost +14% on q_deepest and +30% on q_descend_all at 10× data (the
+    // checkpoint write + rescan of 18 M rows exceeds the per-level
+    // projection recompute over cached scans)
     val e = e0.select(col(from).as("__from"), col(to).as("__to"))
 
     // acyclic: the caller vouches the traversed subgraph is a DAG, so no
