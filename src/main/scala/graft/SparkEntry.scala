@@ -1169,6 +1169,18 @@ object SparkEntry {
     // ---- §2.4 dedup -----------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       graft.dedup.Dedup.exact(Tpch.table(s, dir, "documents"), "doc_id", "text")),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // incremental recrawl dedup: even-id docs are the PRIOR corpus (its
+      // exact fingerprints are the persisted store), odd-id docs the new
+      // crawl — report the new batch's kept set: within-batch survivors
+      // whose content hash is unseen in the store (prior corpus wins)
+      val docs = Tpch.table(s, dir, "documents")
+      val store = graft.dedup.Dedup
+        .exact(docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+        .select(col("h"), col("keep_id"))
+      graft.dedup.Dedup.incrementalExact(
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text", store)._1
+    }),
     "q_hash_sample" -> ((s, dir) => {
       // deterministic 4/16 content-hash sample of the corpus: reproducible
       // across engines/runs/cluster sizes (no RNG, no partition sensitivity)
@@ -3158,6 +3170,11 @@ object SparkEntry {
          QUALIFY rn <= 3""",
     "q_dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY 1",
+    "q_dedup_incremental" ->
+      """WITH s1 AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+            k2 AS (SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+                   FROM documents WHERE doc_id % 2 = 1 GROUP BY 1)
+         SELECT h, keep_id, n FROM k2 WHERE h NOT IN (SELECT h FROM s1)""",
     "q_hash_sample" ->
       """SELECT count(*) AS n_docs,
                 sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0)))::BIGINT AS n_tokens

@@ -20,6 +20,43 @@ object Dedup {
       .groupBy("h")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
+  /** INCREMENTAL exact dedup — the continuous-crawl shape: dedup a new
+    * batch against the persisted fingerprint STORE of everything kept so
+    * far, without rescanning the prior corpus. Returns
+    * `(kept, updatedStore)`:
+    *
+    *  - `kept` = the batch's within-batch survivors (`(h, keep_id, n)`,
+    *    min id per content hash — [[exact]]'s convention) whose hash is
+    *    ABSENT from the store: the prior corpus always wins, so a recrawled
+    *    page never re-enters the corpus under a new id;
+    *  - `updatedStore` = `store ∪ kept` fingerprints `(h, keep_id)` — the
+    *    input for the next batch.
+    *
+    * LAW (spec'd): folding batches b₁…bₖ through this function keeps
+    * exactly the documents full-corpus `exact(b₁ ∪ … ∪ bₖ)` keeps, whenever
+    * batch order agrees with id order (first-batch-wins ≡ min-id-wins).
+    *
+    * Scale: one keyed agg over the BATCH (not the corpus) + one hash-keyed
+    * anti join per batch; the store is fingerprint-sized (one row per
+    * distinct kept hash — 32 hex chars + an id, ~50 bytes per corpus
+    * document at 100 TB) and joins on `h`, so persisting it bucketed on `h`
+    * ([[graft.plans.Scale.saveBucketed]]) makes the per-batch anti join
+    * shuffle-free on the store side. */
+  def incrementalExact(batch: DataFrame, idCol: String, textCol: String,
+      store: DataFrame): (DataFrame, DataFrame) = {
+    val kept = exact(batch, idCol, textCol)
+      .join(store.select(col("h")), Seq("h"), "left_anti")
+    (kept, store.select(col("h"), col("keep_id"))
+      .unionByName(kept.select(col("h"), col("keep_id"))))
+  }
+
+  /** Bootstrap store for [[incrementalExact]]: no prior corpus. */
+  def emptyStore(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("h", StringType), StructField("keep_id", LongType))))
+  }
+
   /** N-gram Jaccard near-dup pairs: word-k-gram shingles → candidates via
     * shared-shingle equi-join → exact |∩|/|∪| in integer basis points.
     * Pairs with j_bp = 10000*|∩|/|∪| (floor) >= minBp. */

@@ -170,6 +170,24 @@ class DataOpsSpec extends AnyFunSuite {
     assert(ex.length === 1 && ex.head.getAs[Long]("keep_id") === 1L)
   }
 
+  test("incrementalExact folds to full-corpus exact when batch order is id order") {
+    val b1 = Seq((1L, "aa"), (2L, "bb"), (3L, "aa")).toDF("doc_id", "text")
+    val b2 = Seq((4L, "bb"), (5L, "cc"), (6L, "cc"), (7L, "aa")).toDF("doc_id", "text")
+    val (k1, s1) = Dedup.incrementalExact(b1, "doc_id", "text", Dedup.emptyStore(spark))
+    val (k2, s2) = Dedup.incrementalExact(b2, "doc_id", "text", s1)
+    // against the empty store, batch 1 keeps its own exact survivors
+    assert(k1.select("keep_id").as[Long].collect().toSet === Set(1L, 2L))
+    // batch 2: recrawled content ("bb", "aa") is dropped — the PRIOR corpus
+    // wins; the genuinely new "cc" keeps its within-batch min id with n=2
+    val kept2 = k2.select("keep_id", "n").as[(Long, Long)].collect()
+    assert(kept2.toSeq === Seq((5L, 2L)))
+    // the fold law: the updated store is exactly the full-corpus exact
+    // fingerprint set (batch order agrees with id order here)
+    val full = Dedup.exact(b1.unionByName(b2), "doc_id", "text")
+      .select("h", "keep_id").as[(String, Long)].collect().toSet
+    assert(s2.as[(String, Long)].collect().toSet === full)
+  }
+
   test("ngram jaccard finds the planted near-dup, not the unrelated doc") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, minBp = 5000)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
