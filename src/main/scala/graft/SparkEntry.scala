@@ -3171,10 +3171,14 @@ object SparkEntry {
     "q_dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY 1",
     "q_dedup_incremental" ->
+      // ANTI JOIN, not NOT IN: a NULL hash (null text) must behave like
+      // Spark's left_anti — null never matches, the row survives — whereas
+      // NOT IN would return UNKNOWN and silently drop it (or empty the
+      // whole result if the store held a null)
       """WITH s1 AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
             k2 AS (SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
                    FROM documents WHERE doc_id % 2 = 1 GROUP BY 1)
-         SELECT h, keep_id, n FROM k2 WHERE h NOT IN (SELECT h FROM s1)""",
+         SELECT h, keep_id, n FROM k2 ANTI JOIN s1 USING (h)""",
     "q_hash_sample" ->
       """SELECT count(*) AS n_docs,
                 sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0)))::BIGINT AS n_tokens
