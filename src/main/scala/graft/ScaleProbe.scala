@@ -124,23 +124,27 @@ object ScaleProbe {
           g.edges.where(col("label") === "order_customer").select("src", "dst")).count()
       })
 
-    // optional probe-name substring filter (arg 2) — run one probe without
-    // paying for the whole sweep; a typo'd filter fails loudly
+    // optional probe-name substring filter (arg 2) — run matching probes
+    // from the graph and pipeline lists without paying for the whole sweep
+    // (the hand-rolled sections — cooccur guard, clustering, semdedup,
+    // winnow, train_order — run only in an unfiltered sweep); a typo'd
+    // filter fails loudly
     val only = if (args.length > 1) Some(args(1)) else None
     val selected = only.map(f => probes.filter(_._1.contains(f))).getOrElse(probes)
-    require(selected.nonEmpty, s"probe filter '${only.get}' matches nothing")
-    val results = selected.map { case (name, p) =>
-      val (t1, n1) = minTime(p(g1))
-      val (tK, nK) = minTime(p(gK))
-      val ratio = tK / math.max(t1, 1e-9)
-      println(f"[scale] $name%-18s 1x: $t1%6.2f s (n=$n1%9d)   ${k}x: $tK%6.2f s (n=$nK%9d)   time-ratio: $ratio%5.2f")
-      (name, t1, tK, ratio)
+    if (selected.nonEmpty) {
+      val results = selected.map { case (name, p) =>
+        val (t1, n1) = minTime(p(g1))
+        val (tK, nK) = minTime(p(gK))
+        val ratio = tK / math.max(t1, 1e-9)
+        println(f"[scale] $name%-18s 1x: $t1%6.2f s (n=$n1%9d)   ${k}x: $tK%6.2f s (n=$nK%9d)   time-ratio: $ratio%5.2f")
+        (name, t1, tK, ratio)
+      }
+      val worst = results.maxBy(_._4)
+      println(f"[scale] data ${k}x -> worst time-ratio ${worst._4}%.2f (${worst._1}); " +
+        "ratios at or below the data factor indicate shuffle-linear plans")
     }
-    val worst = results.maxBy(_._4)
-    println(f"[scale] data ${k}x -> worst time-ratio ${worst._4}%.2f (${worst._1}); " +
-      "ratios at or below the data factor indicate shuffle-linear plans")
-    if (only.isDefined) { spark.stop(); return } // filtered run: graph probes only
 
+    if (only.isEmpty) { // hand-rolled sections run only in the full sweep
     // --- co-occurrence guard probe (SURVEY §4): planted hot bucket ---------
     // items = orders bucketed modularly, plus ONE planted hot bucket holding
     // ~4% of all rows (every o_orderkey % 25 == 0; the key shift in
@@ -208,6 +212,7 @@ object ScaleProbe {
     val (lc1, lcn1) = minTime(clusterProbe(cn))
     val (lcK, lcnK) = minTime(clusterProbe(cn * k))
     println(f"[scale] local_clustering   1x: $lc1%6.2f s (n=$lcn1%9d)   ${k}x: $lcK%6.2f s (n=$lcnK%9d)   time-ratio: ${lcK / math.max(lc1, 1e-9)}%5.2f")
+    } // end full-sweep-only sections
 
     // --- LLM-pipeline probes (SURVEY §2.4 at scale) ------------------------
     // documents is tiny at sf0.1 (5k rows), so replicate k² (64×) for signal.
@@ -223,6 +228,17 @@ object ScaleProbe {
       .reduce(_.unionByName(_)).localCheckpoint(true)
     val pipeProbes: Seq[(String, DataFrame => Long)] = Seq(
       "dedup_exact" -> (d => graft.dedup.Dedup.exact(d, "doc_id", "text").count()),
+      // incremental exact dedup: even-id docs form the store, odd ids the
+      // new batch — one batch agg + one hash-keyed anti join, so time
+      // tracks scan volume (under replication every odd doc collides with
+      // the store, so the kept set stays near-constant while inputs grow)
+      "dedup_incr" -> { d =>
+        val store = graft.dedup.Dedup
+          .exact(d.where(col("doc_id") % 2 === 0), "doc_id", "text")
+          .select(col("h"), col("keep_id"))
+        graft.dedup.Dedup.incrementalExact(
+          d.where(col("doc_id") % 2 === 1), "doc_id", "text", store)._1.count()
+      },
       "tfidf_top3" -> (d => graft.functions.TextOps.tfidfTopTerms(d, "doc_id", "text", 3).count()),
       "boilerplate_df" -> (d => graft.functions.TextOps
         .boilerplateGrams(d, "doc_id", "text", k = 3, minDf = 5L).count()),
@@ -248,12 +264,16 @@ object ScaleProbe {
         lazy val merges = graft.functions.TextOps.bpeMerges(docs1, "text", nMerges = 6)
         d => graft.functions.TextOps.bpeEncode(d, "doc_id", "text", merges).count()
       })
-    pipeProbes.foreach { case (name, f) =>
+    val selectedPipe = only.map(f => pipeProbes.filter(_._1.contains(f))).getOrElse(pipeProbes)
+    require(only.isEmpty || selected.nonEmpty || selectedPipe.nonEmpty,
+      s"probe filter '${only.getOrElse("")}' matches nothing in either probe list")
+    selectedPipe.foreach { case (name, f) =>
       val (t1, n1) = minTime(f(docs1))
       val (tK, nK) = minTime(f(docsK))
       val ratio = tK / math.max(t1, 1e-9)
       println(f"[scale] $name%-18s 1x: $t1%6.2f s (n=$n1%9d)   ${kk}x: $tK%6.2f s (n=$nK%9d)   time-ratio: $ratio%5.2f")
     }
+    if (only.isDefined) { spark.stop(); return } // filtered run ends here
 
     // --- semantic dedup probe: nlist is the scale knob ---------------------
     // k× the vectors with k× the cells keeps per-cell occupancy — and so the
