@@ -172,6 +172,19 @@ class PlanSpec extends AnyFunSuite {
     assert(executedPlan(anti).toLowerCase.contains("leftanti"))
   }
 
+  test("incrementalExact plans one batch agg + a hash-keyed anti join against the store") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val store = graft.dedup.Dedup
+      .exact(docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+      .select(col("h"), col("keep_id"))
+    val (kept, _) = graft.dedup.Dedup.incrementalExact(
+      docs.where(col("doc_id") % 2 === 1), "doc_id", "text", store)
+    val plan = executedPlan(kept).toLowerCase
+    assert(plan.contains("leftanti"), "store exclusion must be an anti join")
+    assert(!plan.contains("cartesian") && !plan.contains("broadcastnestedloop"),
+      "no unkeyed join anywhere in the incremental dedup plan")
+  }
+
   test("sparseCosinePairs is keyed through the inverted index: no cartesian/BNLJ") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = executedPlan(
