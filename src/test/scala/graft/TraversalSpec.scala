@@ -458,6 +458,49 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"wrong failure: ${err.getMessage.take(200)}")
   }
 
+  test("GraftExtensions wires a fresh session end-to-end (withExtensions path)") {
+    // the builder-list test above exercises the registrations; this one
+    // proves the CLASS itself — the spark.sql.extensions entry point a
+    // user configures — applies them on a genuinely new session (same
+    // SparkContext, fresh sessionState)
+    // Spark 4 note: the unified org.apache.spark.sql.SparkSession companion
+    // and the CLASSIC one keep separate active/default registries — clear
+    // the classic one, which classic getOrCreate consults
+    spark.range(1).count() // force the suite's LAZY session first: under a
+    // test filter nothing else touches it, and creating OUR session first
+    // would make TestSpark's later getOrCreate adopt it (observed: the
+    // assertion then compares a session to itself)
+    val classic = org.apache.spark.sql.classic.SparkSession
+    val prevActive = classic.getActiveSession
+    val prevDefault = classic.getDefaultSession
+    // BOTH registries: the suite session registered via the unified
+    // companion; the classic builder consults the unified one too
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    classic.clearActiveSession()
+    classic.clearDefaultSession()
+    try {
+      // Builder.create() (Spark 4): always mints a new session over the
+      // existing context — getOrCreate in this test JVM insists on
+      // returning the suite session even with all registries cleared
+      val s2 = classic.builder()
+        .master("local[2]").withExtensions(new graft.GraftExtensions).create()
+      assert(s2 ne spark, "create() must mint a new session, not reuse the suite's")
+      val r = s2.sql(
+        """SELECT long_array_dot(array(1L,2L), array(3L,4L)) AS d,
+          |       word_shingles('x y z', 2) AS s,
+          |       simhash_agg(h) AS sh FROM VALUES (5L),(5L) AS t(h)
+          |""".stripMargin).head()
+      assert(r.getLong(0) === 11L)
+      assert(r.getSeq[String](1) === Seq("x y", "y z"))
+      assert(r.getLong(2) === 5L) // two identical inputs: majority bits = the value
+    } finally {
+      val classic = org.apache.spark.sql.classic.SparkSession
+      prevActive.foreach(classic.setActiveSession)
+      prevDefault.foreach(classic.setDefaultSession)
+    }
+  }
+
   test("merge: the LATER graph's document wins on id conflict (fermor merge)") {
     val a = PropertyGraph(Map("v" -> Seq((1L, "old"), (2L, "keep")).toDF("id", "name")),
       Seq((1L, 2L, "e")).toDF("src", "dst", "label"))
