@@ -1357,8 +1357,10 @@ object SparkEntry {
       // 10x. Relative df targets true boilerplate at every scale
       // (179/500 gated at sf0.01, 1904/5000 at sf0.1).
       val docs = Tpch.table(s, dir, "documents")
-      val minDf = (docs.count() * 160L + 9999L) / 10000L
-      val stripped = graft.dedup.Dedup.stripDupSpans(docs, "doc_id", "text", k = 3, minDf = minDf)
+      // relative threshold folded into the plan (broadcast corpus-count
+      // scalar) — no separate count() action / second corpus-text scan
+      val stripped = graft.dedup.Dedup.stripDupSpansRelative(docs, "doc_id", "text",
+          k = 3, minDfBp = 160L)
         .select(col("doc_id"), col("text_stripped").as("text"))
         // consumed TWICE (the gate derives from it, survivors re-join it):
         // materialize once or the whole span-strip subplan runs twice

@@ -937,11 +937,99 @@ object Algos {
     * work is deg², so pre-capping hubs (e.g. via [[linkPrediction]]'s
     * maxDeg rule on the generating projection) bounds the round cost.
     * Eager per-round checkpoints keep lineage flat. */
-  def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+  def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 64,
+      localMaxEdges: Long = 2000000L): DataFrame = {
     require(k >= 3)
+    val spark = edges.sparkSession
+    import spark.implicits._
     val a = col("src").cast("long"); val b = col("dst").cast("long")
-    var cur = edges.select(least(a, b).as("a"), greatest(a, b).as("b"))
-      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    // eager checkpoint BEFORE the guard probe: kTruss inputs are often
+    // expensive derived graphs (q_ktruss feeds it a linkPrediction wedge
+    // agg), and probe + collect/distinct would otherwise re-evaluate that
+    // upstream twice — one materialized pass, then both are scans of it
+    val raw = edges.select(least(a, b).as("a"), greatest(a, b).as("b"))
+      .where(col("a") =!= col("b")).localCheckpoint(true)
+    // guarded LOCAL support-peel (the kCore rationale): the k-truss is the
+    // UNIQUE maximal subgraph in which every edge closes >= k-2 triangles
+    // within it, so ANY correct peel order converges to the identical edge
+    // set — and each survivor's within-truss support (its triangle count in
+    // that unique subgraph) is peel-order-independent too. A single queue
+    // pass with incremental support maintenance replaces per-round wedge
+    // joins whose sf0.1 cost is pure round-scheduling latency; the
+    // distributed loop runs above the guard (parity-spec'd both regimes).
+    // Raw-pair guard: counting BEFORE distinct skips that shuffle here.
+    if (atMost(raw, localMaxEdges)) {
+      val (ids, adj) = indexedAdj(raw.as[(Long, Long)].collect())
+      val n = ids.length
+      adj.foreach(java.util.Arrays.sort)
+      def ekey(i: Int, j: Int): Long =
+        (math.min(i, j).toLong << 32) | math.max(i, j).toLong
+      val eU = new scala.collection.mutable.ArrayBuffer[Int]()
+      val eV = new scala.collection.mutable.ArrayBuffer[Int]()
+      val eIdx = new scala.collection.mutable.LongMap[Int]()
+      var i = 0
+      while (i < n) {
+        adj(i).foreach { j =>
+          if (i < j) { eIdx(ekey(i, j)) = eU.length; eU += i; eV += j }
+        }
+        i += 1
+      }
+      val m = eU.length
+      // initial support: per edge, iterate the SMALLER endpoint adjacency
+      // with O(1) edge-map membership probes for the other endpoint —
+      // O(Σ_e min_deg(e)), the m^1.5-bounded triangle-enumeration shape
+      // (a two-pointer merge would pay O(deg_u + deg_v), i.e. hub degree
+      // on EVERY incident edge of a star)
+      val sup = new Array[Int](m)
+      var e = 0
+      while (e < m) {
+        val u = eU(e); val v = eV(e)
+        val (x, y) = if (adj(u).length <= adj(v).length) (u, v) else (v, u)
+        var s = 0
+        adj(x).foreach { w => if (w != y && eIdx.contains(ekey(y, w))) s += 1 }
+        sup(e) = s
+        e += 1
+      }
+      val alive = Array.fill(m)(true)
+      val queued = new Array[Boolean](m)
+      val queue = new scala.collection.mutable.ArrayDeque[Int]()
+      e = 0
+      while (e < m) {
+        if (sup(e) < k - 2) { queued(e) = true; queue += e }
+        e += 1
+      }
+      def drop(t: Int): Unit = {
+        sup(t) -= 1
+        if (!queued(t) && sup(t) < k - 2) { queued(t) = true; queue += t }
+      }
+      while (queue.nonEmpty) {
+        val t = queue.removeHead()
+        alive(t) = false
+        val u = eU(t); val v = eV(t)
+        val (x, y) = if (adj(u).length <= adj(v).length) (u, v) else (v, u)
+        adj(x).foreach { w =>
+          if (w != y) {
+            val e1 = eIdx(ekey(x, w))
+            if (alive(e1)) eIdx.get(ekey(y, w)).foreach { e2 =>
+              // triangle (t, e1, e2) destroyed exactly once: later removals
+              // of e1/e2 see alive(t) == false and skip it
+              if (alive(e2)) { drop(e1); drop(e2) }
+            }
+          }
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      e = 0
+      while (e < m) {
+        if (alive(e)) {
+          val ia = ids(eU(e)); val ib = ids(eV(e))
+          out += ((math.min(ia, ib), math.max(ia, ib), sup(e).toLong))
+        }
+        e += 1
+      }
+      return out.toSeq.toDF("id_a", "id_b", "support")
+    }
+    var cur = raw.distinct().localCheckpoint(true)
     // support(a,b) = wedge enumeration + hash agg, kept over the
     // adjacency-ARRAY + array_intersect alternative after measuring both:
     // the array form shuffles each hub's full neighbor list on every

@@ -382,7 +382,7 @@ object Dedup {
     * starts come back through a gram-keyed LEFT SEMI join (PlanSpec pins
     * the shape — never a pair join). */
   private def dupSpanStarts(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, minDf: Long): (DataFrame, DataFrame) = {
+      k: Int, minDf: Long, minDfBp: Long = 0L): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && minDf >= 1)
     val toks = docs.select(col(idCol).as("doc_id"),
@@ -394,8 +394,16 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         concat_ws(" ", (0 until k).map(j => col(s"__t$j")): _*).as("gram"))
       .localCheckpoint(false) // referenced twice: df counts + join back
-    val dup = grams.groupBy("gram").agg(count_distinct(col("doc_id")).as("df"))
-      .where(col("df") >= minDf).select("gram")
+    val dfAgg = grams.groupBy("gram").agg(count_distinct(col("doc_id")).as("df"))
+    // relative mode: df >= ceil(n·bp/10⁴) ⟺ df·10⁴ >= n·bp (integers), with
+    // n = |docs| as a broadcast 1-row scalar INSIDE the plan — no separate
+    // count action, and the n scan is empty-schema (row counts only), so a
+    // 100 TB corpus is not re-read for its text a second time
+    val dup = if (minDfBp > 0L) {
+      val nDocs = docs.agg(count(lit(1)).as("__n"))
+      dfAgg.crossJoin(broadcast(nDocs))
+        .where(col("df") * 10000L >= col("__n") * minDfBp).select("gram")
+    } else dfAgg.where(col("df") >= minDf).select("gram")
     (toks, grams.join(dup, Seq("gram"), "left_semi").select("doc_id", "pos"))
   }
 
@@ -408,8 +416,26 @@ object Dedup {
     * doc-keyed); reassembly is one per-doc sorted aggregation — at 100 TB
     * every shuffle stays keyed by doc or gram, never a pair join. */
   def stripDupSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, minDf: Long = 2L): DataFrame = {
-    val (toks, spans) = dupSpanStarts(docs, idCol, textCol, k, minDf)
+      k: Int, minDf: Long = 2L): DataFrame =
+    stripFromStarts(dupSpanStarts(docs, idCol, textCol, k, minDf), k)
+
+  /** [[stripDupSpans]] with a RELATIVE document-frequency threshold:
+    * duplicated = gram in >= ceil(|docs|·minDfBp/10⁴) distinct docs. The
+    * corpus size is folded into the SAME plan as a broadcast scalar (an
+    * empty-schema row count), so — unlike deriving minDf from a separate
+    * `docs.count()` action — a 100 TB corpus is scanned for its text
+    * exactly once and the query stays a single declarative chain. A
+    * relative threshold is the scale-stable form: any absolute df that
+    * targets boilerplate at one SF over- or under-strips at 10× (SURVEY
+    * §13's q_pipeline_curate note). */
+  def stripDupSpansRelative(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDfBp: Long): DataFrame = {
+    require(minDfBp >= 1L)
+    stripFromStarts(dupSpanStarts(docs, idCol, textCol, k, 1L, minDfBp), k)
+  }
+
+  private def stripFromStarts(ts: (DataFrame, DataFrame), k: Int): DataFrame = {
+    val (toks, spans) = ts
     val coveredPos = spans
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
       .distinct()

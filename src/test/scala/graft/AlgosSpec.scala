@@ -705,6 +705,37 @@ class AlgosSpec extends AnyFunSuite {
     val gotM = Algos.kTruss(messy, k = 4)
       .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
     assert(gotM === got4)
+    // localMaxEdges = 0 forces the distributed per-round recompute; the
+    // default takes the local incremental peel — identical including
+    // supports (unique-fixpoint argument)
+    val dist4 = Algos.kTruss(es.toDF("src", "dst"), k = 4, localMaxEdges = 0L)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(dist4 === got4)
+  }
+
+  test("kTruss: guarded local peel == distributed rounds on a randomized graph") {
+    // deterministic pseudo-random graph: two planted cliques (sizes 7 and 6,
+    // sharing vertex 1) for a guaranteed nonempty 5-truss, plus 300 seeded
+    // random chords over 50 vertices for cascade depth; both regimes must
+    // agree BIT-exactly on (edge set, within-truss support) at every k
+    val rnd = new scala.util.Random(20260814L)
+    val cliqueA = for (i <- 1L to 7L; j <- (i + 1) to 7L) yield (i, j)
+    val cliqueB0 = Seq(1L, 20L, 21L, 22L, 23L, 24L)
+    val cliqueB = for (i <- cliqueB0.indices; j <- (i + 1) until cliqueB0.size)
+      yield (cliqueB0(i), cliqueB0(j))
+    val chords = Seq.fill(300)((rnd.nextInt(50) + 1L, rnd.nextInt(50) + 1L))
+      .filter { case (x, y) => x != y }
+    val es = (cliqueA ++ cliqueB ++ chords).toDF("src", "dst")
+    for (k <- Seq(3, 4, 5, 6)) {
+      val loc = Algos.kTruss(es, k)
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val dist = Algos.kTruss(es, k, localMaxEdges = 0L)
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(dist === loc, s"k=$k regimes disagree")
+    }
+    // the planted 7-clique survives k=6 (support 5 inside) in both regimes
+    val loc6 = Algos.kTruss(es, 6).as[(Long, Long, Long)].collect()
+    assert(loc6.map(r => (r._1, r._2)).toSet.intersect(cliqueA.toSet) === cliqueA.toSet)
   }
 
   test("boruvkaForest: unique MSF, parallel-edge collapse, ties, two components") {

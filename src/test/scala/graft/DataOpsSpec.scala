@@ -1408,6 +1408,17 @@ class DataOpsSpec extends AnyFunSuite {
     val s2 = Dedup.stripDupSpans(allDup, "doc_id", "text", k = 3, minDf = 2L)
       .as[(Long, String)].collect().toMap
     assert(s2 === Map(10L -> "", 11L -> ""))
+    // RELATIVE threshold ≡ absolute at the same ceil: 4 docs, 5000 bp ->
+    // ceil(4·5000/10⁴) = 2 = minDf above, so outputs must be identical;
+    // the corpus count is an in-plan broadcast scalar, not a second action
+    val rel = Dedup.stripDupSpansRelative(rows, "doc_id", "text", k = 3, minDfBp = 5000L)
+      .as[(Long, String)].collect().toMap
+    assert(rel === stripped)
+    // a bp above every gram's df strips nothing: 7600 bp -> ceil = 4 > max df
+    val relHi = Dedup.stripDupSpansRelative(rows, "doc_id", "text", k = 3, minDfBp = 7600L)
+      .as[(Long, String)].collect().toMap
+    assert(relHi.values.forall(_.nonEmpty))
+    assert(relHi(3L) === "u1 u2 u3 u4 u5 u6")
   }
 
   test("chunkDocs: window starts every stride, short tail kept, empty docs dropped") {
