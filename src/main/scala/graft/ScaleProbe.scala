@@ -122,6 +122,17 @@ object ScaleProbe {
         // products over |V| rows only — ratio should track the edge factor
         graft.algos.Algos.degreeAssortativity(
           g.edges.where(col("label") === "order_customer").select("src", "dst")).count()
+      },
+      "layout_dist" -> { g =>
+        // the DISTRIBUTED FA2 path (localMax = 0 pins the guard off — the
+        // driver-array path covers <100k vertices): per-iteration cost is
+        // the doubled-edge attraction join + the grid-centroid repulsion
+        // agg, O(V + E + cells) per round, so 8× facts should hold the
+        // data factor; the one subsystem previously unprobed at scale
+        graft.algos.ForceLayout.run(
+          g.kind("orders").select("id").unionAll(g.kind("customer").select("id")),
+          g.edges.where(col("label") === "order_customer").select("src", "dst"),
+          iters = 3, localMax = 0L).count()
       })
 
     // optional probe-name substring filter (arg 2) — run matching probes
@@ -221,9 +232,12 @@ object ScaleProbe {
     // don't), which is exactly the regime a keyed-aggregation plan must
     // absorb: linear scan+shuffle growth, bounded output.
     val kk = k * k
-    val docs1 = spark.read.parquet(s"$dir/documents.parquet")
+    // LAZY: the 64×-replicated corpus is the sweep's most expensive
+    // materialization — a filtered run matching only graph probes (or a
+    // typo'd filter dying at the require below) must not pay for it
+    lazy val docs1 = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text", "source").localCheckpoint(true)
-    val docsK = (0 until kk).map(i =>
+    lazy val docsK = (0 until kk).map(i =>
         docs1.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
       .reduce(_.unionByName(_)).localCheckpoint(true)
     val pipeProbes: Seq[(String, DataFrame => Long)] = Seq(

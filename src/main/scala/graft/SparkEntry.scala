@@ -3171,14 +3171,17 @@ object SparkEntry {
          FROM tf JOIN dl ON tf.doc_id = dl.doc_id JOIN dfq ON tf.t = dfq.t
          QUALIFY rn <= 3""",
     "q_dedup_exact" ->
-      "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY 1",
+      // coalesce(md5(text), '') mirrors exact()'s sentinel: null text is ONE
+      // ordinary group keyed '', never a null join key downstream
+      ("SELECT coalesce(md5(text), '') AS h, min(doc_id) AS keep_id, count(*) AS n" +
+        " FROM documents GROUP BY 1"),
     "q_dedup_incremental" ->
-      // ANTI JOIN, not NOT IN: a NULL hash (null text) must behave like
-      // Spark's left_anti — null never matches, the row survives — whereas
-      // NOT IN would return UNKNOWN and silently drop it (or empty the
-      // whole result if the store held a null)
-      """WITH s1 AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
-            k2 AS (SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+      // h is never null (exact()'s '' sentinel), so a plain ANTI JOIN is
+      // exactly right — and on the Spark side the same plain equi anti is
+      // what keeps an h-bucketed store scan shuffle-free
+      """WITH s1 AS (SELECT DISTINCT coalesce(md5(text), '') AS h
+                     FROM documents WHERE doc_id % 2 = 0),
+            k2 AS (SELECT coalesce(md5(text), '') AS h, min(doc_id) AS keep_id, count(*) AS n
                    FROM documents WHERE doc_id % 2 = 1 GROUP BY 1)
          SELECT h, keep_id, n FROM k2 ANTI JOIN s1 USING (h)""",
     "q_hash_sample" ->

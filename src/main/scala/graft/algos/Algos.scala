@@ -330,8 +330,12 @@ object Algos {
       reverse: Boolean, maxIter: Int, accept: Option[Column]): DataFrame = {
     val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
     // parallel edges are fine un-deduped: the per-round min-merge collapses
-    // them; one narrow materialization shared by all rounds
+    // them; one narrow materialization shared by all rounds. NULL weights
+    // are dropped by construction: costs are documented strictly positive,
+    // and a null __w would null the frontier's min(cost) — the drain
+    // signal — terminating the relaxation early instead of relaxing on
     val eRaw = edges.select(col(from).as("__from"), col(to).as("__to"), cost.cast("long").as("__w"))
+      .where(col("__w").isNotNull)
     val e = eRaw.localCheckpoint(eager = false)
     if (accept.isEmpty) return bfsRelax(e, eRaw, sources, maxIter)
     var dist = sources.select(col(sources.columns.head).as("id")).dropDuplicates("id")

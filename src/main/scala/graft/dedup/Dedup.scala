@@ -14,9 +14,14 @@ import graft.functions.TextOps
   */
 object Dedup {
 
-  /** Exact dedup: md5 content groups; keep the minimum id per group. */
+  /** Exact dedup: md5 content groups; keep the minimum id per group.
+    * NULL text hashes to the EMPTY-STRING sentinel (md5 output is always 32
+    * hex chars, so '' cannot collide with a real hash): null-content docs
+    * form one ordinary group with a non-null key, which keeps every
+    * downstream h-keyed join — [[incrementalExact]]'s store probe above
+    * all — a plain equi join that co-locates with an h-bucketed store. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(md5(col(textCol)).as("h"), col(idCol))
+    docs.select(coalesce(md5(col(textCol)), lit("")).as("h"), col(idCol))
       .groupBy("h")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
@@ -35,6 +40,13 @@ object Dedup {
     * LAW (spec'd): folding batches b₁…bₖ through this function keeps
     * exactly the documents full-corpus `exact(b₁ ∪ … ∪ bₖ)` keeps, whenever
     * batch order agrees with id order (first-batch-wins ≡ min-id-wins).
+    * This includes NULL text: [[exact]] hashes it to the '' sentinel, so
+    * the null-content group rides the same plain equi anti join as every
+    * other key. (A null h here would silently break the LAW — left_anti
+    * never matches null, re-emitting a null group per batch — and the
+    * null-safe `<=>` alternative compiles to coalesce'd join keys, which
+    * disables bucketed-scan co-location on the store: measured, the store
+    * side replans with `Bucketed: false` plus an Exchange.)
     *
     * Scale: one keyed agg over the BATCH (not the corpus) + one hash-keyed
     * anti join per batch; the store is fingerprint-sized (one row per

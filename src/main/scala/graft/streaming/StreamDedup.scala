@@ -81,7 +81,8 @@ object StreamDedup {
   def exactDedup(docs: Dataset[Doc], delay: String = "10 minutes"): DataFrame =
     docs.toDF()
       .withWatermark("ts", delay)
-      .withColumn("h", md5(col("text")))
+      // '' sentinel for null text — the batch operator's convention
+      .withColumn("h", coalesce(md5(col("text")), lit("")))
       .dropDuplicatesWithinWatermark("h")
 
   /** One-operator alternative: treat the FULL minhash signature as a dedup

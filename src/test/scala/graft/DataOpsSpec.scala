@@ -186,6 +186,21 @@ class DataOpsSpec extends AnyFunSuite {
     val full = Dedup.exact(b1.unionByName(b2), "doc_id", "text")
       .select("h", "keep_id").as[(String, Long)].collect().toSet
     assert(s2.as[(String, Long)].collect().toSet === full)
+    // NULL text is ONE dedup group across batches (exact()'s '' sentinel
+    // keeps its key non-null, so the plain anti join applies to it too):
+    // batch 1's null doc wins, batch 2's null doc is a recrawl and drops —
+    // and the store carries exactly one ''-h row, same as full-corpus
+    val n1 = Seq((1L, "aa"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val n2 = Seq((3L, null.asInstanceOf[String]), (4L, "aa"), (5L, "dd")).toDF("doc_id", "text")
+    val (nk1, ns1) = Dedup.incrementalExact(n1, "doc_id", "text", Dedup.emptyStore(spark))
+    val (nk2, ns2) = Dedup.incrementalExact(n2, "doc_id", "text", ns1)
+    assert(nk1.select("keep_id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(nk2.select("keep_id").as[Long].collect().toSet === Set(5L))
+    val nFull = Dedup.exact(n1.unionByName(n2), "doc_id", "text")
+      .select("h", "keep_id").as[(String, Long)].collect().toSet
+    assert(ns2.as[(String, Long)].collect().toSet === nFull)
+    assert(ns2.where(col("h") === "").count() === 1L)
+    assert(ns2.where(col("h").isNull).count() === 0L)
   }
 
   test("ngram jaccard finds the planted near-dup, not the unrelated doc") {
@@ -779,6 +794,45 @@ class DataOpsSpec extends AnyFunSuite {
     assert(keep(1L) && keep(3L)) // first claimants pass
     assert(!keep(4L))            // exact copy: every band collides
     assert(!keep(2L))            // near-dup: >=1 band collides
+  }
+
+  test("streaming near-dup band state is BOUNDED by distinct claimed bands, not corpus size") {
+    // Turns the scaladoc's "one state entry per minhash band bucket" claim
+    // into numeric evidence (the stream-stream as-of treatment): state rows
+    // must equal the DISTINCT band keys the corpus claims — computed
+    // independently by the batch band machinery — and must NOT grow as
+    // more copies of already-claimed content stream through.
+    import graft.streaming.StreamDedup
+    import graft.dedup.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDedup.Doc]
+    val q = StreamDedup.bandVerdicts(mem.toDS())
+      .writeStream.format("memory").queryName("nd_bound").outputMode("append").start()
+    def t(min: Long) = new Timestamp(min * 60000L)
+    def stateRows(): Long = q.lastProgress.stateOperators.head.numRowsTotal
+    def distinctBands(texts: Seq[String]): Long = texts.toDF("text")
+      .select(explode(Dedup.bandKeyArray(col("text"), 3, 16, 4)).as("bk"))
+      .distinct().count()
+    // wave 1: the three distinct contents claim their buckets
+    mem.addData(StreamDedup.Doc(1L, t(0), base), StreamDedup.Doc(2L, t(1), unrelated),
+      StreamDedup.Doc(3L, t(2), nearDup))
+    q.processAllAvailable()
+    val claimed = distinctBands(Seq(base, unrelated, nearDup))
+    assert(claimed >= 4L && claimed <= 12L) // sanity: bands=4 per doc, overlaps dedup
+    assert(stateRows() === claimed)
+    // wave 2: 30 more copies of the SAME contents — 120 band-key arrivals,
+    // zero new buckets: state must not move (corpus-size independence)
+    mem.addData((10L until 40L).map(i =>
+      StreamDedup.Doc(i, t(i), Seq(base, unrelated, nearDup)((i % 3).toInt))): _*)
+    q.processAllAvailable()
+    assert(stateRows() === claimed,
+      s"state grew to ${stateRows()} on re-delivered content (claimed=$claimed)")
+    // wave 3: one genuinely new content adds exactly its novel buckets
+    val fresh = "entirely new prose about bucketed stores and sorted runs " * 4
+    mem.addData(StreamDedup.Doc(99L, t(99), fresh))
+    q.processAllAvailable()
+    assert(stateRows() === distinctBands(Seq(base, unrelated, nearDup, fresh)))
+    q.stop()
   }
 
   test("streaming near-dup filter passes distinct sub-k-token docs through (batch-parity)") {

@@ -96,6 +96,66 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("incremental-dedup store bucketed on h: the per-batch anti join is shuffle-free on the store side") {
+    // SURVEY §2.4's claim made evidence: persisting the fingerprint store
+    // via saveBucketed(h) means each batch's anti join reads the store
+    // bucket-local. Differential pin — the same join against a PLAIN
+    // parquet store needs exactly one more Exchange (the store-side one),
+    // and the bucketed plan's store scan survives as a bucketed read.
+    // (This is also why incrementalExact's probe is a plain equi anti and
+    // exact() sentinels null text to '': an EqualNullSafe probe compiles
+    // to coalesce'd join keys, and the planner then disables the bucketed
+    // read — `Bucketed: false` — and re-shuffles the store.)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val store0 = graft.dedup.Dedup
+      .exact(docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+      .select(col("h"), col("keep_id"))
+    spark.sql("DROP TABLE IF EXISTS bucketed_store")
+    val wdir = new java.io.File("/tmp/graft-test-warehouse/bucketed_store")
+    if (wdir.exists()) { wdir.listFiles().foreach(_.delete()); wdir.delete() }
+    Scale.saveBucketed(store0, "bucketed_store", "h", 8)
+    val plainDir = java.nio.file.Files.createTempDirectory("graft_plain_store").toFile.getAbsolutePath
+    store0.write.mode("overwrite").parquet(plainDir)
+    val batch = docs.where(col("doc_id") % 2 === 1)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: flat(a.executedPlan)
+        case q: QueryStageExec => p +: flat(q.plan)
+        case _ => p +: p.children.flatMap(flat)
+      }
+      // true iff any shuffle exchange sits ABOVE the store scan (the
+      // exchange's own subtree mentions the store source)
+      def storeShuffled(df: org.apache.spark.sql.DataFrame, marker: String): Boolean =
+        flat(df.queryExecution.executedPlan).exists {
+          case e: ShuffleExchangeLike => e.toString.contains(marker)
+          case _ => false
+        }
+      val (keptB, _) = graft.dedup.Dedup.incrementalExact(
+        batch, "doc_id", "text", spark.table("bucketed_store"))
+      assert(keptB.count() > 0L)
+      val bucketedPlan = keptB.queryExecution.executedPlan.toString
+      assert(bucketedPlan.contains("SelectedBucketsCount"),
+        "store scan must stay a bucketed read:\n" + bucketedPlan.take(2500))
+      assert(!bucketedPlan.contains("Bucketed: false"),
+        "planner must not disable the bucketed store read:\n" + bucketedPlan.take(2500))
+      assert(!storeShuffled(keptB, "bucketed_store"),
+        "no Exchange may sit above the bucketed store scan:\n" + bucketedPlan.take(2500))
+      // differential control: the SAME join over a plain-parquet store DOES
+      // shuffle the store side — bucketing is what removes it
+      val (keptP, _) = graft.dedup.Dedup.incrementalExact(
+        batch, "doc_id", "text", spark.read.parquet(plainDir))
+      assert(keptP.count() > 0L)
+      assert(storeShuffled(keptP, "graft_plain_store"),
+        "control: the unbucketed store must need a shuffle:\n" +
+          keptP.queryExecution.executedPlan.toString.take(2500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("writeGraph/loadGraph round-trips a property graph with shuffle-free hops") {
     val gr = graph.Tpch.load(spark, "/root/testdata/sf0.001")
     val small = graph.PropertyGraph(

@@ -471,12 +471,15 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // would make TestSpark's later getOrCreate adopt it (observed: the
     // assertion then compares a session to itself)
     val classic = org.apache.spark.sql.classic.SparkSession
+    val unified = org.apache.spark.sql.SparkSession
     val prevActive = classic.getActiveSession
     val prevDefault = classic.getDefaultSession
+    val prevUniActive = unified.getActiveSession
+    val prevUniDefault = unified.getDefaultSession
     // BOTH registries: the suite session registered via the unified
     // companion; the classic builder consults the unified one too
-    org.apache.spark.sql.SparkSession.clearActiveSession()
-    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    unified.clearActiveSession()
+    unified.clearDefaultSession()
     classic.clearActiveSession()
     classic.clearDefaultSession()
     try {
@@ -495,9 +498,15 @@ class TraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getSeq[String](1) === Seq("x y", "y z"))
       assert(r.getLong(2) === 5L) // two identical inputs: majority bits = the value
     } finally {
-      val classic = org.apache.spark.sql.classic.SparkSession
-      prevActive.foreach(classic.setActiveSession)
-      prevDefault.foreach(classic.setDefaultSession)
+      // restore BOTH registries (clearing them without restoring would
+      // leave the minted s2 as the JVM's active/default session for later
+      // suites); if a prev slot was empty, clear rather than leave s2
+      prevActive.fold(classic.clearActiveSession())(classic.setActiveSession)
+      prevDefault.fold(classic.clearDefaultSession())(classic.setDefaultSession)
+      prevUniActive.fold(unified.clearActiveSession())(s =>
+        unified.setActiveSession(s))
+      prevUniDefault.fold(unified.clearDefaultSession())(s =>
+        unified.setDefaultSession(s))
     }
   }
 
