@@ -38,8 +38,9 @@ import org.apache.spark.sql.functions._
   *    per vertex (map-side combine) — shuffle keyed by vertex id;
   *  - repulsion: NOT all-pairs — vertices repulse from MASS-WEIGHTED grid
   *    cell centroids (Barnes-Hut-flavored; the vertex's own contribution is
-  *    subtracted exactly from its home cell), so each iteration is
-  *    O(V + cells) with the centroid table broadcast;
+  *    subtracted exactly from its home cell), the grid resolution ADAPTIVE
+  *    so the broadcast centroid table is bounded at ~(gridRes+1)² rows and
+  *    each iteration at O(V·gridRes²) worst case (see [[run]]);
   *  - the controller's two global scalars are one agg per iteration; the
   *    speed/friction recurrence runs on the driver exactly as the
   *    reference's metadata loop does;
@@ -118,10 +119,24 @@ object ForceLayout {
     * we pick the execution site per regime: at or below `localMax` vertices
     * (the reference's own regime — it lays out in-heap arrays) the whole
     * loop runs on driver arrays — one collect, zero per-iteration jobs;
-    * above it, the distributed join+grid-centroid path, whose per-iteration
-    * cost is O(V + cells) and which survives graphs that don't fit one
-    * heap. Both paths run the IDENTICAL force model and controller
-    * (parity-spec'd in AlgosSpec). */
+    * above it, the distributed join+grid-centroid path, which survives
+    * graphs that don't fit one heap. Both paths run the IDENTICAL force
+    * model and controller (parity-spec'd in AlgosSpec).
+    *
+    * The repulsion grid is ADAPTIVE: per iteration the cell edge is
+    * max(cell, span/gridRes), so the occupied-cell count is bounded by
+    * ~(gridRes+1)² no matter how far the layout spreads — the grid
+    * equivalent of a fixed-depth Barnes–Hut quadtree. With a FIXED cell
+    * the early iterations are a trap: init velocities are position×O(500),
+    * the first apply-deltas scatters positions far beyond the ±50 start
+    * box, occupied cells approach V, and the vertex×cells repulsion join
+    * degenerates to V² (measured: the 8× ScaleProbe hung — 1.3 M vertices
+    * × ~10⁵ cells per iteration). Bounded cells pin the per-iteration cost
+    * at O(V·gridRes² + E) worst case with a ≤(gridRes+1)²-row broadcast,
+    * and the probe completes. When the layout fits in a gridRes·cell span
+    * the adaptive edge equals `cell` and trajectories are unchanged; both
+    * execution paths compute the edge from the same driver-side scalars,
+    * so their parity is unaffected. */
   /** `startIter` mirrors the reference's resumable `:iter` graph metadata
     * (force-atlas reads it from `(meta graph)` and bumps it each call): the
     * schedule — repulsion regime and annealing, gravity window, edge-weight
@@ -131,7 +146,8 @@ object ForceLayout {
     * whose meta lost :speed). */
   def run(vertices: DataFrame, edges: DataFrame, iters: Int = 30,
       cell: Double = 10.0, localMax: Long = 100000,
-      defaultGravity: Double = 0.0, startIter: Int = 0): DataFrame = {
+      defaultGravity: Double = 0.0, startIter: Int = 0,
+      gridRes: Int = 64): DataFrame = {
     val idc = col(vertices.columns.head).as("id")
     // optional edge weights (e-weight on the reference's EDoc; 1.0 when the
     // caller's edges carry none) — raised to the edge-weight-influence power
@@ -172,21 +188,27 @@ object ForceLayout {
     if (vc == 0) return pos.select("id", "x", "y")
 
     if (vc <= localMax)
-      return runLocal(pos, e2, iters, cell, defaultGravity, startIter)
+      return runLocal(pos, e2, iters, cell, defaultGravity, startIter, gridRes)
 
     var tuning = Tuning(1.0, 1.0, 3500.0 * vc)
     var i = 0
     while (i < iters) {
       val iter = startIter + i
       val sch = schedule(iter, vc, tuning.traction, defaultGravity)
+      // adaptive cell edge (scaladoc): one narrow agg over the checkpointed
+      // positions; the same max(cell, span/gridRes) scalar arithmetic runs
+      // on the driver in BOTH paths, so parity is exact
+      val bb = pos.agg(min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head()
+      val effCell = math.max(cell,
+        math.max(bb.getDouble(1) - bb.getDouble(0), bb.getDouble(3) - bb.getDouble(2)) / gridRes)
       // -- repulsion from mass-weighted grid centroids (+ gravity, fused) --
       val cells = pos
-        .withColumn("cx", floor(col("x") / cell)).withColumn("cy", floor(col("y") / cell))
+        .withColumn("cx", floor(col("x") / effCell)).withColumn("cy", floor(col("y") / effCell))
         .groupBy("cx", "cy")
         .agg(sum(col("mass") * col("x")).as("smx"), sum(col("mass") * col("y")).as("smy"),
           sum(col("mass")).as("sm"))
       val withCells = pos
-        .withColumn("hcx", floor(col("x") / cell)).withColumn("hcy", floor(col("y") / cell))
+        .withColumn("hcx", floor(col("x") / effCell)).withColumn("hcy", floor(col("y") / effCell))
         .crossJoin(broadcast(cells))
         // exact self-exclusion in the home cell: peer mass/centroid with
         // this vertex's own contribution subtracted
@@ -278,7 +300,8 @@ object ForceLayout {
     * with short-edge reversal, swinging/traction controller, hash-rotated
     * swing-damped deltas); deterministic by fixed iteration order. */
   private def runLocal(pos0: DataFrame, e2: DataFrame, iters: Int,
-      cell: Double, defaultGravity: Double, startIter: Int = 0): DataFrame = {
+      cell: Double, defaultGravity: Double, startIter: Int = 0,
+      gridRes: Int = 64): DataFrame = {
     val spark = pos0.sparkSession
     import spark.implicits._
     val rows = pos0.select("id", "mass", "x", "y", "vx", "vy")
@@ -308,18 +331,30 @@ object ForceLayout {
       val iter = startIter + i
       val sch = schedule(iter, vc, tuning.traction, defaultGravity)
       val fvx = vx.clone(); val fvy = vy.clone()
+      // adaptive cell edge — the identical driver-side scalar arithmetic
+      // as the distributed path (IEEE min/max are order-independent, so
+      // the Spark agg there and this sequential scan agree bit-for-bit)
+      var minx = Double.PositiveInfinity; var maxx = Double.NegativeInfinity
+      var miny = Double.PositiveInfinity; var maxy = Double.NegativeInfinity
+      var bv = 0
+      while (bv < n) {
+        if (x(bv) < minx) minx = x(bv); if (x(bv) > maxx) maxx = x(bv)
+        if (y(bv) < miny) miny = y(bv); if (y(bv) > maxy) maxy = y(bv)
+        bv += 1
+      }
+      val effCell = math.max(cell, math.max(maxx - minx, maxy - miny) / gridRes)
       // mass-weighted grid centroids
       val cells = scala.collection.mutable.LinkedHashMap[(Long, Long), (Double, Double, Double)]()
       var v = 0
       while (v < n) {
-        val key = (math.floor(x(v) / cell).toLong, math.floor(y(v) / cell).toLong)
+        val key = (math.floor(x(v) / effCell).toLong, math.floor(y(v) / effCell).toLong)
         val (sx, sy, sm) = cells.getOrElse(key, (0.0, 0.0, 0.0))
         cells(key) = (sx + mass(v) * x(v), sy + mass(v) * y(v), sm + mass(v))
         v += 1
       }
       v = 0
       while (v < n) {
-        val home = (math.floor(x(v) / cell).toLong, math.floor(y(v) / cell).toLong)
+        val home = (math.floor(x(v) / effCell).toLong, math.floor(y(v) / effCell).toLong)
         var rx = 0.0; var ry = 0.0
         cells.foreach { case (key, (smx, smy, sm)) =>
           val pm = if (key == home) sm - mass(v) else sm
