@@ -401,7 +401,12 @@ object ScaleProbe {
       val cp = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
         .select(Vid.vid("customer", col("o_custkey")).as("src"),
           Vid.vid("part", col("l_partkey")).as("dst"))
-      graft.algos.Algos.linkPrediction(cp, minCommon = 3, maxDeg = 40).count()
+      // bypass the scan-sharing linkPred memo (the weighted_sp rule): the
+      // probe must measure the wedge COMPUTE, not a cache hit on the repeat
+      val prev = Tpch.shareScans
+      Tpch.shareScans = false
+      try graft.algos.Algos.linkPrediction(cp, minCommon = 3, maxDeg = 40).count()
+      finally Tpch.shareScans = prev
     }
     val (lp1, ln1) = minTime(linkpredOf(lineitem1, orders1))
     val (lpK, lnK) = minTime(linkpredOf(liPK, ordersK))

@@ -1173,8 +1173,33 @@ object Algos {
     * signal, and the cap bounds the wedge explosion at `maxDeg²` per
     * center). Everything is keyed joins + one (id_a,id_b) agg — the
     * candidate join never goes cartesian. */
+  private val linkPredCache = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, Int, Int, Long, Long, Long), DataFrame]()
+
   def linkPrediction(edges: DataFrame, minCommon: Long, maxDeg: Long,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L): DataFrame =
+    if (!graft.graph.Tpch.shareScans)
+      linkPredictionImpl(edges, minCommon, maxDeg, scale)
+    else {
+      // under the multi-query scan-sharing regime the predicted-link table
+      // is an intermediate shared by the link-prediction query and the
+      // k-truss query over the SAME base graph — compute it once per
+      // (input plan, parameters). Same contract as Dedup.pairsCache
+      // (session-keyed, two independent plan hashes, bounded size) with
+      // one difference: the callers build their input plan independently,
+      // so the raw toString carries fresh exprIds per call and would never
+      // hit — both hashes here are of the CANONICALIZED plan (exprIds
+      // normalized), which is exactly the equivalence the reuse wants.
+      val plan = edges.queryExecution.analyzed
+      val key = (edges.sparkSession, plan.semanticHash(),
+        plan.canonicalized.toString.hashCode, minCommon, maxDeg, scale)
+      if (linkPredCache.size > 32) linkPredCache.clear()
+      linkPredCache.getOrElseUpdate(key,
+        linkPredictionImpl(edges, minCommon, maxDeg, scale).localCheckpoint(eager = false))
+    }
+
+  private def linkPredictionImpl(edges: DataFrame, minCommon: Long, maxDeg: Long,
+      scale: Long): DataFrame = {
     require(minCommon >= 1 && maxDeg >= 2)
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst")).distinct()
