@@ -478,6 +478,12 @@ object TextOps {
     * non-overlapping, which IS BPE's greedy convention for runs like
     * `aaa`. Marked strings of distinct words stay distinct (the underlying
     * character sequence is unchanged), so no re-aggregation is needed.
+    * Edge case: a literal `>` INSIDE a token makes the symbol-extraction
+    * regex `<([^>]*)>` mis-split that word's symbols. Both the trainer and
+    * [[bpeEncode]] apply the identical marking, and the oracle mirrors it
+    * verbatim, so train/encode/oracle stay self-consistent — but merge
+    * counts for `>`-bearing words are off-contract; pre-scrub `>` (e.g.
+    * [[scrubPii]]-style replace) if such tokens matter.
     *
     * Scale: the working set is the WORD-frequency table — vocabulary-sized,
     * not corpus-sized (the classic BPE formulation); per round one pair
