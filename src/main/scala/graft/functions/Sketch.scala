@@ -133,7 +133,13 @@ object Sketch {
   def bloomFilter(probe: DataFrame, key: Column, bits: DataFrame, m: Int, k: Int): DataFrame = {
     require(k >= 1 && k <= 16 && m >= 2 && m <= 65536,
       s"m=$m: the packed literal map wants m <= 65536 (1024 words)")
-    val words: Map[Long, Long] = bits.select(col("bit").cast("long")).collect()
+    // A NULL key hashes to a NULL bit (the md5 chain propagates it): it
+    // contributes no set bits here, and on the probe side its null cells
+    // fail the ALL-bits predicate — so null keys are uniformly "not a
+    // member" on both sides, and the packed-word collect can't NPE on a
+    // null slot.
+    val words: Map[Long, Long] = bits.select(col("bit").cast("long"))
+      .where(col("bit").isNotNull).collect()
       .map(_.getLong(0)).groupBy(_ / 64)
       .map { case (w, bs) => w -> bs.foldLeft(0L)((a, b) => a | (1L << (b % 64).toInt)) }
     if (words.isEmpty) probe.where(lit(false))

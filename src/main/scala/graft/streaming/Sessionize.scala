@@ -151,10 +151,16 @@ object Sessionize {
       }
   }
 
-  /** Streaming hourly window with watermark (late data dropped after 2h). */
+  /** Streaming hourly window with watermark (late data dropped after 2h).
+    * Emits exactly [[hourlyWindow]]'s schema — exact value CENTS, never a
+    * float sum (order/retrigger-independent, so the bridge spec asserts
+    * full-row equality between the stream's final state and the oracled
+    * batch shadow on the same events, not just event counts). */
   def streamingHourly(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .select(unix_timestamp(col("w.start")).as("hour_ts"), col("n_events"), col("value_cents"))
 }

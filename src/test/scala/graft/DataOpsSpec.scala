@@ -413,10 +413,10 @@ class DataOpsSpec extends AnyFunSuite {
       Sessionize.Event(3L, t(70), 5.0))
     q.processAllAvailable()
     val rows = spark.table("hourly")
-      .select(col("window.start").cast("long").as("w"), col("n_events"), col("total_value"))
-      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+      .select(col("hour_ts"), col("n_events"), col("value_cents"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     q.stop()
-    assert(rows(0L) === ((2L, 5.0)) && rows(3600L) === ((1L, 5.0)))
+    assert(rows(0L) === ((2L, 500L)) && rows(3600L) === ((1L, 500L)))
   }
 
   test("streaming graph maintenance: foreachBatch accumulates edges, traversals see updates") {
@@ -555,16 +555,25 @@ class DataOpsSpec extends AnyFunSuite {
       .option("checkpointLocation", cp).outputMode("update").start()
     q.processAllAvailable()
     val first = spark.table("fs_hourly")
-      .select(col("window.start").cast("long"), col("n_events")).as[(Long, Long)]
+      .select(col("hour_ts"), col("n_events")).as[(Long, Long)]
       .collect().toMap
     assert(first(0L) === 2L)
-    drop(Seq(Sessionize.Event(3L, t(30), 1.0), Sessionize.Event(4L, t(70), 4.0)))
+    val lateBatch = Seq(Sessionize.Event(3L, t(30), 1.0), Sessionize.Event(4L, t(70), 4.0))
+    drop(lateBatch)
     q.processAllAvailable()
-    val rows = spark.table("fs_hourly")
-      .select(col("window.start").cast("long"), col("n_events")).as[(Long, Long)]
-      .collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+    // FULL-ROW bridge: the stream's final per-hour state (update mode emits
+    // one row per trigger; keep the last per hour) equals the oracled batch
+    // shadow on the same events — counts AND exact cents, same schema
+    // (counts and positive cents only grow within an hour, so the final
+    // update-mode emission per hour is its componentwise max)
+    val streamed = spark.table("fs_hourly")
+      .collect().groupBy(_.getLong(0))
+      .map { case (h, rs) => h -> rs.map(r => (r.getLong(1), r.getLong(2))).max }
     q.stop()
-    assert(rows(0L) === 3L && rows(3600L) === 1L)
+    val allEvents = Seq(Sessionize.Event(1L, t(5), 2.0), Sessionize.Event(2L, t(20), 3.0)) ++ lateBatch
+    val shadow = Sessionize.hourlyWindow(allEvents.toDF())
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed === shadow)
   }
 
   test("as-of join: NULL-valued right rows still win; NULL keys match nothing; self-join dedups") {
@@ -1793,6 +1802,22 @@ class DataOpsSpec extends AnyFunSuite {
     val mergedBits = b1.unionByName(b2).distinct()
     assert(Sketch.bloomFilter(probe, col("k"), mergedBits, 4096, 4)
       .as[Long].collect().toSet === kept)
+  }
+
+  test("bloom null keys: build contributes no bits, probe never passes, no driver NPE") {
+    import graft.functions.Sketch
+    // a null key's md5 chain yields a NULL bit row; before the r9 guard the
+    // packed-word collect NPE'd unboxing it. Defined semantics: null is
+    // uniformly "not a member" on both sides.
+    val members = Seq(Some("a"), Some("b"), None).toDF("k")
+    val bits = Sketch.bloomBuild(members, col("k"), m = 1024, k = 3)
+    val nonNull = Sketch.bloomBuild(members.where(col("k").isNotNull), col("k"), 1024, 3)
+    assert(bits.where(col("bit").isNotNull).as[Long].collect().toSet ===
+      nonNull.as[Long].collect().toSet)
+    val probe = Seq(Some("a"), Some("zz"), None).toDF("k")
+    val kept = Sketch.bloomFilter(probe, col("k"), bits, 1024, 3)
+      .as[Option[String]].collect().toSeq
+    assert(kept.contains(Some("a")) && !kept.contains(None))
   }
 
   test("histBuild/histQuantiles: exact buckets, quantile convention, bucket-wise sum merge") {
