@@ -74,10 +74,15 @@ object Tpch {
   }
 
   /** lineitem vid packs (orderkey, linenumber); linenumber is 1..7 so 3 bits
-    * of headroom is plenty — stays collision-free at any SF. Note: the
-    * synthetic testdata has duplicate (orderkey, linenumber) pairs; those
-    * collapse to one vertex with parallel edges (bag semantics, exactly like
-    * fermor's multi-edges between the same vertex pair). */
+    * of headroom suffice. Collision-free while orderkey·8+linenumber stays
+    * inside the 10¹² kind span — orderkey < 1.25e11, i.e. TPC-H SF ≲ 20k
+    * (orderkeys run to ~6M·SF). A larger deployment widens [[Vid.SPAN]]
+    * (vids are opaque longs; nothing depends on the constant beyond the
+    * range predicates deriving from it) — changing it rewrites every id,
+    * so it is a load-time choice, not a migration. Note: the synthetic
+    * testdata has duplicate (orderkey, linenumber) pairs; those collapse to
+    * one vertex with parallel edges (bag semantics, exactly like fermor's
+    * multi-edges between the same vertex pair). */
   def lineitemVid(orderkey: Column, linenumber: Column): Column =
     lit(Vid.tag("lineitem") * Vid.SPAN) + orderkey.cast("long") * 8 + linenumber.cast("long")
 
