@@ -1774,9 +1774,16 @@ object Algos {
       e = ss
       r += 1
     }
+    // unconverged = wrong components, and the callers compose (Borůvka
+    // contracts on this map; SCC's deep-path fallback slices by it) — the
+    // loud-failure standard every sibling fixpoint here follows. O(log² n)
+    // convergence makes 200 rounds astronomically safe; hitting the bound
+    // means something is broken, not slow.
+    if (!stable)
+      throw new IllegalStateException(
+        s"ccAlternating did not converge within $maxRounds rounds")
     // converged star forest: every edge points (member → component min);
-    // roots map to themselves. min() keeps the map deterministic even if
-    // maxRounds cut convergence short.
+    // roots map to themselves.
     e.select(col("hi").as("id"), col("lo").as("component"))
       .unionByName(e.select(col("lo").as("id"), col("lo").as("component")))
       .groupBy("id").agg(min("component").as("component"))

@@ -400,6 +400,16 @@ class AlgosSpec extends AnyFunSuite {
     assert(cc.forall(_._2 === 1L))
   }
 
+  test("ccAlternating fails loudly when the round budget cuts convergence") {
+    // the loud-failure standard of every sibling fixpoint: an unconverged
+    // star forest is wrong components, and callers COMPOSE on this map
+    // (Boruvka contraction, SCC's deep-path slice) — silent truncation
+    // would poison them. A 64-deep chain cannot converge in one round.
+    val es = (1L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException](Algos.ccAlternating(es, maxRounds = 1).count())
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("dominatorDepth survives a 100k-deep linear CFG without stack overflow") {
     val n = 100000
     val es = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
