@@ -70,13 +70,17 @@ object ScaleProbe {
           .df.groupBy("id").agg(count(lit(1))).count()
       },
       "topo_levels" -> { g =>
-        graft.algos.Algos.topoLevels(g.vertices.select("id"), g.edges, maxIter = 4).count()
+        // localMaxEdges = 0: the probe must measure the DISTRIBUTED rounds,
+        // not the guarded local replay
+        graft.algos.Algos.topoLevels(g.vertices.select("id"), g.edges, maxIter = 4,
+          localMaxEdges = 0L).count()
       },
       "conn_components" -> { g =>
         implicit val sp: SparkSession = spark
         graft.algos.Algos.connectedComponents(
           g.kind("customer").select("id").unionAll(g.kind("orders").select("id")),
-          g.edges.where(col("label") === "order_customer")).count()
+          g.edges.where(col("label") === "order_customer"),
+          localMaxEdges = 0L).count()
       },
       "descend_deepest" -> { g =>
         graft.graph.Descend.deepest(g,
@@ -91,7 +95,7 @@ object ScaleProbe {
         Tpch.shareScans = false
         try graft.algos.Algos.weightedShortestPath(g.edges,
           g.kind("customer").select("id").limit(1000),
-          lit(1L), reverse = true, maxIter = 2).count()
+          lit(1L), reverse = true, maxIter = 2, localMaxEdges = 0L).count()
         finally Tpch.shareScans = prev
       },
       "cc_alternating" -> { g =>

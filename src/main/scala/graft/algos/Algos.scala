@@ -29,16 +29,56 @@ object Algos {
   }
 
   /** Connected components (fermor algo.clj `connected-components`):
-    * GraphX Pregel min-id propagation; component id = min vertex id.
-    * Pregel costs one superstep per hop — the right trade on the
-    * small-diameter graphs this serves (FK stars, near-dup pair graphs,
-    * where it converges in ~3 cheap iterations and beats the alternating
-    * algorithm's per-round fixed costs measured 2-3× here). For
-    * diameter-unbounded inputs (chains, long paths) use [[ccAlternating]],
-    * whose round count is O(log² n) regardless of depth. */
-  def connectedComponents(vertices: DataFrame, edges: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    * component id = min vertex id — a UNIQUE answer, so both regimes agree
+    * bit-for-bit (parity-spec'd):
+    *
+    *  - below the guard, a local min-root union-find over the collected
+    *    edge list (the kCore/MIS/matching guarded-replay pattern): one
+    *    linear pass replaces GraphX's per-superstep scheduling latency.
+    *    The 50k default is MEASURED (sf0.1 local[32], warm): at 5k edges
+    *    local wins ~3× (0.7 vs 2.0-2.3 s — the dedup-cluster pair-graph
+    *    shape), at 50k ~2× (1.1 vs 2.3 s), at 165k it is a tie (~0.9 s
+    *    both — output materialization dominates), so larger inputs stay
+    *    on GraphX;
+    *  - distributed, GraphX Pregel min-id propagation. Pregel costs one
+    *    superstep per hop — the right trade on the small-diameter graphs
+    *    this serves (FK stars, near-dup pair graphs, where it converges in
+    *    ~3 cheap iterations and beats the alternating algorithm's per-round
+    *    fixed costs measured 2-3× here). For diameter-unbounded inputs
+    *    (chains, long paths) use [[ccAlternating]], whose round count is
+    *    O(log² n) regardless of depth.
+    *
+    * Output universe matches GraphX's graph: `vertices` ∪ edge endpoints
+    * (endpoints absent from `vertices` still get a component; isolated
+    * vertices are their own). */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      localMaxEdges: Long = 50000L)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    buildGraph(vertices, edges).connectedComponents()
+    val e0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    if (atMost(e0, localMaxEdges) && atMost(vertices, localMaxEdges)) {
+      val es = e0.as[(Long, Long)].collect()
+      val vs = vertices.select(col(vertices.columns.head).cast("long")).as[Long].collect()
+      // union by VALUE (larger root points at smaller): each tree's root is
+      // the minimum member ever merged in — find() IS the component label
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(z: Long): Long = {
+        var p = z
+        while (parent.getOrElse(p, p) != p) {
+          val gp = parent.getOrElse(parent(p), parent(p))
+          parent(p) = gp; p = gp
+        }
+        p
+      }
+      es.foreach { case (s, d) =>
+        val rs = find(s); val rd = find(d)
+        if (rs != rd) parent(math.max(rs, rd)) = math.min(rs, rd)
+      }
+      val universe = scala.collection.mutable.LinkedHashSet[Long]()
+      vs.foreach(universe += _)
+      es.foreach { case (s, d) => universe += s; universe += d }
+      return universe.iterator.map(v => (v, find(v))).toSeq.toDF("id", "component")
+    }
+    buildGraph(vertices, e0).connectedComponents()
       .vertices.toDF("id", "component")
   }
 
@@ -232,8 +272,9 @@ object Algos {
     * tracks frontier size; no priority queue, no driver state). Returns every
     * reachable (id, cost) with cost = minimal path cost from any source. */
   def weightedShortestPath(edges: DataFrame, sources: DataFrame, cost: Column,
-      reverse: Boolean = false, maxIter: Int = 50)(implicit spark: SparkSession): DataFrame =
-    relaxLoop(edges, sources, cost, reverse, maxIter, accept = None)
+      reverse: Boolean = false, maxIter: Int = 50,
+      localMaxEdges: Long = 50000L)(implicit spark: SparkSession): DataFrame =
+    relaxLoop(edges, sources, cost, reverse, maxIter, accept = None, localMaxEdges)
 
   /** [[weightedShortestPath]] + PARENT POINTERS — the reference's
     * shortest-path returns the actual path; distributed, the path tree IS
@@ -242,7 +283,8 @@ object Algos {
     * (cost, parent) pair — parent = the least-id predecessor among those on
     * a minimal-cost path. Sources carry a null parent. */
   def weightedShortestPathWithParent(edges: DataFrame, sources: DataFrame, cost: Column,
-      reverse: Boolean = false, maxIter: Int = 50)(implicit spark: SparkSession): DataFrame = {
+      reverse: Boolean = false, maxIter: Int = 50,
+      localMaxEdges: Long = 50000L)(implicit spark: SparkSession): DataFrame = {
     // Two phases, not a fatter loop: (1) the plain cost relaxation to its
     // fixpoint (narrow 2-column rounds), then (2) ONE post-pass join derives
     // parents from the optimality invariant — p is an optimal predecessor of
@@ -253,7 +295,7 @@ object Algos {
     val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
     val eRaw = edges.select(col(from).as("__from"), col(to).as("__to"), cost.cast("long").as("__w"))
     val e = eRaw.localCheckpoint(eager = false)
-    val dist = bfsRelax(e, eRaw, sources, maxIter)
+    val dist = bfsRelax(e, eRaw, sources, maxIter, localMaxEdges)
     val parents = e
       .join(dist.select(col("id").as("__from"), col("cost").as("__pc")), "__from")
       .join(dist.select(col("id").as("__to"), col("cost").as("__tc")), "__to")
@@ -270,23 +312,84 @@ object Algos {
     * share one fixpoint (the prepared edge frame already embeds cost and
     * direction, so its semantic hash is the complete cache key). */
   private val relaxCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, Int, Int, Int), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, Int, Int, Int, Long), DataFrame]()
 
   /** `eKey` must be the PRE-checkpoint edge plan: a localCheckpoint wraps a
     * fresh RDD per call, so its semantic hash never repeats across queries
     * and would defeat the cache. */
   private def bfsRelax(e: DataFrame, eKey: DataFrame, sources: DataFrame,
-      maxIter: Int): DataFrame =
-    if (!graft.graph.Tpch.shareScans) bfsRelaxImpl(e, sources, maxIter)
+      maxIter: Int, localMaxEdges: Long = 50000L): DataFrame =
+    if (!graft.graph.Tpch.shareScans) bfsRelaxImpl(e, sources, maxIter, localMaxEdges)
     else {
       if (relaxCache.size > 64) relaxCache.clear() // bound: never pin plans forever
       relaxCache.getOrElseUpdate(
         (e.sparkSession, eKey.queryExecution.analyzed.semanticHash(),
-          sources.queryExecution.analyzed.semanticHash(), maxIter),
-        bfsRelaxImpl(e, sources, maxIter).localCheckpoint(eager = false))
+          sources.queryExecution.analyzed.semanticHash(), maxIter, localMaxEdges),
+        bfsRelaxImpl(e, sources, maxIter, localMaxEdges).localCheckpoint(eager = false))
     }
 
-  private def bfsRelaxImpl(e: DataFrame, sources: DataFrame, maxIter: Int): DataFrame = {
+  /** Guarded LOCAL replay of the relaxation loop (the kCore/CC pattern):
+    * the EXACT same round-synchronous recurrence — per round, min candidate
+    * cost per vertex over edges out of the previous improved set, kept iff
+    * it beats the known distance; accept early-exit and maxIter truncation
+    * replicated — so the returned dist table is bit-identical to the
+    * distributed loop's in every regime, converged or capped (parity-spec'd
+    * at guard = 0). `accept` is evaluated ONCE, distributedly, over the
+    * bounded id universe (sources ∪ edge heads), never per round.
+    *
+    * The 50k guard default is a MEASURED rejection of a bigger one: on the
+    * sf0.1 FK graph (2M weighted edges, 4-5 effective rounds, local[32])
+    * the local path reads 3.0-5.4 s vs 2.3-3.5 s distributed — collecting
+    * the edge frame costs more than the well-parallelized rounds save — so
+    * the replay only fires where fixed per-round latency dominates. */
+  private def relaxLocal(e: DataFrame, sources: DataFrame, maxIter: Int,
+      accept: Option[Column]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val es = e.as[(Long, Long, Long)].collect() // (__from, __to, __w)
+    val adj = scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
+    es.foreach { case (f, t, w) =>
+      adj.getOrElseUpdate(f, new scala.collection.mutable.ArrayBuffer[(Long, Long)]) += ((t, w))
+    }
+    val srcs = sources.select(col(sources.columns.head).cast("long")).as[Long]
+      .collect().distinct
+    val acceptedIds: Long => Boolean = accept match {
+      case None => _ => false
+      case Some(a) =>
+        val universe = (srcs ++ es.map(_._2)).distinct
+        universe.toSeq.toDF("id").where(a).as[Long].collect().toSet
+    }
+    val dist = scala.collection.mutable.HashMap[Long, Long]()
+    srcs.foreach(dist(_) = 0L)
+    var frontier: scala.collection.Map[Long, Long] = dist.clone()
+    var bestAccepted = Long.MaxValue
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val cand = scala.collection.mutable.HashMap[Long, Long]()
+      frontier.foreach { case (f, c) =>
+        adj.get(f).foreach(_.foreach { case (t, w) =>
+          val nc = c + w
+          if (cand.get(t).forall(nc < _)) cand(t) = nc
+        })
+      }
+      val improved = cand.filter { case (t, nc) => dist.get(t).forall(nc < _) }
+      if (improved.isEmpty) done = true
+      else {
+        improved.foreach { case (t, c) => dist(t) = c }
+        frontier = improved
+        val accMin = improved.iterator.collect { case (t, c) if acceptedIds(t) => c }
+        if (accMin.nonEmpty) bestAccepted = math.min(bestAccepted, accMin.min)
+        if (improved.values.min >= bestAccepted) done = true
+      }
+      i += 1
+    }
+    dist.iterator.map { case (v, c) => (v, c) }.toSeq.toDF("id", "cost")
+  }
+
+  private def bfsRelaxImpl(e: DataFrame, sources: DataFrame, maxIter: Int,
+      localMaxEdges: Long = 50000L): DataFrame = {
+    if (atMost(e, localMaxEdges)) return relaxLocal(e, sources, maxIter, accept = None)
     var dist = sources.select(col(sources.columns.head).as("id")).dropDuplicates("id")
       .withColumn("cost", lit(0L)).localCheckpoint(eager = false)
     var frontier = dist
@@ -319,15 +422,18 @@ object Algos {
     * strictly positive), so the search stops without exhausting the graph.
     * Returns the accepted vertices tied at the minimal cost. */
   def cheapestAccepted(edges: DataFrame, sources: DataFrame, cost: Column, accept: Column,
-      reverse: Boolean = false, maxIter: Int = 50)(implicit spark: SparkSession): DataFrame = {
-    val dist = relaxLoop(edges, sources, cost, reverse, maxIter, accept = Some(accept))
+      reverse: Boolean = false, maxIter: Int = 50,
+      localMaxEdges: Long = 50000L)(implicit spark: SparkSession): DataFrame = {
+    val dist = relaxLoop(edges, sources, cost, reverse, maxIter, accept = Some(accept),
+      localMaxEdges)
     val hits = dist.where(accept).localCheckpoint(eager = false)
     hits.join(hits.agg(min(col("cost")).as("cost")), Seq("cost"), "left_semi")
       .select("id", "cost")
   }
 
   private def relaxLoop(edges: DataFrame, sources: DataFrame, cost: Column,
-      reverse: Boolean, maxIter: Int, accept: Option[Column]): DataFrame = {
+      reverse: Boolean, maxIter: Int, accept: Option[Column],
+      localMaxEdges: Long = 50000L): DataFrame = {
     val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
     // parallel edges are fine un-deduped: the per-round min-merge collapses
     // them; one narrow materialization shared by all rounds. NULL weights
@@ -337,7 +443,8 @@ object Algos {
     val eRaw = edges.select(col(from).as("__from"), col(to).as("__to"), cost.cast("long").as("__w"))
       .where(col("__w").isNotNull)
     val e = eRaw.localCheckpoint(eager = false)
-    if (accept.isEmpty) return bfsRelax(e, eRaw, sources, maxIter)
+    if (accept.isEmpty) return bfsRelax(e, eRaw, sources, maxIter, localMaxEdges)
+    if (atMost(eRaw, localMaxEdges)) return relaxLocal(eRaw, sources, maxIter, accept)
     var dist = sources.select(col(sources.columns.head).as("id")).dropDuplicates("id")
       .withColumn("cost", lit(0L)).localCheckpoint(eager = false)
     var frontier = dist
@@ -407,9 +514,10 @@ object Algos {
     * THEIR paths. Empty result = no accepted vertex reachable (the
     * reference's nil). */
   def shortestPathTo(edges: DataFrame, sources: DataFrame, cost: Column, accept: Column,
-      reverse: Boolean = false, maxIter: Int = 50, maxHops: Int = 50)(
-      implicit spark: SparkSession): DataFrame = {
-    val tree = weightedShortestPathWithParent(edges, sources, cost, reverse, maxIter)
+      reverse: Boolean = false, maxIter: Int = 50, maxHops: Int = 50,
+      localMaxEdges: Long = 50000L)(implicit spark: SparkSession): DataFrame = {
+    val tree = weightedShortestPathWithParent(edges, sources, cost, reverse, maxIter,
+      localMaxEdges)
       .localCheckpoint(eager = false)
     val hits = tree.where(accept).localCheckpoint(eager = false)
     val best = hits.join(hits.agg(min(col("cost")).as("cost")), Seq("cost"), "left_semi")
@@ -422,8 +530,8 @@ object Algos {
     * update runs CC over |V| + |batch| edges instead of the full history —
     * the classic union-find-with-supernodes trick, distributed. Labels stay
     * the global min id, so assignments are stable across batches. */
-  def incrementalCC(prev: DataFrame, batchEdges: DataFrame)(
-      implicit spark: SparkSession): DataFrame = {
+  def incrementalCC(prev: DataFrame, batchEdges: DataFrame,
+      localMaxEdges: Long = 50000L)(implicit spark: SparkSession): DataFrame = {
     val links = prev.select(col("id").as("src"), col("component").as("dst"))
       .where(col("src") =!= col("dst"))
     val e = links.unionAll(batchEdges.select("src", "dst"))
@@ -431,7 +539,7 @@ object Algos {
       .unionAll(batchEdges.select(col("src").as("id")))
       .unionAll(batchEdges.select(col("dst").as("id")))
       .dropDuplicates("id")
-    connectedComponents(vs, e)
+    connectedComponents(vs, e, localMaxEdges)
   }
 
   /** PageRank (capability class inherited from the reference's Pacer
@@ -1559,37 +1667,102 @@ object Algos {
     * DAG is deeper than the bound — the safe default for unknown inputs,
     * where a silent cap would return plausible but wrong levels. */
   def topoLevels(vertices: DataFrame, edges: DataFrame, maxIter: Int = 10,
-      requireConverged: Boolean = false): DataFrame = {
+      requireConverged: Boolean = false, localMaxEdges: Long = 50000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    // guarded LOCAL replay (the kCore/CC pattern): the same frontier
+    // recurrence — round i's frontier = distinct heads of edges out of
+    // round i-1's, level(v) = max round that reached v — run on a collected
+    // adjacency; identical semantics INCLUDING the maxIter level cap and
+    // the requireConverged loud failure, so the replay is bit-exact under
+    // truncation too (parity-spec'd at guard = 0). The 50k default is a
+    // MEASURED rejection of a bigger guard: at sf0.1 (2M edges, depth 4,
+    // local[32]) the local path reads 2.7-3.9 s vs 2.7 s distributed —
+    // the collect + driver sets + 800k-row re-upload cost more than four
+    // well-parallelized rounds — so it fires only on genuinely small DAGs
+    if (atMost(e0, localMaxEdges) && atMost(vertices, localMaxEdges)) {
+      val es = e0.as[(Long, Long)].collect()
+      val vs = vertices.select(col(vertices.columns.head).cast("long")).as[Long].collect()
+      val adj = scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      es.foreach { case (s, d) =>
+        adj.getOrElseUpdate(s, new scala.collection.mutable.ArrayBuffer[Long]) += d
+      }
+      val level = scala.collection.mutable.HashMap[Long, Int]()
+      vs.foreach(v => level.getOrElseUpdate(v, 0))
+      var frontier: scala.collection.Set[Long] = es.iterator.map(_._2).toSet
+      frontier.foreach(v => level(v) = 1) // max-merge: round 1 beats the 0 init
+      var i = 1
+      var done = frontier.isEmpty
+      while (!done && i < maxIter) {
+        val next = scala.collection.mutable.HashSet[Long]()
+        frontier.foreach(v => adj.get(v).foreach(_.foreach(next += _)))
+        if (next.isEmpty) done = true
+        else next.foreach(v => level(v) = i + 1) // later round always wins the max
+        frontier = next
+        i += 1
+      }
+      if (requireConverged && !done && frontier.nonEmpty)
+        throw new IllegalStateException(
+          s"topoLevels did not converge within maxIter=$maxIter rounds: the DAG is " +
+            "deeper than the bound, so capped levels would be silently wrong — raise " +
+            "maxIter (or pass requireConverged = false to accept the level cap)")
+      return level.iterator.map { case (v, l) => (v, l) }.toSeq.toDF("id", "level")
+    }
     // parallel edges can't change a max-level fixpoint, and each round
     // dedups its frontier — no dedup shuffle, one narrow materialization
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    val e = e0.localCheckpoint(eager = false)
     // DELTA iteration: round i's frontier is exactly the heads of some
     // length-i path, so the level column is constant per round — each round
     // is a semi-join + distinct on the previous frontier only (no re-join or
     // re-agg of the full vertex set), and round 1 needs no join at all (it
     // is just the distinct edge heads). One global max-merge at the end.
-    // localCheckpoint cuts lineage so round i doesn't recompute rounds 1..i-1.
+    // Lazy localCheckpoints cut lineage (round i reads round i-1's cache,
+    // never recomputes it) WITHOUT forcing a per-round job.
     val init = vertices.select(col(vertices.columns.head).as("id"))
       .withColumn("level", lit(0))
     var frontier = e.select(col("dst").as("id")).dropDuplicates("id")
       .localCheckpoint(eager = false)
     val rounds = scala.collection.mutable.ArrayBuffer[DataFrame](init)
-    var i = 1
-    var done = frontier.isEmpty
-    if (!done) rounds += frontier.withColumn("level", lit(1))
-    while (!done && i < maxIter) {
-      frontier = e.join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
-        .select(col("dst").as("id")).dropDuplicates("id")
-        .localCheckpoint(eager = true) // full materialization before isEmpty
-      if (frontier.isEmpty) done = true
-      else rounds += frontier.withColumn("level", lit(i + 1))
-      i += 1
+    if (requireConverged) {
+      // drain detection needs a per-round action (isEmpty), so this regime
+      // pays one materialization per level — the price of the loud failure
+      var i = 1
+      var done = frontier.isEmpty
+      if (!done) rounds += frontier.withColumn("level", lit(1))
+      while (!done && i < maxIter) {
+        frontier = e.join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
+          .select(col("dst").as("id")).dropDuplicates("id")
+          .localCheckpoint(eager = true) // full materialization before isEmpty
+        if (frontier.isEmpty) done = true
+        else rounds += frontier.withColumn("level", lit(i + 1))
+        i += 1
+      }
+      if (!done && !frontier.isEmpty)
+        throw new IllegalStateException(
+          s"topoLevels did not converge within maxIter=$maxIter rounds: the DAG is " +
+            "deeper than the bound, so capped levels would be silently wrong — raise " +
+            "maxIter (or pass requireConverged = false to accept the level cap)")
+    } else {
+      // capped-level regime: no drain probe is needed — a drained frontier
+      // contributes empty union branches, so running all maxIter rounds
+      // BLIND folds the whole fixpoint into ONE action (no per-round
+      // driver round-trip; callers that know the exact depth — the
+      // q_topo_level shape — pay zero waste). Measured time-NEUTRAL at
+      // sf0.1 local[32] (2.7 s both ways: the semi-join/distinct shuffles
+      // dominate there) — the win is the removed per-round job barriers,
+      // which cost real latency on a many-executor cluster, and maxIter-1
+      // fewer driver actions per call.
+      rounds += frontier.withColumn("level", lit(1))
+      var i = 1
+      while (i < maxIter) {
+        frontier = e.join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
+          .select(col("dst").as("id")).dropDuplicates("id")
+          .localCheckpoint(eager = false)
+        rounds += frontier.withColumn("level", lit(i + 1))
+        i += 1
+      }
     }
-    if (requireConverged && !done && !frontier.isEmpty)
-      throw new IllegalStateException(
-        s"topoLevels did not converge within maxIter=$maxIter rounds: the DAG is " +
-          "deeper than the bound, so capped levels would be silently wrong — raise " +
-          "maxIter (or pass requireConverged = false to accept the level cap)")
     rounds.reduce(_.unionByName(_)).groupBy("id").agg(max(col("level")).as("level"))
   }
 

@@ -358,6 +358,10 @@ class AlgosSpec extends AnyFunSuite {
         accept = col("id").isin(2L, 4L, 5L))
       .as[(Long, Long)].collect().toMap
     assert(r === Map(2L -> 5L, 4L -> 5L))
+    // localMaxEdges = 0 forces the distributed relaxation: identical set
+    assert(Algos.cheapestAccepted(es, Seq(1L).toDF("id"), col("w"),
+        accept = col("id").isin(2L, 4L, 5L), localMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap === r)
   }
 
   test("driver-side DFS analyses fail loudly above the collect guard") {
@@ -386,9 +390,13 @@ class AlgosSpec extends AnyFunSuite {
       .toDF("src", "dst")
     val vs = es.select(col("src").as("id")).unionAll(es.select(col("dst").as("id")))
       .dropDuplicates("id")
-    val pregel = Algos.connectedComponents(vs, es).as[(Long, Long)].collect().toMap
+    // localMaxEdges = 0 keeps this an ACTUAL Pregel run, not the local replay
+    val pregel = Algos.connectedComponents(vs, es, localMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
     val alt = Algos.ccAlternating(es).as[(Long, Long)].collect().toMap
     assert(alt === pregel)
+    // and the guarded local union-find replay agrees with both
+    assert(Algos.connectedComponents(vs, es).as[(Long, Long)].collect().toMap === pregel)
   }
 
   test("ccAlternating converges in log rounds on a 10k-deep chain") {

@@ -80,6 +80,11 @@ class RandomizedParitySpec extends AnyFunSuite {
       val got = Algos.topoLevels(vs.toDF("id"), es.toDF("src", "dst"), maxIter)
         .as[(Long, Int)].collect().toMap
       assert(got === lvl, s"seed=$seed es=$es")
+      // guard = 0 forces the distributed rounds: both regimes match the model
+      val dist = Algos.topoLevels(vs.toDF("id"), es.toDF("src", "dst"), maxIter,
+          localMaxEdges = 0L)
+        .as[(Long, Int)].collect().toMap
+      assert(dist === lvl, s"seed=$seed distributed es=$es")
     }
   }
 
@@ -105,6 +110,10 @@ class RandomizedParitySpec extends AnyFunSuite {
           sources.toDF("id"), col("w"))
         .as[(Long, Long)].collect().toMap
       assert(got === dist, s"seed=$seed es=$es")
+      // guard = 0 forces the distributed rounds: both regimes match the model
+      assert(Algos.weightedShortestPath(es.toDF("src", "dst", "w"),
+          sources.toDF("id"), col("w"), localMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap === dist, s"seed=$seed distributed")
       // parent variant: same costs, and every parent is a valid optimal pred
       val withP = Algos.weightedShortestPathWithParent(es.toDF("src", "dst", "w"),
           sources.toDF("id"), col("w")).collect()
@@ -368,5 +377,63 @@ class RandomizedParitySpec extends AnyFunSuite {
     assert(Algos.coreNumbers(pend.toDF("src", "dst"), localMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap ===
       ((0L to 3L).map(_ -> 3L) :+ (9L -> 1L)).toMap)
+  }
+
+  test("connectedComponents: local union-find replay matches Pregel on random graphs") {
+    for (seed <- 61 to 68) {
+      val (vs, es) = randomGraph(seed, n = 10, nEdges = 9) // sparse: isolated vertices likely
+      val local = Algos.connectedComponents(vs.toDF("id"), es.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      val pregel = Algos.connectedComponents(vs.toDF("id"), es.toDF("src", "dst"),
+          localMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(local === pregel, s"seed=$seed es=$es")
+      // and the naive model: component = min id reachable ignoring direction
+      val sym = (es ++ es.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      def comp(s: Long): Long = {
+        var seen = Set(s); var frontier = Set(s)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(v => sym.getOrElse(v, Set.empty)) -- seen
+          seen ++= next; frontier = next
+        }
+        seen.min
+      }
+      assert(local === vs.map(v => v -> comp(v)).toMap, s"seed=$seed naive es=$es")
+    }
+  }
+
+  test("guarded local relax replays the distributed rounds bit-exactly, even truncated") {
+    // maxIter = 2 truncates before the fixpoint on most seeds: the dist
+    // TABLE (not just the converged answer) must still agree — the local
+    // path replicates the round recurrence, not just the limit
+    for (seed <- 71 to 76; maxIter <- Seq(2, 50)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 10
+      val es = Seq.fill(18)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, 1L + rnd.nextInt(4)))
+      val sources = (0L until n.toLong).filter(_ % 3 == 0)
+      val local = Algos.weightedShortestPath(es.toDF("src", "dst", "w"),
+          sources.toDF("id"), col("w"), maxIter = maxIter)
+        .as[(Long, Long)].collect().toMap
+      val dist = Algos.weightedShortestPath(es.toDF("src", "dst", "w"),
+          sources.toDF("id"), col("w"), maxIter = maxIter, localMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(local === dist, s"seed=$seed maxIter=$maxIter es=$es")
+    }
+  }
+
+  test("cheapestAccepted: both regimes agree on random weighted graphs") {
+    for (seed <- 81 to 88) {
+      val rnd = new scala.util.Random(seed)
+      val n = 10
+      val es = Seq.fill(16)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, 1L + rnd.nextInt(4)))
+      val accept = col("id") % 3 === 1
+      val local = Algos.cheapestAccepted(es.toDF("src", "dst", "w"),
+          Seq(0L).toDF("id"), col("w"), accept)
+        .as[(Long, Long)].collect().toMap
+      val dist = Algos.cheapestAccepted(es.toDF("src", "dst", "w"),
+          Seq(0L).toDF("id"), col("w"), accept, localMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(local === dist, s"seed=$seed es=$es")
+    }
   }
 }
