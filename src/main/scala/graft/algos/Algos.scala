@@ -23,6 +23,43 @@ object Algos {
   private def edgeRdd(edges: DataFrame): RDD[Edge[Int]] =
     edges.select("src", "dst").rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
 
+  /** Path-halving min-root union-find over long labels (shared by the
+    * guarded CC replay and kruskalAccept): union points the LARGER root at
+    * the smaller, so every tree's root is its component's minimum member —
+    * find() IS the min-id component label. */
+  private final class MinUnionFind {
+    private val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(z: Long): Long = {
+      var p = z
+      while (parent.getOrElse(p, p) != p) {
+        val gp = parent.getOrElse(parent(p), parent(p))
+        parent(p) = gp; p = gp
+      }
+      p
+    }
+    /** true iff the two were in different components (an edge was accepted). */
+    def union(a: Long, b: Long): Boolean = {
+      val ra = find(a); val rb = find(b)
+      if (ra == rb) false
+      else { parent(math.max(ra, rb)) = math.min(ra, rb); true }
+    }
+  }
+
+  /** true iff every named column is an integral type — the precondition for
+    * a guarded local replay's typed long collect. A string id would
+    * cast('long') to NULL (silent corruption) and a float would truncate;
+    * such inputs stay on the distributed path, which treats them exactly as
+    * before the replays existed. */
+  private def integralCols(df: DataFrame, names: String*): Boolean = {
+    import org.apache.spark.sql.types._
+    names.forall { n =>
+      df.schema(n).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+  }
+
   private def buildGraph(vertices: DataFrame, edges: DataFrame): Graph[Long, Int] = {
     val vs = vertices.select(vertices.columns.head).rdd.map(r => (r.getLong(0), r.getLong(0)))
     Graph(vs, edgeRdd(edges))
@@ -54,31 +91,28 @@ object Algos {
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       localMaxEdges: Long = 50000L)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val e0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-    if (atMost(e0, localMaxEdges) && atMost(vertices, localMaxEdges)) {
-      val es = e0.as[(Long, Long)].collect()
-      val vs = vertices.select(col(vertices.columns.head).cast("long")).as[Long].collect()
-      // union by VALUE (larger root points at smaller): each tree's root is
-      // the minimum member ever merged in — find() IS the component label
-      val parent = scala.collection.mutable.HashMap[Long, Long]()
-      def find(z: Long): Long = {
-        var p = z
-        while (parent.getOrElse(p, p) != p) {
-          val gp = parent.getOrElse(parent(p), parent(p))
-          parent(p) = gp; p = gp
-        }
-        p
+    val headV = vertices.columns.head
+    // one narrow lazy materialization shared by the guard probe, the local
+    // collect, and the GraphX conversion — a derived edge graph evaluates
+    // its upstream once, not once per consumer (the kTruss probe rule)
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    val vs0 = vertices.select(col(headV).as("id")).localCheckpoint(eager = false)
+    if (integralCols(e0, "src", "dst") && integralCols(vs0, "id") &&
+        atMost(e0, localMaxEdges) && atMost(vs0, localMaxEdges)) {
+      val eRows = e0.select(col("src").cast("long"), col("dst").cast("long")).collect()
+      val vRows = vs0.select(col("id").cast("long")).collect()
+      if (!eRows.exists(r => r.isNullAt(0) || r.isNullAt(1)) && !vRows.exists(_.isNullAt(0))) {
+        val uf = new MinUnionFind
+        eRows.foreach(r => uf.union(r.getLong(0), r.getLong(1)))
+        val universe = scala.collection.mutable.LinkedHashSet[Long]()
+        vRows.foreach(universe += _.getLong(0))
+        eRows.foreach { r => universe += r.getLong(0); universe += r.getLong(1) }
+        return universe.iterator.map(v => (v, uf.find(v))).toSeq.toDF("id", "component")
       }
-      es.foreach { case (s, d) =>
-        val rs = find(s); val rd = find(d)
-        if (rs != rd) parent(math.max(rs, rd)) = math.min(rs, rd)
-      }
-      val universe = scala.collection.mutable.LinkedHashSet[Long]()
-      vs.foreach(universe += _)
-      es.foreach { case (s, d) => universe += s; universe += d }
-      return universe.iterator.map(v => (v, find(v))).toSeq.toDF("id", "component")
+      // null ids: fall through — GraphX's typed conversion raises the same
+      // loud failure it always has for them, local must not differ
     }
-    buildGraph(vertices, e0).connectedComponents()
+    buildGraph(vs0, e0).connectedComponents()
       .vertices.toDF("id", "component")
   }
 
@@ -343,16 +377,21 @@ object Algos {
     * the edge frame costs more than the well-parallelized rounds save — so
     * the replay only fires where fixed per-round latency dominates. */
   private def relaxLocal(e: DataFrame, sources: DataFrame, maxIter: Int,
-      accept: Option[Column]): DataFrame = {
+      accept: Option[Column]): Option[DataFrame] = {
     val spark = e.sparkSession
     import spark.implicits._
-    val es = e.as[(Long, Long, Long)].collect() // (__from, __to, __w)
+    val eRows = e.collect() // (__from, __to, __w); __w is non-null by construction
+    if (eRows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    val sRows = sources.select(col(sources.columns.head).cast("long")).collect()
+    if (sRows.exists(_.isNullAt(0))) return None
+    // null endpoints/sources fall back (None) to the distributed rounds,
+    // where a null key simply never joins — the pre-replay behavior
+    val es = eRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val adj = scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
     es.foreach { case (f, t, w) =>
       adj.getOrElseUpdate(f, new scala.collection.mutable.ArrayBuffer[(Long, Long)]) += ((t, w))
     }
-    val srcs = sources.select(col(sources.columns.head).cast("long")).as[Long]
-      .collect().distinct
+    val srcs = sRows.map(_.getLong(0)).distinct
     val acceptedIds: Long => Boolean = accept match {
       case None => _ => false
       case Some(a) =>
@@ -384,12 +423,21 @@ object Algos {
       }
       i += 1
     }
-    dist.iterator.map { case (v, c) => (v, c) }.toSeq.toDF("id", "cost")
+    Some(dist.iterator.map { case (v, c) => (v, c) }.toSeq.toDF("id", "cost"))
   }
 
   private def bfsRelaxImpl(e: DataFrame, sources: DataFrame, maxIter: Int,
       localMaxEdges: Long = 50000L): DataFrame = {
-    if (atMost(e, localMaxEdges)) return relaxLocal(e, sources, maxIter, accept = None)
+    // sources are guarded too: a huge source set over a small subgraph must
+    // not be collected; type gate keeps non-long ids on the distributed path
+    if (integralCols(e, "__from", "__to") &&
+        integralCols(sources, sources.columns.head) &&
+        atMost(e, localMaxEdges) && atMost(sources, localMaxEdges)) {
+      relaxLocal(e, sources, maxIter, accept = None) match {
+        case Some(d) => return d
+        case None    => () // null ids: the distributed rounds handle them
+      }
+    }
     var dist = sources.select(col(sources.columns.head).as("id")).dropDuplicates("id")
       .withColumn("cost", lit(0L)).localCheckpoint(eager = false)
     var frontier = dist
@@ -444,7 +492,16 @@ object Algos {
       .where(col("__w").isNotNull)
     val e = eRaw.localCheckpoint(eager = false)
     if (accept.isEmpty) return bfsRelax(e, eRaw, sources, maxIter, localMaxEdges)
-    if (atMost(eRaw, localMaxEdges)) return relaxLocal(eRaw, sources, maxIter, accept)
+    // probe + collect the CHECKPOINTED frame: a derived edge graph evaluates
+    // its upstream once (the kTruss probe rule); sources guarded like edges
+    if (integralCols(e, "__from", "__to") &&
+        integralCols(sources, sources.columns.head) &&
+        atMost(e, localMaxEdges) && atMost(sources, localMaxEdges)) {
+      relaxLocal(e, sources, maxIter, accept) match {
+        case Some(d) => return d
+        case None    => () // null ids: the distributed rounds handle them
+      }
+    }
     var dist = sources.select(col(sources.columns.head).as("id")).dropDuplicates("id")
       .withColumn("cost", lit(0L)).localCheckpoint(eager = false)
     var frontier = dist
@@ -1055,12 +1112,15 @@ object Algos {
     val spark = edges.sparkSession
     import spark.implicits._
     val a = col("src").cast("long"); val b = col("dst").cast("long")
-    // eager checkpoint BEFORE the guard probe: kTruss inputs are often
+    // LAZY checkpoint BEFORE the guard probe: kTruss inputs are often
     // expensive derived graphs (q_ktruss feeds it a linkPrediction wedge
     // agg), and probe + collect/distinct would otherwise re-evaluate that
-    // upstream twice — one materialized pass, then both are scans of it
+    // upstream twice. Lazy (not eager): each partition of raw computes at
+    // most once whichever consumer touches it first — eager would force a
+    // dedicated full pass UP FRONT, an extra whole-input materialization
+    // in the above-guard regime where distinct() is about to scan it anyway
     val raw = edges.select(least(a, b).as("a"), greatest(a, b).as("b"))
-      .where(col("a") =!= col("b")).localCheckpoint(true)
+      .where(col("a") =!= col("b")).localCheckpoint(eager = false)
     // guarded LOCAL support-peel (the kCore rationale): the k-truss is the
     // UNIQUE maximal subgraph in which every edge closes >= k-2 triangles
     // within it, so ANY correct peel order converges to the identical edge
@@ -1413,19 +1473,10 @@ object Algos {
     * accepts each component-crossing edge. Returns kept (src, dst, w). */
   private def kruskalAccept(it: Iterator[(Long, Long, Long, Long, Long)])
       : Seq[(Long, Long, Long)] = {
-    val parent = scala.collection.mutable.HashMap[Long, Long]()
-    def find(z: Long): Long = {
-      var p = z
-      while (parent.getOrElse(p, p) != p) {
-        val gp = parent.getOrElse(parent(p), parent(p))
-        parent(p) = gp; p = gp
-      }
-      p
-    }
+    val uf = new MinUnionFind
     val keep = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
     it.foreach { case (w, s, d, ca, cb) =>
-      val ra = find(ca); val rb = find(cb)
-      if (ra != rb) { parent(math.max(ra, rb)) = math.min(ra, rb); keep += ((s, d, w)) }
+      if (uf.union(ca, cb)) keep += ((s, d, w))
     }
     keep.toSeq
   }
@@ -1670,7 +1721,14 @@ object Algos {
       requireConverged: Boolean = false, localMaxEdges: Long = 50000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    // parallel edges can't change a max-level fixpoint, and each round
+    // dedups its frontier — ONE narrow lazy materialization shared by the
+    // guard probe, the local collect, and every distributed round (the
+    // kTruss probe rule: a derived edge graph evaluates its upstream once).
+    // NO long cast here: the distributed rounds are type-agnostic joins and
+    // must stay so (a string id would cast to null — silent corruption);
+    // only the local replay needs longs, gated on integral column types.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
     // guarded LOCAL replay (the kCore/CC pattern): the same frontier
     // recurrence — round i's frontier = distinct heads of edges out of
     // round i-1's, level(v) = max round that reached v — run on a collected
@@ -1681,37 +1739,43 @@ object Algos {
     // local[32]) the local path reads 2.7-3.9 s vs 2.7 s distributed —
     // the collect + driver sets + 800k-row re-upload cost more than four
     // well-parallelized rounds — so it fires only on genuinely small DAGs
-    if (atMost(e0, localMaxEdges) && atMost(vertices, localMaxEdges)) {
-      val es = e0.as[(Long, Long)].collect()
-      val vs = vertices.select(col(vertices.columns.head).cast("long")).as[Long].collect()
-      val adj = scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
-      es.foreach { case (s, d) =>
-        adj.getOrElseUpdate(s, new scala.collection.mutable.ArrayBuffer[Long]) += d
+    if (integralCols(e, "src", "dst") &&
+        integralCols(vertices, vertices.columns.head) &&
+        atMost(e, localMaxEdges) && atMost(vertices, localMaxEdges)) {
+      val eRows = e.select(col("src").cast("long"), col("dst").cast("long")).collect()
+      val vRows = vertices.select(col(vertices.columns.head).cast("long")).collect()
+      if (!eRows.exists(r => r.isNullAt(0) || r.isNullAt(1)) && !vRows.exists(_.isNullAt(0))) {
+        val es = eRows.map(r => (r.getLong(0), r.getLong(1)))
+        val vs = vRows.map(_.getLong(0))
+        val adj = scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        es.foreach { case (s, d) =>
+          adj.getOrElseUpdate(s, new scala.collection.mutable.ArrayBuffer[Long]) += d
+        }
+        val level = scala.collection.mutable.HashMap[Long, Int]()
+        vs.foreach(v => level.getOrElseUpdate(v, 0))
+        var frontier: scala.collection.Set[Long] = es.iterator.map(_._2).toSet
+        frontier.foreach(v => level(v) = 1) // max-merge: round 1 beats the 0 init
+        var i = 1
+        var done = frontier.isEmpty
+        while (!done && i < maxIter) {
+          val next = scala.collection.mutable.HashSet[Long]()
+          frontier.foreach(v => adj.get(v).foreach(_.foreach(next += _)))
+          if (next.isEmpty) done = true
+          else next.foreach(v => level(v) = i + 1) // later round always wins the max
+          frontier = next
+          i += 1
+        }
+        if (requireConverged && !done && frontier.nonEmpty)
+          throw new IllegalStateException(
+            s"topoLevels did not converge within maxIter=$maxIter rounds: the DAG is " +
+              "deeper than the bound, so capped levels would be silently wrong — raise " +
+              "maxIter (or pass requireConverged = false to accept the level cap)")
+        return level.iterator.map { case (v, l) => (v, l) }.toSeq.toDF("id", "level")
       }
-      val level = scala.collection.mutable.HashMap[Long, Int]()
-      vs.foreach(v => level.getOrElseUpdate(v, 0))
-      var frontier: scala.collection.Set[Long] = es.iterator.map(_._2).toSet
-      frontier.foreach(v => level(v) = 1) // max-merge: round 1 beats the 0 init
-      var i = 1
-      var done = frontier.isEmpty
-      while (!done && i < maxIter) {
-        val next = scala.collection.mutable.HashSet[Long]()
-        frontier.foreach(v => adj.get(v).foreach(_.foreach(next += _)))
-        if (next.isEmpty) done = true
-        else next.foreach(v => level(v) = i + 1) // later round always wins the max
-        frontier = next
-        i += 1
-      }
-      if (requireConverged && !done && frontier.nonEmpty)
-        throw new IllegalStateException(
-          s"topoLevels did not converge within maxIter=$maxIter rounds: the DAG is " +
-            "deeper than the bound, so capped levels would be silently wrong — raise " +
-            "maxIter (or pass requireConverged = false to accept the level cap)")
-      return level.iterator.map { case (v, l) => (v, l) }.toSeq.toDF("id", "level")
+      // null ids: fall through — the distributed rounds keep the pre-replay
+      // semantics for them (a null dst keeps its level row; null src never
+      // matches a join)
     }
-    // parallel edges can't change a max-level fixpoint, and each round
-    // dedups its frontier — no dedup shuffle, one narrow materialization
-    val e = e0.localCheckpoint(eager = false)
     // DELTA iteration: round i's frontier is exactly the heads of some
     // length-i path, so the level column is constant per round — each round
     // is a semi-join + distinct on the previous frontier only (no re-join or
