@@ -421,6 +421,33 @@ class RandomizedParitySpec extends AnyFunSuite {
     }
   }
 
+  test("local replays fall back on null/non-integral ids — size never changes behavior") {
+    // null dst below the guard: the replay must NOT crash or drop the row;
+    // it falls back to the distributed rounds, where a null key never joins
+    // but the level-1 frontier keeps its null row (pre-replay semantics)
+    val nullE = Seq((Some(1L), Some(2L)), (Some(2L), Some(3L)), (Some(3L), None))
+      .toDF("src", "dst")
+    val vs = Seq(1L, 2L, 3L).toDF("id")
+    val lvl = Algos.topoLevels(vs, nullE, maxIter = 4)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getInt(1)).toMap
+    assert(lvl === Map(1L -> 0, 2L -> 1, 3L -> 2, -1L -> 3)) // null head keeps its level row
+    // weighted relaxation: null dst edges relax into a null dist row on the
+    // distributed path; the guarded call must return the identical table
+    val nullW = Seq((Some(1L), Some(2L), 5L), (Some(2L), None, 7L)).toDF("src", "dst", "w")
+    def relax(guard: Long) = Algos.weightedShortestPath(nullW, Seq(1L).toDF("id"),
+        col("w"), localMaxEdges = guard)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toMap
+    assert(relax(50000L) === relax(0L))
+    // string ids: topoLevels' distributed rounds are type-agnostic and must
+    // stay correct below the guard (the integral gate routes around the
+    // replay instead of casting strings to null)
+    val sE = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val sV = Seq("a", "b", "c").toDF("id")
+    val sLvl = Algos.topoLevels(sV, sE, maxIter = 4)
+      .as[(String, Int)].collect().toMap
+    assert(sLvl === Map("a" -> 0, "b" -> 1, "c" -> 2))
+  }
+
   test("cheapestAccepted: both regimes agree on random weighted graphs") {
     for (seed <- 81 to 88) {
       val rnd = new scala.util.Random(seed)
