@@ -284,12 +284,14 @@ object Algos {
     var d = 0
     var done = false
     while (!done && d < maxIter) {
+      // lazy checkpoint + count = ONE action per round: count scans every
+      // partition, completing the checkpoint the round's joins then read
       val next = e.join(frontier.select(col("id").as("__from")), Seq("__from"), "left_semi")
         .select(col("__to").as("id")).dropDuplicates("id")
         .join(dist, Seq("id"), "left_anti")
         .withColumn("dist", lit(d + 1))
-        .localCheckpoint(eager = true) // full materialization before isEmpty
-      if (next.isEmpty) done = true
+        .localCheckpoint(eager = false)
+      if (next.count() == 0L) done = true
       else { dist = dist.unionByName(next).localCheckpoint(eager = false); frontier = next }
       d += 1
     }
@@ -444,6 +446,8 @@ object Algos {
     var done = false
     var i = 0
     while (!done && i < maxIter) {
+      // lazy checkpoint + count = ONE action per round (the transitive-
+      // reduction rule): count completes the checkpoint the merge then reads
       val improved = e
         .join(frontier.withColumnRenamed("id", "__from"), "__from")
         .select(col("__to").as("id"), (col("cost") + col("__w")).as("cost"))
@@ -451,8 +455,8 @@ object Algos {
         .join(dist.withColumnRenamed("cost", "__old"), Seq("id"), "left")
         .where(col("__old").isNull || col("cost") < col("__old"))
         .select("id", "cost")
-        .localCheckpoint(eager = true)
-      if (improved.isEmpty) done = true
+        .localCheckpoint(eager = false)
+      if (improved.count() == 0L) done = true
       else {
         dist = dist.join(improved.select("id"), Seq("id"), "left_anti")
           .unionByName(improved).localCheckpoint(eager = false)
@@ -516,9 +520,10 @@ object Algos {
         .join(dist.withColumnRenamed("cost", "__old"), Seq("id"), "left")
         .where(col("__old").isNull || col("cost") < col("__old"))
         .select("id", "cost")
-        .localCheckpoint(eager = true) // materialized once; the agg below is cheap
-      // ONE agg job on the materialized frontier doubles as the drain probe:
-      // a null frontier minimum means no row improved
+        .localCheckpoint(eager = false) // the agg below completes it — one job
+      // ONE agg job doubles as the materializer AND the drain probe: it
+      // scans every partition (completing the lazy checkpoint the merge
+      // joins then read), and a null frontier minimum means no row improved
       val row = improved.agg(min(col("cost")),
         min(when(accept.get, col("cost")))).head()
       if (row.isNullAt(0)) done = true
@@ -1897,13 +1902,15 @@ object Algos {
     var done = false
     var i = 0
     while (!done && i < maxIter) {
-      // eager: isEmpty on a LAZY checkpoint only materializes the partition
-      // its limit-1 touches, and the next round then recomputes the rest
+      // lazy checkpoint + count = one action per round: count scans every
+      // partition, completing the checkpoint (an isEmpty probe would only
+      // materialize the partition its limit-1 touches — never pair one
+      // with a lazy checkpoint)
       val next = e.join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
         .select(col("dst").as("id")).dropDuplicates("id")
         .join(visited, Seq("id"), "left_anti")
-        .localCheckpoint(eager = true)
-      if (next.isEmpty) done = true
+        .localCheckpoint(eager = false)
+      if (next.count() == 0L) done = true
       else { visited = visited.unionByName(next).localCheckpoint(eager = false); frontier = next }
       i += 1
     }
@@ -2362,8 +2369,8 @@ object Algos {
         .groupBy(col("s"), col("dst").as("v2")).agg(sum(col("sigma")).as("sigma"))
         .select(col("s"), col("v2").as("v"), col("sigma"))
         .join(visited, Seq("s", "v"), "left_anti")
-        .localCheckpoint(eager = true)
-      if (next.isEmpty) done = true
+        .localCheckpoint(eager = false) // count below completes it — one job
+      if (next.count() == 0L) done = true
       else {
         levels += next
         visited = visited.unionByName(next.select("s", "v")).localCheckpoint(eager = false)
@@ -2437,8 +2444,8 @@ object Algos {
         .select(col("s"), col("dst").as("v")).dropDuplicates("s", "v")
         .join(visited, Seq("s", "v"), "left_anti")
         .withColumn("d", lit(i + 1L))
-        .localCheckpoint(eager = true)
-      if (next.isEmpty) done = true
+        .localCheckpoint(eager = false) // count below completes it — one job
+      if (next.count() == 0L) done = true
       else {
         acc = acc.unionByName(next)
         visited = visited.unionByName(next.select("s", "v")).localCheckpoint(eager = false)
@@ -2914,24 +2921,28 @@ object Algos {
   def transitiveReduction(edges: DataFrame, maxDepth: Int = 20): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst")).dropDuplicates("src", "dst")
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     // pairs (s, v) reachable by exactly the paths expanded so far; start at
     // the 1-hop pairs, accumulate only depth >= 2
     var frontier = e.select(col("src").as("s"), col("dst").as("v"))
-    var implied = frontier.where(lit(false)).localCheckpoint(true)
+    var implied = frontier.where(lit(false)).localCheckpoint(eager = false)
     var d = 1
     var drained = false
     while (!drained) {
+      // LAZY checkpoint + full agg = ONE action per round: the agg scans
+      // every partition of the delta, which completes the checkpoint as a
+      // side effect — an eager checkpoint here would be a second job whose
+      // only purpose is to materialize what the agg is about to read
       val next = frontier.join(e, frontier("v") === e("src"))
         .select(col("s"), col("dst").as("v")).dropDuplicates("s", "v")
         .join(implied, Seq("s", "v"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(eager = false)
       d += 1
-      // ONE scan of the checkpointed delta yields both loop controls: the
-      // drain count and the cycle witness — a self-pair (s, s) can never
-      // appear on a DAG; failing loudly here keeps the contract (a cycle
-      // shorter than maxDepth would otherwise drain and SILENTLY delete
-      // the cycle's edges as "implied")
+      // ONE scan of the delta yields both loop controls: the drain count
+      // and the cycle witness — a self-pair (s, s) can never appear on a
+      // DAG; failing loudly here keeps the contract (a cycle shorter than
+      // maxDepth would otherwise drain and SILENTLY delete the cycle's
+      // edges as "implied")
       val st = next.agg(count(lit(1)).as("n"),
         max(when(col("s") === col("v"), 1).otherwise(0)).as("cyc")).head()
       if (st.getLong(0) == 0L) drained = true
