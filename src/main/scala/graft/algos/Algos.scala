@@ -2918,10 +2918,70 @@ object Algos {
     * `maxDepth` bounds the expansion (DAG depth; loud failure beats a
     * silent wrong answer if the graph is deeper). Returns the kept
     * (src, dst) edges. */
-  def transitiveReduction(edges: DataFrame, maxDepth: Int = 20): DataFrame = {
+  def transitiveReduction(edges: DataFrame, maxDepth: Int = 20,
+      localMaxEdges: Long = 500000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst")).dropDuplicates("src", "dst")
       .localCheckpoint(eager = false)
+    // guarded LOCAL replay (the CC/topo pattern) of the identical pair
+    // recurrence, including the maxDepth and cycle loud failures in the
+    // same order. The edge guard alone cannot bound the REACHABLE PAIR set
+    // (a shallow wide DAG can imply far more pairs than it has edges), so
+    // the replay also bails back to the distributed loop — resuming from
+    // the same cached edge frame — if implied pairs outgrow 16× the guard.
+    val localResult: Option[DataFrame] =
+      if (integralCols(edges, "src", "dst") && atMost(e, localMaxEdges)) {
+        val eRows = e.collect()
+        if (eRows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+        else {
+          val pairs = eRows.map(r => (r.getLong(0), r.getLong(1)))
+          val adj = scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+          pairs.foreach { case (s0, d0) =>
+            adj.getOrElseUpdate(s0, new scala.collection.mutable.ArrayBuffer[Long]) += d0
+          }
+          val implied = scala.collection.mutable.HashMap[Long, scala.collection.mutable.HashSet[Long]]()
+          def impliedHas(s0: Long, v0: Long) = implied.get(s0).exists(_.contains(v0))
+          var nImplied = 0L
+          val pairCap = 16L * math.max(localMaxEdges, 1L)
+          var frontier: Array[(Long, Long)] = pairs
+          var d = 1
+          var drained = false
+          var bail = false
+          while (!drained && !bail) {
+            val nextSet = scala.collection.mutable.LinkedHashSet[(Long, Long)]()
+            frontier.foreach { case (s0, v0) =>
+              adj.get(v0).foreach(_.foreach { w =>
+                if (!impliedHas(s0, w)) nextSet += ((s0, w))
+              })
+            }
+            d += 1
+            if (nextSet.isEmpty) drained = true
+            else {
+              if (d > maxDepth)
+                throw new IllegalStateException(
+                  s"transitiveReduction: paths deeper than maxDepth=$maxDepth — not a bounded DAG?")
+              if (nextSet.exists { case (s0, v0) => s0 == v0 })
+                throw new IllegalStateException(
+                  "transitiveReduction: input contains a cycle — defined on DAGs only")
+              nextSet.foreach { case (s0, v0) =>
+                implied.getOrElseUpdate(s0, new scala.collection.mutable.HashSet[Long]) += v0
+              }
+              nImplied += nextSet.size
+              if (nImplied > pairCap) bail = true
+              else frontier = nextSet.toArray
+            }
+          }
+          if (bail) None
+          else Some(pairs.filterNot { case (s0, v0) => impliedHas(s0, v0) }
+            .toSeq.toDF("src", "dst"))
+        }
+      } else None
+    localResult match {
+      case Some(r) => return r
+      case None    => () // distributed loop below, reading the same cached e
+    }
     // pairs (s, v) reachable by exactly the paths expanded so far; start at
     // the 1-hop pairs, accumulate only depth >= 2
     var frontier = e.select(col("src").as("s"), col("dst").as("v"))

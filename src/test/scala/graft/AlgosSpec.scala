@@ -957,6 +957,34 @@ class AlgosSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       Algos.transitiveReduction(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"))
     }
+    // both loud failures hold on the DISTRIBUTED path too (guard = 0)
+    intercept[IllegalStateException] {
+      Algos.transitiveReduction(
+        (1L to 12L).sliding(2).map(p => (p.head, p.last)).toSeq.toDF("src", "dst"),
+        maxDepth = 3, localMaxEdges = 0L)
+    }
+    intercept[IllegalStateException] {
+      Algos.transitiveReduction(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+        localMaxEdges = 0L)
+    }
+  }
+
+  test("transitiveReduction: pair-cap bail falls back to the distributed loop") {
+    // edges fit the guard (621 <= 621) but the implied pair set (~12k —
+    // every source reaches the whole chain through the hub) blows the
+    // 16x-edges cap (9936), so the local replay must BAIL and the
+    // distributed loop must still return the exact reduction
+    val srcs = (1L to 600L).map(s => (s, 1000L))
+    val chain = (1000L to 1020L).sliding(2).map(p => (p.head, p.last)).toSeq
+    val shortcut = Seq((1L, 1002L)) // implied via 1 -> 1000 -> 1001 -> 1002
+    val es = (srcs ++ chain ++ shortcut).toDF("src", "dst")
+    val local = Algos.transitiveReduction(es, maxDepth = 30, localMaxEdges = 621L)
+      .as[(Long, Long)].collect().toSet
+    val dist = Algos.transitiveReduction(es, maxDepth = 30, localMaxEdges = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(local === dist)
+    assert(!local.contains((1L, 1002L)) && local.contains((1L, 1000L)))
+    assert(local.size === srcs.size + chain.size)
   }
 
   test("taggedBfs centralities fail loudly when maxIter truncates the frontier") {

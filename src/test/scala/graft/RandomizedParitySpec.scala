@@ -290,6 +290,9 @@ class RandomizedParitySpec extends AnyFunSuite {
       val got = Algos.transitiveReduction(es.toDF("src", "dst"))
         .as[(Long, Long)].collect().toSet
       assert(got === naive, s"seed=$seed es=$es")
+      // guard = 0 forces the distributed loop: both regimes match the model
+      assert(Algos.transitiveReduction(es.toDF("src", "dst"), localMaxEdges = 0L)
+        .as[(Long, Long)].collect().toSet === naive, s"seed=$seed distributed es=$es")
     }
   }
 
