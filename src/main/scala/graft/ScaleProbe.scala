@@ -383,8 +383,11 @@ object ScaleProbe {
       val sc = orders.join(c, col("o_custkey") === col("c_custkey"))
         .select(Vid.vid("orders", col("o_orderkey")).as("src"),
           Vid.vid("nation", col("c_nationkey")).as("dst"))
+      // localMaxEdges = 0: the probe must measure the DISTRIBUTED rounds,
+      // not the guarded local replay (its 1x arm fits the default guard)
       graft.algos.Algos.transitiveReduction(
-        oc.unionAll(cn).unionAll(nr).unionAll(sc), maxDepth = 6).count()
+        oc.unionAll(cn).unionAll(nr).unionAll(sc), maxDepth = 6,
+        localMaxEdges = 0L).count()
     }
     val (tr1, trn1) = minTime(tredOf(orders1))
     val (trK, trnK) = minTime(tredOf(ordersK))

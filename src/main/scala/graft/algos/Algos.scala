@@ -2913,8 +2913,9 @@ object Algos {
     * reachability (unique for DAGs, Aho–Garey–Ullman 1972). Distributed as
     * a bounded-depth delta expansion: level k holds the ≥2-hop pairs at
     * distance k, each round ONE frontier⋈edges join + dedup against the
-    * accumulated pair set (per-round work tracks the frontier, eager
-    * checkpoints cut lineage), then one anti-join removes implied edges.
+    * accumulated pair set (per-round work tracks the frontier; each round's
+    * drain agg completes a lazy checkpoint, cutting lineage), then one
+    * anti-join removes implied edges.
     * `maxDepth` bounds the expansion (DAG depth; loud failure beats a
     * silent wrong answer if the graph is deeper). Returns the kept
     * (src, dst) edges. */
@@ -2933,10 +2934,11 @@ object Algos {
     // the same cached edge frame — if implied pairs outgrow 16× the guard.
     val localResult: Option[DataFrame] =
       if (integralCols(edges, "src", "dst") && atMost(e, localMaxEdges)) {
-        val eRows = e.collect()
-        if (eRows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
-        else {
-          val pairs = eRows.map(r => (r.getLong(0), r.getLong(1)))
+        // no null-endpoint branch here, unlike the CC/relax replays: this
+        // operator's prep filter (src =!= dst, null-safe SQL inequality)
+        // already drops null-endpoint rows on BOTH regimes
+        val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+        locally {
           val adj = scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
           pairs.foreach { case (s0, d0) =>
             adj.getOrElseUpdate(s0, new scala.collection.mutable.ArrayBuffer[Long]) += d0
@@ -2944,7 +2946,12 @@ object Algos {
           val implied = scala.collection.mutable.HashMap[Long, scala.collection.mutable.HashSet[Long]]()
           def impliedHas(s0: Long, v0: Long) = implied.get(s0).exists(_.contains(v0))
           var nImplied = 0L
-          val pairCap = 16L * math.max(localMaxEdges, 1L)
+          // saturate: a force-local caller passes localMaxEdges = MaxValue
+          // (the ComparePaths convention) and 16 * MaxValue would wrap
+          // negative, silently bailing every call to the distributed path
+          val pairCap =
+            if (localMaxEdges > Long.MaxValue / 16) Long.MaxValue
+            else 16L * math.max(localMaxEdges, 1L)
           var frontier: Array[(Long, Long)] = pairs
           var d = 1
           var drained = false
@@ -3013,7 +3020,8 @@ object Algos {
         if (st.getInt(1) == 1)
           throw new IllegalStateException(
             "transitiveReduction: input contains a cycle — defined on DAGs only")
-        // implied is a union of eagerly-checkpointed deltas — lineage stays
+        // implied is a union of checkpoint-completed deltas (each round's
+        // drain agg materialized its lazy checkpoint) — lineage stays
         // depth-1 without re-materializing the accumulated set each round
         implied = implied.unionByName(next)
         frontier = next

@@ -946,6 +946,10 @@ class AlgosSpec extends AnyFunSuite {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
     assert(Algos.transitiveReduction(chain).as[(Long, Long)].collect().toSet
       === Set((1L, 2L), (2L, 3L), (3L, 4L)))
+    // force-local convention: guard = MaxValue must SATURATE the 16x pair
+    // cap (an overflowed cap would silently bail every call distributed)
+    assert(Algos.transitiveReduction(es, localMaxEdges = Long.MaxValue)
+      .as[(Long, Long)].collect().toSet === Set((1L, 2L), (2L, 3L), (3L, 4L)))
     // exceeding maxDepth fails loudly rather than silently truncating
     intercept[IllegalStateException] {
       Algos.transitiveReduction(
