@@ -320,6 +320,16 @@ object ScaleProbe {
     val (sdK, snK) = minTime(semdedup(embK, 16 * k))
     println(f"[scale] semdedup           1x: $sd1%6.2f s (n=$sn1%9d)   ${k}x: $sdK%6.2f s (n=$snK%9d)   time-ratio: ${sdK / math.max(sd1, 1e-9)}%5.2f")
 
+    // --- k-means probe: fixed k/iters over the same shifted replicas —
+    // every round is ONE scan (the centroids ride the plan as literals;
+    // assignment never joins or shuffles) plus a (cid,dim)-keyed agg that
+    // collapses to k·dim rows, so time must track scan volume linearly
+    def kmeansOf(df: DataFrame): Long =
+      graft.sim.Ann.kmeans(df, "vec_id", "embedding", k = 8, iters = 3).count()
+    val (km1, kmn1) = minTime(kmeansOf(emb1))
+    val (kmK, kmnK) = minTime(kmeansOf(embK))
+    println(f"[scale] kmeans             1x: $km1%6.2f s (n=$kmn1%9d)   ${k}x: $kmK%6.2f s (n=$kmnK%9d)   time-ratio: ${kmK / math.max(km1, 1e-9)}%5.2f")
+
     // --- k-core probe: part keys shifted per copy so the part–supplier
     // projection genuinely grows k× (8× parts, suppliers 8× denser) while
     // per-part degrees — and so the peeling cascade depth — stay constant:

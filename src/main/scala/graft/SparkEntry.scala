@@ -1066,6 +1066,18 @@ object SparkEntry {
       // whole index->probe->rescore pipeline runs under a DuckDB oracle
       graft.sim.Ann.ivfTopK(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
         querySide = _.where(col("id") < 100), nlist = 16, nprobe = 4)),
+    "q_kmeans" -> ((s, dir) => // deterministic integer Lloyd's: lowest-id init,
+      // literal-centroid zero-shuffle assignment, div-exact centroid updates —
+      // the full iteration chain replays in SQL (kmeansOracleCtes)
+      graft.sim.Ann.kmeans(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
+          k = kmeansK, iters = kmeansIters)
+        .select(col("id").as("vec_id"), col("cluster"), col("dist"))),
+    "q_cluster_sample" -> ((s, dir) => // cluster-balanced diversity sample:
+      // kmeans cells hard-capped in deterministic hash order (the domainCap
+      // rule keyed by cluster) — dense clusters flatten instead of dominating
+      graft.sim.Ann.clusterSample(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
+          k = kmeansK, iters = kmeansIters, cap = clusterCap)
+        .select(col("id").as("vec_id"), col("cluster"), col("dist"), col("rk"))),
     "q_articulation" -> ((s, dir) => {
       val gr = g(s, dir)
       graft.algos.Algos.articulationPoints(
@@ -2117,9 +2129,54 @@ object SparkEntry {
     s"WITH $e,\n$init,\n$rounds\nSELECT id, lbl AS community FROM l$iters"
   }
 
+  /** One constant pair drives q_kmeans / q_cluster_sample and their
+    * unrolled oracles — the round counts cannot drift apart. */
+  private val kmeansK = 4
+  private val kmeansIters = 3
+  private val clusterCap = 25
+
+  /** q_kmeans oracle CTEs: the identical quantized Lloyd's chain —
+    * lowest-id init (cid 0..k-1 in id order), per-round exact squared-L2
+    * argmin with (dist, cid) tie-break, centroid update Σq // n (BIGINT
+    * `//` truncates toward zero exactly like the operator's 64-bit
+    * division), empty clusters carried via coalesce. Round t assigns
+    * against c(t-1); the final round only assigns. */
+  private def kmeansCtes: String = {
+    val head =
+      s"""qv AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
+         |         round(unnest(embedding)::DOUBLE * 1000)::BIGINT AS q FROM embeddings),
+         |init AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid
+         |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $kmeansK)),
+         |c0 AS (SELECT n.cid, v.i, v.q AS cq FROM init n JOIN qv v USING (vec_id))""".stripMargin
+    val assign = (t: Int) =>
+      s"""d$t AS (SELECT v.vec_id, c.cid, sum((v.q - c.cq) * (v.q - c.cq))::BIGINT AS dist
+         |       FROM qv v JOIN c${t - 1} c ON v.i = c.i GROUP BY 1, 2),
+         |a$t AS (SELECT vec_id, cid, dist FROM (SELECT d$t.*, row_number()
+         |         OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$t) WHERE rn = 1)""".stripMargin
+    val update = (t: Int) =>
+      s"""m$t AS (SELECT a.cid, v.i, sum(v.q) AS s, count(*) AS n
+         |       FROM a$t a JOIN qv v USING (vec_id) GROUP BY 1, 2),
+         |c$t AS (SELECT p.cid, p.i, coalesce(m.s // m.n, p.cq) AS cq
+         |       FROM c${t - 1} p LEFT JOIN m$t m ON p.cid = m.cid AND p.i = m.i)""".stripMargin
+    val rounds = (1 until kmeansIters).map(t => s"${assign(t)},\n${update(t)}")
+    (Seq(head) ++ rounds ++ Seq(assign(kmeansIters))).mkString(",\n")
+  }
+
+  private def kmeansOracleSql: String =
+    s"WITH $kmeansCtes\nSELECT vec_id, cid AS cluster, dist FROM a$kmeansIters"
+
+  private def clusterSampleOracleSql: String =
+    s"""WITH $kmeansCtes
+       |SELECT vec_id, cid AS cluster, dist, rk FROM (
+       |  SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY cid
+       |           ORDER BY substr(md5(vec_id::VARCHAR), 1, 8), vec_id)::INT AS rk
+       |  FROM a$kmeansIters) WHERE rk <= $clusterCap""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_kmeans" -> kmeansOracleSql,
+    "q_cluster_sample" -> clusterSampleOracleSql,
     "q_dedup_simhash" -> simhashOracleSql,
     "q_ann_lsh" -> annLshOracleSql,
     "q_ann_ivf" -> annIvfOracleSql,

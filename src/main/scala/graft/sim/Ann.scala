@@ -334,4 +334,108 @@ object Ann {
       .where(col("cos2_ppm") >= minCos2Ppm)
       .select(col("id_a"), col("id_b"), col("dot"), col("cos2_ppm"))
   }
+
+  /** Deterministic integer-exact Lloyd's k-means over an embedding column —
+    * the TRAINED-centroid clustering the IVF "sampled leaders" quantizer is
+    * not: corpus diversity analysis, cluster-balanced sampling, and a
+    * drop-in coarse quantizer whose cells actually track density.
+    *
+    * Semantics (engine-exact, oracled):
+    *  - vectors quantized to milli-units ([[quantize]] — all arithmetic is
+    *    64-bit integer from here on);
+    *  - initial centroids = the `k` lowest-id vectors (cid 0..k-1 in id
+    *    order — the [[ivfTopK]] reproducibility convention; no RNG);
+    *  - `iters` assignment rounds: each row joins the centroid whose exact
+    *    squared L2 distance Σ(q_i−c_i)² is minimal, ties → lowest cid;
+    *    after every round but the last, centroid dim `i` becomes
+    *    Σq_i div n (64-bit truncating division — DuckDB `//` on BIGINT
+    *    truncates identically); a cluster that captured no rows keeps its
+    *    previous centroid verbatim (the carry rule, mirrored by the
+    *    oracle's coalesce).
+    *
+    * Returns (id, cluster, dist) — the FINAL round's assignment with its
+    * exact integer squared distance.
+    *
+    * Scale: centroids live driver-side as a bounded k·dim table (the BPE
+    * merge-table convention; they are broadcast-sized BY DEFINITION — a
+    * quantizer nobody can broadcast is a quantizer no assignment join can
+    * use either). Each round is ONE scan of the checkpointed quantized
+    * corpus: the argmin is a pure per-row projection over the k LITERAL
+    * centroids (array_min over (drel, cid) structs — dist = nq + nc − 2·dot
+    * shares the row's norm, so only the relative part drel = nc − 2·dot
+    * ranks), i.e. the corpus is NEVER multiplied by k and NEVER shuffled
+    * for assignment — strictly leaner than the window-argmin shape
+    * [[ivfTopK]] uses for its one-shot assignment. The update is one
+    * map-side-combinable groupBy(cid, dim) agg collapsing to k·dim rows.
+    * Literal-plan bound stated: k·dim literals must fit the codegen budget
+    * (fine through k·dim ~10⁵; beyond that, assignment belongs in a
+    * broadcast join — see [[ivfTopK]]'s rankedCells). Long-overflow bound:
+    * per-cluster per-dim Σ|q| and per-row Σ(q−c)² stay far inside 2⁶³ for
+    * |x| ≤ 10⁶ floats at any corpus size that fits a cluster. */
+  def kmeans(vecs: DataFrame, idCol: String, embCol: String, k: Int,
+      iters: Int): DataFrame = {
+    require(k >= 1, "k-means needs k >= 1")
+    require(iters >= 1, "k-means needs at least one assignment round")
+    // NULL / empty embeddings carry no position: excluded (they are also
+    // what an unnest-based SQL replay never sees — a kept null row would
+    // diverge from the oracle), spec'd in DataOpsSpec
+    val qd = withQuantNorm(
+      vecs.where(col(embCol).isNotNull && size(col(embCol)) > 0),
+      idCol, embCol, 0) // (id, q, nq), checkpointed
+    // init: the k lowest-id vectors, cid by id order (bounded: k rows)
+    var cent: Array[Array[Long]] = qd.orderBy(col("id")).limit(k)
+      .select(col("q")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(cent.length == k, s"k-means asked for $k centroids but the input has only ${cent.length} rows")
+    val dim = cent.head.length
+    require(cent.forall(_.length == dim), "k-means input vectors must share one dimensionality")
+    // (drel, cid) struct per centroid; array_min's struct ordering is the
+    // (dist asc, cid asc) tie-break because dist = nq + drel per fixed row
+    def bestOf(c: Array[Array[Long]]): Column = {
+      val cells = c.zipWithIndex.map { case (cq, cid) =>
+        val nc = cq.map(x => x * x).sum
+        val dot = graft.functions.NativeOps.longArrayDot(
+          col("q"), array(cq.map(lit(_)): _*))
+        struct((lit(nc) - lit(2L) * dot).as("drel"), lit(cid).as("cid"))
+      }
+      array_min(array(cells: _*))
+    }
+    var round = 1
+    while (round < iters) { // iters-1 centroid updates
+      // one scan: inline assignment + per-(cid, dim) sums, map-side combined
+      // down to k·dim rows (bounded driver state, the histogram convention)
+      val sums = qd.select(bestOf(cent)("cid").as("cid"),
+          posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy("cid", "i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+      cent = cent.zipWithIndex.map { case (prev, cid) =>
+        Array.tabulate(dim) { i =>
+          sums.get((cid, i)).fold(prev(i)) { case (s, n) => s / n } // carry on empty
+        }
+      }
+      round += 1
+    }
+    val best = bestOf(cent)
+    qd.select(col("id"), best("cid").as("cluster"),
+      (col("nq") + best("drel")).as("dist"))
+  }
+
+  /** Cluster-balanced sampling: [[kmeans]] assignment, then at most `cap`
+    * rows per cluster in deterministic hash order (the
+    * [[graft.pipeline.Corpus.domainCap]] rule keyed by cluster instead of
+    * domain) — the "diverse subset" selection step of a SemDeDup-style
+    * curation pass: hard-capping dense clusters flattens the density
+    * profile instead of sampling proportionally from it. Emits
+    * (id, cluster, dist, rk); rk ≤ cap. Scale: the kmeans rounds above +
+    * ONE per-cluster window whose map-side WindowGroupLimit pre-trims to
+    * cap rows per task (the q_domain_cap plan shape). */
+  def clusterSample(vecs: DataFrame, idCol: String, embCol: String, k: Int,
+      iters: Int, cap: Int): DataFrame = {
+    require(cap > 0)
+    val a = kmeans(vecs, idCol, embCol, k, iters)
+    val ordH = substring(md5(col("id").cast("string")), 1, 8)
+    val w = Window.partitionBy(col("cluster")).orderBy(ordH.asc, col("id").asc)
+    a.withColumn("rk", row_number().over(w)).where(col("rk") <= cap)
+  }
 }

@@ -2026,4 +2026,137 @@ class DataOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].head()
     assert(enc === ((9L, 2L, 4L))) // aab -> <aa><b> (2), baa -> <b><aa> (2)
   }
+
+  /** Independent driver-side Lloyd replay with the operator's exact rules
+    * (lowest-id init, argmin with lowest-cid ties, Σ div n updates, carry
+    * on empty) over vectors quantized by the SAME Ann.quantize column —
+    * only the iteration logic is re-derived, so a logic defect in either
+    * side breaks the parity. */
+  private def lloydReference(rows: Array[(Long, Array[Long])], k: Int,
+      iters: Int): Map[Long, (Int, Long)] = {
+    val sorted = rows.sortBy(_._1)
+    var cent: Array[Array[Long]] = sorted.take(k).map(_._2.clone)
+    val dim = cent.head.length
+    def assign(): Map[Long, (Int, Long)] = rows.map { case (id, q) =>
+      var bi = 0; var bd = Long.MaxValue
+      cent.zipWithIndex.foreach { case (c, ci) =>
+        var d = 0L; var i = 0
+        while (i < dim) { val t = q(i) - c(i); d += t * t; i += 1 }
+        if (d < bd) { bd = d; bi = ci } // strict: ties keep the lowest cid
+      }
+      id -> (bi, bd)
+    }.toMap
+    var r = 1
+    while (r < iters) {
+      val a = assign()
+      cent = cent.zipWithIndex.map { case (prev, ci) =>
+        val members = rows.filter { case (id, _) => a(id)._1 == ci }
+        if (members.isEmpty) prev
+        else Array.tabulate(dim)(i => members.map(_._2(i)).sum / members.length)
+      }
+      r += 1
+    }
+    assign()
+  }
+
+  test("kmeans matches the independent Lloyd replay on the embeddings table") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val quant = vecs.select(col("vec_id"), Ann.quantize(col("embedding")).as("q"))
+      .as[(Long, Array[Long])].collect()
+    for (iters <- Seq(1, 3)) {
+      val expected = lloydReference(quant, k = 4, iters = iters)
+      val got = Ann.kmeans(vecs, "vec_id", "embedding", k = 4, iters = iters)
+        .as[(Long, Int, Long)].collect()
+        .map { case (id, c, d) => id -> (c, d) }.toMap
+      assert(got === expected, s"kmeans diverged from the Lloyd replay at iters=$iters")
+    }
+    // the assignment must be a real partition into several non-empty cells
+    val clusters = Ann.kmeans(vecs, "vec_id", "embedding", k = 4, iters = 3)
+      .groupBy("cluster").count().as[(Int, Long)].collect().toMap
+    assert(clusters.keys.forall(c => c >= 0 && c < 4))
+    assert(clusters.size >= 2, s"degenerate clustering: $clusters")
+  }
+
+  test("kmeans: duplicate init centroids tie to the lowest cid and carry the emptied cluster") {
+    // id1 and id2 share the zero vector, so c0 == c1 at init. Hand trace
+    // (quantized dims all equal; 4 dims):
+    //   round 1: every row ties between the identical centroids -> cid 0
+    //            (lowest wins); cluster 1 is EMPTY, so the update carries
+    //            c1 = 0 verbatim while c0 = mean(0,0,100,200) = 75;
+    //   round 2: id1/id2 (at 0) now prefer the carried c1 (dist 0) --
+    //            the carry rule visibly changes the outcome; id3/id4 stay
+    //            on c0; update: c0 = mean(100,200) = 150, c1 = 0;
+    //   round 3 (final assign): id1/id2 -> c1 dist 0; id3/id4 -> c0 at
+    //            4*(150-q)^2 = 10000 each.
+    val vecs = Seq(
+      (1L, Array.fill(4)(0.0f)), (2L, Array.fill(4)(0.0f)),
+      (3L, Array.fill(4)(0.1f)), (4L, Array.fill(4)(0.2f)))
+      .toDF("vec_id", "embedding")
+    // iters = 1 pins the tie-break rule directly in the output: all rows
+    // on cid 0 at their exact distance to the shared zero centroid
+    val one = Ann.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 1)
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(one === Seq((1L, 0, 0L), (2L, 0, 0L), (3L, 0, 40000L), (4L, 0, 160000L)))
+    val out = Ann.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, 1, 0L), (2L, 1, 0L), (3L, 0, 10000L), (4L, 0, 10000L)))
+  }
+
+  test("kmeans excludes NULL and empty embeddings (the unnest-replay rule)") {
+    // a SQL replay reads vectors through unnest, which emits nothing for a
+    // NULL or empty array — the operator must drop those rows too, not
+    // label them with a null/zero distance
+    val vecs = Seq(
+      (1L, Array.fill(4)(0.0f)), (2L, Array.fill(4)(0.2f)),
+      (3L, null.asInstanceOf[Array[Float]]), (4L, Array.empty[Float]))
+      .toDF("vec_id", "embedding")
+    val out = Ann.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) === Seq(1L, 2L), s"null/empty rows must drop: $out")
+  }
+
+  test("clusterSample caps each cluster in deterministic hash order") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cap = 5
+    val assignment = Ann.kmeans(vecs, "vec_id", "embedding", k = 4, iters = 3)
+      .as[(Long, Int, Long)].collect()
+    val sampled = Ann.clusterSample(vecs, "vec_id", "embedding", k = 4, iters = 3, cap = cap)
+      .as[(Long, Int, Long, Int)].collect()
+    assert(sampled.forall(_._4 <= cap))
+    // expected membership: per cluster, the cap lowest (md5-prefix, id) keys
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h8(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val expected = assignment.groupBy(_._2).toSeq.flatMap { case (c, rows) =>
+      rows.sortBy(r => (h8(r._1), r._1)).take(cap).map(r => (r._1, c)).toSeq
+    }.toSet
+    assert(sampled.map(r => (r._1, r._2)).toSet === expected)
+  }
+
+  test("streaming HLL maintenance: per-batch registers merge to the ORACLED batch sketch") {
+    // hllRegisters is mergeable by per-bucket MAX (rho of a union is the
+    // max of the parts), so maintaining the cardinality sketch over a
+    // stream is foreachBatch + merge — no raw-data replay. The merged
+    // table must equal the whole-corpus registers (q_hll is DuckDB-oracled
+    // over the identical register arithmetic).
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Sketch
+    val keys = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey")).as[Long].collect().toSeq
+    val whole = Sketch.hllRegisters(keys.toDF("o_orderkey"), col("o_orderkey"), b = 6)
+      .as[(Long, Int)].collect().toMap
+    val mem = MemoryStream[Long]
+    val acc = scala.collection.mutable.Map[Long, Int]()
+    val q = mem.toDS().toDF("o_orderkey").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Sketch.hllRegisters(batch, col("o_orderkey"), b = 6)
+          .as[(Long, Int)].collect()
+          .foreach { case (bk, r) => acc(bk) = math.max(acc.getOrElse(bk, 0), r) }
+      }.start()
+    val (h1, h2) = keys.splitAt(keys.size / 2)
+    mem.addData(h1); q.processAllAvailable()
+    mem.addData(h2); q.processAllAvailable()
+    q.stop()
+    assert(acc.toMap === whole)
+  }
 }

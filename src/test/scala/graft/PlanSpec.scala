@@ -118,6 +118,28 @@ class PlanSpec extends AnyFunSuite {
       "mixture sampling must not shuffle:\n" + plan.take(2000))
   }
 
+  test("kmeans assignment is a zero-Exchange scan pass; clusterSample pre-trims map-side") {
+    import graft.sim.Ann
+    val vecs = Tpch.table(spark, dir, "embeddings")
+    val assigned = Ann.kmeans(vecs, "vec_id", "embedding", k = 4, iters = 3)
+    assigned.collect()
+    // the centroids are LITERALS in the plan, so the final assignment is a
+    // pure projection over the checkpointed quantized corpus: at 100 TB
+    // the labeling pass costs one read — no join, no window, no shuffle
+    val plan = executedPlan(assigned)
+    assert(!plan.contains("Exchange"),
+      "kmeans assignment must not shuffle:\n" + plan.take(2000))
+    assert(!plan.contains("Join"),
+      "kmeans assignment must not join:\n" + plan.take(2000))
+    // the per-cluster cap compiles to the domainCap shape: a PARTIAL
+    // WindowGroupLimit pre-trims each task to cap rows per cluster
+    val sampled = Ann.clusterSample(vecs, "vec_id", "embedding", k = 4, iters = 3, cap = 5)
+    sampled.collect()
+    val capPlan = executedPlan(sampled)
+    assert(capPlan.contains("WindowGroupLimit") && capPlan.contains("Partial"),
+      "expected a map-side partial group limit:\n" + capPlan.take(3000))
+  }
+
   test("domainCap pre-trims map-side (WindowGroupLimit); semanticDedup has no cartesian") {
     import graft.pipeline.Corpus
     val docs = Tpch.table(spark, dir, "documents")
