@@ -1346,6 +1346,17 @@ object SparkEntry {
         col("lang"), col("doc_id"),
         Seq("en" -> 2500, "de" -> 10000, "es" -> 5000), defaultBp = 1250)
         .select("doc_id", "lang")),
+    "q_negatives" -> ((s, dir) => // contrastive negative sampling: each doc's
+      // 3 deterministic "random others" = its successors in the trainOrder
+      // permutation — engine-replayable, never self-pairing
+      graft.pipeline.Corpus.negativeSamples(Tpch.table(s, dir, "documents"),
+        "doc_id", k = 3, seed = "neg0")),
+    "q_weighted_sample" -> ((s, dir) => // length-weighted sampling: each doc
+      // survives with probability min(n_chars, 1000)/1000 — token-level
+      // sampling at document granularity, as a pure id-hash scan predicate
+      graft.pipeline.Corpus.weightedSample(Tpch.table(s, dir, "documents"),
+        col("doc_id"), col("n_chars"), wMax = 1000L)
+        .select("doc_id", "n_chars")),
     "q_domain_cap" -> ((s, dir) => // per-source quota: deterministic hash-order
       // top-5 per domain; map-side WindowGroupLimit bounds hot domains
       graft.pipeline.Corpus.domainCap(Tpch.table(s, dir, "documents"),
@@ -2187,6 +2198,21 @@ object SparkEntry {
          WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT * 10000 <
                CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 10000 WHEN 'es' THEN 5000
                          ELSE 1250 END * 65536""",
+    "q_negatives" ->
+      """WITH p AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY md5('neg0:' || doc_id::VARCHAR), doc_id)::BIGINT - 1
+                        AS pos
+                    FROM documents),
+            nn AS (SELECT count(*) AS n FROM p),
+            a AS (SELECT p.doc_id, t.j, (p.pos + t.j) % nn.n AS npos
+                  FROM p CROSS JOIN nn
+                  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS j) t)
+         SELECT a.doc_id, a.j::BIGINT AS j, q.doc_id AS neg_id
+         FROM a JOIN p q ON q.pos = a.npos""",
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT * 1000 <
+               least(greatest(n_chars, 0), 1000) * 65536""",
     "q_domain_cap" ->
       """SELECT doc_id, source,
                 row_number() OVER (PARTITION BY source

@@ -69,6 +69,34 @@ object Corpus {
     df.where(h16 * 10000L < bp * 65536L)
   }
 
+  /** Weight-PROPORTIONAL deterministic sampling — the per-row sibling of
+    * [[mixtureSample]]'s per-stratum rates: each row survives with
+    * probability min(weight, wMax)/wMax, decided by its id hash alone
+    * (md5 16-bit prefix vs the weight-scaled threshold; no RNG, no
+    * monotonic_id). The pre-training uses: quality-score-proportional
+    * selection, length-weighted sampling (weight = token count approximates
+    * token-level sampling at document granularity), and any "prefer X
+    * softly" pass that must stay reproducible across engines, reruns, and
+    * cluster sizes.
+    *
+    * Contract: membership is a fact of (id, weight, wMax) alone — a corpus
+    * that grows never flips an existing row's verdict, and RAISING a row's
+    * weight only ever ADDs it (monotone-refinable, the mixtureSample law;
+    * spec'd). weight ≥ wMax keeps always; weight ≤ 0 or NULL drops always
+    * (a null weight nulls the predicate). wMax is capped at 2⁴⁶ so the
+    * 16-bit cross-multiplication h16·wMax stays inside Long.
+    *
+    * Scale: a pure scan predicate — zero shuffle, zero joins at any corpus
+    * size (the mixtureSample PlanSpec covers the shape). */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+      wMax: Long): DataFrame = {
+    require(wMax > 0 && wMax < (1L << 46),
+      s"need 0 < wMax < 2^46 (cross-multiplication bound), got $wMax")
+    val h16 = conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+    val w = least(greatest(weight.cast("long"), lit(0L)), lit(wMax))
+    df.where(h16 * wMax < w * 65536L)
+  }
+
   /** Sliding-window chunking (the RAG/embedding-indexing shape): split each
     * document's token sequence into windows of `size` tokens starting every
     * `stride` tokens (stride < size ⇒ overlap); the last window may be
@@ -176,6 +204,38 @@ object Corpus {
     base.join(offDf, "__b")
       .withColumn("pos", col("__off") + row_number().over(w).cast("long") - 1L)
       .drop("__h", "__b", "__off")
+  }
+
+  /** Deterministic contrastive NEGATIVE sampling: for every row, k "random
+    * other" rows — the negatives side of a contrastive-pair builder
+    * (anchor, negative) for embedding/reranker training. Negative j of x
+    * is the row at position (pos(x) + j) mod N in the [[trainOrder]]
+    * permutation, j = 1..min(k, N−1): the hash order is already the
+    * corpus's deterministic shuffle, so successor strides are as
+    * well-mixed as fresh draws while staying engine-replayable,
+    * duplicate-free across j, and never self-pairing (j < N). Reruns,
+    * engines, and cluster sizes agree row-for-row (spec'd vs an
+    * independent driver-side replay).
+    *
+    * Scale: trainOrder's bucket-histogram rank assembly (never a global
+    * sort) + one bounded sequence explode (k rows per anchor) + ONE
+    * position-keyed equi-join — linear in k·N. N is one count() action.
+    * Emits (idCol, j, neg_id). */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int, seed: String,
+      prefixLen: Int = 2): DataFrame = {
+    require(k >= 1)
+    val pos = trainOrder(df.select(col(idCol)), idCol, seed, prefixLen)
+      .localCheckpoint(false)
+    val n = pos.count()
+    if (n <= 1L) // no other rows exist: empty result with the right schema
+      return pos.where(lit(false))
+        .select(col(idCol), lit(1L).as("j"), col(idCol).as("neg_id"))
+    val kk = math.min(k.toLong, n - 1L)
+    pos.select(col(idCol), col("pos"),
+        explode(sequence(lit(1L), lit(kk))).as("j"))
+      .withColumn("npos", (col("pos") + col("j")) % n)
+      .join(pos.select(col(idCol).as("neg_id"), col("pos").as("npos")), "npos")
+      .select(col(idCol), col("j"), col("neg_id"))
   }
 
   /** Snapshot DIFF (incremental recrawl update): classify every document id

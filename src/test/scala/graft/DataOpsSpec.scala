@@ -1185,6 +1185,73 @@ class DataOpsSpec extends AnyFunSuite {
     assert(kept(Seq("en" -> 2500), 0, corpus.repartition(7)) === low)
   }
 
+  test("weightedSample: probability tracks the weight, monotone in weight, null/zero drop") {
+    import graft.pipeline.Corpus
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def kept(w: org.apache.spark.sql.Column, wMax: Long,
+        df: org.apache.spark.sql.DataFrame = corpus) =
+      Corpus.weightedSample(df, col("doc_id"), w, wMax)
+        .select("doc_id").as[Long].collect().toSet
+    // exact membership vs an independent driver-side md5 recompute
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h16(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(id.toString.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString, 16)
+    val rows = corpus.select("doc_id", "n_chars").as[(Long, Long)].collect()
+    val expected = rows.filter { case (id, n) =>
+      h16(id) * 1000L < math.min(math.max(n, 0L), 1000L) * 65536L
+    }.map(_._1).toSet
+    val got = kept(col("n_chars"), 1000L)
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < rows.length, s"degenerate sample: ${got.size}/${rows.length}")
+    // raising weights only ADDS rows (the mixtureSample monotone law)
+    assert(got.subsetOf(kept(col("n_chars") * 2, 1000L)))
+    // weight >= wMax keeps everything; weight <= 0 and NULL drop everything
+    assert(kept(lit(5000L), 1000L) === rows.map(_._1).toSet)
+    assert(kept(lit(0L), 1000L).isEmpty)
+    assert(kept(lit(null).cast("long"), 1000L).isEmpty)
+    // pure hash predicate: physical partitioning cannot change the sample
+    assert(kept(col("n_chars"), 1000L, corpus.repartition(7)) === got)
+  }
+
+  test("negativeSamples: permutation successors, never self, exact driver replay") {
+    import graft.pipeline.Corpus
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Corpus.negativeSamples(corpus, "doc_id", k = 3, seed = "s1")
+      .as[(Long, Long, Long)].collect().toSet
+    // independent driver-side replay: sort by (md5("s1:"+id), id), each
+    // anchor's negatives are its 3 cyclic successors
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String =
+      md.digest(s"s1:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = corpus.select("doc_id").as[Long].collect()
+    val order = ids.sortBy(id => (h(id), id))
+    val n = order.length
+    val expected = order.zipWithIndex.flatMap { case (id, p) =>
+      (1 to 3).map(j => (id, j.toLong, order((p + j) % n)))
+    }.toSet
+    assert(got === expected)
+    assert(got.forall { case (a, _, b) => a != b }, "a doc must never be its own negative")
+    val perAnchor = got.groupBy(_._1)
+    assert(perAnchor.size === n)
+    assert(perAnchor.values.forall(s => s.size == 3 && s.map(_._3).size == 3),
+      "every anchor gets exactly 3 distinct negatives")
+    // physical partitioning cannot change the pairs
+    val re = Corpus.negativeSamples(corpus.repartition(7), "doc_id", k = 3, seed = "s1")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(re === got)
+    // k >= N caps at N-1 negatives: on 3 rows each anchor pairs with
+    // exactly the other two
+    val tiny = Seq(11L, 22L, 33L).toDF("doc_id")
+    val t = Corpus.negativeSamples(tiny, "doc_id", k = 10, seed = "s")
+      .as[(Long, Long, Long)].collect()
+    assert(t.length === 6)
+    assert(t.groupBy(_._1).values.forall(s => s.map(_._3).toSet.size == 2))
+    assert(t.forall { case (a, _, b) => a != b })
+    // degenerate frames: one row / empty input produce no pairs
+    assert(Corpus.negativeSamples(Seq(7L).toDF("doc_id"), "doc_id", k = 2, seed = "s")
+      .count() === 0L)
+  }
+
   test("domainCap: deterministic hash-order quota, partition-insensitive") {
     import graft.pipeline.Corpus
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

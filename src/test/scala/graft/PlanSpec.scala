@@ -116,6 +116,11 @@ class PlanSpec extends AnyFunSuite {
     // costs exactly one read, never a shuffle or a second pass per stratum
     assert(!plan.contains("Exchange"),
       "mixture sampling must not shuffle:\n" + plan.take(2000))
+    // the weight-proportional sibling rides the scan the same way
+    val ws = Corpus.weightedSample(docs, col("doc_id"), col("n_chars"), wMax = 1000L)
+    ws.collect()
+    assert(!executedPlan(ws).contains("Exchange"),
+      "weighted sampling must not shuffle:\n" + executedPlan(ws).take(2000))
   }
 
   test("kmeans assignment is a zero-Exchange scan pass; clusterSample pre-trims map-side") {
