@@ -374,14 +374,56 @@ object Ann {
     * |x| ≤ 10⁶ floats at any corpus size that fits a cluster. */
   def kmeans(vecs: DataFrame, idCol: String, embCol: String, k: Int,
       iters: Int): DataFrame = {
+    // one shared quantized frame: train and the final labeling read the
+    // SAME checkpointed (id, q, nq) — the corpus is quantized once
+    val qd = kmeansInput(vecs, idCol, embCol)
+    assignOn(qd, trainOn(qd, k, iters))
+  }
+
+  /** The quantized-and-filtered (id, q, nq) frame both k-means halves
+    * share: NULL / empty embeddings carry no position — excluded (they are
+    * also what an unnest-based SQL replay never sees; a kept null row
+    * would diverge from the oracle), spec'd in DataOpsSpec. A STREAMING
+    * input skips the localCheckpoint barrier (checkpoints reject streaming
+    * plans); the cost is CollapseProject re-inlining the quantize
+    * transform per centroid reference — per-micro-batch arithmetic, not a
+    * scan or shuffle, and the trade only exists on the stream path. */
+  private def kmeansInput(vecs: DataFrame, idCol: String,
+      embCol: String): DataFrame = {
+    val filtered = vecs.where(col(embCol).isNotNull && size(col(embCol)) > 0)
+    if (vecs.isStreaming)
+      filtered.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+        .withColumn("nq", dotQ(col("q"), col("q"), 0))
+    else withQuantNorm(filtered, idCol, embCol, 0)
+  }
+
+  /** (drel, cid) struct per centroid over the `q` attribute; array_min's
+    * struct ordering is the (dist asc, cid asc) tie-break because
+    * dist = nq + drel per fixed row. */
+  private def kmeansBest(cent: Array[Array[Long]]): Column = {
+    val cells = cent.zipWithIndex.map { case (cq, cid) =>
+      val nc = cq.map(x => x * x).sum
+      val dot = graft.functions.NativeOps.longArrayDot(
+        col("q"), array(cq.map(lit(_)): _*))
+      struct((lit(nc) - lit(2L) * dot).as("drel"), lit(cid).as("cid"))
+    }
+    array_min(array(cells: _*))
+  }
+
+  /** The Lloyd rounds of [[kmeans]], returning the trained centroid table
+    * (milli-quantized, cid = array index) — bounded k·dim driver state a
+    * caller can persist, ship, or hand to [[assignClusters]] over a BATCH
+    * or a STREAM (assignment is a pure projection, so it applies to a
+    * readStream source unchanged — the streaming-inference shape,
+    * bridge-spec'd against the oracled batch assignment). */
+  def trainKmeans(vecs: DataFrame, idCol: String, embCol: String, k: Int,
+      iters: Int): Array[Array[Long]] =
+    trainOn(kmeansInput(vecs, idCol, embCol), k, iters)
+
+  private def trainOn(qd: DataFrame, k: Int,
+      iters: Int): Array[Array[Long]] = {
     require(k >= 1, "k-means needs k >= 1")
     require(iters >= 1, "k-means needs at least one assignment round")
-    // NULL / empty embeddings carry no position: excluded (they are also
-    // what an unnest-based SQL replay never sees — a kept null row would
-    // diverge from the oracle), spec'd in DataOpsSpec
-    val qd = withQuantNorm(
-      vecs.where(col(embCol).isNotNull && size(col(embCol)) > 0),
-      idCol, embCol, 0) // (id, q, nq), checkpointed
     // init: the k lowest-id vectors, cid by id order (bounded: k rows)
     var cent: Array[Array[Long]] = qd.orderBy(col("id")).limit(k)
       .select(col("q")).collect()
@@ -389,22 +431,11 @@ object Ann {
     require(cent.length == k, s"k-means asked for $k centroids but the input has only ${cent.length} rows")
     val dim = cent.head.length
     require(cent.forall(_.length == dim), "k-means input vectors must share one dimensionality")
-    // (drel, cid) struct per centroid; array_min's struct ordering is the
-    // (dist asc, cid asc) tie-break because dist = nq + drel per fixed row
-    def bestOf(c: Array[Array[Long]]): Column = {
-      val cells = c.zipWithIndex.map { case (cq, cid) =>
-        val nc = cq.map(x => x * x).sum
-        val dot = graft.functions.NativeOps.longArrayDot(
-          col("q"), array(cq.map(lit(_)): _*))
-        struct((lit(nc) - lit(2L) * dot).as("drel"), lit(cid).as("cid"))
-      }
-      array_min(array(cells: _*))
-    }
     var round = 1
     while (round < iters) { // iters-1 centroid updates
       // one scan: inline assignment + per-(cid, dim) sums, map-side combined
       // down to k·dim rows (bounded driver state, the histogram convention)
-      val sums = qd.select(bestOf(cent)("cid").as("cid"),
+      val sums = qd.select(kmeansBest(cent)("cid").as("cid"),
           posexplode(col("q")).as(Seq("i", "x")))
         .groupBy("cid", "i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
         .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
@@ -416,7 +447,22 @@ object Ann {
       }
       round += 1
     }
-    val best = bestOf(cent)
+    cent
+  }
+
+  /** Label `vecs` against a trained centroid table: (id, cluster, dist)
+    * with the exact integer squared distance. A pure per-row projection
+    * (the centroids ride the plan as literals — PlanSpec pins zero
+    * Exchange / zero Join), so the SAME call labels a streaming source:
+    * batch-train with [[trainKmeans]], assign each micro-batch here. */
+  def assignClusters(vecs: DataFrame, idCol: String, embCol: String,
+      centroids: Array[Array[Long]]): DataFrame =
+    assignOn(kmeansInput(vecs, idCol, embCol), centroids)
+
+  private def assignOn(qd: DataFrame,
+      centroids: Array[Array[Long]]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val best = kmeansBest(centroids)
     qd.select(col("id"), best("cid").as("cluster"),
       (col("nq") + best("drel")).as("dist"))
   }

@@ -2200,6 +2200,31 @@ class DataOpsSpec extends AnyFunSuite {
     assert(sampled.map(r => (r._1, r._2)).toSet === expected)
   }
 
+  test("streaming cluster assignment matches the ORACLED batch kmeans labels") {
+    // assignClusters is a pure projection over literal centroids, so the
+    // SAME call labels a readStream source — batch-train, stream-assign
+    // (the streaming-inference shape). A MemoryStream replay of the
+    // embeddings table must reproduce the oracled q_kmeans assignment
+    // (same k/iters) row for row.
+    implicit val sqlCtx = spark.sqlContext
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cent = Ann.trainKmeans(vecs, "vec_id", "embedding", k = 4, iters = 3)
+    val expected = Ann.kmeans(vecs, "vec_id", "embedding", k = 4, iters = 3)
+      .as[(Long, Int, Long)].collect().toSet
+    val replay = vecs.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Ann.assignClusters(mem.toDS().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cent)
+      .writeStream.format("memory").queryName("km_bridge").outputMode("append").start()
+    val (h1, h2) = replay.splitAt(replay.size / 2)
+    mem.addData(h1); q.processAllAvailable()
+    mem.addData(h2); q.processAllAvailable()
+    val got = spark.table("km_bridge").as[(Long, Int, Long)].collect().toSet
+    q.stop()
+    assert(got === expected)
+  }
+
   test("streaming HLL maintenance: per-batch registers merge to the ORACLED batch sketch") {
     // hllRegisters is mergeable by per-bucket MAX (rho of a union is the
     // max of the parts), so maintaining the cardinality sketch over a
