@@ -323,6 +323,16 @@ class PlanSpec extends AnyFunSuite {
       "trainOrder must not global-sort:\n" + plan.take(3000))
     assert(plan.contains("hashpartitioning"),
       "expected bucket-hash partitioning for the rank windows:\n" + plan.take(3000))
+    // negativeSamples inherits the shape: its successor lookup must stay a
+    // position-KEYED equi-join on top of the same no-global-sort ranking
+    val negs = Corpus.negativeSamples(
+      Tpch.table(spark, dir, "documents").select("doc_id"), "doc_id", k = 2, seed = "s")
+    negs.collect()
+    val nplan = executedPlan(negs)
+    assert(!nplan.contains("Exchange rangepartitioning"),
+      "negativeSamples must not global-sort:\n" + nplan.take(3000))
+    assert(!nplan.contains("BroadcastNestedLoopJoin") && !nplan.contains("CartesianProduct"),
+      "successor lookup must stay a keyed join:\n" + nplan.take(3000))
   }
 
   test("butterflyCount wedge join is keyed (no cartesian); hll/dsir stay keyed aggregations") {

@@ -50,6 +50,8 @@ class ReadmeExamplesSpec extends AnyFunSuite {
       .contains("id_a"))
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
     assert(graft.sim.Ann.lshPairs(vecs, "vec_id", "embedding", 64, 450).count() >= 0)
+    assert(graft.sim.Ann.kmeans(vecs, "vec_id", "embedding", 16, 5)
+      .select("cluster").distinct().count() > 1)
     val events = Tpch.events(spark, dir)
     assert(graft.streaming.Sessionize.batch(events).count() > 0)
   }
