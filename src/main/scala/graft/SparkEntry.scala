@@ -1078,6 +1078,14 @@ object SparkEntry {
       graft.sim.Ann.clusterSample(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
           k = kmeansK, iters = kmeansIters, cap = clusterCap)
         .select(col("id").as("vec_id"), col("cluster"), col("dist"), col("rk"))),
+    "q_sq8" -> ((s, dir) => // int8 scalar quantization: per-dim [min,max]
+      // envelope trained in one dim-row scan, then a literal-codec
+      // zero-shuffle encode with the exact integer reconstruction error —
+      // the embedding-index compression pass (4x smaller than milli-longs)
+      graft.sim.Ann.sq8(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), posexplode(col("codes")).as(Seq("p", "code")),
+          col("err"))
+        .select(col("vec_id"), (col("p") + 1).cast("long").as("i"), col("code"), col("err"))),
     "q_articulation" -> ((s, dir) => {
       val gr = g(s, dir)
       graft.algos.Algos.articulationPoints(
@@ -2188,6 +2196,21 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_kmeans" -> kmeansOracleSql,
     "q_cluster_sample" -> clusterSampleOracleSql,
+    // SQ8: the identical integer chain — milli-quantize, per-dim envelope,
+    // clamp→scale→truncating-div code, decode, squared-L2 error. Every
+    // numerator is non-negative so DuckDB's flooring `//` equals Spark's
+    // truncating `div`.
+    "q_sq8" ->
+      """WITH qv AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
+                       round(unnest(embedding)::DOUBLE * 1000)::BIGINT AS q FROM embeddings),
+            mm AS (SELECT i, min(q) AS mn, greatest(max(q) - min(q), 1) AS rg FROM qv GROUP BY 1),
+            c AS (SELECT v.vec_id, v.i, v.q, m.mn, m.rg,
+                    ((least(greatest(v.q, m.mn), m.mn + m.rg) - m.mn) * 255) // m.rg AS code
+                  FROM qv v JOIN mm m USING (i)),
+            r AS (SELECT vec_id, i, code, q - (mn + (code * rg) // 255) AS d FROM c),
+            e AS (SELECT vec_id, sum(d * d)::BIGINT AS err FROM r GROUP BY 1)
+         SELECT r.vec_id, r.i::BIGINT AS i, r.code::BIGINT AS code, e.err
+         FROM r JOIN e USING (vec_id)""",
     "q_dedup_simhash" -> simhashOracleSql,
     "q_ann_lsh" -> annLshOracleSql,
     "q_ann_ivf" -> annIvfOracleSql,

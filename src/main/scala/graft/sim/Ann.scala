@@ -484,4 +484,81 @@ object Ann {
     val w = Window.partitionBy(col("cluster")).orderBy(ordH.asc, col("id").asc)
     a.withColumn("rk", row_number().over(w)).where(col("rk") <= cap)
   }
+
+  /** Scalar int8 quantization (SQ8) trainer: the per-dimension [min, max]
+    * envelope of the milli-quantized corpus — the codec state an
+    * embedding-index build ships to every encoder (FAISS's
+    * ScalarQuantizer shape re-expressed declaratively). Returns
+    * (mins, ranges) with range_i = max(max_i − min_i, 1), each `dim` longs
+    * of bounded driver state (the trainKmeans convention: a codec nobody
+    * can broadcast is a codec no encode pass can inline either).
+    *
+    * Scale: ONE corpus scan collapsing map-side to `dim` rows
+    * (posexplode → groupBy(i) min/max — partial aggregation bounds the
+    * shuffle at dim·tasks rows at any corpus size). */
+  def trainSq8(vecs: DataFrame, idCol: String, embCol: String): (Array[Long], Array[Long]) =
+    sq8TrainOn(kmeansInput(vecs, idCol, embCol))
+
+  private def sq8TrainOn(qd: DataFrame): (Array[Long], Array[Long]) = {
+    val rows = qd.select(posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "sq8 needs at least one non-empty vector")
+    require(rows.map(_._1).toSeq == (0 until rows.length),
+      "sq8 input vectors must share one dimensionality")
+    (rows.map(_._2._1), rows.map { case (_, (mn, mx)) => math.max(mx - mn, 1L) })
+  }
+
+  /** Encode against a trained SQ8 codec: (id, codes, err) where
+    * code_i = ((clamp(q_i, min_i, min_i+range_i) − min_i)·255) div range_i
+    * ∈ [0, 255] (values outside the trained envelope saturate — the
+    * streaming-encode case), and err is the exact integer squared-L2
+    * reconstruction error Σ(q_i − recon_i)² against the codec's decode
+    * recon_i = min_i + (code_i·range_i) div 255 — the fidelity metric an
+    * index build thresholds on. All arithmetic is 64-bit integer on
+    * milli-quantized values; `div` truncates toward zero = DuckDB `//`
+    * floor because every numerator is non-negative by construction.
+    *
+    * Scale: a pure per-row projection — the codec rides the plan as
+    * LITERAL arrays (2·dim longs; PlanSpec pins zero Exchange / zero
+    * Join), so the SAME call encodes a readStream source micro-batch by
+    * micro-batch (the assignClusters streaming-inference shape). Each
+    * lambda stage lives in its OWN projection so the multi-referenced
+    * arrays materialize once per row (the repetitionBp rule). */
+  def sq8Encode(vecs: DataFrame, idCol: String, embCol: String,
+      mins: Array[Long], ranges: Array[Long]): DataFrame =
+    sq8EncodeOn(kmeansInput(vecs, idCol, embCol), mins, ranges)
+
+  private def sq8EncodeOn(qd: DataFrame, mins: Array[Long],
+      ranges: Array[Long]): DataFrame = {
+    require(mins.nonEmpty && mins.length == ranges.length,
+      s"codec arrays must be non-empty and same-length, got ${mins.length}/${ranges.length}")
+    require(ranges.forall(_ >= 1L), "sq8 ranges must be >= 1 (trainSq8 guarantees this)")
+    val mnSql = mins.mkString("array(", "L,", "L)")
+    val rgSql = ranges.mkString("array(", "L,", "L)")
+    qd.select(col("id"), col("q"),
+        expr(s"""transform(q, (x, i) ->
+          ((least(greatest(x, element_at($mnSql, i + 1)),
+                  element_at($mnSql, i + 1) + element_at($rgSql, i + 1))
+            - element_at($mnSql, i + 1)) * 255) div element_at($rgSql, i + 1))""")
+          .as("codes"))
+      .select(col("id"), col("q"), col("codes"),
+        expr(s"""transform(codes, (c, i) ->
+          element_at($mnSql, i + 1) + (c * element_at($rgSql, i + 1)) div 255)""")
+          .as("recon"))
+      .select(col("id"), col("codes"),
+        aggregate(zip_with(col("q"), col("recon"), (x, r) => (x - r) * (x - r)),
+          lit(0L), (acc, d) => acc + d).as("err"))
+  }
+
+  /** Train-and-encode SQ8 over one shared quantized frame (the [[kmeans]]
+    * structure: the corpus is milli-quantized ONCE, the trainer's dim-row
+    * envelope comes back as literals, and the encode is a zero-Exchange
+    * second pass over the same checkpointed frame). */
+  def sq8(vecs: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val qd = kmeansInput(vecs, idCol, embCol)
+    val (mins, ranges) = sq8TrainOn(qd)
+    sq8EncodeOn(qd, mins, ranges)
+  }
 }

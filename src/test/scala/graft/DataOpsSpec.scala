@@ -2225,6 +2225,71 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("sq8 matches an independent driver replay of the envelope/code/error chain") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // replay from the ENGINE-quantized milli values (the lloydReference
+    // convention: quantization portability is q_sq8's oracle's job)
+    val quant = vecs.select(col("vec_id"), Ann.quantize(col("embedding")).as("q"))
+      .as[(Long, Array[Long])].collect()
+    val dim = quant.head._2.length
+    val mins = Array.tabulate(dim)(i => quant.map(_._2(i)).min)
+    val rgs = Array.tabulate(dim)(i => math.max(quant.map(_._2(i)).max - mins(i), 1L))
+    val expected = quant.map { case (id, q) =>
+      val codes = Array.tabulate(dim) { i =>
+        ((math.min(math.max(q(i), mins(i)), mins(i) + rgs(i)) - mins(i)) * 255) / rgs(i)
+      }
+      val err = Array.tabulate(dim) { i =>
+        val d = q(i) - (mins(i) + (codes(i) * rgs(i)) / 255); d * d
+      }.sum
+      id -> (codes.toSeq, err)
+    }.toMap
+    val (gotMins, gotRgs) = Ann.trainSq8(vecs, "vec_id", "embedding")
+    assert(gotMins.toSeq === mins.toSeq && gotRgs.toSeq === rgs.toSeq)
+    val got = Ann.sq8(vecs, "vec_id", "embedding")
+      .as[(Long, Array[Long], Long)].collect()
+      .map { case (id, c, e) => id -> (c.toSeq, e) }.toMap
+    assert(got === expected)
+    // codec quality law: every code is an int8 value and every per-vector
+    // error respects the per-dim bound |q - recon| <= rg div 255 + 1
+    assert(got.values.forall(_._1.forall(c => c >= 0 && c <= 255)))
+    val errBound = Array.tabulate(dim)(i => { val b = rgs(i) / 255 + 1; b * b }).sum
+    assert(got.values.forall(_._2 <= errBound),
+      s"reconstruction error above the envelope bound $errBound")
+  }
+
+  test("sq8Encode saturates out-of-envelope values and streams unchanged") {
+    // codec trained on a NARROW corpus, applied to values outside it: codes
+    // clamp to 0/255 instead of leaving [0, 255] — the streaming-encode
+    // case where later batches exceed the trained envelope.
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((1L, Array(0.0f, 0.1f)), (2L, Array(1.0f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val (mins, rgs) = Ann.trainSq8(train, "vec_id", "embedding")
+    assert(mins.toSeq === Seq(0L, 100L) && rgs.toSeq === Seq(1000L, 100L))
+    val wild = Seq((3L, Array(-5.0f, 9.9f))).toDF("vec_id", "embedding")
+    val sat = Ann.sq8Encode(wild, "vec_id", "embedding", mins, rgs)
+      .as[(Long, Array[Long], Long)].collect().head
+    assert(sat._2.toSeq === Seq(0L, 255L), s"expected saturated codes, got $sat")
+    // the SAME call encodes a MemoryStream replay to identical rows
+    val batch = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (bm, br) = Ann.trainSq8(batch, "vec_id", "embedding")
+    val expected = Ann.sq8Encode(batch, "vec_id", "embedding", bm, br)
+      .as[(Long, Array[Long], Long)].collect()
+      .map { case (id, c, e) => (id, c.toSeq, e) }.toSet
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Ann.sq8Encode(mem.toDS().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", bm, br)
+      .writeStream.format("memory").queryName("sq8_bridge").outputMode("append").start()
+    val replay = batch.select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
+    val (h1, h2) = replay.splitAt(replay.size / 2)
+    mem.addData(h1); q.processAllAvailable()
+    mem.addData(h2); q.processAllAvailable()
+    val got = spark.table("sq8_bridge").as[(Long, Array[Long], Long)].collect()
+      .map { case (id, c, e) => (id, c.toSeq, e) }.toSet
+    q.stop()
+    assert(got === expected)
+  }
+
   test("streaming HLL maintenance: per-batch registers merge to the ORACLED batch sketch") {
     // hllRegisters is mergeable by per-bucket MAX (rho of a union is the
     // max of the parts), so maintaining the cardinality sketch over a

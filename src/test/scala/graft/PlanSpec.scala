@@ -123,6 +123,21 @@ class PlanSpec extends AnyFunSuite {
       "weighted sampling must not shuffle:\n" + executedPlan(ws).take(2000))
   }
 
+  test("sq8Encode is a zero-Exchange zero-Join scan pass (literal codec)") {
+    import graft.sim.Ann
+    val vecs = Tpch.table(spark, dir, "embeddings")
+    val (mins, rgs) = Ann.trainSq8(vecs, "vec_id", "embedding")
+    val enc = Ann.sq8Encode(vecs, "vec_id", "embedding", mins, rgs)
+    enc.collect()
+    // the codec rides the plan as literal arrays: at 100 TB the encode
+    // pass costs one read — no join, no shuffle, stream-applicable
+    val plan = executedPlan(enc)
+    assert(!plan.contains("Exchange"),
+      "sq8 encode must not shuffle:\n" + plan.take(2000))
+    assert(!plan.contains("Join"),
+      "sq8 encode must not join:\n" + plan.take(2000))
+  }
+
   test("kmeans assignment is a zero-Exchange scan pass; clusterSample pre-trims map-side") {
     import graft.sim.Ann
     val vecs = Tpch.table(spark, dir, "embeddings")
