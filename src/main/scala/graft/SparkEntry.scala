@@ -1169,6 +1169,16 @@ object SparkEntry {
       Tpch.table(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
     }),
+    "q_grep" -> ((s, dir) => {
+      // literal-substring search through the trigram inverted index: the
+      // pattern's gram set prefilters postings (recall-complete — a match
+      // holds all its trigrams), exact contains verifies candidates only.
+      // The one-shot contains scan (grepScan) is spec'd identical.
+      import graft.functions.TextOps
+      val docs = Tpch.table(s, dir, "documents")
+      TextOps.grepIndexed(TextOps.trigramIndex(docs, "doc_id", "text"),
+        docs, "doc_id", "text", "merge batch")
+    }),
     "q_pii_scrub" -> ((s, dir) => {
       // PII redaction over the corpus. The testdata text carries no PII, so
       // the query plants a synthetic contact suffix on every doc INSIDE the
@@ -3237,6 +3247,10 @@ object SparkEntry {
          FROM b WHERE len > 0 AND n_toks > 0""",
     "q_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents",
+    // the index path is exact by construction (prefilter + contains verify),
+    // so the oracle is the plain ground-truth scan
+    "q_grep" ->
+      "SELECT doc_id FROM documents WHERE contains(text, 'merge batch')",
     "q_pii_scrub" ->
       """SELECT doc_id,
                 regexp_replace(

@@ -582,4 +582,57 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe"))
   }
+
+  /** Distinct character trigram inventory of a text column (spaces count —
+    * a literal pattern's spaces are part of the match). Texts shorter than
+    * 3 chars have no trigrams. */
+  def charTrigrams(text: Column): Column =
+    array_distinct(when(length(text) >= 3,
+        transform(sequence(lit(1), length(text) - 2), i => substring(text, i, lit(3))))
+      .otherwise(array().cast("array<string>")))
+
+  /** Trigram inverted index: one (gram, doc_id) posting row per DISTINCT
+    * trigram per document — the artifact a grep-at-scale service builds
+    * ONCE and persists partitioned/bucketed by `gram`, so each literal
+    * query touches only its own grams' postings instead of the corpus
+    * text. */
+  def trigramIndex(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(charTrigrams(col(textCol))).as("gram"))
+      .select(col("gram"), col("doc_id"))
+
+  /** Literal-substring search over a posting index: candidates = documents
+    * holding ALL of the pattern's distinct trigrams (count over the
+    * gram-filtered postings — recall-complete because a document containing
+    * the pattern contains every one of its trigrams), then the exact
+    * `contains` verify runs on the candidates ONLY (semi-join back to the
+    * corpus text). Patterns shorter than 3 chars have no trigram to key
+    * on — callers use [[grepScan]].
+    *
+    * Scale: the pattern's gram set is a tiny literal IN-filter over the
+    * index (a pruned scan when the index is persisted by gram); the
+    * candidate count-agg shuffles only the matching postings; the exact
+    * verify reads only candidate documents. The repeated-query complement
+    * of the one-shot [[grepScan]] — spec'd identical on every pattern. */
+  def grepIndexed(index: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      pattern: String): org.apache.spark.sql.DataFrame = {
+    require(pattern.length >= 3, "grepIndexed needs a pattern of >= 3 chars (use grepScan)")
+    val pats = pattern.sliding(3).toSeq.distinct
+    val cands = index.where(col("gram").isin(pats: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("__n"))
+      .where(col("__n") === pats.length)
+      .select("doc_id")
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .join(cands, Seq("doc_id"), "left_semi")
+      .where(col("__t").contains(pattern))
+      .select("doc_id")
+  }
+
+  /** One-shot literal search: a pure contains scan — the honest plan when
+    * a query runs ONCE (an index build would itself scan the corpus). */
+  def grepScan(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, pattern: String): org.apache.spark.sql.DataFrame =
+    docs.where(col(textCol).contains(pattern)).select(col(idCol).as("doc_id"))
 }

@@ -60,6 +60,33 @@ class DataOpsSpec extends AnyFunSuite {
     assert(out(4L) === "mixed: <EMAIL> then <PHONE> done")
   }
 
+  test("grepIndexed equals the ground-truth contains scan on every pattern class") {
+    import graft.functions.TextOps
+    // doc 20 holds ALL of "abcdef"'s trigrams (abc,bcd,cde,def) scattered —
+    // the prefilter admits it, the exact verify must reject it; doc 23 has
+    // null text (absent from index AND from the scan — null contains =
+    // null); doc 24 matches at the very start/end boundaries.
+    val corpus = Seq(
+      (20L, "abcd cdef"), (21L, "abcdef yes"), (22L, "nothing here"),
+      (23L, null.asInstanceOf[String]), (24L, "abcdef")).toDF("doc_id", "text")
+    val idx = TextOps.trigramIndex(corpus, "doc_id", "text")
+    for (pat <- Seq("abcdef", "abc", "cdef", "aaa", "nothing here", "zzz")) {
+      val viaIndex = TextOps.grepIndexed(idx, corpus, "doc_id", "text", pat)
+        .as[Long].collect().toSet
+      val viaScan = TextOps.grepScan(corpus, "doc_id", "text", pat)
+        .as[Long].collect().toSet
+      assert(viaIndex === viaScan, s"index path diverged from scan on '$pat'")
+    }
+    // the scattered-trigram doc is a candidate the verify rejected
+    assert(TextOps.grepIndexed(idx, corpus, "doc_id", "text", "abcdef")
+      .as[Long].collect().toSet === Set(21L, 24L))
+    // short patterns have no trigram key: grepIndexed refuses, grepScan works
+    assertThrows[IllegalArgumentException](
+      TextOps.grepIndexed(idx, corpus, "doc_id", "text", "ab"))
+    assert(TextOps.grepScan(corpus, "doc_id", "text", "ab")
+      .as[Long].collect().toSet === Set(20L, 21L, 24L))
+  }
+
   test("boilerplateGrams finds repeated furniture; stripBoilerplate removes every occurrence") {
     import graft.functions.TextOps
     val boiler = "subscribe to our newsletter now"
