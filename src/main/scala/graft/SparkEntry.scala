@@ -1169,6 +1169,11 @@ object SparkEntry {
       Tpch.table(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
     }),
+    "q_source_sim" -> ((s, dir) => // dataset-overlap matrix: exact pairwise
+      // Jaccard between per-source shingle SETS — gram-keyed join whose
+      // fanout is bounded by the (small) group count squared, never docs²
+      graft.dedup.Dedup.groupJaccard(Tpch.table(s, dir, "documents"),
+        "source", "text", k = 3)),
     "q_grep" -> ((s, dir) => {
       // literal-substring search through the trigram inverted index: the
       // pattern's gram set prefilters postings (recall-complete — a match
@@ -3251,6 +3256,16 @@ object SparkEntry {
     // so the oracle is the plain ground-truth scan
     "q_grep" ->
       "SELECT doc_id FROM documents WHERE contains(text, 'merge batch')",
+    "q_source_sim" ->
+      """WITH toks AS (SELECT source, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
+            sh AS (SELECT DISTINCT source, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+                   FROM toks, unnest(generate_series(1, greatest(len(ts) - 2, 0))) u(i)),
+            n AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+            ix AS (SELECT a.source AS grp_a, b.source AS grp_b, count(*) AS n_common
+                   FROM sh a JOIN sh b ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2)
+         SELECT ix.grp_a, ix.grp_b, ix.n_common,
+                (ix.n_common * 10000) // (na.n + nb.n - ix.n_common) AS sim_bp
+         FROM ix JOIN n na ON na.source = ix.grp_a JOIN n nb ON nb.source = ix.grp_b""",
     "q_pii_scrub" ->
       """SELECT doc_id,
                 regexp_replace(

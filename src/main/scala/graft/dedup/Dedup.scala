@@ -494,4 +494,35 @@ object Dedup {
       .where(col("sim_bp") >= minSimBp)
       .drop("__ta", "__tb")
   }
+
+  /** Dataset-overlap matrix: EXACT pairwise Jaccard between the distinct
+    * word-k-gram shingle sets of each group — "how much does source A's
+    * content overlap source B's?" at dataset granularity (crawl-snapshot
+    * drift, mixture-component redundancy, cross-source contamination
+    * triage). Emits (grp_a, grp_b, n_common, sim_bp) for grp_a < grp_b
+    * where the intersection is NON-EMPTY (zero-overlap pairs are absent —
+    * the inner gram join never sees them; the oracle joins identically).
+    * sim_bp = 10⁴·|A∩B| div |A∪B|, all 64-bit integer.
+    *
+    * Scale: one (grp, gram) dedup shuffle, then a gram-keyed self-join
+    * whose per-gram fanout is bounded by the GROUP count squared — groups
+    * (sources, snapshots, languages) are few by definition, so the pair
+    * aggregation is corpus-linear with a tiny constant; set sizes ride a
+    * broadcastable |groups|-row side. The per-document near-dup problem
+    * stays with [[minhashLsh]] — this is its dataset-level sibling. */
+  def groupJaccard(docs: DataFrame, groupCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val sh = docs.select(col(groupCol).as("grp"),
+        explode(graft.functions.NativeOps.wordShingles(col(textCol), k)).as("gram"))
+      .dropDuplicates("grp", "gram")
+    val sizes = sh.groupBy("grp").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.gram") === col("b.gram") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("grp").as("grp_a"), col("n").as("__na"))), "grp_a")
+      .join(broadcast(sizes.select(col("grp").as("grp_b"), col("n").as("__nb"))), "grp_b")
+      .select(col("grp_a"), col("grp_b"), col("n_common"),
+        expr("(n_common * 10000) div (__na + __nb - n_common)").as("sim_bp"))
+  }
 }

@@ -60,6 +60,31 @@ class DataOpsSpec extends AnyFunSuite {
     assert(out(4L) === "mixed: <EMAIL> then <PHONE> done")
   }
 
+  test("groupJaccard: hand-traced matrix, zero-overlap pairs absent, replay parity") {
+    // k=1 fixture (shingles = distinct words): A={x,y,z,w}, B={y,z,q}, C={p}
+    // A∩B={y,z} -> sim 2/5 = 4000 bp; C overlaps nothing -> no C pair rows
+    val fix = Seq(("A", "x y z"), ("A", "y w"), ("B", "y z q"), ("C", "p p p"))
+      .toDF("source", "text")
+    val m = Dedup.groupJaccard(fix, "source", "text", k = 1)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(m === Set(("A", "B", 2L, 4000L)))
+    // full-table replay parity at k=3: engine matrix == driver-side exact
+    // Jaccard over the engine's own shingle sets (gram-join correctness is
+    // what's under test; shingle semantics are the minhash oracles' job)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sets = docs.select(col("source"),
+        graft.functions.NativeOps.wordShingles(col("text"), 3).as("sh"))
+      .as[(String, Array[String])].collect()
+      .groupBy(_._1).map { case (g, rows) => g -> rows.flatMap(_._2).toSet }
+    val expected = (for {
+      (ga, sa) <- sets; (gb, sb) <- sets if ga < gb
+      c = (sa & sb).size.toLong if c > 0
+    } yield (ga, gb, c, c * 10000L / (sa.size + sb.size - c))).toSet
+    val got = Dedup.groupJaccard(docs, "source", "text", k = 3)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
   test("grepIndexed equals the ground-truth contains scan on every pattern class") {
     import graft.functions.TextOps
     // doc 20 holds ALL of "abcdef"'s trigrams (abc,bcd,cde,def) scattered —
