@@ -1078,6 +1078,13 @@ object SparkEntry {
       graft.sim.Ann.clusterSample(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
           k = kmeansK, iters = kmeansIters, cap = clusterCap)
         .select(col("id").as("vec_id"), col("cluster"), col("dist"), col("rk"))),
+    "q_pq" -> ((s, dir) => // product quantization: m independent integer
+      // Lloyd codebooks over contiguous subvector slices, then a
+      // literal-codebook zero-shuffle encode emitting each subspace's
+      // nearest codeword + exact squared residual (the ADC error term)
+      graft.sim.Ann.pq(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
+          m = pqM, k = pqK, iters = pqIters)
+        .select(col("id").as("vec_id"), col("sub"), col("code"), col("dist"))),
     "q_sq8" -> ((s, dir) => // int8 scalar quantization: per-dim [min,max]
       // envelope trained in one dim-row scan, then a literal-codec
       // zero-shuffle encode with the exact integer reconstruction error —
@@ -2175,25 +2182,48 @@ object SparkEntry {
     * `//` truncates toward zero exactly like the operator's 64-bit
     * division), empty clusters carried via coalesce. Round t assigns
     * against c(t-1); the final round only assigns. */
-  private def kmeansCtes: String = {
+  private def kmeansCtes: String = kmeansCtesFor("", 0, 64, kmeansK, kmeansIters)
+
+  /** Parameterized quantized-Lloyd CTE chain: subspace slice [lo+1, lo+d]
+    * of the embedding, k centroids, `iters` assignment rounds, all CTE
+    * names prefixed — so q_pq's oracle is m independent copies of the
+    * PROVEN q_kmeans chain over contiguous slices. */
+  private def kmeansCtesFor(p: String, lo: Int, d: Int, k: Int,
+      iters: Int): String = {
+    val embSlice = if (lo == 0 && d == 64) "embedding" else s"embedding[${lo + 1}:${lo + d}]"
     val head =
-      s"""qv AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
-         |         round(unnest(embedding)::DOUBLE * 1000)::BIGINT AS q FROM embeddings),
-         |init AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid
-         |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $kmeansK)),
-         |c0 AS (SELECT n.cid, v.i, v.q AS cq FROM init n JOIN qv v USING (vec_id))""".stripMargin
+      s"""${p}qv AS (SELECT vec_id, unnest(generate_series(1, $d)) AS i,
+         |         round(unnest($embSlice)::DOUBLE * 1000)::BIGINT AS q FROM embeddings),
+         |${p}init AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid
+         |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+         |${p}c0 AS (SELECT n.cid, v.i, v.q AS cq FROM ${p}init n JOIN ${p}qv v USING (vec_id))""".stripMargin
     val assign = (t: Int) =>
-      s"""d$t AS (SELECT v.vec_id, c.cid, sum((v.q - c.cq) * (v.q - c.cq))::BIGINT AS dist
-         |       FROM qv v JOIN c${t - 1} c ON v.i = c.i GROUP BY 1, 2),
-         |a$t AS (SELECT vec_id, cid, dist FROM (SELECT d$t.*, row_number()
-         |         OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$t) WHERE rn = 1)""".stripMargin
+      s"""${p}d$t AS (SELECT v.vec_id, c.cid, sum((v.q - c.cq) * (v.q - c.cq))::BIGINT AS dist
+         |       FROM ${p}qv v JOIN ${p}c${t - 1} c ON v.i = c.i GROUP BY 1, 2),
+         |${p}a$t AS (SELECT vec_id, cid, dist FROM (SELECT ${p}d$t.*, row_number()
+         |         OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM ${p}d$t) WHERE rn = 1)""".stripMargin
     val update = (t: Int) =>
-      s"""m$t AS (SELECT a.cid, v.i, sum(v.q) AS s, count(*) AS n
-         |       FROM a$t a JOIN qv v USING (vec_id) GROUP BY 1, 2),
-         |c$t AS (SELECT p.cid, p.i, coalesce(m.s // m.n, p.cq) AS cq
-         |       FROM c${t - 1} p LEFT JOIN m$t m ON p.cid = m.cid AND p.i = m.i)""".stripMargin
-    val rounds = (1 until kmeansIters).map(t => s"${assign(t)},\n${update(t)}")
-    (Seq(head) ++ rounds ++ Seq(assign(kmeansIters))).mkString(",\n")
+      s"""${p}m$t AS (SELECT a.cid, v.i, sum(v.q) AS s, count(*) AS n
+         |       FROM ${p}a$t a JOIN ${p}qv v USING (vec_id) GROUP BY 1, 2),
+         |${p}c$t AS (SELECT p.cid, p.i, coalesce(m.s // m.n, p.cq) AS cq
+         |       FROM ${p}c${t - 1} p LEFT JOIN ${p}m$t m ON p.cid = m.cid AND p.i = m.i)""".stripMargin
+    val rounds = (1 until iters).map(t => s"${assign(t)},\n${update(t)}")
+    (Seq(head) ++ rounds ++ Seq(assign(iters))).mkString(",\n")
+  }
+
+  /** One constant triple drives q_pq and its oracle. */
+  private val pqM = 4
+  private val pqK = 4
+  private val pqIters = 2
+
+  private def pqOracleSql: String = {
+    val d = 64 / pqM
+    val ctes = (0 until pqM).map(s => kmeansCtesFor(s"s${s}_", s * d, d, pqK, pqIters))
+      .mkString(",\n")
+    val arms = (0 until pqM).map(s =>
+      s"SELECT vec_id, ${s}::BIGINT AS sub, cid AS code, dist FROM s${s}_a$pqIters")
+      .mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$arms"
   }
 
   private def kmeansOracleSql: String =
@@ -2211,6 +2241,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_kmeans" -> kmeansOracleSql,
     "q_cluster_sample" -> clusterSampleOracleSql,
+    "q_pq" -> pqOracleSql,
     // SQ8: the identical integer chain — milli-quantize, per-dim envelope,
     // clamp→scale→truncating-div code, decode, squared-L2 error. Every
     // numerator is non-negative so DuckDB's flooring `//` equals Spark's

@@ -397,14 +397,14 @@ object Ann {
     else withQuantNorm(filtered, idCol, embCol, 0)
   }
 
-  /** (drel, cid) struct per centroid over the `q` attribute; array_min's
-    * struct ordering is the (dist asc, cid asc) tie-break because
-    * dist = nq + drel per fixed row. */
-  private def kmeansBest(cent: Array[Array[Long]]): Column = {
+  /** (drel, cid) struct per centroid over a quantized-vector column;
+    * array_min's struct ordering is the (dist asc, cid asc) tie-break
+    * because dist = nq + drel per fixed row. */
+  private def kmeansBest(cent: Array[Array[Long]], qcol: Column = col("q")): Column = {
     val cells = cent.zipWithIndex.map { case (cq, cid) =>
       val nc = cq.map(x => x * x).sum
       val dot = graft.functions.NativeOps.longArrayDot(
-        col("q"), array(cq.map(lit(_)): _*))
+        qcol, array(cq.map(lit(_)): _*))
       struct((lit(nc) - lit(2L) * dot).as("drel"), lit(cid).as("cid"))
     }
     array_min(array(cells: _*))
@@ -560,5 +560,79 @@ object Ann {
     val qd = kmeansInput(vecs, idCol, embCol)
     val (mins, ranges) = sq8TrainOn(qd)
     sq8EncodeOn(qd, mins, ranges)
+  }
+
+  /** Product-quantization codebook trainer: split each milli-quantized
+    * vector into `m` contiguous subvectors of dim/m and run the EXACT
+    * integer Lloyd's of [[trainKmeans]] independently per subspace —
+    * m·k·(dim/m) = k·dim longs of bounded driver state, the codec of an
+    * IVF-PQ index (vectors compress to m small codes; distances
+    * reconstruct per-subspace). Same determinism contract as [[kmeans]]:
+    * lowest-id init per subspace, (dist, cid) tie-break, div-exact
+    * updates, empty-cluster carry.
+    *
+    * Scale: training cost is m·iters bounded-state scans of ONE shared
+    * checkpointed quantized corpus (each round's agg collapses map-side to
+    * k·(dim/m) rows); nothing here grows with the corpus beyond the
+    * scans. */
+  def pqTrain(vecs: DataFrame, idCol: String, embCol: String, m: Int,
+      k: Int, iters: Int): Array[Array[Array[Long]]] =
+    pqTrainOn(kmeansInput(vecs, idCol, embCol), m, k, iters)
+
+  private def pqDim(qd: DataFrame, m: Int): Int = {
+    val dim = qd.select(size(col("q"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    dim / m
+  }
+
+  private def pqTrainOn(qd: DataFrame, m: Int, k: Int,
+      iters: Int): Array[Array[Array[Long]]] = {
+    require(m >= 1, "pq needs m >= 1 subspaces")
+    val d = pqDim(qd, m)
+    Array.tabulate(m) { s =>
+      trainOn(qd.select(col("id"), slice(col("q"), s * d + 1, d).as("q")), k, iters)
+    }
+  }
+
+  /** Encode against trained PQ codebooks: (id, sub, code, dist) — per
+    * subspace the nearest codeword's index and the exact integer squared-L2
+    * residual (the quantization error an ADC search adds to its distance
+    * bound). A pure per-row projection: all m codebooks ride the plan as
+    * literals (PlanSpec pins zero Exchange / zero Join), so the same call
+    * encodes a readStream micro-batch — the [[sq8Encode]] /
+    * [[assignClusters]] streaming-inference shape. */
+  def pqEncode(vecs: DataFrame, idCol: String, embCol: String,
+      books: Array[Array[Array[Long]]]): DataFrame =
+    pqEncodeOn(kmeansInput(vecs, idCol, embCol), books)
+
+  private def pqEncodeOn(qd: DataFrame,
+      books: Array[Array[Array[Long]]]): DataFrame = {
+    require(books.nonEmpty && books.forall(_.nonEmpty), "pq books must be non-empty")
+    val m = books.length
+    val d = books.head.head.length
+    require(books.forall(_.forall(_.length == d)), "pq codewords must share one sub-dimension")
+    // subvectors materialize under their own aliases (each is referenced
+    // k+1 times by the per-codeword dots and its own norm — the
+    // repetitionBp rule), then one generator row per subspace
+    val sliced = qd.select(col("id") +:
+      (0 until m).map(s => slice(col("q"), s * d + 1, d).as(s"__q$s")): _*)
+    val cells = (0 until m).map { s =>
+      val b = kmeansBest(books(s), col(s"__q$s"))
+      struct(b("cid").as("code"),
+        (graft.functions.NativeOps.longArrayDot(col(s"__q$s"), col(s"__q$s"))
+          + b("drel")).as("dist"))
+    }
+    sliced.select(col("id"), posexplode(array(cells: _*)).as(Seq("sub", "sc")))
+      .select(col("id"), col("sub").cast("long").as("sub"),
+        col("sc")("code").as("code"), col("sc")("dist").as("dist"))
+  }
+
+  /** Train-and-encode PQ over one shared quantized frame (the [[kmeans]]
+    * structure: quantize once, train per subspace, encode in one
+    * zero-Exchange pass). */
+  def pq(vecs: DataFrame, idCol: String, embCol: String, m: Int, k: Int,
+      iters: Int): DataFrame = {
+    val qd = kmeansInput(vecs, idCol, embCol)
+    pqEncodeOn(qd, pqTrainOn(qd, m, k, iters))
   }
 }

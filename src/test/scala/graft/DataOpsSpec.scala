@@ -2277,6 +2277,34 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("pq matches the per-subspace Lloyd replay; m=1 degenerates to kmeans") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val quant = vecs.select(col("vec_id"), Ann.quantize(col("embedding")).as("q"))
+      .as[(Long, Array[Long])].collect()
+    val (m, k, iters) = (4, 4, 2)
+    val d = quant.head._2.length / m
+    // independent replay: slice each vector, run the reference Lloyd per
+    // subspace, expect (id, sub) -> (code, dist)
+    val expected = (0 until m).flatMap { s =>
+      val sub = quant.map { case (id, q) => (id, q.slice(s * d, s * d + d)) }
+      lloydReference(sub, k, iters).map { case (id, (c, dd)) => (id, s.toLong) -> (c, dd) }
+    }.toMap
+    val got = Ann.pq(vecs, "vec_id", "embedding", m, k, iters)
+      .as[(Long, Long, Int, Long)].collect()
+      .map { case (id, s, c, dd) => (id, s) -> (c, dd) }.toMap
+    assert(got === expected)
+    // degenerate law: one subspace IS kmeans (same init, rounds, tie-break)
+    val viaKmeans = Ann.kmeans(vecs, "vec_id", "embedding", k, iters)
+      .as[(Long, Int, Long)].collect().map { case (id, c, dd) => (id, 0L) -> (c, dd) }.toMap
+    val viaPq = Ann.pq(vecs, "vec_id", "embedding", 1, k, iters)
+      .as[(Long, Long, Int, Long)].collect()
+      .map { case (id, s, c, dd) => (id, s) -> (c, dd) }.toMap
+    assert(viaPq === viaKmeans)
+    // codebook shape: m books of k codewords of dim/m
+    val books = Ann.pqTrain(vecs, "vec_id", "embedding", m, k, iters)
+    assert(books.length == m && books.forall(b => b.length == k && b.forall(_.length == d)))
+  }
+
   test("sq8 matches an independent driver replay of the envelope/code/error chain") {
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // replay from the ENGINE-quantized milli values (the lloydReference

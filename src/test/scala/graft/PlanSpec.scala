@@ -138,6 +138,19 @@ class PlanSpec extends AnyFunSuite {
       "sq8 encode must not join:\n" + plan.take(2000))
   }
 
+  test("pqEncode is a zero-Exchange zero-Join scan pass (literal codebooks)") {
+    import graft.sim.Ann
+    val vecs = Tpch.table(spark, dir, "embeddings")
+    val books = Ann.pqTrain(vecs, "vec_id", "embedding", m = 4, k = 4, iters = 2)
+    val enc = Ann.pqEncode(vecs, "vec_id", "embedding", books)
+    enc.collect()
+    val plan = executedPlan(enc)
+    assert(!plan.contains("Exchange"),
+      "pq encode must not shuffle:\n" + plan.take(2000))
+    assert(!plan.contains("Join"),
+      "pq encode must not join:\n" + plan.take(2000))
+  }
+
   test("kmeans assignment is a zero-Exchange scan pass; clusterSample pre-trims map-side") {
     import graft.sim.Ann
     val vecs = Tpch.table(spark, dir, "embeddings")
