@@ -281,36 +281,66 @@ object ScaleProbe {
       "bpe_encode" -> {
         lazy val merges = graft.functions.TextOps.bpeMerges(docs1, "text", nMerges = 6)
         d => graft.functions.TextOps.bpeEncode(d, "doc_id", "text", merges).count()
-      })
-    val selectedPipe = only.map(f => pipeProbes.filter(_._1.contains(f))).getOrElse(pipeProbes)
-    require(only.isEmpty || selected.nonEmpty || selectedPipe.nonEmpty,
-      s"probe filter '${only.getOrElse("")}' matches nothing in either probe list")
-    selectedPipe.foreach { case (name, f) =>
-      val (t1, n1) = minTime(f(docs1))
-      val (tK, nK) = minTime(f(docsK))
-      val ratio = tK / math.max(t1, 1e-9)
-      println(f"[scale] $name%-18s 1x: $t1%6.2f s (n=$n1%9d)   ${kk}x: $tK%6.2f s (n=$nK%9d)   time-ratio: $ratio%5.2f")
-    }
-    if (only.isDefined) { spark.stop(); return } // filtered run ends here
-
-    // --- semantic dedup probe: nlist is the scale knob ---------------------
-    // k× the vectors with k× the cells keeps per-cell occupancy — and so the
-    // within-cell pair fan-out per vector — constant: the SemDeDup recipe's
-    // stated contract (cluster count grows with the collection). Replicas
-    // are CIRCULARLY SHIFTED per copy (a rotation: norms and within-replica
-    // similarity structure preserved, directions spread across cells) so
-    // the probe measures honest data growth, not an all-duplicates corpus.
-    val emb1 = spark.read.parquet(s"$dir/embeddings.parquet")
+      },
+      // trigram grep: the pattern's gram IN-filter keeps the candidate agg
+      // at matching postings only; candidates and output grow with the
+      // copies (every replica of a matching doc matches) — linear
+      "grep_indexed" -> { d =>
+        val idx = graft.functions.TextOps.trigramIndex(d, "doc_id", "text")
+        graft.functions.TextOps.grepIndexed(idx, d, "doc_id", "text", "merge batch").count()
+      },
+      // dataset-overlap matrix: replication grows the (grp, gram) dedup
+      // INPUT 64x while the distinct posting set — and so the gram join —
+      // stays fixed (copies add no new grams): ratio must sit far below
+      // the data factor, the keyed-dedup signature
+      "source_sim" -> (d => graft.dedup.Dedup
+        .groupJaccard(d, "source", "text", k = 3).count()))
+    // embeddings replicas for the quantizer/ANN probes: CIRCULARLY SHIFTED
+    // per copy (a rotation: norms and within-replica similarity structure
+    // preserved, directions spread across cells) so probes measure honest
+    // data growth, not an all-duplicates corpus. LAZY like docsK.
+    lazy val emb1 = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding").localCheckpoint(true)
     def shifted(i: Int): org.apache.spark.sql.Column = {
       val s = i % 64
       if (s == 0) col("embedding")
       else concat(slice(col("embedding"), s + 1, 64 - s), slice(col("embedding"), 1, s))
     }
-    val embK = (0 until k).map(i =>
+    lazy val embK = (0 until k).map(i =>
         emb1.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
           shifted(i).as("embedding")))
       .reduce(_.unionByName(_)).localCheckpoint(true)
+    // quantizer probes (k× vectors): train collapses map-side to bounded
+    // codec state, encode is a literal-codec zero-shuffle projection —
+    // both must track scan volume linearly
+    val embProbes: Seq[(String, DataFrame => Long)] = Seq(
+      "sq8" -> (df => graft.sim.Ann.sq8(df, "vec_id", "embedding")
+        .agg(sum(col("err"))).head().getLong(0)),
+      "pq" -> (df => graft.sim.Ann.pq(df, "vec_id", "embedding",
+        m = 4, k = 8, iters = 2).count()))
+
+    val selectedPipe = only.map(f => pipeProbes.filter(_._1.contains(f))).getOrElse(pipeProbes)
+    val selectedEmb = only.map(f => embProbes.filter(_._1.contains(f))).getOrElse(embProbes)
+    require(only.isEmpty || selected.nonEmpty || selectedPipe.nonEmpty || selectedEmb.nonEmpty,
+      s"probe filter '${only.getOrElse("")}' matches nothing in any probe list")
+    selectedPipe.foreach { case (name, f) =>
+      val (t1, n1) = minTime(f(docs1))
+      val (tK, nK) = minTime(f(docsK))
+      val ratio = tK / math.max(t1, 1e-9)
+      println(f"[scale] $name%-18s 1x: $t1%6.2f s (n=$n1%9d)   ${kk}x: $tK%6.2f s (n=$nK%9d)   time-ratio: $ratio%5.2f")
+    }
+    selectedEmb.foreach { case (name, f) =>
+      val (t1, n1) = minTime(f(emb1))
+      val (tK, nK) = minTime(f(embK))
+      val ratio = tK / math.max(t1, 1e-9)
+      println(f"[scale] $name%-18s 1x: $t1%6.2f s (n=$n1%9d)   ${k}x: $tK%6.2f s (n=$nK%9d)   time-ratio: $ratio%5.2f")
+    }
+    if (only.isDefined) { spark.stop(); return } // filtered run ends here
+
+    // --- semantic dedup probe: nlist is the scale knob ---------------------
+    // k× the vectors with k× the cells keeps per-cell occupancy — and so the
+    // within-cell pair fan-out per vector — constant: the SemDeDup recipe's
+    // stated contract (cluster count grows with the collection).
     def semdedup(df: DataFrame, nlist: Int): Long = {
       implicit val sp: SparkSession = spark
       graft.sim.Ann.semanticDedup(df, "vec_id", "embedding", tauPm = 450,

@@ -1078,6 +1078,12 @@ object SparkEntry {
       graft.sim.Ann.clusterSample(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
           k = kmeansK, iters = kmeansIters, cap = clusterCap)
         .select(col("id").as("vec_id"), col("cluster"), col("dist"), col("rk"))),
+    "q_ivfpq" -> ((s, dir) => // IVF-ADC: coarse cells route queries, PQ
+      // codes + per-query literal lookup tables score candidates — the
+      // FAISS index layout end to end, integer-exact and fully oracled
+      graft.sim.Ann.ivfPqTopK(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
+        kTop = 3, querySide = _.where(col("id") < 100), nlist = 16, nprobe = 4,
+        m = pqM, kPq = pqK, iters = pqIters)),
     "q_pq" -> ((s, dir) => // product quantization: m independent integer
       // Lloyd codebooks over contiguous subvector slices, then a
       // literal-codebook zero-shuffle encode emitting each subspace's
@@ -2226,6 +2232,38 @@ object SparkEntry {
     s"WITH $ctes\n$arms"
   }
 
+  /** q_ivfpq oracle: IVF cells from [[ivfCellCtes]] + the q_pq subspace
+    * chains — a candidate's ADC distance is the sum over subspaces of the
+    * FINAL assign round's distance relation (s*_d{iters} restricted to the
+    * query id) at the candidate's code: the lookup-table semantics exactly,
+    * with no new arithmetic to trust. */
+  private def ivfPqOracleSql: String = {
+    val d = 64 / pqM
+    val pqChains = (0 until pqM).map(s => kmeansCtesFor(s"s${s}_", s * d, d, pqK, pqIters))
+      .mkString(",\n")
+    val codes = (0 until pqM)
+      .map(s => s"SELECT vec_id AS id_n, $s AS sub, cid AS code FROM s${s}_a$pqIters")
+      .mkString(" UNION ALL ")
+    val adct = (0 until pqM)
+      .map(s => s"SELECT vec_id AS id_q, $s AS sub, cid, dist FROM s${s}_d$pqIters")
+      .mkString(" UNION ALL ")
+    s"""WITH $ivfCellCtes,
+       |$pqChains,
+       |codes AS ($codes),
+       |adct AS ($adct),
+       |indexed AS (SELECT id AS id_n, cell FROM rnk WHERE lrn = 1),
+       |probes AS (SELECT id AS id_q, cell FROM rnk WHERE id < 100 AND lrn <= 4),
+       |cand AS (SELECT DISTINCT p.id_q, x.id_n FROM probes p JOIN indexed x USING (cell)
+       |         WHERE p.id_q <> x.id_n),
+       |sc AS (SELECT c.id_q, c.id_n, sum(a.dist)::BIGINT AS adc_dist
+       |       FROM cand c JOIN codes k ON k.id_n = c.id_n
+       |       JOIN adct a ON a.id_q = c.id_q AND a.sub = k.sub AND a.cid = k.code
+       |       GROUP BY 1, 2)
+       |SELECT id_q, id_n, adc_dist,
+       |       row_number() OVER (PARTITION BY id_q ORDER BY adc_dist ASC, id_n ASC)::INT AS rn
+       |FROM sc QUALIFY rn <= 3""".stripMargin
+  }
+
   private def kmeansOracleSql: String =
     s"WITH $kmeansCtes\nSELECT vec_id, cid AS cluster, dist FROM a$kmeansIters"
 
@@ -2242,6 +2280,7 @@ object SparkEntry {
     "q_kmeans" -> kmeansOracleSql,
     "q_cluster_sample" -> clusterSampleOracleSql,
     "q_pq" -> pqOracleSql,
+    "q_ivfpq" -> ivfPqOracleSql,
     // SQ8: the identical integer chain — milli-quantize, per-dim envelope,
     // clamp→scale→truncating-div code, decode, squared-L2 error. Every
     // numerator is non-negative so DuckDB's flooring `//` equals Spark's

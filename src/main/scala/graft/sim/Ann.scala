@@ -635,4 +635,70 @@ object Ann {
     val qd = kmeansInput(vecs, idCol, embCol)
     pqEncodeOn(qd, pqTrainOn(qd, m, k, iters))
   }
+
+  /** IVF-ADC search — the standard large-scale ANN index layout end to end:
+    * the [[ivfTopK]] coarse quantizer routes queries to `nprobe` cells, but
+    * candidates are scored through their PQ CODES via asymmetric distance
+    * computation instead of full vectors: each query precomputes its m·kPq
+    * table of exact integer squared distances to every codeword (a
+    * literal-codebook projection riding the probe side), and a candidate's
+    * ADC distance is the sum of m table lookups selected by its codes —
+    * the scan side never touches raw vectors at query time, which is the
+    * entire point of PQ at 100 TB (codes are m bytes, vectors 4·dim).
+    * This variant quantizes raw vectors, not IVF residuals (stated trade:
+    * one codebook set serves every cell; residual PQ needs per-assignment
+    * recentering that buys accuracy at the cost of a second join).
+    *
+    * Emits (id_q, id_n, adc_dist, rn): the kTop candidates per query by
+    * (adc_dist asc, id_n asc) — exact integer ADC over milli-quantized
+    * vectors, fully oracle-replayable (cells = ivfCellCtes, codes/tables =
+    * the q_pq round CTEs: the ADC table IS the final assign round's
+    * distance relation restricted to query ids).
+    *
+    * Scale: candidate generation is the cell equi-join (no-cartesian
+    * pinned); scoring is codes-join (m rows per candidate) + one lookup
+    * array carried on the bounded query side; the per-query top-k window
+    * pre-trims map-side (WindowGroupLimit). */
+  def ivfPqTopK(vecs: DataFrame, idCol: String, embCol: String, kTop: Int,
+      querySide: DataFrame => DataFrame, nlist: Int = 16, nprobe: Int = 2,
+      m: Int = 4, kPq: Int = 4, iters: Int = 2): DataFrame = {
+    val qd = kmeansInput(vecs, idCol, embCol)
+    val leaders = leadersOf(qd, nlist)
+    val books = pqTrainOn(qd, m, kPq, iters)
+    val d = books.head.head.length
+    val codes = pqEncodeOn(qd, books)
+      .select(col("id").as("id_n"), col("sub").cast("int").as("sub"), col("code"))
+    val indexed = rankedCells(qd, leaders, "id_n", 0).where(col("lrn") === 1).drop("lrn")
+    val qside = querySide(qd)
+    val probes = rankedCells(qside, leaders, "id_q", 0).where(col("lrn") <= nprobe).drop("lrn")
+    // per-query ADC table: subvectors + norms materialize under their own
+    // aliases (each referenced kPq+1 times — the repetitionBp rule), then
+    // one m×kPq array of |qs|² − 2·qs·cw + |cw|² literal-book distances
+    val sliced = qside.select(col("id") +:
+      (0 until m).map(s => slice(col("q"), s * d + 1, d).as(s"__q$s")): _*)
+    val withN = sliced.select((col("id") +:
+      (0 until m).map(s => col(s"__q$s"))) ++
+      (0 until m).map(s => graft.functions.NativeOps
+        .longArrayDot(col(s"__q$s"), col(s"__q$s")).as(s"__n$s")): _*)
+    val adc = withN.select(col("id").as("id_q"),
+      array((0 until m).map { s =>
+        array(books(s).map { cw =>
+          val nc = cw.map(x => x * x).sum
+          lit(nc) + col(s"__n$s") - lit(2L) * graft.functions.NativeOps
+            .longArrayDot(col(s"__q$s"), array(cw.map(lit(_)): _*))
+        }: _*)
+      }: _*).as("__adc"))
+    val cands = probes.join(indexed, "cell")
+      .where(col("id_q") =!= col("id_n"))
+      .select("id_q", "id_n").dropDuplicates("id_q", "id_n")
+    val scored = cands
+      .join(codes, "id_n") // m rows per candidate pair
+      .join(adc, "id_q")   // lookup arrays ride the bounded query side
+      .withColumn("__part",
+        element_at(element_at(col("__adc"), col("sub") + 1), col("code") + 1))
+      .groupBy("id_q", "id_n").agg(sum(col("__part")).as("adc_dist"))
+    val w = Window.partitionBy("id_q").orderBy(col("adc_dist").asc, col("id_n").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= kTop)
+      .select(col("id_q"), col("id_n"), col("adc_dist"), col("rn"))
+  }
 }

@@ -138,6 +138,20 @@ class PlanSpec extends AnyFunSuite {
       "sq8 encode must not join:\n" + plan.take(2000))
   }
 
+  test("ivfPqTopK candidates come from the cell equi-join, never all pairs") {
+    import graft.sim.Ann
+    val vecs = Tpch.table(spark, dir, "embeddings")
+    val q = Ann.ivfPqTopK(vecs, "vec_id", "embedding", kTop = 3,
+      querySide = _.where(col("id") < 100), nlist = 16, nprobe = 4)
+    q.collect()
+    val plan = executedPlan(q)
+    // the only all-pairs-shaped op allowed is the broadcast against the
+    // 16-row leader table (the semanticDedup rule); candidate scoring joins
+    // are keyed on cell / id_n / id_q
+    assert(!plan.contains("CartesianProduct"),
+      "ivf-pq search must never build an all-pairs join:\n" + plan.take(3000))
+  }
+
   test("pqEncode is a zero-Exchange zero-Join scan pass (literal codebooks)") {
     import graft.sim.Ann
     val vecs = Tpch.table(spark, dir, "embeddings")
