@@ -2305,6 +2305,27 @@ class DataOpsSpec extends AnyFunSuite {
     assert(books.length == m && books.forall(b => b.length == k && b.forall(_.length == d)))
   }
 
+  test("streaming PQ encode matches the ORACLED batch codes row for row") {
+    // pqEncode is a pure projection over literal codebooks (the sq8 /
+    // assignClusters streaming-inference shape): batch-train, stream-encode
+    // a MemoryStream replay of the embeddings table -> the oracled q_pq rows
+    implicit val sqlCtx = spark.sqlContext
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = Ann.pqTrain(vecs, "vec_id", "embedding", m = 4, k = 4, iters = 2)
+    val expected = Ann.pq(vecs, "vec_id", "embedding", m = 4, k = 4, iters = 2)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val replay = vecs.select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Ann.pqEncode(mem.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding", books)
+      .writeStream.format("memory").queryName("pq_bridge").outputMode("append").start()
+    val (h1, h2) = replay.splitAt(replay.size / 2)
+    mem.addData(h1); q.processAllAvailable()
+    mem.addData(h2); q.processAllAvailable()
+    val got = spark.table("pq_bridge").as[(Long, Long, Int, Long)].collect().toSet
+    q.stop()
+    assert(got === expected)
+  }
+
   test("ivfPqTopK: ADC sums recompute from books+codes; ranks are consistent") {
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val (m, kPq, iters) = (4, 4, 2)

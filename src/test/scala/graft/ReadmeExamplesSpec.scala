@@ -52,6 +52,11 @@ class ReadmeExamplesSpec extends AnyFunSuite {
     assert(graft.sim.Ann.lshPairs(vecs, "vec_id", "embedding", 64, 450).count() >= 0)
     assert(graft.sim.Ann.kmeans(vecs, "vec_id", "embedding", 16, 5)
       .select("cluster").distinct().count() > 1)
+    assert(graft.sim.Ann.sq8(vecs, "vec_id", "embedding").count() > 0)
+    assert(graft.sim.Ann.ivfPqTopK(vecs, "vec_id", "embedding", kTop = 3,
+      querySide = _.where(col("id") < 100)).count() > 0)
+    assert(graft.functions.TextOps.grepScan(docs, "doc_id", "text", "needle").count() >= 0)
+    assert(graft.dedup.Dedup.groupJaccard(docs, "source", "text").count() > 0)
     val events = Tpch.events(spark, dir)
     assert(graft.streaming.Sessionize.batch(events).count() > 0)
   }
