@@ -585,13 +585,52 @@ object Ann {
     dim / m
   }
 
+  /** All m subspaces train TOGETHER: one bounded init head (the k lowest-id
+    * vectors, sliced driver-side — identical to per-subspace inits because
+    * slicing preserves id order) and ONE scan per round computing every
+    * subspace's assignment + (s, cid, i) sums (explode by subspace then by
+    * dimension = N·dim rows, the same volume one kmeans round aggregates;
+    * map-side combine collapses to m·k·(dim/m) = k·dim rows). Math is
+    * bit-identical to m independent [[trainOn]] loops (the q_pq oracle and
+    * the per-subspace Lloyd replay spec prove it); the fusion only cuts
+    * driver actions from m·iters to iters. */
   private def pqTrainOn(qd: DataFrame, m: Int, k: Int,
       iters: Int): Array[Array[Array[Long]]] = {
     require(m >= 1, "pq needs m >= 1 subspaces")
+    require(k >= 1 && iters >= 1, "pq needs k >= 1 and iters >= 1")
     val d = pqDim(qd, m)
-    Array.tabulate(m) { s =>
-      trainOn(qd.select(col("id"), slice(col("q"), s * d + 1, d).as("q")), k, iters)
+    val initRows = qd.orderBy(col("id")).limit(k).select(col("q"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    require(initRows.length == k,
+      s"pq asked for $k codewords but the input has only ${initRows.length} rows")
+    require(initRows.forall(_.length == m * d),
+      "pq input vectors must share one dimensionality")
+    var books = Array.tabulate(m)(s => initRows.map(_.slice(s * d, s * d + d)))
+    var round = 1
+    while (round < iters) {
+      val sliced = qd.select(col("id") +:
+        (0 until m).map(s => slice(col("q"), s * d + 1, d).as(s"__q$s")): _*)
+      val parts = (0 until m).map { s =>
+        struct(lit(s).as("s"),
+          kmeansBest(books(s), col(s"__q$s"))("cid").as("cid"),
+          col(s"__q$s").as("qs"))
+      }
+      val sums = sliced.select(explode(array(parts: _*)).as("p"))
+        .select(col("p.s").as("s"), col("p.cid").as("cid"),
+          posexplode(col("p.qs")).as(Seq("i", "x")))
+        .groupBy("s", "cid", "i").agg(sum(col("x")).as("sm"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), (r.getLong(3), r.getLong(4))))
+        .toMap
+      books = books.zipWithIndex.map { case (book, s) =>
+        book.zipWithIndex.map { case (prev, cid) =>
+          Array.tabulate(d)(i =>
+            sums.get((s, cid, i)).fold(prev(i)) { case (sm, n) => sm / n })
+        }
+      }
+      round += 1
     }
+    books
   }
 
   /** Encode against trained PQ codebooks: (id, sub, code, dist) — per
