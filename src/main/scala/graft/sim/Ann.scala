@@ -537,7 +537,12 @@ object Ann {
     require(ranges.forall(_ >= 1L), "sq8 ranges must be >= 1 (trainSq8 guarantees this)")
     val mnSql = mins.mkString("array(", "L,", "L)")
     val rgSql = ranges.mkString("array(", "L,", "L)")
-    qd.select(col("id"), col("q"),
+    // dimensionality gate: a vector shorter/longer than the codec would
+    // silently produce NULL codes (element_at past the literal arrays) or
+    // partially-summed errors (min-length dot) — mismatched rows DROP, the
+    // kmeansInput null/empty rule extended to dimension (spec'd)
+    qd.where(size(col("q")) === mins.length)
+      .select(col("id"), col("q"),
         expr(s"""transform(q, (x, i) ->
           ((least(greatest(x, element_at($mnSql, i + 1)),
                   element_at($mnSql, i + 1) + element_at($rgSql, i + 1))
@@ -608,7 +613,9 @@ object Ann {
     var books = Array.tabulate(m)(s => initRows.map(_.slice(s * d, s * d + d)))
     var round = 1
     while (round < iters) {
-      val sliced = qd.select(col("id") +:
+      // the encode-side dimensionality gate applies to training too: a
+      // mixed-dim row would contribute truncated slices to the sums
+      val sliced = qd.where(size(col("q")) === m * d).select(col("id") +:
         (0 until m).map(s => slice(col("q"), s * d + 1, d).as(s"__q$s")): _*)
       val parts = (0 until m).map { s =>
         struct(lit(s).as("s"),
@@ -650,10 +657,12 @@ object Ann {
     val m = books.length
     val d = books.head.head.length
     require(books.forall(_.forall(_.length == d)), "pq codewords must share one sub-dimension")
+    // dimensionality gate (the sq8EncodeOn rule): a short vector's slices
+    // would silently compute partially-summed dots — mismatched rows DROP
     // subvectors materialize under their own aliases (each is referenced
     // k+1 times by the per-codeword dots and its own norm — the
     // repetitionBp rule), then one generator row per subspace
-    val sliced = qd.select(col("id") +:
+    val sliced = qd.where(size(col("q")) === m * d).select(col("id") +:
       (0 until m).map(s => slice(col("q"), s * d + 1, d).as(s"__q$s")): _*)
     val cells = (0 until m).map { s =>
       val b = kmeansBest(books(s), col(s"__q$s"))
@@ -713,7 +722,7 @@ object Ann {
     // per-query ADC table: subvectors + norms materialize under their own
     // aliases (each referenced kPq+1 times — the repetitionBp rule), then
     // one m×kPq array of |qs|² − 2·qs·cw + |cw|² literal-book distances
-    val sliced = qside.select(col("id") +:
+    val sliced = qside.where(size(col("q")) === m * d).select(col("id") +:
       (0 until m).map(s => slice(col("q"), s * d + 1, d).as(s"__q$s")): _*)
     val withN = sliced.select((col("id") +:
       (0 until m).map(s => col(s"__q$s"))) ++

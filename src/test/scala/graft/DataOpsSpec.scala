@@ -2410,6 +2410,15 @@ class DataOpsSpec extends AnyFunSuite {
     val sat = Ann.sq8Encode(wild, "vec_id", "embedding", mins, rgs)
       .as[(Long, Array[Long], Long)].collect().head
     assert(sat._2.toSeq === Seq(0L, 255L), s"expected saturated codes, got $sat")
+    // dimensionality gate: rows whose dim differs from the codec DROP
+    // (never NULL-coded / partially-summed) — for sq8 AND pq encode
+    val mixed = Seq((4L, Array(0.5f, 0.5f)), (5L, Array(0.5f, 0.5f, 0.5f)),
+      (6L, Array(0.5f))).toDF("vec_id", "embedding")
+    assert(Ann.sq8Encode(mixed, "vec_id", "embedding", mins, rgs)
+      .select("id").as[Long].collect().toSeq === Seq(4L))
+    val book2 = Array(Array(Array(0L), Array(100L)), Array(Array(0L), Array(100L)))
+    assert(Ann.pqEncode(mixed, "vec_id", "embedding", book2)
+      .select("id").distinct().as[Long].collect().toSeq === Seq(4L))
     // the SAME call encodes a MemoryStream replay to identical rows
     val batch = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val (bm, br) = Ann.trainSq8(batch, "vec_id", "embedding")
