@@ -317,7 +317,16 @@ object ScaleProbe {
       "sq8" -> (df => graft.sim.Ann.sq8(df, "vec_id", "embedding")
         .agg(sum(col("err"))).head().getLong(0)),
       "pq" -> (df => graft.sim.Ann.pq(df, "vec_id", "embedding",
-        m = 4, k = 8, iters = 2).count()))
+        m = 4, k = 8, iters = 2).count()),
+      // IVF-ADC search: nlist grows with the collection (the semdedup
+      // contract) so per-cell occupancy — and per-query candidate count —
+      // stays constant; the ADC scoring joins are candidate-linear
+      "ivfpq" -> { df =>
+        val nlist = math.max(16, (df.count() / 125L).toInt) // 2k -> 16, 16k -> 128
+        graft.sim.Ann.ivfPqTopK(df, "vec_id", "embedding", kTop = 3,
+          querySide = _.where(col("id") < 100), nlist = nlist, nprobe = 4,
+          m = 4, kPq = 8, iters = 2).count()
+      })
 
     val selectedPipe = only.map(f => pipeProbes.filter(_._1.contains(f))).getOrElse(pipeProbes)
     val selectedEmb = only.map(f => embProbes.filter(_._1.contains(f))).getOrElse(embProbes)
