@@ -1078,6 +1078,11 @@ object SparkEntry {
       graft.sim.Ann.clusterSample(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
           k = kmeansK, iters = kmeansIters, cap = clusterCap)
         .select(col("id").as("vec_id"), col("cluster"), col("dist"), col("rk"))),
+    "q_knn_label" -> ((s, dir) => // label transfer by retrieval: majority
+      // vote over the q_ann_ivf top-3 neighbors' labels, ties to the
+      // smallest label — k-NN weak labeling from a labeled seed set
+      graft.sim.Ann.knnLabel(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", k = 3, querySide = _.where(col("id") < 100), nlist = 16, nprobe = 4)),
     "q_ivfpq" -> ((s, dir) => // IVF-ADC: coarse cells route queries, PQ
       // codes + per-query literal lookup tables score candidates — the
       // FAISS index layout end to end, integer-exact and fully oracled
@@ -1650,8 +1655,11 @@ object SparkEntry {
   /** q_ann_ivf oracle: IVF cells from [[ivfCellCtes]], nprobe=4 probing, and
     * the exact top-3 rescore; the rescore filters dot > 0, so `//` is safe
     * there. */
-  private def annIvfOracleSql: String =
-    s"""WITH $ivfCellCtes,
+  /** The full IVF-flat top-3 pipeline as a reusable CTE chain ending in
+    * `topk (id_q, id_n, score, rn)` — q_ann_ivf selects it verbatim;
+    * q_knn_label votes over it. */
+  private def ivfTopKCtes: String =
+    s"""$ivfCellCtes,
        |     indexed AS (SELECT id AS id_n, cell FROM rnk WHERE lrn = 1),
        |     probes AS (SELECT id AS id_q, cell FROM rnk WHERE id < 100 AND lrn <= 4),
        |     cand AS (SELECT DISTINCT p.id_q, x.id_n FROM probes p JOIN indexed x USING (cell)
@@ -1662,10 +1670,24 @@ object SparkEntry {
        |     fin AS (SELECT id_q, id_n,
        |               (dot * 1000000) // floor(sqrt((na.nq * nb.nq)::DOUBLE))::BIGINT AS score
        |             FROM sc JOIN norms na ON id_q = na.vec_id JOIN norms nb ON id_n = nb.vec_id
-       |             WHERE dot > 0)
-       |SELECT id_q, id_n, score,
-       |       row_number() OVER (PARTITION BY id_q ORDER BY score DESC, id_n ASC)::INT AS rn
-       |FROM fin QUALIFY rn <= 3""".stripMargin
+       |             WHERE dot > 0),
+       |     topk AS (SELECT id_q, id_n, score,
+       |                row_number() OVER (PARTITION BY id_q ORDER BY score DESC, id_n ASC)::INT AS rn
+       |              FROM fin QUALIFY rn <= 3)""".stripMargin
+
+  private def annIvfOracleSql: String =
+    s"WITH $ivfTopKCtes\nSELECT id_q, id_n, score, rn FROM topk"
+
+  /** q_knn_label oracle: majority vote over the q_ann_ivf top-3 neighbor
+    * labels — most votes wins, ties to the SMALLEST label (deterministic;
+    * no engine-specific mode()). */
+  private def knnLabelOracleSql: String =
+    s"""WITH $ivfTopKCtes,
+       |     votes AS (SELECT t.id_q, e.label::BIGINT AS label, count(*)::BIGINT AS votes
+       |               FROM topk t JOIN embeddings e ON e.vec_id = t.id_n GROUP BY 1, 2)
+       |SELECT id_q, label, votes FROM (
+       |  SELECT votes.*, row_number() OVER (PARTITION BY id_q
+       |           ORDER BY votes DESC, label ASC) AS vrn FROM votes) WHERE vrn = 1""".stripMargin
 
   /** q_semdedup oracle: the same IVF cells, exact integer-cosine >= tau
     * pairs WITHIN each cell, recursive transitive closure (the
@@ -2281,6 +2303,7 @@ object SparkEntry {
     "q_cluster_sample" -> clusterSampleOracleSql,
     "q_pq" -> pqOracleSql,
     "q_ivfpq" -> ivfPqOracleSql,
+    "q_knn_label" -> knnLabelOracleSql,
     // SQ8: the identical integer chain — milli-quantize, per-dim envelope,
     // clamp→scale→truncating-div code, decode, squared-L2 error. Every
     // numerator is non-negative so DuckDB's flooring `//` equals Spark's

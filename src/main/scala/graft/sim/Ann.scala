@@ -256,6 +256,28 @@ object Ann {
       .select(col("id_q"), col("id_n"), col("score"), col("rn"))
   }
 
+  /** Label transfer by retrieval (k-NN weak labeling): each query row gets
+    * the MAJORITY label of its [[ivfTopK]] neighbors, ties to the smallest
+    * label — the semi-supervised pattern that stamps noisy class labels
+    * onto an unlabeled corpus from a labeled seed set (quality tiers,
+    * topic buckets, safety flags) without training anything. Emits
+    * (id_q, label, votes).
+    *
+    * Scale: the [[ivfTopK]] shape (cell equi-join candidates) + one
+    * id-keyed label join + a k-row-per-query vote agg — nothing beyond the
+    * search itself grows with the corpus. */
+  def knnLabel(vecs: DataFrame, idCol: String, embCol: String,
+      labelCol: String, k: Int, querySide: DataFrame => DataFrame,
+      nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    val topk = ivfTopK(vecs, idCol, embCol, k, querySide, nlist, nprobe)
+    val labels = vecs.select(col(idCol).as("id_n"), col(labelCol).cast("long").as("label"))
+    val votes = topk.join(labels, "id_n")
+      .groupBy("id_q", "label").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("id_q").orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("__vrn", row_number().over(w)).where(col("__vrn") === 1)
+      .select("id_q", "label", "votes")
+  }
+
   /** SemDeDup-style SEMANTIC dedup: partition the collection into IVF cells
     * (the same deterministic lowest-id leader quantizer as [[ivfTopK]]),
     * find exact integer-cosine >= tau pairs WITHIN each cell, connect them

@@ -2305,6 +2305,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(books.length == m && books.forall(b => b.length == k && b.forall(_.length == d)))
   }
 
+  test("knnLabel: majority vote with smallest-label ties over the ivfTopK neighbors") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val topk = Ann.ivfTopK(vecs, "vec_id", "embedding", k = 3,
+        querySide = _.where(col("id") < 100), nlist = 16, nprobe = 4)
+      .as[(Long, Long, Long, Int)].collect()
+    val lbl = vecs.select(col("vec_id"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val expected = topk.groupBy(_._1).map { case (q, rows) =>
+      val votes = rows.groupBy(r => lbl(r._2)).map { case (l, rs) => (l, rs.length.toLong) }
+      val (bestL, bestV) = votes.toSeq.sortBy { case (l, v) => (-v, l) }.head
+      (q, bestL, bestV)
+    }.toSet
+    val got = Ann.knnLabel(vecs, "vec_id", "embedding", "label", k = 3,
+        querySide = _.where(col("id") < 100), nlist = 16, nprobe = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.forall(_._3 >= 1))
+  }
+
   test("streaming PQ encode matches the ORACLED batch codes row for row") {
     // pqEncode is a pure projection over literal codebooks (the sq8 /
     // assignClusters streaming-inference shape): batch-train, stream-encode
