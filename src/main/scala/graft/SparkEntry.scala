@@ -1521,6 +1521,12 @@ object SparkEntry {
     // ---- §2.5 events / streaming shadows --------------------------------
     "q_event_window" -> ((s, dir) =>
       graft.streaming.Sessionize.hourlyWindow(Tpch.events(s, dir))),
+    "q_funnel" -> ((s, dir) => // ordered funnel: greedy-earliest
+      // signup -> view -> click -> purchase per user; one row per
+      // completing user with the matched step timestamps
+      graft.streaming.Sessionize.funnel(Tpch.events(s, dir), "user_id", "ts",
+        "event_type", Seq("signup", "view", "click", "purchase"))
+        .select(col("key").as("user_id"), col("t1"), col("t2"), col("t3"), col("t4"))),
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.batch(Tpch.events(s, dir))),
     "q_range_join" -> ((s, dir) => {
@@ -3662,6 +3668,15 @@ object SparkEntry {
                 count(*) AS n_events,
                 sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
          FROM events GROUP BY 1""",
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
+            s2 AS (SELECT e.user_id, s1.t1, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1, 2),
+            s3 AS (SELECT e.user_id, s2.t1, s2.t2, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1, 2, 3),
+            s4 AS (SELECT e.user_id, s3.t1, s3.t2, s3.t3, min(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1, 2, 3, 4)
+         SELECT user_id, t1, t2, t3, t4 FROM s4""",
     "q_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id,
                       CASE WHEN lag(ts) OVER w IS NULL

@@ -163,4 +163,33 @@ object Sessionize {
       .agg(count(lit(1)).as("n_events"),
         sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
       .select(unix_timestamp(col("w.start")).as("hour_ts"), col("n_events"), col("value_cents"))
+
+  /** Ordered-funnel analysis: per key, the GREEDY-EARLIEST completion of
+    * the step sequence — t₁ = min ts of step 1, tᵢ = min ts of step i
+    * STRICTLY after tᵢ₋₁ — emitting one row per key that completes every
+    * step, with the step timestamps (t1..tk). Greedy-earliest is the
+    * deterministic existence-optimal matching for an unwindowed funnel
+    * (starting any later only shrinks what can follow); a max-span variant
+    * is the post-filter t_k − t_1 ≤ span over this output, which keeps the
+    * common "within T of the first step, matched greedily" semantics —
+    * both SQL-replayable.
+    *
+    * Scale: k−1 key-equi-joins + k keyed min-aggs over the single events
+    * scan, each shuffling on the funnel key only — no window over the full
+    * event stream, no per-key event materialization, output ≤ one row per
+    * key. */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.where(col(typeCol) === steps.head)
+      .groupBy(col(keyCol).as("key")).agg(min(col(tsCol)).as("t1"))
+    steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (step, i)) =>
+      events.where(col(typeCol) === step)
+        .select(col(keyCol).as("key"), col(tsCol).as("__ts"))
+        .join(acc, "key")
+        .where(col("__ts") > col(s"t$i"))
+        .groupBy((col("key") +: (1 to i).map(j => col(s"t$j"))): _*)
+        .agg(min(col("__ts")).as(s"t${i + 1}"))
+    }
+  }
 }

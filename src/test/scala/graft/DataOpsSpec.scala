@@ -2305,6 +2305,29 @@ class DataOpsSpec extends AnyFunSuite {
     assert(books.length == m && books.forall(b => b.length == k && b.forall(_.length == d)))
   }
 
+  test("funnel: greedy-earliest strictly-after matching, incomplete users excluded") {
+    def t(s: Long) = new Timestamp(s * 1000)
+    // user 1 completes — but only via the strictly-after rule: the view
+    // BEFORE signup and the click BEFORE the matched view are ignored, and
+    // purchase@30 == t3 is NOT strictly after (purchase@40 matches)
+    // user 2 lacks purchase; user 3 has all steps in REVERSE order
+    val ev = Seq(
+      (1L, t(10), "signup"), (1L, t(5), "view"), (1L, t(20), "view"),
+      (1L, t(15), "click"), (1L, t(30), "click"), (1L, t(30), "purchase"),
+      (1L, t(40), "purchase"),
+      (2L, t(10), "signup"), (2L, t(20), "view"), (2L, t(30), "click"),
+      (3L, t(1), "purchase"), (3L, t(2), "click"), (3L, t(3), "view"), (3L, t(4), "signup")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Sessionize.funnel(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+      .as[(Long, Timestamp, Timestamp, Timestamp, Timestamp)].collect().toSeq
+    assert(got === Seq((1L, t(10), t(20), t(30), t(40))))
+    // single-step funnel degenerates to a keyed min
+    val one = Sessionize.funnel(ev, "user_id", "ts", "event_type", Seq("view"))
+      .as[(Long, Timestamp)].collect().sortBy(_._1).toSeq
+    assert(one === Seq((1L, t(5)), (2L, t(20)), (3L, t(3))))
+  }
+
   test("knnLabel: majority vote with smallest-label ties over the ivfTopK neighbors") {
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val topk = Ann.ivfTopK(vecs, "vec_id", "embedding", k = 3,
