@@ -273,7 +273,11 @@ object Ann {
     val labels = vecs.select(col(idCol).as("id_n"), col(labelCol).cast("long").as("label"))
     val votes = topk.join(labels, "id_n")
       .groupBy("id_q", "label").agg(count(lit(1)).as("votes"))
-    val w = Window.partitionBy("id_q").orderBy(col("votes").desc, col("label").asc)
+    // NULLS LAST pins the tie-break cross-engine: Spark's bare asc sorts
+    // nulls FIRST where DuckDB's ORDER BY sorts them LAST — a null seed
+    // label must never beat a real one on ties
+    val w = Window.partitionBy("id_q")
+      .orderBy(col("votes").desc, col("label").asc_nulls_last)
     votes.withColumn("__vrn", row_number().over(w)).where(col("__vrn") === 1)
       .select("id_q", "label", "votes")
   }

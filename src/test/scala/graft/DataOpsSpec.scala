@@ -2345,6 +2345,18 @@ class DataOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === expected)
     assert(got.nonEmpty && got.forall(_._3 >= 1))
+    // null-label tie: Spark's bare asc sorts nulls FIRST (DuckDB: LAST) —
+    // the pinned nulls-last tie-break means a real label beats a null seed
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.0f), java.lang.Integer.valueOf(7)),
+      (2L, Array(0.9f, 0.1f), null.asInstanceOf[java.lang.Integer]),
+      (3L, Array(0.8f, 0.2f), java.lang.Integer.valueOf(5)))
+      .toDF("vec_id", "embedding", "label")
+    val verdict = Ann.knnLabel(tiny, "vec_id", "embedding", "label", k = 2,
+        querySide = _.where(col("id") === 1), nlist = 1, nprobe = 1)
+      .as[(Long, Option[Long], Long)].collect().toSeq
+    assert(verdict === Seq((1L, Some(5L), 1L)),
+      s"null label must lose the tie to a real one, got $verdict")
   }
 
   test("streaming PQ encode matches the ORACLED batch codes row for row") {
