@@ -1521,6 +1521,11 @@ object SparkEntry {
     // ---- §2.5 events / streaming shadows --------------------------------
     "q_event_window" -> ((s, dir) =>
       graft.streaming.Sessionize.hourlyWindow(Tpch.events(s, dir))),
+    "q_retention" -> ((s, dir) => // cohort retention: signup-week cohorts,
+      // per-offset active fraction in basis points — one distinct over
+      // (user, week) is the only corpus-sized shuffle
+      graft.streaming.Sessionize.retention(Tpch.events(s, dir), "user_id", "ts",
+        "event_type", signupType = "signup")),
     "q_funnel" -> ((s, dir) => // ordered funnel: greedy-earliest
       // signup -> view -> click -> purchase per user; one row per
       // completing user with the matched step timestamps
@@ -3668,6 +3673,19 @@ object SparkEntry {
                 count(*) AS n_events,
                 sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
          FROM events GROUP BY 1""",
+    // floor(epoch(ts)) pins DuckDB's fractional epoch to Spark's
+    // unix_timestamp truncation; positive seconds make // == div
+    "q_retention" ->
+      """WITH su AS (SELECT user_id, floor(epoch(min(ts)))::BIGINT // 604800 AS cw
+                     FROM events WHERE event_type = 'signup' GROUP BY 1),
+            act AS (SELECT DISTINCT user_id, floor(epoch(ts))::BIGINT // 604800 AS w FROM events),
+            j AS (SELECT DISTINCT s.cw, a.w - s.cw AS k, a.user_id
+                  FROM act a JOIN su s USING (user_id) WHERE a.w >= s.cw),
+            na AS (SELECT cw, k, count(*) AS n_active FROM j GROUP BY 1, 2),
+            nc AS (SELECT cw, count(*) AS n_cohort FROM su GROUP BY 1)
+         SELECT na.cw AS cohort_week, na.k, na.n_active, nc.n_cohort,
+                (na.n_active * 10000) // nc.n_cohort AS retention_bp
+         FROM na JOIN nc USING (cw)""",
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
             s2 AS (SELECT e.user_id, s1.t1, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)

@@ -164,6 +164,36 @@ object Sessionize {
         sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
       .select(unix_timestamp(col("w.start")).as("hour_ts"), col("n_events"), col("value_cents"))
 
+  /** Cohort retention: users are cohorted by the WEEK of their first
+    * `signupType` event (epoch-seconds div weekSec — floor on both engines
+    * for positive timestamps), and for each offset k ≥ 0 the fraction of
+    * the cohort active (ANY event) in cohort_week + k is reported in basis
+    * points. Activity before the signup week is ignored; the signup event
+    * itself makes k = 0 retention 10⁴ by construction. Emits
+    * (cohort_week, k, n_active, n_cohort, retention_bp).
+    *
+    * Scale: one keyed min-agg (cohorts), one distinct over (key, week) —
+    * the only corpus-sized shuffle, bounded by active user-weeks — then
+    * key-joined counts; output is cohorts × offsets. */
+  def retention(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, signupType: String, weekSec: Long = 604800L): DataFrame = {
+    require(weekSec > 0, "weekSec must be positive")
+    val su = events.where(col(typeCol) === signupType)
+      .groupBy(col(keyCol).as("key"))
+      .agg(expr(s"unix_timestamp(min(`$tsCol`)) div ${weekSec}L").as("cw"))
+    val act = events.select(col(keyCol).as("key"),
+        expr(s"unix_timestamp(`$tsCol`) div ${weekSec}L").as("w"))
+      .dropDuplicates("key", "w")
+    val joined = act.join(su, "key").where(col("w") >= col("cw"))
+      .select(col("cw"), (col("w") - col("cw")).as("k"), col("key"))
+      .dropDuplicates()
+    val nActive = joined.groupBy("cw", "k").agg(count(lit(1)).as("n_active"))
+    val nCohort = su.groupBy("cw").agg(count(lit(1)).as("n_cohort"))
+    nActive.join(nCohort, "cw")
+      .select(col("cw").as("cohort_week"), col("k"), col("n_active"), col("n_cohort"),
+        expr("(n_active * 10000) div n_cohort").as("retention_bp"))
+  }
+
   /** Ordered-funnel analysis: per key, the GREEDY-EARLIEST completion of
     * the step sequence — t₁ = min ts of step 1, tᵢ = min ts of step i
     * STRICTLY after tᵢ₋₁ — emitting one row per key that completes every

@@ -2305,6 +2305,27 @@ class DataOpsSpec extends AnyFunSuite {
     assert(books.length == m && books.forall(b => b.length == k && b.forall(_.length == d)))
   }
 
+  test("retention: signup-week cohorts, pre-signup activity ignored, k0 is 10000 bp") {
+    val wk = 604800L
+    def t(s: Long) = new Timestamp(s * 1000)
+    // users 1,2 cohort at week 0 (signups inside [0, wk)); user 3 at week 2;
+    // user 4 never signs up -> no cohort, and their activity counts nowhere
+    val ev = Seq(
+      (1L, t(100), "signup"), (1L, t(wk + 5), "view"), (1L, t(3 * wk + 1), "click"),
+      (2L, t(200), "signup"), (2L, t(50), "view") /* same week as signup */,
+      (3L, t(2 * wk + 9), "signup"), (3L, t(wk), "view") /* PRE-signup: ignored */,
+      (3L, t(3 * wk), "purchase"),
+      (4L, t(10), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Sessionize.retention(ev, "user_id", "ts", "event_type", "signup")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // cohort 0 (n=2): k0 both (signup events), k1 user1, k3 user1
+    // cohort 2 (n=1): k0 (signup), k1 (purchase at week 3)
+    assert(got === Set(
+      (0L, 0L, 2L, 2L, 10000L), (0L, 1L, 1L, 2L, 5000L), (0L, 3L, 1L, 2L, 5000L),
+      (2L, 0L, 1L, 1L, 10000L), (2L, 1L, 1L, 1L, 10000L)))
+  }
+
   test("funnel: greedy-earliest strictly-after matching, incomplete users excluded") {
     def t(s: Long) = new Timestamp(s * 1000)
     // user 1 completes — but only via the strictly-after rule: the view
