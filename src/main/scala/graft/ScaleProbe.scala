@@ -326,11 +326,34 @@ object ScaleProbe {
         graft.sim.Ann.ivfPqTopK(df, "vec_id", "embedding", kTop = 3,
           querySide = _.where(col("id") < 100), nlist = nlist, nprobe = 4,
           m = 4, kPq = 8, iters = 2).count()
+      },
+      // k-NN label transfer: the ivfTopK shape + one id-keyed label join
+      "knn_label" -> { df =>
+        val nlist = math.max(16, (df.count() / 125L).toInt)
+        graft.sim.Ann.knnLabel(df.withColumn("label", (col("vec_id") % 7).cast("int")),
+          "vec_id", "embedding", "label", k = 3,
+          querySide = _.where(col("id") < 100), nlist = nlist, nprobe = 4).count()
       })
+
+    // events replicas (user_id shifted: k× USERS, per-user history constant)
+    // for the funnel/retention analytics probes — both are keyed joins +
+    // keyed mins/distincts, so time must track scan volume linearly
+    lazy val ev1 = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "ts", "event_type").localCheckpoint(true)
+    lazy val evK = (0 until k).map(i =>
+        ev1.withColumn("user_id", col("user_id") + lit(i * 1000000L)))
+      .reduce(_.unionByName(_)).localCheckpoint(true)
+    val evProbes: Seq[(String, DataFrame => Long)] = Seq(
+      "funnel" -> (d => graft.streaming.Sessionize.funnel(d, "user_id", "ts",
+        "event_type", Seq("signup", "view", "click", "purchase")).count()),
+      "retention" -> (d => graft.streaming.Sessionize.retention(d, "user_id", "ts",
+        "event_type", "signup").agg(sum(col("n_active"))).head().getLong(0)))
 
     val selectedPipe = only.map(f => pipeProbes.filter(_._1.contains(f))).getOrElse(pipeProbes)
     val selectedEmb = only.map(f => embProbes.filter(_._1.contains(f))).getOrElse(embProbes)
-    require(only.isEmpty || selected.nonEmpty || selectedPipe.nonEmpty || selectedEmb.nonEmpty,
+    val selectedEv = only.map(f => evProbes.filter(_._1.contains(f))).getOrElse(evProbes)
+    require(only.isEmpty || selected.nonEmpty || selectedPipe.nonEmpty ||
+      selectedEmb.nonEmpty || selectedEv.nonEmpty,
       s"probe filter '${only.getOrElse("")}' matches nothing in any probe list")
     selectedPipe.foreach { case (name, f) =>
       val (t1, n1) = minTime(f(docs1))
@@ -341,6 +364,12 @@ object ScaleProbe {
     selectedEmb.foreach { case (name, f) =>
       val (t1, n1) = minTime(f(emb1))
       val (tK, nK) = minTime(f(embK))
+      val ratio = tK / math.max(t1, 1e-9)
+      println(f"[scale] $name%-18s 1x: $t1%6.2f s (n=$n1%9d)   ${k}x: $tK%6.2f s (n=$nK%9d)   time-ratio: $ratio%5.2f")
+    }
+    selectedEv.foreach { case (name, f) =>
+      val (t1, n1) = minTime(f(ev1))
+      val (tK, nK) = minTime(f(evK))
       val ratio = tK / math.max(t1, 1e-9)
       println(f"[scale] $name%-18s 1x: $t1%6.2f s (n=$n1%9d)   ${k}x: $tK%6.2f s (n=$nK%9d)   time-ratio: $ratio%5.2f")
     }

@@ -57,7 +57,13 @@ class ReadmeExamplesSpec extends AnyFunSuite {
       querySide = _.where(col("id") < 100)).count() > 0)
     assert(graft.functions.TextOps.grepScan(docs, "doc_id", "text", "needle").count() >= 0)
     assert(graft.dedup.Dedup.groupJaccard(docs, "source", "text").count() > 0)
+    assert(graft.sim.Ann.knnLabel(vecs, "vec_id", "embedding", "label", k = 3,
+      querySide = _.where(col("id") < 100)).count() > 0)
     val events = Tpch.events(spark, dir)
+    assert(graft.streaming.Sessionize.funnel(events, "user_id", "ts", "event_type",
+      Seq("signup", "view", "click", "purchase")).count() > 0)
+    assert(graft.streaming.Sessionize.retention(events, "user_id", "ts",
+      "event_type", "signup").count() > 0)
     assert(graft.streaming.Sessionize.batch(events).count() > 0)
   }
 
