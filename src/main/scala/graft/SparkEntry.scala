@@ -1521,6 +1521,10 @@ object SparkEntry {
     // ---- §2.5 events / streaming shadows --------------------------------
     "q_event_window" -> ((s, dir) =>
       graft.streaming.Sessionize.hourlyWindow(Tpch.events(s, dir))),
+    "q_anomaly" -> ((s, dir) => // hourly volume anomaly: integer z-test
+      // (x*N - S)^2 >= z^2*(N*Q - S^2) — no floats anywhere
+      graft.streaming.Sessionize.volumeAnomaly(Tpch.events(s, dir), "ts",
+        bucketSec = 3600L, z = 2L)),
     "q_retention" -> ((s, dir) => // cohort retention: signup-week cohorts,
       // per-offset active fraction in basis points — one distinct over
       // (user, week) is the only corpus-sized shuffle
@@ -3673,6 +3677,14 @@ object SparkEntry {
                 count(*) AS n_events,
                 sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
          FROM events GROUP BY 1""",
+    "q_anomaly" ->
+      """WITH b AS (SELECT floor(epoch(ts))::BIGINT // 3600 AS b, count(*) AS n
+                    FROM events GROUP BY 1),
+            g AS (SELECT count(*) AS nb, sum(n) AS s, sum(n * n) AS q FROM b)
+         SELECT b.b * 3600 AS bucket_ts, b.n,
+                ((b.n * g.nb - g.s) * (b.n * g.nb - g.s)
+                  > 4 * (g.nb * g.q - g.s * g.s))::INT AS flag
+         FROM b, g""",
     // floor(epoch(ts)) pins DuckDB's fractional epoch to Spark's
     // unix_timestamp truncation; positive seconds make // == div
     "q_retention" ->

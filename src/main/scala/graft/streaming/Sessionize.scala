@@ -164,6 +164,36 @@ object Sessionize {
         sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
       .select(unix_timestamp(col("w.start")).as("hour_ts"), col("n_events"), col("value_cents"))
 
+  /** Volume anomaly detection over time buckets, integer-exact: bucket the
+    * stream into `bucketSec` windows, count events per bucket, and flag
+    * buckets whose count deviates from the corpus mean by ≥ z standard
+    * deviations — WITHOUT floats: |x − μ| > z·σ over N buckets
+    * cross-multiplies to (x·N − S)² > z²·(N·Q − S²) where S = Σx,
+    * Q = Σx², all 64-bit integer (hash-identical across engines; Long
+    * bounds hold through ~10⁹ events per window at millions of buckets).
+    * STRICT inequality: a zero-variance stream flags nothing (with ≥,
+    * every bucket of a perfectly uniform stream would be "anomalous").
+    * Only buckets holding ≥ 1 event exist — an empty bucket is absent from
+    * the data, not a zero (stated trade; a calendar spine is a caller-side
+    * join). Emits (bucket_ts, n, flag).
+    *
+    * Scale: ONE keyed count + a 3-scalar global agg broadcast back as
+    * literals into a scan predicate over the bucket table (bounded by
+    * distinct buckets, not events). */
+  def volumeAnomaly(events: DataFrame, tsCol: String, bucketSec: Long,
+      z: Long): DataFrame = {
+    require(bucketSec > 0 && z > 0, "need bucketSec > 0 and z > 0")
+    val buckets = events
+      .select(expr(s"unix_timestamp(`$tsCol`) div ${bucketSec}L").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n"))
+    val Array(nB, s, q) = buckets
+      .agg(count(lit(1)), sum(col("n")), sum(col("n") * col("n")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    buckets.select((col("b") * bucketSec).as("bucket_ts"), col("n"),
+      (((col("n") * nB - s) * (col("n") * nB - s)) >
+        lit(z * z) * lit(nB * q - s * s)).cast("int").as("flag"))
+  }
+
   /** Cohort retention: users are cohorted by the WEEK of their first
     * `signupType` event (epoch-seconds div weekSec — floor on both engines
     * for positive timestamps), and for each offset k ≥ 0 the fraction of

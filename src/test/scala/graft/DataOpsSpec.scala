@@ -2305,6 +2305,29 @@ class DataOpsSpec extends AnyFunSuite {
     assert(books.length == m && books.forall(b => b.length == k && b.forall(_.length == d)))
   }
 
+  test("volumeAnomaly: strict integer z-test — outlier flags, uniform stream doesn't") {
+    def t(s: Long) = new Timestamp(s * 1000)
+    // 6 hours of one event + 1 hour of 20: N=7, S=26, Q=406;
+    // outlier: (20*7-26)^2 = 12996 > 4*(7*406-676) = 8664 -> flag;
+    // ones: (7-26)^2 = 361 -> no flag
+    val ev = ((0 to 5).map(h => (h.toLong, t(h * 3600L + 7))) ++
+      (1 to 20).map(i => (100L + i, t(6 * 3600L + i))))
+      .toDF("event_id", "ts")
+    val got = Sessionize.volumeAnomaly(ev, "ts", bucketSec = 3600L, z = 2L)
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got === (0 to 5).map(h => (h * 3600L, 1L, 0)) :+ (6 * 3600L, 20L, 1))
+    // a single outlier among equals sits EXACTLY at 2 sigma — the strict
+    // test must NOT flag it (the >= boundary), and a zero-variance stream
+    // flags nothing at all
+    val boundary = ((0 to 3).map(h => (h.toLong, t(h * 3600L))) ++
+      (1 to 9).map(i => (200L + i, t(4 * 3600L + i)))).toDF("event_id", "ts")
+    assert(Sessionize.volumeAnomaly(boundary, "ts", 3600L, 2L)
+      .agg(sum("flag")).head().getLong(0) == 0L)
+    val uniform = (0 to 4).map(h => (h.toLong, t(h * 3600L))).toDF("event_id", "ts")
+    assert(Sessionize.volumeAnomaly(uniform, "ts", 3600L, 2L)
+      .agg(sum("flag")).head().getLong(0) == 0L)
+  }
+
   test("retention: signup-week cohorts, pre-signup activity ignored, k0 is 10000 bp") {
     val wk = 604800L
     def t(s: Long) = new Timestamp(s * 1000)
