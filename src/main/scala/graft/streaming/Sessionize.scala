@@ -182,13 +182,37 @@ object Sessionize {
     * distinct buckets, not events). */
   def volumeAnomaly(events: DataFrame, tsCol: String, bucketSec: Long,
       z: Long): DataFrame = {
-    require(bucketSec > 0 && z > 0, "need bucketSec > 0 and z > 0")
-    val buckets = events
-      .select(expr(s"unix_timestamp(`$tsCol`) div ${bucketSec}L").as("b"))
+    val buckets = bucketCounts(events, tsCol, bucketSec)
+    flagBuckets(buckets, volumeStats(buckets), bucketSec, z)
+  }
+
+  private def bucketCounts(events: DataFrame, tsCol: String,
+      bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, "need bucketSec > 0")
+    events.select(expr(s"unix_timestamp(`$tsCol`) div ${bucketSec}L").as("b"))
       .groupBy("b").agg(count(lit(1)).as("n"))
-    val Array(nB, s, q) = buckets
-      .agg(count(lit(1)), sum(col("n")), sum(col("n") * col("n")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+  }
+
+  /** The (N, S, Q) = (#buckets, Σn, Σn²) baseline of [[volumeAnomaly]]'s
+    * z-test — three longs of bounded driver state a monitor trains on a
+    * reference window and FREEZES (the sq8/kmeans codec convention). */
+  def volumeStats(events: DataFrame, tsCol: String, bucketSec: Long): (Long, Long, Long) =
+    volumeStats(bucketCounts(events, tsCol, bucketSec))
+
+  private def volumeStats(buckets: DataFrame): (Long, Long, Long) = {
+    val r = buckets.agg(count(lit(1)), sum(col("n")), sum(col("n") * col("n"))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Flag live buckets against FROZEN baseline stats: a pure literal-stats
+    * scan predicate over the per-bucket counts, so the SAME arithmetic
+    * flags a streaming window aggregate micro-batch by micro-batch (the
+    * baseline-week → live-alert monitoring shape; bridge-spec'd against
+    * the oracled batch flags). */
+  def flagBuckets(buckets: DataFrame, stats: (Long, Long, Long),
+      bucketSec: Long, z: Long): DataFrame = {
+    require(z > 0, "need z > 0")
+    val (nB, s, q) = stats
     buckets.select((col("b") * bucketSec).as("bucket_ts"), col("n"),
       (((col("n") * nB - s) * (col("n") * nB - s)) >
         lit(z * z) * lit(nB * q - s * s)).cast("int").as("flag"))

@@ -2328,6 +2328,30 @@ class DataOpsSpec extends AnyFunSuite {
       .agg(sum("flag")).head().getLong(0) == 0L)
   }
 
+  test("streaming anomaly flags: frozen baseline stats reproduce the ORACLED batch flags") {
+    // the monitoring shape: train (N, S, Q) on a reference window, FREEZE,
+    // flag live windowed counts — flagBuckets is a pure literal-stats
+    // predicate, so stream-produced bucket counts flag identically
+    implicit val sqlCtx = spark.sqlContext
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val stats = Sessionize.volumeStats(events, "ts", 3600L)
+    val expected = Sessionize.volumeAnomaly(events, "ts", 3600L, z = 2L)
+      .as[(Long, Long, Int)].collect().toSet
+    val replay = events.select(col("ts")).as[Timestamp].collect().toSeq
+    val mem = MemoryStream[Timestamp]
+    val (h1, h2) = replay.splitAt(replay.size / 2)
+    val q = mem.toDS().toDF("ts")
+      .groupBy(expr("unix_timestamp(ts) div 3600L").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("anom_bridge").outputMode("complete").start()
+    mem.addData(h1); q.processAllAvailable()
+    mem.addData(h2); q.processAllAvailable()
+    val got = Sessionize.flagBuckets(spark.table("anom_bridge"), stats, 3600L, z = 2L)
+      .as[(Long, Long, Int)].collect().toSet
+    q.stop()
+    assert(got === expected)
+  }
+
   test("retention: signup-week cohorts, pre-signup activity ignored, k0 is 10000 bp") {
     val wk = 604800L
     def t(s: Long) = new Timestamp(s * 1000)
