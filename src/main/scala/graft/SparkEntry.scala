@@ -3682,8 +3682,9 @@ object SparkEntry {
                     FROM events GROUP BY 1),
             g AS (SELECT count(*) AS nb, sum(n) AS s, sum(n * n) AS q FROM b)
          SELECT b.b * 3600 AS bucket_ts, b.n,
-                ((b.n * g.nb - g.s) * (b.n * g.nb - g.s)
-                  > 4 * (g.nb * g.q - g.s * g.s))::INT AS flag
+                ((b.n * g.nb - g.s)::DECIMAL(38,0) * (b.n * g.nb - g.s)::DECIMAL(38,0)
+                  > 4 * (g.nb::DECIMAL(38,0) * g.q::DECIMAL(38,0)
+                         - g.s::DECIMAL(38,0) * g.s::DECIMAL(38,0)))::INT AS flag
          FROM b, g""",
     // floor(epoch(ts)) pins DuckDB's fractional epoch to Spark's
     // unix_timestamp truncation; positive seconds make // == div

@@ -213,9 +213,19 @@ object Sessionize {
       bucketSec: Long, z: Long): DataFrame = {
     require(z > 0, "need z > 0")
     val (nB, s, q) = stats
+    // the SQUARED terms run in DECIMAL(38,0): (x·N − S)² overflows Long
+    // already at x·N ≈ 3·10⁹ (realistic counts × bucket counts), where
+    // Spark wraps SILENTLY and DuckDB errors loudly — decimal keeps both
+    // engines exact and identical (the assortativity convention). The
+    // LINEAR state (S, Q) stays Long: the documented bound is per-bucket
+    // n and Σn² inside 2⁶³ (n ≤ ~3·10⁹ per bucket at any bucket count
+    // whose Σn² fits — beyond that, train on a sampled reference window)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dev = (col("n") * nB - s).cast(dec)
+    val rhs = (lit(z * z).cast(dec) *
+      (lit(nB).cast(dec) * lit(q).cast(dec) - lit(s).cast(dec) * lit(s).cast(dec)))
     buckets.select((col("b") * bucketSec).as("bucket_ts"), col("n"),
-      (((col("n") * nB - s) * (col("n") * nB - s)) >
-        lit(z * z) * lit(nB * q - s * s)).cast("int").as("flag"))
+      (dev * dev > rhs).cast("int").as("flag"))
   }
 
   /** Cohort retention: users are cohorted by the WEEK of their first

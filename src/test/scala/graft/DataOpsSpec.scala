@@ -2328,6 +2328,18 @@ class DataOpsSpec extends AnyFunSuite {
       .agg(sum("flag")).head().getLong(0) == 0L)
   }
 
+  test("flagBuckets survives counts whose squared deviation overflows Long") {
+    // n = 3e9 among ones: dev = n*N - S ~ 9e9, dev^2 ~ 8.1e19 > Long.Max —
+    // raw Long math wraps silently; the decimal comparison stays exact.
+    // (Single outlier among equals sits exactly at 2 sigma, so z = 1.)
+    val big = 3000000000L
+    val buckets = Seq((0L, big), (1L, 1L), (2L, 1L), (3L, 1L)).toDF("b", "n")
+    val stats = (4L, big + 3L, big * big + 3L)
+    val got = Sessionize.flagBuckets(buckets, stats, bucketSec = 1L, z = 1L)
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((0L, big, 1), (1L, 1L, 0), (2L, 1L, 0), (3L, 1L, 0)))
+  }
+
   test("streaming anomaly flags: frozen baseline stats reproduce the ORACLED batch flags") {
     // the monitoring shape: train (N, S, Q) on a reference window, FREEZE,
     // flag live windowed counts — flagBuckets is a pure literal-stats
