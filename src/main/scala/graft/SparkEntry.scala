@@ -1521,6 +1521,11 @@ object SparkEntry {
     // ---- §2.5 events / streaming shadows --------------------------------
     "q_event_window" -> ((s, dir) =>
       graft.streaming.Sessionize.hourlyWindow(Tpch.events(s, dir))),
+    "q_pref_pairs" -> ((s, dir) => // RLHF preference pairs: top-3 vs
+      // bottom-3 per source by length with gap >= 50 — both sides trimmed
+      // map-side BEFORE the bounded cross, never an untrimmed self-join
+      graft.pipeline.Corpus.preferencePairs(Tpch.table(s, dir, "documents"),
+        "doc_id", "source", "n_chars", minGap = 50L, sideCap = 3)),
     "q_anomaly" -> ((s, dir) => // hourly volume anomaly: integer z-test
       // (x*N - S)^2 >= z^2*(N*Q - S^2) — no floats anywhere
       graft.streaming.Sessionize.volumeAnomaly(Tpch.events(s, dir), "ts",
@@ -3677,6 +3682,17 @@ object SparkEntry {
                 count(*) AS n_events,
                 sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
          FROM events GROUP BY 1""",
+    "q_pref_pairs" ->
+      """WITH base AS (SELECT source AS grp, doc_id AS id, n_chars AS score FROM documents),
+            top AS (SELECT grp, id AS id_chosen, score AS score_chosen FROM (
+                      SELECT base.*, row_number() OVER (PARTITION BY grp
+                               ORDER BY score DESC, id ASC) AS r FROM base) WHERE r <= 3),
+            bot AS (SELECT grp, id AS id_rejected, score AS score_rejected FROM (
+                      SELECT base.*, row_number() OVER (PARTITION BY grp
+                               ORDER BY score ASC, id ASC) AS r FROM base) WHERE r <= 3)
+         SELECT t.grp, t.id_chosen, b.id_rejected, t.score_chosen, b.score_rejected
+         FROM top t JOIN bot b USING (grp)
+         WHERE t.score_chosen >= b.score_rejected + 50 AND t.id_chosen <> b.id_rejected""",
     "q_anomaly" ->
       """WITH b AS (SELECT floor(epoch(ts))::BIGINT // 3600 AS b, count(*) AS n
                     FROM events GROUP BY 1),

@@ -407,4 +407,34 @@ object Corpus {
       .agg(sum((length(bin(col("tgt") + 1L)) - length(bin(col("raw") + 1L)))
         .cast("long")).as("dsir_score"))
   }
+
+  /** Preference-pair assembly (the RLHF/reranker chosen-vs-rejected shape):
+    * within each group, pair the TOP `sideCap` rows by score against the
+    * BOTTOM `sideCap`, keeping pairs whose score gap is ≥ minGap — emits
+    * (grp, id_chosen, id_rejected, score_chosen, score_rejected). Ties
+    * rank by id asc on both sides (deterministic); a row landing in both
+    * trims (tiny groups) never pairs with itself.
+    *
+    * Scale: the within-group pair space is quadratic, so BOTH sides are
+    * trimmed FIRST — two per-group windows whose map-side WindowGroupLimit
+    * pre-trims each task to sideCap rows (the domainCap shape) — and only
+    * the ≤ sideCap² bounded cross follows, group-keyed. The corpus is
+    * never self-joined untrimmed at any size. */
+  def preferencePairs(df: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, minGap: Long, sideCap: Int): DataFrame = {
+    require(sideCap > 0 && minGap >= 0, "need sideCap > 0 and minGap >= 0")
+    val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      col(scoreCol).cast("long").as("score"))
+    val wTop = Window.partitionBy("grp").orderBy(col("score").desc, col("id").asc)
+    val wBot = Window.partitionBy("grp").orderBy(col("score").asc, col("id").asc)
+    val top = base.withColumn("__r", row_number().over(wTop))
+      .where(col("__r") <= sideCap)
+      .select(col("grp"), col("id").as("id_chosen"), col("score").as("score_chosen"))
+    val bot = base.withColumn("__r", row_number().over(wBot))
+      .where(col("__r") <= sideCap)
+      .select(col("grp"), col("id").as("id_rejected"), col("score").as("score_rejected"))
+    top.join(bot, "grp")
+      .where(col("score_chosen") >= col("score_rejected") + minGap &&
+        col("id_chosen") =!= col("id_rejected"))
+  }
 }

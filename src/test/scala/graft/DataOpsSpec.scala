@@ -2328,6 +2328,22 @@ class DataOpsSpec extends AnyFunSuite {
       .agg(sum("flag")).head().getLong(0) == 0L)
   }
 
+  test("preferencePairs: trimmed sides, gap filter, no self-pairs in tiny groups") {
+    import graft.pipeline.Corpus
+    val docs = Seq(
+      ("A", 1L, 100L), ("A", 2L, 90L), ("A", 3L, 80L), ("A", 4L, 10L), ("A", 5L, 5L),
+      ("B", 6L, 7L),                   // singleton: in both trims, never self-pairs
+      ("C", 7L, 60L), ("C", 8L, 5L)    // two rows: one valid direction only
+    ).toDF("source", "doc_id", "n_chars")
+    val got = Corpus.preferencePairs(docs, "doc_id", "source", "n_chars",
+        minGap = 50L, sideCap = 2)
+      .select("grp", "id_chosen", "id_rejected").as[(String, Long, Long)]
+      .collect().toSet
+    // A: top {1, 2} x bot {5, 4}, all four gaps >= 50; C: only (7, 8)
+    assert(got === Set(("A", 1L, 5L), ("A", 1L, 4L), ("A", 2L, 5L), ("A", 2L, 4L),
+      ("C", 7L, 8L)))
+  }
+
   test("flagBuckets survives counts whose squared deviation overflows Long") {
     // n = 3e9 among ones: dev = n*N - S ~ 9e9, dev^2 ~ 8.1e19 > Long.Max —
     // raw Long math wraps silently; the decimal comparison stays exact.
