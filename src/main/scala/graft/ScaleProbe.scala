@@ -294,7 +294,12 @@ object ScaleProbe {
       // stays fixed (copies add no new grams): ratio must sit far below
       // the data factor, the keyed-dedup signature
       "source_sim" -> (d => graft.dedup.Dedup
-        .groupJaccard(d, "source", "text", k = 3).count()))
+        .groupJaccard(d, "source", "text", k = 3).count()),
+      // preference pairs: groups grow 64x in rows but BOTH sides trim
+      // map-side before the bounded cross — output stays at groups x cap²
+      "pref_pairs" -> (d => graft.pipeline.Corpus.preferencePairs(
+        d.withColumn("n_chars", length(col("text"))),
+        "doc_id", "source", "n_chars", minGap = 50L, sideCap = 3).count()))
     // embeddings replicas for the quantizer/ANN probes: CIRCULARLY SHIFTED
     // per copy (a rotation: norms and within-replica similarity structure
     // preserved, directions spread across cells) so probes measure honest
@@ -347,7 +352,12 @@ object ScaleProbe {
       "funnel" -> (d => graft.streaming.Sessionize.funnel(d, "user_id", "ts",
         "event_type", Seq("signup", "view", "click", "purchase")).count()),
       "retention" -> (d => graft.streaming.Sessionize.retention(d, "user_id", "ts",
-        "event_type", "signup").agg(sum(col("n_active"))).head().getLong(0)))
+        "event_type", "signup").agg(sum(col("n_active"))).head().getLong(0)),
+      // volume anomaly: one keyed count + a literal-stats scan predicate —
+      // bucket count is FIXED under user replication, so only the count agg
+      // grows; time must stay near-flat
+      "anomaly" -> (d => graft.streaming.Sessionize.volumeAnomaly(d, "ts",
+        bucketSec = 3600L, z = 2L).agg(sum(col("flag"))).head().getLong(0)))
 
     val selectedPipe = only.map(f => pipeProbes.filter(_._1.contains(f))).getOrElse(pipeProbes)
     val selectedEmb = only.map(f => embProbes.filter(_._1.contains(f))).getOrElse(embProbes)
