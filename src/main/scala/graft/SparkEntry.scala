@@ -1530,6 +1530,11 @@ object SparkEntry {
       // (x*N - S)^2 >= z^2*(N*Q - S^2) — no floats anywhere
       graft.streaming.Sessionize.volumeAnomaly(Tpch.events(s, dir), "ts",
         bucketSec = 3600L, z = 2L)),
+    "q_anomaly_spine" -> ((s, dir) => // calendar-spine variant: every
+      // 2h bucket between first and last event EXISTS (zero-count rows
+      // included), so a silent outage flags instead of being absent
+      graft.streaming.Sessionize.volumeAnomalySpine(Tpch.events(s, dir), "ts",
+        bucketSec = 7200L, z = 2L)),
     "q_retention" -> ((s, dir) => // cohort retention: signup-week cohorts,
       // per-offset active fraction in basis points — one distinct over
       // (user, week) is the only corpus-sized shuffle
@@ -1541,6 +1546,11 @@ object SparkEntry {
       graft.streaming.Sessionize.funnel(Tpch.events(s, dir), "user_id", "ts",
         "event_type", Seq("signup", "view", "click", "purchase"))
         .select(col("key").as("user_id"), col("t1"), col("t2"), col("t3"), col("t4"))),
+    "q_funnel_steps" -> ((s, dir) => // the drop-off funnel product: per-step
+      // completion counts over the same greedy-earliest matching, plus the
+      // within-24h windowed variant as a post-filter on the same prefixes
+      graft.streaming.Sessionize.funnelSteps(Tpch.events(s, dir), "user_id", "ts",
+        "event_type", Seq("signup", "view", "click", "purchase"), spanSec = 86400L)),
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.batch(Tpch.events(s, dir))),
     "q_range_join" -> ((s, dir) => {
@@ -1656,20 +1666,30 @@ object SparkEntry {
     * lowest leader) replays in SQL. Leader scores can be NEGATIVE, where
     * float-double division then truncation-toward-zero (Spark's
     * long.divide.cast) differs from floor division — trunc() mirrors it
-    * exactly. */
+    * exactly.
+    *
+    * The leader-VECTOR table `lv` is MATERIALIZED before the scoring join:
+    * the r9 form rode the leader filter as an IN-subquery on a join keyed
+    * only on the dim index i, which DuckDB planned as a corpus×corpus join
+    * per dim (the oracle, not the engine, was the ≥10× sweep bottleneck).
+    * Materialized, `lv` is nlist·dim = 1024 rows and the scoring join is
+    * |corpus|·dim × 16 — linear. `rnk` materializes too: ivfTopKCtes reads
+    * it twice (indexed + probes). */
   private def ivfCellCtes: String =
-    s"""qv AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
+    s"""qv AS MATERIALIZED (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
        |         round(unnest(embedding)::DOUBLE * 1000)::BIGINT AS q FROM embeddings),
        |norms AS (SELECT vec_id, sum(q*q)::BIGINT AS nq FROM qv GROUP BY 1),
        |ldr AS (SELECT vec_id AS lid FROM embeddings ORDER BY vec_id LIMIT 16),
-       |ld AS (SELECT v.vec_id AS id, lq.vec_id AS lid, sum(v.q * lq.q)::BIGINT AS ldot
-       |       FROM qv v JOIN qv lq ON v.i = lq.i AND lq.vec_id IN (SELECT lid FROM ldr)
+       |lv AS MATERIALIZED (SELECT vec_id AS lid, i, q FROM qv
+       |      WHERE vec_id IN (SELECT lid FROM ldr)),
+       |ld AS (SELECT v.vec_id AS id, lv.lid, sum(v.q * lv.q)::BIGINT AS ldot
+       |       FROM qv v JOIN lv ON v.i = lv.i
        |       GROUP BY 1, 2),
        |lsc AS (SELECT ld.id, ld.lid,
        |          trunc((ld.ldot * 1000000)::DOUBLE
        |                / greatest(floor(sqrt((nv.nq * nl.nq)::DOUBLE))::BIGINT, 1))::BIGINT AS lscore
        |        FROM ld JOIN norms nv ON ld.id = nv.vec_id JOIN norms nl ON ld.lid = nl.vec_id),
-       |rnk AS (SELECT id, lid AS cell,
+       |rnk AS MATERIALIZED (SELECT id, lid AS cell,
        |          row_number() OVER (PARTITION BY id ORDER BY lscore DESC, lid ASC) AS lrn FROM lsc)""".stripMargin
 
   /** q_ann_ivf oracle: IVF cells from [[ivfCellCtes]], nprobe=4 probing, and
@@ -2325,9 +2345,10 @@ object SparkEntry {
     "q_ivfpq" -> ivfPqOracleSql,
     "q_knn_label" -> knnLabelOracleSql,
     // SQ8: the identical integer chain — milli-quantize, per-dim envelope,
-    // clamp→scale→truncating-div code, decode, squared-L2 error. Every
-    // numerator is non-negative so DuckDB's flooring `//` equals Spark's
-    // truncating `div`.
+    // clamp→scale→truncating-div code, decode, squared-L2 error. DuckDB's
+    // BIGINT `//` truncates toward zero exactly like Spark's `div` / JVM
+    // long division (Ann.scala's kmeans contract); the clamp additionally
+    // keeps every numerator non-negative here, belt and suspenders.
     "q_sq8" ->
       """WITH qv AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
                        round(unnest(embedding)::DOUBLE * 1000)::BIGINT AS q FROM embeddings),
@@ -3702,6 +3723,18 @@ object SparkEntry {
                   > 4 * (g.nb::DECIMAL(38,0) * g.q::DECIMAL(38,0)
                          - g.s::DECIMAL(38,0) * g.s::DECIMAL(38,0)))::INT AS flag
          FROM b, g""",
+    "q_anomaly_spine" ->
+      """WITH b AS (SELECT floor(epoch(ts))::BIGINT // 7200 AS b, count(*) AS n
+                    FROM events GROUP BY 1),
+            sp AS (SELECT unnest(generate_series(lo, hi)) AS b
+                   FROM (SELECT min(b) AS lo, max(b) AS hi FROM b)),
+            c AS (SELECT sp.b, coalesce(x.n, 0)::BIGINT AS n FROM sp LEFT JOIN b x USING (b)),
+            g AS (SELECT count(*) AS nb, sum(n) AS s, sum(n * n) AS q FROM c)
+         SELECT c.b * 7200 AS bucket_ts, c.n,
+                ((c.n * g.nb - g.s)::DECIMAL(38,0) * (c.n * g.nb - g.s)::DECIMAL(38,0)
+                  > 4 * (g.nb::DECIMAL(38,0) * g.q::DECIMAL(38,0)
+                         - g.s::DECIMAL(38,0) * g.s::DECIMAL(38,0)))::INT AS flag
+         FROM c, g""",
     // floor(epoch(ts)) pins DuckDB's fractional epoch to Spark's
     // unix_timestamp truncation; positive seconds make // == div
     "q_retention" ->
@@ -3724,6 +3757,31 @@ object SparkEntry {
             s4 AS (SELECT e.user_id, s3.t1, s3.t2, s3.t3, min(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
                    WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1, 2, 3, 4)
          SELECT user_id, t1, t2, t3, t4 FROM s4""",
+    // the same prefix chains as q_funnel, aggregated per step; the windowed
+    // count reuses the prefixes (greedy-earliest start minimizes t1)
+    "q_funnel_steps" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
+            s2 AS (SELECT e.user_id, s1.t1, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1, 2),
+            s3 AS (SELECT e.user_id, s2.t1, s2.t2, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1, 2, 3),
+            s4 AS (SELECT e.user_id, s3.t1, s3.t2, s3.t3, min(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1, 2, 3, 4)
+         SELECT 1 AS step, 'signup' AS step_type, count(*)::BIGINT AS n_keys,
+                coalesce(sum(CASE WHEN floor(epoch(t1))::BIGINT - floor(epoch(t1))::BIGINT <= 86400
+                                  THEN 1 ELSE 0 END), 0)::BIGINT AS n_within FROM s1
+         UNION ALL
+         SELECT 2, 'view', count(*)::BIGINT,
+                coalesce(sum(CASE WHEN floor(epoch(t2))::BIGINT - floor(epoch(t1))::BIGINT <= 86400
+                                  THEN 1 ELSE 0 END), 0)::BIGINT FROM s2
+         UNION ALL
+         SELECT 3, 'click', count(*)::BIGINT,
+                coalesce(sum(CASE WHEN floor(epoch(t3))::BIGINT - floor(epoch(t1))::BIGINT <= 86400
+                                  THEN 1 ELSE 0 END), 0)::BIGINT FROM s3
+         UNION ALL
+         SELECT 4, 'purchase', count(*)::BIGINT,
+                coalesce(sum(CASE WHEN floor(epoch(t4))::BIGINT - floor(epoch(t1))::BIGINT <= 86400
+                                  THEN 1 ELSE 0 END), 0)::BIGINT FROM s4""",
     "q_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id,
                       CASE WHEN lag(ts) OVER w IS NULL

@@ -457,11 +457,16 @@ object Ann {
     require(cent.length == k, s"k-means asked for $k centroids but the input has only ${cent.length} rows")
     val dim = cent.head.length
     require(cent.forall(_.length == dim), "k-means input vectors must share one dimensionality")
+    // dimensionality gate (the sq8EncodeOn rule): a vector whose length
+    // differs from the init centroids' would contribute a truncated
+    // min-length dot to the assignment and skewed per-dim sums — mismatched
+    // rows DROP, consistently with every codec/cluster path
+    val gated = qd.where(size(col("q")) === dim)
     var round = 1
     while (round < iters) { // iters-1 centroid updates
       // one scan: inline assignment + per-(cid, dim) sums, map-side combined
       // down to k·dim rows (bounded driver state, the histogram convention)
-      val sums = qd.select(kmeansBest(cent)("cid").as("cid"),
+      val sums = gated.select(kmeansBest(cent)("cid").as("cid"),
           posexplode(col("q")).as(Seq("i", "x")))
         .groupBy("cid", "i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
         .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
@@ -489,8 +494,11 @@ object Ann {
       centroids: Array[Array[Long]]): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
     val best = kmeansBest(centroids)
-    qd.select(col("id"), best("cid").as("cluster"),
-      (col("nq") + best("drel")).as("dist"))
+    // same dimensionality gate as trainOn: a mismatched-dim vector's
+    // truncated dot would yield a wrong-but-plausible (cluster, dist)
+    qd.where(size(col("q")) === centroids.head.length)
+      .select(col("id"), best("cid").as("cluster"),
+        (col("nq") + best("drel")).as("dist"))
   }
 
   /** Cluster-balanced sampling: [[kmeans]] assignment, then at most `cap`
@@ -611,7 +619,12 @@ object Ann {
     pqTrainOn(kmeansInput(vecs, idCol, embCol), m, k, iters)
 
   private def pqDim(qd: DataFrame, m: Int): Int = {
-    val dim = qd.select(size(col("q"))).head().getInt(0)
+    // headOption: an empty corpus gets the same descriptive error the
+    // row-count require below emits, not a raw NoSuchElementException
+    val dim = qd.select(size(col("q"))).limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "pq asked for codewords but the input has only 0 rows"))
+      .getInt(0)
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     dim / m
   }

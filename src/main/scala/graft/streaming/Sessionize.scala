@@ -186,6 +186,34 @@ object Sessionize {
     flagBuckets(buckets, volumeStats(buckets), bucketSec, z)
   }
 
+  /** [[volumeAnomaly]] over a CALENDAR SPINE: every bucket between the
+    * stream's first and last event exists, zero-count buckets included —
+    * so a SILENT outage (a dead pipeline emitting nothing) FLAGS instead
+    * of being an absent row the default shape never tests. The spine is
+    * one `sequence(minB, maxB)` generator row (two longs of driver state,
+    * the frozen-baseline convention) left-joined with the counts; the
+    * baseline (N, S, Q) is recomputed over the spined frame (zeros change
+    * N, so μ/σ see the outage too — the monitoring semantics). Empty
+    * input yields an empty result (no spine to build).
+    *
+    * Scale: the spine adds (maxB − minB + 1) rows — bounded by elapsed
+    * time over bucketSec, not by events; everything else is the
+    * volumeAnomaly plan. Spines beyond 10⁸ buckets refuse loudly (a
+    * misparameterized bucketSec would otherwise explode the generator). */
+  def volumeAnomalySpine(events: DataFrame, tsCol: String, bucketSec: Long,
+      z: Long): DataFrame = {
+    val counts = bucketCounts(events, tsCol, bucketSec)
+    val bounds = counts.agg(min(col("b")), max(col("b"))).head()
+    if (bounds.isNullAt(0)) return flagBuckets(counts, (0L, 0L, 0L), bucketSec, z)
+    val (minB, maxB) = (bounds.getLong(0), bounds.getLong(1))
+    require(maxB - minB < 100000000L,
+      s"calendar spine would hold ${maxB - minB + 1} buckets; check bucketSec")
+    val spine = events.sparkSession.range(minB, maxB + 1).select(col("id").as("b"))
+      .join(counts, Seq("b"), "left")
+      .select(col("b"), coalesce(col("n"), lit(0L)).as("n"))
+    flagBuckets(spine, volumeStats(spine), bucketSec, z)
+  }
+
   private def bucketCounts(events: DataFrame, tsCol: String,
       bucketSec: Long): DataFrame = {
     require(bucketSec > 0, "need bucketSec > 0")
@@ -200,7 +228,12 @@ object Sessionize {
     volumeStats(bucketCounts(events, tsCol, bucketSec))
 
   private def volumeStats(buckets: DataFrame): (Long, Long, Long) = {
-    val r = buckets.agg(count(lit(1)), sum(col("n")), sum(col("n") * col("n"))).head()
+    // coalesce: on an empty frame count is 0 but the sums are NULL, and a
+    // bare getLong would unbox null into an opaque NPE — (0, 0, 0) is the
+    // lawful empty baseline (flagBuckets over it flags nothing: rhs = 0
+    // and there are no live buckets to test)
+    val r = buckets.agg(count(lit(1)), coalesce(sum(col("n")), lit(0L)),
+      coalesce(sum(col("n") * col("n")), lit(0L))).head()
     (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
@@ -275,15 +308,51 @@ object Sessionize {
   def funnel(events: DataFrame, keyCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val first = events.where(col(typeCol) === steps.head)
-      .groupBy(col(keyCol).as("key")).agg(min(col(tsCol)).as("t1"))
-    steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (step, i)) =>
-      events.where(col(typeCol) === step)
-        .select(col(keyCol).as("key"), col(tsCol).as("__ts"))
-        .join(acc, "key")
-        .where(col("__ts") > col(s"t$i"))
-        .groupBy((col("key") +: (1 to i).map(j => col(s"t$j"))): _*)
-        .agg(min(col("__ts")).as(s"t${i + 1}"))
+    steps.indices.drop(1).foldLeft(funnelFirst(events, keyCol, tsCol, typeCol, steps)) {
+      (acc, i) => funnelStep(events, keyCol, tsCol, typeCol, steps(i), i)(acc)
     }
+  }
+
+  private def funnelFirst(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame =
+    events.where(col(typeCol) === steps.head)
+      .groupBy(col(keyCol).as("key")).agg(min(col(tsCol)).as("t1"))
+
+  private def funnelStep(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, step: String, i: Int)(acc: DataFrame): DataFrame =
+    events.where(col(typeCol) === step)
+      .select(col(keyCol).as("key"), col(tsCol).as("__ts"))
+      .join(acc, "key")
+      .where(col("__ts") > col(s"t$i"))
+      .groupBy((col("key") +: (1 to i).map(j => col(s"t$j"))): _*)
+      .agg(min(col("__ts")).as(s"t${i + 1}"))
+
+  /** The drop-off funnel PRODUCT over [[funnel]]'s greedy-earliest
+    * matching: one row per step with the count of keys completing the
+    * step-prefix, plus the count completing it WITHIN `spanSec` of the
+    * first step (the t_k − t_1 ≤ span windowed variant as a post-filter —
+    * greedy-earliest start minimizes t_1, and the within-count reads the
+    * same prefix frames). Emits (step, step_type, n_keys, n_within);
+    * step 1's n_within = n_keys by construction.
+    *
+    * Scale: the [[funnel]] join chain per prefix + one scalar agg each —
+    * step counts are bounded by the step list (a funnel has a handful of
+    * steps by nature), and each prefix frame shares the funnel plan's
+    * keyed-join shape. */
+  def funnelSteps(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], spanSec: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(spanSec >= 0, "spanSec must be non-negative")
+    val prefixes = steps.indices.drop(1).scanLeft(
+      funnelFirst(events, keyCol, tsCol, typeCol, steps)) {
+      (acc, i) => funnelStep(events, keyCol, tsCol, typeCol, steps(i), i)(acc)
+    }
+    prefixes.zipWithIndex.map { case (df, i) =>
+      val within = unix_timestamp(col(s"t${i + 1}")) - unix_timestamp(col("t1")) <= spanSec
+      df.agg(count(lit(1)).as("n_keys"),
+          coalesce(sum(within.cast("long")), lit(0L)).as("n_within"))
+        .select(lit(i + 1).cast("int").as("step"), lit(steps(i)).as("step_type"),
+          col("n_keys"), col("n_within"))
+    }.reduce(_ union _)
   }
 }

@@ -2234,6 +2234,101 @@ class DataOpsSpec extends AnyFunSuite {
     assert(out.map(_._1) === Seq(1L, 2L), s"null/empty rows must drop: $out")
   }
 
+  test("kmeans drops mismatched-dim rows in BOTH train and assign (the sq8 gate)") {
+    // a vector shorter/longer than the init centroids used to contribute a
+    // silently truncated min-length dot — wrong (cluster, dist) and skewed
+    // centroid sums; now it DROPS, consistently with sq8/pq encode
+    val vecs = Seq(
+      (1L, Array.fill(4)(0.0f)), (2L, Array.fill(4)(0.5f)),
+      (3L, Array.fill(4)(0.6f)),
+      (4L, Array.fill(7)(0.5f)), // longer: would win cluster 1 via truncated dot
+      (5L, Array.fill(2)(0.5f))) // shorter
+      .toDF("vec_id", "embedding")
+    val out = Ann.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L), s"mixed-dim rows must drop: ${out.toSeq}")
+    // and the trained centroids must equal a replay over ONLY the clean rows
+    val clean = vecs.where(col("vec_id") <= 3L)
+    val replay = Ann.kmeans(clean, "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === replay.toSeq, "mixed-dim rows must not perturb training")
+    // assignClusters applies the same gate against a trained codec
+    val cent = Ann.trainKmeans(clean, "vec_id", "embedding", k = 2, iters = 3)
+    val assigned = Ann.assignClusters(vecs, "vec_id", "embedding", cent)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(assigned === Seq(1L, 2L, 3L), s"assign must drop mixed-dim rows: $assigned")
+  }
+
+  test("volumeAnomalySpine FLAGS a silent outage the default absent-bucket shape never sees") {
+    def ts(h: Long) = new Timestamp(h * 3600 * 1000)
+    // 10 events/hour for hours 0,1,2,5 — hours 3,4 are a dead pipeline
+    val events = Seq(0L, 1L, 2L, 5L).flatMap(h => Seq.fill(10)(ts(h)))
+      .map(Tuple1(_)).toDF("ts")
+    val plain = Sessionize.volumeAnomaly(events, "ts", 3600L, z = 1L)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    // default shape: the outage hours are ABSENT rows, nothing flags
+    assert(plain.map(_._1).toSeq === Seq(0L, 3600L, 7200L, 18000L))
+    assert(plain.forall(_._3 == 0), s"uniform live buckets must not flag: ${plain.toSeq}")
+    val spined = Sessionize.volumeAnomalySpine(events, "ts", 3600L, z = 1L)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    // spine: all 6 hours exist; exactly the two zero-count hours flag
+    // (N=6, S=40, Q=400: dev(0)²=1600 > 1·800, dev(10)²=400 < 800)
+    assert(spined.map(r => (r._1, r._2, r._3)).toSeq === Seq(
+      (0L, 10L, 0), (3600L, 10L, 0), (7200L, 10L, 0),
+      (10800L, 0L, 1), (14400L, 0L, 1), (18000L, 10L, 0)))
+    // empty input: empty result, no NPE, no spine to build
+    val empty = Seq.empty[Tuple1[Timestamp]].toDF("ts")
+    assert(Sessionize.volumeAnomalySpine(empty, "ts", 3600L, z = 1L).count() === 0L)
+  }
+
+  test("funnelSteps: per-step counts equal the prefix funnels; within-span post-filter") {
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val events = Seq(
+      // u1 completes a->b->c tightly (within 100s)
+      (1L, ts(0L), "a"), (1L, ts(10L), "b"), (1L, ts(20L), "c"),
+      // u2 completes a->b fast, c only after 200000s (outside span)
+      (2L, ts(0L), "a"), (2L, ts(50L), "b"), (2L, ts(200000L), "c"),
+      // u3 only reaches a->b; a c BEFORE b must not count
+      (3L, ts(0L), "c"), (3L, ts(5L), "a"), (3L, ts(9L), "b"),
+      // u4 only a
+      (4L, ts(100L), "a"),
+      // u5 has b, c but never a: in no step
+      (5L, ts(0L), "b"), (5L, ts(1L), "c"))
+      .toDF("user_id", "ts", "event_type")
+    val steps = Seq("a", "b", "c")
+    val got = Sessionize.funnelSteps(events, "user_id", "ts", "event_type", steps,
+        spanSec = 86400L)
+      .as[(Int, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1, "a", 4L, 4L), (2, "b", 3L, 3L), (3, "c", 2L, 1L)))
+    // law: step k's n_keys = the k-prefix funnel's completer count
+    steps.indices.foreach { i =>
+      val prefix = Sessionize.funnel(events, "user_id", "ts", "event_type",
+        steps.take(i + 1)).count()
+      assert(got(i)._3 === prefix, s"step ${i + 1} count must equal the prefix funnel")
+    }
+  }
+
+  test("volumeStats / flagBuckets: empty input is the lawful (0,0,0) baseline, not an NPE") {
+    val empty = Seq.empty[(Timestamp, Long)].toDF("ts", "x")
+    val stats = Sessionize.volumeStats(empty, "ts", 3600L)
+    assert(stats === ((0L, 0L, 0L)))
+    // flagging anything against the empty baseline flags nothing (rhs = 0,
+    // dev = 0 for every n when N = 0 — strict inequality never fires)
+    val live = Seq((Timestamp.valueOf("2024-01-01 10:00:00"), 1L)).toDF("ts", "x")
+    val flags = Sessionize.flagBuckets(
+      live.groupBy(expr("unix_timestamp(ts) div 3600L").as("b")).agg(count(lit(1)).as("n")),
+      stats, 3600L, z = 2L).select("flag").as[Int].collect().toSeq
+    assert(flags === Seq(0))
+  }
+
+  test("pqTrain on an empty corpus fails with the descriptive row-count message") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ann.pqTrain(empty, "vec_id", "embedding", m = 4, k = 4, iters = 2)
+    }
+    assert(e.getMessage.contains("0 rows"), s"want the friendly message, got: ${e.getMessage}")
+  }
+
   test("clusterSample caps each cluster in deterministic hash order") {
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cap = 5
