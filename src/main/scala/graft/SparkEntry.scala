@@ -1089,6 +1089,12 @@ object SparkEntry {
       graft.sim.Ann.ivfPqTopK(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
         kTop = 3, querySide = _.where(col("id") < 100), nlist = 16, nprobe = 4,
         m = pqM, kPq = pqK, iters = pqIters)),
+    "q_ivfpq_res" -> ((s, dir) => // residual IVF-ADC: PQ codebooks over
+      // cell-mean-recentered vectors (the FAISS IndexIVFPQ default); the
+      // ADC table is keyed (query, probed cell) — same routing, tighter codes
+      graft.sim.Ann.ivfPqResTopK(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
+        kTop = 3, querySide = _.where(col("id") < 100), nlist = 16, nprobe = 4,
+        m = pqM, kPq = pqK, iters = pqIters)),
     "q_pq" -> ((s, dir) => // product quantization: m independent integer
       // Lloyd codebooks over contiguous subvector slices, then a
       // literal-codebook zero-shuffle encode emitting each subspace's
@@ -2255,13 +2261,23 @@ object SparkEntry {
   /** Parameterized quantized-Lloyd CTE chain: subspace slice [lo+1, lo+d]
     * of the embedding, k centroids, `iters` assignment rounds, all CTE
     * names prefixed — so q_pq's oracle is m independent copies of the
-    * PROVEN q_kmeans chain over contiguous slices. */
+    * PROVEN q_kmeans chain over contiguous slices. `src` swaps the
+    * embedding scan for an existing (vec_id, i, q) relation (sliced the
+    * same way) — the residual-PQ oracle trains the identical chain over
+    * recentered vectors. */
   private def kmeansCtesFor(p: String, lo: Int, d: Int, k: Int,
-      iters: Int): String = {
+      iters: Int, src: Option[String] = None): String = {
     val embSlice = if (lo == 0 && d == 64) "embedding" else s"embedding[${lo + 1}:${lo + d}]"
+    val qvDef = src match {
+      case None =>
+        s"""${p}qv AS (SELECT vec_id, unnest(generate_series(1, $d)) AS i,
+           |         round(unnest($embSlice)::DOUBLE * 1000)::BIGINT AS q FROM embeddings)""".stripMargin
+      case Some(rel) =>
+        s"""${p}qv AS (SELECT vec_id, i - $lo AS i, q FROM $rel
+           |         WHERE i > $lo AND i <= ${lo + d})""".stripMargin
+    }
     val head =
-      s"""${p}qv AS (SELECT vec_id, unnest(generate_series(1, $d)) AS i,
-         |         round(unnest($embSlice)::DOUBLE * 1000)::BIGINT AS q FROM embeddings),
+      s"""$qvDef,
          |${p}init AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid
          |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
          |${p}c0 AS (SELECT n.cid, v.i, v.q AS cq FROM ${p}init n JOIN ${p}qv v USING (vec_id))""".stripMargin
@@ -2326,6 +2342,60 @@ object SparkEntry {
        |FROM sc QUALIFY rn <= 3""".stripMargin
   }
 
+  /** q_ivfpq_res oracle: [[ivfCellCtes]] cells + RESIDUAL vectors (q minus
+    * the assigned cell's integer MEAN anchor — Σq // n per dim, the kmeans
+    * update rule; see Ann.ivfRecenter for why the anchor is the mean, not
+    * the sampled leader) feeding the SAME per-subspace Lloyd chains via
+    * kmeansCtesFor(src = rqv). The ADC table cannot reuse the assign
+    * round's distance relation here (a query's residual differs per probed
+    * cell), so it is computed directly per (id_q, cell, sub, cid) against
+    * the FINAL codebooks r*_c{iters−1} — the same Σ(q−cq)² arithmetic the
+    * chains already prove. */
+  private def ivfPqResOracleSql: String = {
+    val d = 64 / pqM
+    val fin = pqIters - 1 // final codebooks: after iters-1 updates
+    val pqChains = (0 until pqM)
+      .map(s => kmeansCtesFor(s"r${s}_", s * d, d, pqK, pqIters, src = Some("rqv")))
+      .mkString(",\n")
+    val codes = (0 until pqM)
+      .map(s => s"SELECT vec_id AS id_n, $s AS sub, cid AS code FROM r${s}_a$pqIters")
+      .mkString(" UNION ALL ")
+    val adct = (0 until pqM).map(s =>
+      s"""SELECT p.id_q, p.cell, $s AS sub, c.cid,
+         |  sum((p.q - c.cq) * (p.q - c.cq))::BIGINT AS dist
+         |FROM (SELECT id_q, cell, i - ${s * d} AS i, q FROM rqp
+         |      WHERE i > ${s * d} AND i <= ${s * d + d}) p
+         |JOIN r${s}_c$fin c ON p.i = c.i GROUP BY 1, 2, 3, 4""".stripMargin)
+      .mkString(" UNION ALL ")
+    s"""WITH $ivfCellCtes,
+       |anch AS MATERIALIZED (SELECT r.cell, v.i, sum(v.q) // count(*) AS aq
+       |       FROM rnk r JOIN qv v ON v.vec_id = r.id
+       |       WHERE r.lrn = 1 GROUP BY 1, 2),
+       |rqv AS MATERIALIZED (SELECT r.id AS vec_id, v.i, v.q - a.aq AS q
+       |       FROM rnk r JOIN qv v ON v.vec_id = r.id
+       |       JOIN anch a ON a.cell = r.cell AND a.i = v.i
+       |       WHERE r.lrn = 1),
+       |rqp AS MATERIALIZED (SELECT r.id AS id_q, r.cell, v.i, v.q - a.aq AS q
+       |       FROM rnk r JOIN qv v ON v.vec_id = r.id
+       |       JOIN anch a ON a.cell = r.cell AND a.i = v.i
+       |       WHERE r.id < 100 AND r.lrn <= 4),
+       |$pqChains,
+       |codes AS ($codes),
+       |adct AS ($adct),
+       |indexed AS (SELECT id AS id_n, cell FROM rnk WHERE lrn = 1),
+       |probes AS (SELECT id AS id_q, cell FROM rnk WHERE id < 100 AND lrn <= 4),
+       |cand AS (SELECT p.id_q, x.id_n, x.cell FROM probes p JOIN indexed x USING (cell)
+       |         WHERE p.id_q <> x.id_n),
+       |sc AS (SELECT c.id_q, c.id_n, sum(a.dist)::BIGINT AS adc_dist
+       |       FROM cand c JOIN codes k ON k.id_n = c.id_n
+       |       JOIN adct a ON a.id_q = c.id_q AND a.cell = c.cell
+       |                  AND a.sub = k.sub AND a.cid = k.code
+       |       GROUP BY 1, 2)
+       |SELECT id_q, id_n, adc_dist,
+       |       row_number() OVER (PARTITION BY id_q ORDER BY adc_dist ASC, id_n ASC)::INT AS rn
+       |FROM sc QUALIFY rn <= 3""".stripMargin
+  }
+
   private def kmeansOracleSql: String =
     s"WITH $kmeansCtes\nSELECT vec_id, cid AS cluster, dist FROM a$kmeansIters"
 
@@ -2343,6 +2413,7 @@ object SparkEntry {
     "q_cluster_sample" -> clusterSampleOracleSql,
     "q_pq" -> pqOracleSql,
     "q_ivfpq" -> ivfPqOracleSql,
+    "q_ivfpq_res" -> ivfPqResOracleSql,
     "q_knn_label" -> knnLabelOracleSql,
     // SQ8: the identical integer chain — milli-quantize, per-dim envelope,
     // clamp→scale→truncating-div code, decode, squared-L2 error. DuckDB's

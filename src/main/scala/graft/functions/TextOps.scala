@@ -602,6 +602,44 @@ object TextOps {
         explode(charTrigrams(col(textCol))).as("gram"))
       .select(col("gram"), col("doc_id"))
 
+  /** Shard count of the persisted-gram-index layout — fixed so the write
+    * ([[saveGramIndex]]) and every later read ([[grepIndexed]]) can never
+    * disagree on a gram's shard. 64 directories is small-file-safe at any
+    * corpus size while pruning a one-pattern read to ≤ |pattern grams|
+    * shards. */
+  private[graft] val gramIndexShards = 64
+
+  /** Driver-side replica of the shard column's `pmod(xxhash64(gram), n)` —
+    * the SAME XxHash64 the Column expression evaluates, so a literal
+    * pattern's shard set can be computed without a job and pushed as a
+    * partition filter (spec'd equal to the column side on every gram). */
+  private[graft] def gramShard(gram: String): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(gram,
+        org.apache.spark.sql.types.StringType)),
+      42L /* the xxhash64 Column function's fixed seed */)
+      .eval(null).asInstanceOf[Long]
+    (((h % gramIndexShards) + gramIndexShards) % gramIndexShards).toInt
+  }
+
+  /** Persist a [[trigramIndex]] partitioned by a bounded hash SHARD of the
+    * gram — the repeated-query artifact a grep service builds once: a later
+    * [[grepIndexed]] pushes the pattern's shard set as a PartitionFilter,
+    * so each query lists and reads ≤ |pattern grams| of the 64 shard
+    * directories instead of the whole posting store (ScaleSpec pins the
+    * pruned read against a plain-parquet control).
+    *
+    * Sharding by hash, not by raw gram: per-gram directories would mean
+    * charset³ partitions (a small-file explosion at 100 TB), and a
+    * BUCKETED table prunes only while the planner keeps the bucketed scan
+    * alive — which it disables for exactly this read shape (no join/agg on
+    * the bucket key ⇒ `Bucketed: false`). A directory partition prunes
+    * unconditionally. */
+  def saveGramIndex(index: org.apache.spark.sql.DataFrame, path: String): Unit =
+    index.withColumn("__shard",
+        pmod(xxhash64(col("gram")), lit(gramIndexShards.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("__shard").parquet(path)
+
   /** Literal-substring search over a posting index: candidates = documents
     * holding ALL of the pattern's distinct trigrams (count over the
     * gram-filtered postings — recall-complete because a document containing
@@ -611,16 +649,23 @@ object TextOps {
     * on — callers use [[grepScan]].
     *
     * Scale: the pattern's gram set is a tiny literal IN-filter over the
-    * index (a pruned scan when the index is persisted by gram); the
-    * candidate count-agg shuffles only the matching postings; the exact
-    * verify reads only candidate documents. The repeated-query complement
-    * of the one-shot [[grepScan]] — spec'd identical on every pattern. */
+    * index; against a [[saveGramIndex]] store (detected by its `__shard`
+    * column) the matching shard set rides along as a partition filter, so
+    * the scan reads only the pattern's shard directories — pruned, pinned
+    * in ScaleSpec. The candidate count-agg shuffles only the matching
+    * postings; the exact verify reads only candidate documents. The
+    * repeated-query complement of the one-shot [[grepScan]] — spec'd
+    * identical on every pattern. */
   def grepIndexed(index: org.apache.spark.sql.DataFrame,
       docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       pattern: String): org.apache.spark.sql.DataFrame = {
     require(pattern.length >= 3, "grepIndexed needs a pattern of >= 3 chars (use grepScan)")
     val pats = pattern.sliding(3).toSeq.distinct
-    val cands = index.where(col("gram").isin(pats: _*))
+    val sharded =
+      if (index.columns.contains("__shard"))
+        index.where(col("__shard").isin(pats.map(gramShard).distinct: _*))
+      else index
+    val cands = sharded.where(col("gram").isin(pats: _*))
       .groupBy("doc_id").agg(count(lit(1)).as("__n"))
       .where(col("__n") === pats.length)
       .select("doc_id")

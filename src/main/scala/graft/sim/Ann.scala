@@ -638,7 +638,7 @@ object Ann {
     * bit-identical to m independent [[trainOn]] loops (the q_pq oracle and
     * the per-subspace Lloyd replay spec prove it); the fusion only cuts
     * driver actions from m·iters to iters. */
-  private def pqTrainOn(qd: DataFrame, m: Int, k: Int,
+  private[graft] def pqTrainOn(qd: DataFrame, m: Int, k: Int,
       iters: Int): Array[Array[Array[Long]]] = {
     require(m >= 1, "pq needs m >= 1 subspaces")
     require(k >= 1 && iters >= 1, "pq needs k >= 1 and iters >= 1")
@@ -690,7 +690,7 @@ object Ann {
       books: Array[Array[Array[Long]]]): DataFrame =
     pqEncodeOn(kmeansInput(vecs, idCol, embCol), books)
 
-  private def pqEncodeOn(qd: DataFrame,
+  private[graft] def pqEncodeOn(qd: DataFrame,
       books: Array[Array[Array[Long]]]): DataFrame = {
     require(books.nonEmpty && books.forall(_.nonEmpty), "pq books must be non-empty")
     val m = books.length
@@ -752,35 +752,148 @@ object Ann {
     val qd = kmeansInput(vecs, idCol, embCol)
     val leaders = leadersOf(qd, nlist)
     val books = pqTrainOn(qd, m, kPq, iters)
-    val d = books.head.head.length
     val codes = pqEncodeOn(qd, books)
       .select(col("id").as("id_n"), col("sub").cast("int").as("sub"), col("code"))
     val indexed = rankedCells(qd, leaders, "id_n", 0).where(col("lrn") === 1).drop("lrn")
     val qside = querySide(qd)
     val probes = rankedCells(qside, leaders, "id_q", 0).where(col("lrn") <= nprobe).drop("lrn")
-    // per-query ADC table: subvectors + norms materialize under their own
-    // aliases (each referenced kPq+1 times — the repetitionBp rule), then
-    // one m×kPq array of |qs|² − 2·qs·cw + |cw|² literal-book distances
-    val sliced = qside.where(size(col("q")) === m * d).select(col("id") +:
-      (0 until m).map(s => slice(col("q"), s * d + 1, d).as(s"__q$s")): _*)
-    val withN = sliced.select((col("id") +:
-      (0 until m).map(s => col(s"__q$s"))) ++
-      (0 until m).map(s => graft.functions.NativeOps
-        .longArrayDot(col(s"__q$s"), col(s"__q$s")).as(s"__n$s")): _*)
-    val adc = withN.select(col("id").as("id_q"),
-      array((0 until m).map { s =>
-        array(books(s).map { cw =>
-          val nc = cw.map(x => x * x).sum
-          lit(nc) + col(s"__n$s") - lit(2L) * graft.functions.NativeOps
-            .longArrayDot(col(s"__q$s"), array(cw.map(lit(_)): _*))
-        }: _*)
-      }: _*).as("__adc"))
+    val adc = adcTable(qside.select(col("id").as("id_q"), col("q")), Seq("id_q"), books)
     val cands = probes.join(indexed, "cell")
       .where(col("id_q") =!= col("id_n"))
       .select("id_q", "id_n").dropDuplicates("id_q", "id_n")
     val scored = cands
       .join(codes, "id_n") // m rows per candidate pair
       .join(adc, "id_q")   // lookup arrays ride the bounded query side
+      .withColumn("__part",
+        element_at(element_at(col("__adc"), col("sub") + 1), col("code") + 1))
+      .groupBy("id_q", "id_n").agg(sum(col("__part")).as("adc_dist"))
+    val w = Window.partitionBy("id_q").orderBy(col("adc_dist").asc, col("id_n").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= kTop)
+      .select(col("id_q"), col("id_n"), col("adc_dist"), col("rn"))
+  }
+
+  /** Per-row ADC lookup table over a full-dim quantized column `q`: for
+    * each subspace s and codeword cw, the exact integer squared distance
+    * |q_s|² − 2·q_s·cw + |cw|², emitted as one m×k nested array. Subvectors
+    * and norms materialize under their own aliases (each referenced k+1
+    * times — the repetitionBp rule); mismatched-dim rows drop (the
+    * sq8EncodeOn rule). Emits keyCols :+ `__adc`. */
+  private def adcTable(base: DataFrame, keyCols: Seq[String],
+      books: Array[Array[Array[Long]]]): DataFrame = {
+    val m = books.length
+    val d = books.head.head.length
+    val keys = keyCols.map(col)
+    val sliced = base.where(size(col("q")) === m * d).select(keys ++
+      (0 until m).map(s => slice(col("q"), s * d + 1, d).as(s"__q$s")): _*)
+    val withN = sliced.select((keys ++ (0 until m).map(s => col(s"__q$s"))) ++
+      (0 until m).map(s => graft.functions.NativeOps
+        .longArrayDot(col(s"__q$s"), col(s"__q$s")).as(s"__n$s")): _*)
+    withN.select(keys :+
+      array((0 until m).map { s =>
+        array(books(s).map { cw =>
+          val nc = cw.map(x => x * x).sum
+          lit(nc) + col(s"__n$s") - lit(2L) * graft.functions.NativeOps
+            .longArrayDot(col(s"__q$s"), array(cw.map(lit(_)): _*))
+        }: _*)
+      }: _*).as("__adc"): _*)
+  }
+
+  /** Shared recentering plumbing of the residual-PQ paths: leaders route
+    * (the existing coarse quantizer, unchanged), but the residual ANCHOR is
+    * each cell's integer MEAN vector (Σq div n per dim — truncating, the
+    * kmeans update rule) — NOT the sampled leader itself. Subtracting the
+    * cell mean provably (weakly) reduces within-cell sum of squares, which
+    * is what residual coding buys; subtracting a sampled corpus vector can
+    * ADD variance (measured on the embeddings table: +56% reconstruction
+    * error), because a random same-scale vector is not a centroid. FAISS's
+    * IndexIVFPQ anchors at the coarse centroid for the same reason.
+    *
+    * Anchors are nlist·dim bounded driver state collected from one
+    * map-side-combined scan (the trainOn convention) and ride the plan as
+    * a cell → vector literal map. Mismatched-dim rows drop FIRST (zip_with
+    * would otherwise null-pad and corrupt silently); a probed cell with no
+    * assigned members has no anchor — its residual row drops, lawfully:
+    * an empty cell has no candidates to score either. */
+  private def ivfRecenter(qd: DataFrame, nlist: Int)
+      : (DataFrame, DataFrame, DataFrame => DataFrame) = {
+    val leaders = leadersOf(qd, nlist)
+    val first = leaders.select(col("lq")).collect()
+    require(first.nonEmpty, "residual IVF-PQ needs at least one leader")
+    val dim = first.head.getSeq[Long](0).length
+    val indexed = rankedCells(qd, leaders, "id_n", 0).where(col("lrn") === 1).drop("lrn")
+    val assigned = qd.where(size(col("q")) === dim)
+      .join(indexed.withColumnRenamed("id_n", "id"), "id")
+    val sums = assigned.select(col("cell"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("cell", "i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2) / r.getLong(3)))
+    val anchors = sums.groupBy(_._1).map { case (cell, rs) =>
+      val a = new Array[Long](dim)
+      rs.foreach(t => a(t._2) = t._3)
+      (cell, a)
+    }
+    val anchorMap = map(anchors.toSeq.flatMap { case (cell, a) =>
+      Seq(lit(cell), array(a.map(lit(_)): _*)) }: _*)
+    (leaders, indexed, df => df.where(size(col("q")) === dim)
+      .withColumn("q", zip_with(col("q"),
+        element_at(anchorMap, col("cell")), (x, c) => x - c))
+      .where(col("q").isNotNull))
+  }
+
+  /** The corpus residual frame (id, q = vector − assigned cell's mean
+    * anchor, cell) the residual-PQ codec trains on — exposed so the
+    * reconstruction-error law (residual codes beat raw codes) is
+    * independently spec-checkable. */
+  private[graft] def ivfResidualFrame(vecs: DataFrame, idCol: String,
+      embCol: String, nlist: Int): DataFrame = {
+    val qd = kmeansInput(vecs, idCol, embCol)
+    val (_, indexed, residual) = ivfRecenter(qd, nlist)
+    residual(qd.join(indexed.withColumnRenamed("id_n", "id"), "id"))
+  }
+
+  /** Residual-PQ IVF-ADC — the accuracy-bearing production variant
+    * [[ivfPqTopK]]'s scaladoc stated as a trade: vectors are RECENTERED by
+    * their assigned cell's mean anchor before PQ (codebooks quantize
+    * residuals, which are tighter than raw vectors once the coarse layer
+    * has soaked up the between-cell variance — FAISS IndexIVFPQ's residual
+    * default; see [[ivfRecenter]] for why the anchor is the cell MEAN, not
+    * the sampled leader), and a query builds one ADC table PER PROBED CELL
+    * (its residual differs per cell) instead of one per query — the
+    * "second join" the trade named: the ADC side is keyed (id_q, cell),
+    * still bounded by queries × nprobe.
+    *
+    * Candidate routing is IDENTICAL to [[ivfPqTopK]] (same cells, same
+    * probes — spec'd); only the scoring arithmetic changes. All integer:
+    * residuals are exact milli-unit differences against the bounded
+    * anchor literals (nlist·dim longs, the kmeansBest budget); the
+    * reconstruction-error drop vs raw PQ is spec-asserted.
+    *
+    * Scale: everything [[ivfPqTopK]] does, plus one zip_with projection
+    * per side against literal anchor vectors — no new shuffle; the ADC
+    * join key widens to (id_q, cell), its row count to queries × nprobe. */
+  def ivfPqResTopK(vecs: DataFrame, idCol: String, embCol: String, kTop: Int,
+      querySide: DataFrame => DataFrame, nlist: Int = 16, nprobe: Int = 2,
+      m: Int = 4, kPq: Int = 4, iters: Int = 2): DataFrame = {
+    val qd = kmeansInput(vecs, idCol, embCol)
+    val (leaders, indexed, residual) = ivfRecenter(qd, nlist)
+    // corpus residuals (assigned cell), codebooks + codes over THEM
+    val rq = residual(qd.join(indexed.withColumnRenamed("id_n", "id"), "id"))
+    val books = pqTrainOn(rq.select(col("id"), col("q")), m, kPq, iters)
+    val codes = pqEncodeOn(rq, books)
+      .select(col("id").as("id_n"), col("sub").cast("int").as("sub"), col("code"))
+    val qside = querySide(qd)
+    val probes = rankedCells(qside, leaders, "id_q", 0).where(col("lrn") <= nprobe).drop("lrn")
+    // query residual PER PROBED CELL -> one ADC table per (id_q, cell)
+    val rqp = residual(qside.join(probes.withColumnRenamed("id_q", "id"), "id"))
+    val adc = adcTable(rqp.select(col("id").as("id_q"), col("cell"), col("q")),
+      Seq("id_q", "cell"), books)
+    // keep the matched cell: a candidate's codes encode ITS cell's
+    // residual, so the lookup must use the query's residual wrt that cell
+    val cands = probes.join(indexed, "cell")
+      .where(col("id_q") =!= col("id_n"))
+      .select("id_q", "id_n", "cell")
+    val scored = cands
+      .join(codes, "id_n")
+      .join(adc, Seq("id_q", "cell"))
       .withColumn("__part",
         element_at(element_at(col("__adc"), col("sub") + 1), col("code") + 1))
       .groupBy("id_q", "id_n").agg(sum(col("__part")).as("adc_dist"))

@@ -156,6 +156,75 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("persisted trigram index sharded on gram: grepIndexed reads only the pattern's shards") {
+    // TextOps.grepIndexed's scale claim made evidence (the dedup-store
+    // standard): the posting index a grep service persists ONCE via
+    // saveGramIndex (partitioned by a 64-way gram hash shard) is read back
+    // PRUNED — the pattern's shard set rides as a PartitionFilter, so the
+    // scan touches ≤ |pattern grams| of 64 directories, while the same
+    // query over a plain-parquet index reads every file. The in-line build
+    // stays the one-shot honesty baseline: results identical all three ways.
+    import graft.functions.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val idx = TextOps.trigramIndex(docs, "doc_id", "text")
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_gram_shards").toFile.getAbsolutePath
+    val plainDir = java.nio.file.Files.createTempDirectory("graft_plain_gram").toFile.getAbsolutePath
+    TextOps.saveGramIndex(idx, shardDir)
+    idx.write.mode("overwrite").parquet(plainDir)
+    // law: the driver-side shard replica equals the written column per gram
+    val shardLaw = spark.read.parquet(shardDir).select("gram", "__shard")
+      .distinct().as[(String, Int)].collect()
+    assert(shardLaw.nonEmpty)
+    shardLaw.foreach { case (g, s) =>
+      assert(TextOps.gramShard(g) === s, s"driver shard of '$g' must match the column")
+    }
+    val pattern = "merge batch"
+    val shardSet = pattern.sliding(3).toSeq.distinct.map(TextOps.gramShard).distinct.toSet
+    val inline = TextOps.grepIndexed(idx, docs, "doc_id", "text", pattern)
+      .as[Long].collect().sorted.toSeq
+    assert(inline.nonEmpty, "the pattern must actually match at sf0.001")
+    val pruned = TextOps.grepIndexed(spark.read.parquet(shardDir),
+      docs, "doc_id", "text", pattern)
+    assert(pruned.as[Long].collect().sorted.toSeq === inline)
+    // the pruned SCAN selects only the pattern's shard directories
+    // (inputFiles would lie here: it lists the store, ignoring pruning)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flat(a.executedPlan)
+      case q: QueryStageExec => p +: flat(q.plan)
+      case _ => p +: p.children.flatMap(flat)
+    }
+    def scanOf(df: org.apache.spark.sql.DataFrame, dir: String): FileSourceScanExec =
+      flat(df.queryExecution.executedPlan).collectFirst {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(dir)) => f
+      }.getOrElse(fail(s"no file scan over $dir in the plan"))
+    val scan = scanOf(pruned, shardDir)
+    val readShards = scan.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString)
+      .flatMap(f => "__shard=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
+    assert(readShards.nonEmpty && readShards.subsetOf(shardSet),
+      s"read shards $readShards must be within the pattern's $shardSet")
+    assert(scan.toString.contains("PartitionFilters: [__shard"),
+      "the shard filter must reach the scan as a PartitionFilter:\n" + scan.toString.take(1500))
+    // and the store holds more shards than the read touched — the pruning
+    // is real, not a store that only ever had the pattern's shards
+    val allShards = spark.read.parquet(shardDir).inputFiles
+      .flatMap(f => "__shard=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
+    assert(allShards.size > shardSet.size,
+      s"the store must hold more shards (${allShards.size}) than the pattern reads (${shardSet.size})")
+    // differential control: the plain-parquet index has nothing to prune —
+    // the same query's scan selects EVERY file of the posting store
+    val ctrl = TextOps.grepIndexed(spark.read.parquet(plainDir),
+      docs, "doc_id", "text", pattern)
+    assert(ctrl.as[Long].collect().sorted.toSeq === inline)
+    val ctrlScan = scanOf(ctrl, plainDir)
+    val ctrlSelected = ctrlScan.selectedPartitions.totalNumberOfFiles.toInt
+    assert(ctrlSelected === spark.read.parquet(plainDir).inputFiles.length,
+      s"control must scan the whole store, selected $ctrlSelected files")
+  }
+
   test("writeGraph/loadGraph round-trips a property graph with shuffle-free hops") {
     val gr = graph.Tpch.load(spark, "/root/testdata/sf0.001")
     val small = graph.PropertyGraph(
