@@ -1524,6 +1524,12 @@ object SparkEntry {
       graft.multimodal.Multimodal.extractMeta(
         graft.multimodal.Multimodal.withPayload(Tpch.table(s, dir, "documents"), "doc_id", "text")).toDF()
     }),
+    "q_dedup_phash" -> ((s, dir) => // multimodal near-dup: 64-bit aHash over
+      // the decoded payload (stripe mean vs global mean, integer-exact),
+      // paired at hamming<=3 through the shared pigeonhole banding
+      graft.multimodal.Multimodal.pHashPairs(
+        graft.multimodal.Multimodal.withPayload(Tpch.table(s, dir, "documents"),
+          "doc_id", "text"), maxHam = 3)),
     // ---- §2.5 events / streaming shadows --------------------------------
     "q_event_window" -> ((s, dir) =>
       graft.streaming.Sessionize.hourlyWindow(Tpch.events(s, dir))),
@@ -2432,6 +2438,28 @@ object SparkEntry {
          SELECT r.vec_id, r.i::BIGINT AS i, r.code::BIGINT AS code, e.err
          FROM r JOIN e USING (vec_id)""",
     "q_dedup_simhash" -> simhashOracleSql,
+    // q_dedup_phash: the aHash chain replayed — per-char code points (ord /
+    // ascii agree on code points; the payload is the text's utf-8, so
+    // decode(encode(text)) round-trips), positional stripes mod 64,
+    // integer cross-multiplied mean test, the proven SimHash bit packing,
+    // exact hamming <= 3 (banding needs no mirror: the pigeonhole
+    // candidate pass is recall-complete, so the pair set IS the
+    // ham-thresholded set)
+    "q_dedup_phash" ->
+      """WITH px AS (SELECT doc_id, (i - 1) % 64 AS j, ord(substr(text, i, 1))::BIGINT AS v
+                     FROM documents, unnest(generate_series(1, length(text))) u(i)),
+            st AS (SELECT doc_id, j, sum(v)::BIGINT AS s, count(*)::BIGINT AS n
+                   FROM px GROUP BY 1, 2),
+            tt AS (SELECT doc_id, sum(s)::BIGINT AS st, sum(n)::BIGINT AS nt
+                   FROM st GROUP BY 1),
+            b AS (SELECT st.doc_id, st.j, (st.s * tt.nt > tt.st * st.n)::BIGINT AS bit
+                  FROM st JOIN tt USING (doc_id)),
+            sig AS (SELECT doc_id, sum(CASE WHEN j = 63 THEN (-9223372036854775807 - 1) * bit
+                                            ELSE bit * (1::BIGINT << j) END)::BIGINT AS s
+                    FROM b GROUP BY 1)
+         SELECT a.doc_id AS id_a, c.doc_id AS id_b, bit_count(xor(a.s, c.s))::INT AS ham
+         FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+         WHERE bit_count(xor(a.s, c.s)) <= 3""",
     "q_ann_lsh" -> annLshOracleSql,
     "q_ann_ivf" -> annIvfOracleSql,
     "q_semdedup" -> semdedupOracleSql,

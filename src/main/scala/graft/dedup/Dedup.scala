@@ -328,11 +328,22 @@ object Dedup {
     * only complete for ham <= 3 and silently lost pairs beyond it). Bands
     * split the 64 bits as evenly as possible; exact popcount rescores. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHam: Int = 3,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false): DataFrame =
+    hammingBandPairs(simhash(docs, idCol, textCol, portable), maxHam)
+
+  /** Hamming-distance ≤ maxHam pairs over ANY 64-bit signature frame
+    * (id, `sigCol`) via the (maxHam+1)-band pigeonhole of [[simhashPairs]]
+    * — shared by SimHash text signatures and the multimodal perceptual
+    * hash ([[graft.multimodal.Multimodal.pHash]]): candidates are
+    * band-exact equi-join matches (recall-complete for ham ≤ maxHam by the
+    * pigeonhole bound), exact popcount rescores. Emits (id_a, id_b, ham),
+    * id_a < id_b. */
+  def hammingBandPairs(sig: DataFrame, maxHam: Int = 3,
+      sigCol: String = "simhash"): DataFrame = {
     require(maxHam >= 0 && maxHam < 64, s"maxHam must be in [0, 64), got $maxHam")
     val nBands = maxHam + 1
     val bounds = (0 to nBands).map(b => b * 64 / nBands) // even-ish split of 64 bits
-    val sh = simhash(docs, idCol, textCol, portable)
+    val sh = sig.select(col("id"), col(sigCol).as("simhash"))
     val banded = sh.select(col("id"), col("simhash"),
       explode(array((0 until nBands).map { b =>
         val lo = bounds(b); val width = bounds(b + 1) - lo

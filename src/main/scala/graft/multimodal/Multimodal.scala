@@ -115,6 +115,59 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual hash (aHash family) over the decoded payload — the
+    * image-dedup signature every multimodal training pipeline computes:
+    * decode the payload to a "pixel" sequence (STUB: utf-8 code points —
+    * a real deployment decodes luminance; the hash pipeline downstream is
+    * unchanged), fold the pixels into 64 positional stripes (position mod
+    * 64), and set bit j iff stripe j's mean exceeds the global mean — the
+    * average-hash rule, integer-exact via the cross-multiplied comparison
+    * s_j·N > S·n_j. Bits pack into one signed long (bit 63 via
+    * Long.MinValue, the SimHash packing convention), so the signature —
+    * and therefore the pair set — replays bit-identically in SQL.
+    *
+    * Emits (id, phash). Payloads shorter than 64 pixels leave their
+    * missing stripes at bit 0; empty payloads hash to 0. Long bound:
+    * s_j·N stays inside 2⁶³ through ~16 M pixels per payload.
+    *
+    * Scale: one posexplode (pixel instances — the token-instance volume
+    * every text op already pays) into a doc-keyed 64-row stripe agg, a
+    * doc-keyed total, and a doc-keyed pack — all keyed shuffles, never a
+    * pair join. */
+  def pHash(media: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val text = decode(col(payloadCol), "UTF-8")
+    // guard: Spark's sequence(1, 0) steps DOWN to [1, 0] instead of being
+    // empty, so a zero-length payload must short-circuit (the charTrigrams
+    // rule) — empty and NULL payloads contribute no pixel rows, matching
+    // what a SQL unnest replay sees
+    val chars = when(length(text) >= 1,
+        transform(sequence(lit(1), length(text)), i => text.substr(i, lit(1))))
+      .otherwise(array().cast("array<string>"))
+    val px = media
+      .select(col(idCol).as("id"), posexplode(chars).as(Seq("pos", "c")))
+      .select(col("id"), (col("pos") % 64).as("j"), ascii(col("c")).cast("long").as("v"))
+    val stripes = px.groupBy("id", "j")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    val tot = stripes.groupBy("id")
+      .agg(sum(col("s")).as("st"), sum(col("n")).as("nt"))
+    stripes.join(tot, "id")
+      .withColumn("bit", (col("s") * col("nt") > col("st") * col("n")).cast("long"))
+      .groupBy("id")
+      .agg(sum(when(col("j") === 63, col("bit") * lit(Long.MinValue))
+        .otherwise(col("bit") * expr("shiftleft(1L, j)")))
+        .as("phash"))
+  }
+
+  /** Perceptual-hash near-duplicate pairs: [[pHash]] signatures paired at
+    * hamming ≤ maxHam through the shared
+    * [[graft.dedup.Dedup.hammingBandPairs]] pigeonhole banding — the
+    * multimodal counterpart of text SimHash dedup. Emits (id_a, id_b, ham). */
+  def pHashPairs(media: DataFrame, maxHam: Int = 3, idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame =
+    graft.dedup.Dedup.hammingBandPairs(
+      pHash(media, idCol, payloadCol), maxHam, sigCol = "phash")
+
   /** Feature-extraction pass: payload → fixed-dim embedding (deterministic
     * hash-projection stub standing in for a vision/audio encoder). Output
     * feeds graft.sim.Ann directly — the media → embedding → ANN pipeline. */

@@ -2666,6 +2666,31 @@ class DataOpsSpec extends AnyFunSuite {
       s"residual coding must cut reconstruction error: raw=$rawErr res=$resErr")
   }
 
+  test("pHashPairs: banding recall-complete vs exact hamming pairs; planted dup found") {
+    implicit val sp = spark
+    import graft.multimodal.Multimodal
+    // real corpus + a planted byte-identical copy and a one-char variant
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .union(Seq((900001L, base), (900002L, base), // identical twins -> ham 0
+        (900003L, base.updated(5, 'X').toString),  // near twin
+        (900004L, "")).toDF("doc_id", "text"))     // empty: no pixels, absent
+    val media = Multimodal.withPayload(docs, "doc_id", "text")
+    val sigs = Multimodal.pHash(media).as[(Long, Long)].collect().toMap
+    assert(!sigs.contains(900004L), "empty payload must be absent, like a SQL unnest")
+    // exact ground truth: all id-ordered pairs at popcount(xor) <= 3
+    val exact = (for {
+      (a, sa) <- sigs.toSeq; (b, sb) <- sigs.toSeq if a < b
+      ham = java.lang.Long.bitCount(sa ^ sb) if ham <= 3
+    } yield (a, b, ham)).toSet
+    val got = Multimodal.pHashPairs(media, maxHam = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === exact, "banding must be recall-complete and precision-exact")
+    assert(got.contains((900001L, 900002L, 0)), "identical payloads must pair at ham 0")
+    assert(got.exists { case (a, b, _) => (a, b) == (900001L, 900003L) || (a, b) == (900002L, 900003L) },
+      "a one-char variant must stay within the hamming budget")
+  }
+
   test("sq8 matches an independent driver replay of the envelope/code/error chain") {
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // replay from the ENGINE-quantized milli values (the lloydReference
