@@ -2413,8 +2413,8 @@ object Algos {
     * (and max eccentricity over all sources = the graph diameter).
     * `sources` bounds the work (sample for approximation, all for exact). */
   def closenessCentrality(edges: DataFrame, sources: DataFrame, directed: Boolean = false,
-      maxIter: Int = 100)(implicit spark: SparkSession): DataFrame =
-    taggedBfs(edges, sources, directed, maxIter)
+      maxIter: Int = 100, localMaxEdges: Long = 200000L)(implicit spark: SparkSession): DataFrame =
+    taggedBfs(edges, sources, directed, maxIter, localMaxEdges)
       .groupBy(col("s").as("id"))
       .agg((count(lit(1)) - 1).as("n_reach"), sum(col("d")).as("farness"),
         max(col("d")).as("eccentricity"))
@@ -2426,12 +2426,43 @@ object Algos {
     * never |V|². Fails LOUDLY if `maxIter` rounds leave a non-empty
     * frontier: a silent truncation would undercount every downstream sum. */
   private def taggedBfs(edges: DataFrame, sources: DataFrame, directed: Boolean,
-      maxIter: Int): DataFrame = {
+      maxIter: Int, localMaxEdges: Long = 200000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val e0 = edges.select("src", "dst").dropDuplicates("src", "dst")
-    val e = (if (directed) e0
-             else e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-               .dropDuplicates("src", "dst"))
-      .localCheckpoint(eager = false)
+    val eRaw = if (directed) e0
+      else e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .dropDuplicates("src", "dst")
+    // guarded LOCAL replay (the maximalMatching convention): multi-source
+    // BFS is |sources|·O(E) driver work — trivially below the per-round
+    // scheduling floor for small graphs (measured at sf0.1: q_harmonic
+    // 1.8 s warm -> the scan cost; distances are unique facts, so the
+    // replay is bit-identical by construction, parity-spec'd)
+    if (atMost(eRaw, localMaxEdges) && atMost(sources, 512L)) {
+      val es = eRaw.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      val srcs = sources.select(col(sources.columns.head).cast("long"))
+        .distinct().as[Long].collect()
+      val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      srcs.foreach { s =>
+        val dist = scala.collection.mutable.HashMap[Long, Long](s -> 0L)
+        var frontier: Array[Long] = Array(s)
+        var d = 0L
+        while (frontier.nonEmpty) {
+          d += 1
+          if (d > maxIter)
+            throw new IllegalStateException(
+              s"taggedBfs: frontier still non-empty after maxIter=$maxIter rounds — raise maxIter")
+          frontier = frontier.flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+            .distinct.filterNot(dist.contains)
+          frontier.foreach(v => dist(v) = d)
+        }
+        dist.foreach { case (v, dd) => out += ((s, v, dd)) }
+      }
+      return spark.createDataset(out.toSeq).toDF("s", "v", "d")
+    }
+    val e = eRaw.localCheckpoint(eager = false)
     var frontier = sources.select(col(sources.columns.head).as("s")).dropDuplicates("s")
       .withColumn("v", col("s")).withColumn("d", lit(0L))
       .localCheckpoint(eager = false)
@@ -2794,8 +2825,9 @@ object Algos {
     * join + (s,v) dedup + anti-join vs visited — work tracks frontier size,
     * never |V|·|V|. Returns (id, n_reach, harmonic). */
   def harmonicCentrality(edges: DataFrame, sources: DataFrame, directed: Boolean = false,
-      scale: Long = 840L, maxIter: Int = 100)(implicit spark: SparkSession): DataFrame = {
-    val acc = taggedBfs(edges, sources, directed, maxIter)
+      scale: Long = 840L, maxIter: Int = 100, localMaxEdges: Long = 200000L)(
+      implicit spark: SparkSession): DataFrame = {
+    val acc = taggedBfs(edges, sources, directed, maxIter, localMaxEdges)
     acc.where(col("d") > 0)
       .groupBy(col("s").as("id"))
       .agg(count(lit(1)).as("n_reach"),

@@ -991,6 +991,30 @@ class AlgosSpec extends AnyFunSuite {
     assert(local.size === srcs.size + chain.size)
   }
 
+  test("taggedBfs guarded local replay is row-identical to the distributed rounds") {
+    // deterministic pseudo-random multigraph with cycles, dead ends, and
+    // unreachable islands; localMaxEdges = 0 forces the distributed path
+    // (the hits-spec convention) — distances are unique facts, so the two
+    // paths must agree EXACTLY, harmonic and closeness both
+    val es = (1 to 300).map { i =>
+      val a = (i * 7919L) % 53; val b = (i * 104729L) % 53
+      (a, if (a == b) (b + 1) % 53 else b)
+    }.toDF("src", "dst")
+    val srcs = (0L until 53L by 3L).toDF("id")
+    for (directed <- Seq(false, true)) {
+      val loc = Algos.harmonicCentrality(es, srcs, directed = directed)
+        .as[(Long, Long, Long)].collect().toSet
+      val dist = Algos.harmonicCentrality(es, srcs, directed = directed, localMaxEdges = 0L)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(loc === dist, s"harmonic parity broke at directed=$directed")
+      val locC = Algos.closenessCentrality(es, srcs, directed = directed)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val distC = Algos.closenessCentrality(es, srcs, directed = directed, localMaxEdges = 0L)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(locC === distC, s"closeness parity broke at directed=$directed")
+    }
+  }
+
   test("taggedBfs centralities fail loudly when maxIter truncates the frontier") {
     val chain = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
     intercept[IllegalStateException] {
