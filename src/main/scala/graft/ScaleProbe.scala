@@ -338,6 +338,14 @@ object ScaleProbe {
         graft.sim.Ann.knnLabel(df.withColumn("label", (col("vec_id") % 7).cast("int")),
           "vec_id", "embedding", "label", k = 3,
           querySide = _.where(col("id") < 100), nlist = nlist, nprobe = 4).count()
+      },
+      // residual IVF-ADC: the ivfpq shape + one anchor projection per side
+      // + the (id_q, cell)-keyed ADC join — still candidate-linear
+      "ivfpq_res" -> { df =>
+        val nlist = math.max(16, (df.count() / 125L).toInt)
+        graft.sim.Ann.ivfPqResTopK(df, "vec_id", "embedding", kTop = 3,
+          querySide = _.where(col("id") < 100), nlist = nlist, nprobe = 4,
+          m = 4, kPq = 8, iters = 2).count()
       })
 
     // events replicas (user_id shifted: k× USERS, per-user history constant)
@@ -357,14 +365,42 @@ object ScaleProbe {
       // bucket count is FIXED under user replication, so only the count agg
       // grows; time must stay near-flat
       "anomaly" -> (d => graft.streaming.Sessionize.volumeAnomaly(d, "ts",
-        bucketSec = 3600L, z = 2L).agg(sum(col("flag"))).head().getLong(0)))
+        bucketSec = 3600L, z = 2L).agg(sum(col("flag"))).head().getLong(0)),
+      // calendar spine: the anomaly plan + a fixed-size generator join
+      // (bucket span unchanged under user replication) — near-flat too
+      "anomaly_spine" -> (d => graft.streaming.Sessionize.volumeAnomalySpine(d, "ts",
+        bucketSec = 3600L, z = 2L).agg(sum(col("flag"))).head().getLong(0)),
+      // funnel steps: the funnel prefix chains + one scalar agg per step —
+      // step count fixed, so time tracks the funnel probe
+      "funnel_steps" -> (d => graft.streaming.Sessionize.funnelSteps(d, "user_id", "ts",
+        "event_type", Seq("signup", "view", "click", "purchase"), spanSec = 86400L)
+        .agg(sum(col("n_keys"))).head().getLong(0)))
 
+    // perceptual-hash pairs probed at k× (not k²): replicas are
+    // byte-identical, so every duplicate group pairs k² WITHIN itself —
+    // the pair family's designed worst case (the make_scaled convention);
+    // candidate and output volume grow k² while the banding join stays
+    // keyed, so the time ratio is graded against k², not k
+    lazy val docsMidK = (0 until k).map(i =>
+        docs1.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_.unionByName(_)).localCheckpoint(true)
+    val pairProbes: Seq[(String, DataFrame => Long)] = Seq(
+      "phash_pairs" -> (d => graft.multimodal.Multimodal.pHashPairs(
+        graft.multimodal.Multimodal.withPayload(d, "doc_id", "text"),
+        maxHam = 3).count()))
     val selectedPipe = only.map(f => pipeProbes.filter(_._1.contains(f))).getOrElse(pipeProbes)
     val selectedEmb = only.map(f => embProbes.filter(_._1.contains(f))).getOrElse(embProbes)
     val selectedEv = only.map(f => evProbes.filter(_._1.contains(f))).getOrElse(evProbes)
+    val selectedPair = only.map(f => pairProbes.filter(_._1.contains(f))).getOrElse(pairProbes)
     require(only.isEmpty || selected.nonEmpty || selectedPipe.nonEmpty ||
-      selectedEmb.nonEmpty || selectedEv.nonEmpty,
+      selectedEmb.nonEmpty || selectedEv.nonEmpty || selectedPair.nonEmpty,
       s"probe filter '${only.getOrElse("")}' matches nothing in any probe list")
+    selectedPair.foreach { case (name, f) =>
+      val (t1, n1) = minTime(f(docs1))
+      val (tK, nK) = minTime(f(docsMidK))
+      val ratio = tK / math.max(t1, 1e-9)
+      println(f"[scale] $name%-18s 1x: $t1%6.2f s (n=$n1%9d)   ${k}x: $tK%6.2f s (n=$nK%9d)   time-ratio: $ratio%5.2f")
+    }
     selectedPipe.foreach { case (name, f) =>
       val (t1, n1) = minTime(f(docs1))
       val (tK, nK) = minTime(f(docsK))
