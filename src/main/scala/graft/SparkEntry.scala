@@ -1208,6 +1208,18 @@ object SparkEntry {
       TextOps.grepIndexed(TextOps.trigramIndex(docs, "doc_id", "text"),
         docs, "doc_id", "text", "merge batch")
     }),
+    "q_grep_many" -> ((s, dir) => {
+      // batch literal search: a PATTERNS TABLE through the posting index in
+      // one pass (per-call grepIndexed would rescan per pattern) — matching
+      // patterns, a no-hit pattern, and a short pattern that lawfully drops
+      import s.implicits._
+      import graft.functions.TextOps
+      val docs = Tpch.table(s, dir, "documents")
+      val pats = Seq("merge batch", "hash join", "slow window", "qqqqzz", "ab")
+        .toDF("pattern")
+      TextOps.grepMany(TextOps.trigramIndex(docs, "doc_id", "text"),
+        docs, "doc_id", "text", pats)
+    }),
     "q_pii_scrub" -> ((s, dir) => {
       // PII redaction over the corpus. The testdata text carries no PII, so
       // the query plants a synthetic contact suffix on every doc INSIDE the
@@ -3489,6 +3501,13 @@ object SparkEntry {
     // so the oracle is the plain ground-truth scan
     "q_grep" ->
       "SELECT doc_id FROM documents WHERE contains(text, 'merge batch')",
+    // grepMany is exact per pattern (the grepIndexed law applied per row of
+    // the patterns table; < 3-char patterns drop — no trigram to key on)
+    "q_grep_many" ->
+      """WITH p(pattern) AS (VALUES ('merge batch'), ('hash join'), ('slow window'),
+                                    ('qqqqzz'), ('ab'))
+         SELECT p.pattern, d.doc_id FROM documents d, p
+         WHERE len(p.pattern) >= 3 AND contains(d.text, p.pattern)""",
     "q_source_sim" ->
       """WITH toks AS (SELECT source, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts FROM documents),
             sh AS (SELECT DISTINCT source, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram

@@ -680,4 +680,39 @@ object TextOps {
   def grepScan(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, pattern: String): org.apache.spark.sql.DataFrame =
     docs.where(col(textCol).contains(pattern)).select(col(idCol).as("doc_id"))
+
+  /** Batch literal search: a whole PATTERNS TABLE against the posting
+    * index in ONE pass — the shape a grep service actually runs (per-call
+    * [[grepIndexed]] would rescan per pattern). Patterns explode to their
+    * distinct trigrams, equi-join the postings on `gram`, and a (pattern,
+    * doc) candidate needs ALL the pattern's grams present (the grepIndexed
+    * recall law per pattern); the exact `contains` verify joins candidates
+    * back to the corpus text once. Emits (pattern, doc_id). Patterns
+    * shorter than 3 chars have no trigram to key on and DROP (they belong
+    * to [[grepScan]]; a filter, not a require — the patterns side is a
+    * table, not a literal).
+    *
+    * Scale: the posting join is gram-keyed and touches only grams some
+    * pattern uses; candidates shuffle on (pattern, doc); the verify join
+    * reads candidate documents once for ALL patterns. Work tracks matching
+    * postings × patterns-per-gram, never corpus × patterns. */
+  def grepMany(index: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      patterns: org.apache.spark.sql.DataFrame,
+      patCol: String = "pattern"): org.apache.spark.sql.DataFrame = {
+    val pats = patterns.select(col(patCol).as("pattern")).dropDuplicates("pattern")
+    val pg = pats
+      .where(length(col("pattern")) >= 3)
+      .select(col("pattern"), explode(charTrigrams(col("pattern"))).as("gram"))
+    val need = pg.groupBy("pattern").agg(count(lit(1)).as("__need"))
+    val cands = pg.join(index, "gram")
+      .groupBy("pattern", "doc_id").agg(count(lit(1)).as("__have"))
+      .join(need, "pattern")
+      .where(col("__have") === col("__need"))
+      .select("pattern", "doc_id")
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .join(cands, "doc_id")
+      .where(col("__t").contains(col("pattern")))
+      .select("pattern", "doc_id")
+  }
 }

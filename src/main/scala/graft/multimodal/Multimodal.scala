@@ -139,9 +139,11 @@ object Multimodal {
     val text = decode(col(payloadCol), "UTF-8")
     // split('') is the O(n) per-char decomposition — the substr(i, 1)
     // formulation re-seeks from the string head per position (O(n²) per
-    // payload; measured 2× on the whole query at sf0.1). An empty payload
-    // splits to zero elements, so no pixel rows — matching a SQL unnest
-    val chars = split(text, "")
+    // payload; measured 2× on the whole query at sf0.1). Guard: an EMPTY
+    // payload splits to [""], one spurious zero pixel that a SQL unnest
+    // replay never sees — it must contribute no rows (spec'd)
+    val chars = when(length(text) >= 1, split(text, ""))
+      .otherwise(array().cast("array<string>"))
     val px = media
       .select(col(idCol).as("id"), posexplode(chars).as(Seq("pos", "c")))
       .select(col("id"), (col("pos") % 64).as("j"), ascii(col("c")).cast("long").as("v"))

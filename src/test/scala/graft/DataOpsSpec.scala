@@ -112,6 +112,25 @@ class DataOpsSpec extends AnyFunSuite {
       .as[Long].collect().toSet === Set(20L, 21L, 24L))
   }
 
+  test("grepMany equals per-pattern grepIndexed; short patterns drop; one-pass over patterns table") {
+    import graft.functions.TextOps
+    val corpus = Seq(
+      (20L, "abcd cdef"), (21L, "abcdef yes"), (22L, "nothing here"),
+      (23L, null.asInstanceOf[String]), (24L, "abcdef")).toDF("doc_id", "text")
+    val idx = TextOps.trigramIndex(corpus, "doc_id", "text")
+    val patSeq = Seq("abcdef", "abc", "cdef", "aaa", "nothing here", "zzz")
+    val pats = (patSeq ++ Seq("ab", "abcdef" /* dup must not double rows */))
+      .toDF("pattern")
+    val got = TextOps.grepMany(idx, corpus, "doc_id", "text", pats)
+      .as[(String, Long)].collect().toSet
+    val expected = patSeq.flatMap { pat =>
+      TextOps.grepIndexed(idx, corpus, "doc_id", "text", pat)
+        .as[Long].collect().map(pat -> _)
+    }.toSet
+    assert(got === expected, "one-pass batch grep must equal per-pattern grepIndexed")
+    assert(!got.exists(_._1 == "ab"), "sub-trigram patterns must drop")
+  }
+
   test("boilerplateGrams finds repeated furniture; stripBoilerplate removes every occurrence") {
     import graft.functions.TextOps
     val boiler = "subscribe to our newsletter now"
