@@ -1542,6 +1542,15 @@ object SparkEntry {
       graft.multimodal.Multimodal.pHashPairs(
         graft.multimodal.Multimodal.withPayload(Tpch.table(s, dir, "documents"),
           "doc_id", "text"), maxHam = 3)),
+    "q_dedup_phash_keep" -> ((s, dir) => { // the multimodal dedup DECISION:
+      // phash pairs -> connected components -> min-id keeper (the
+      // q_dedup_clusters convention fed by the perceptual-hash generator)
+      val docs = Tpch.table(s, dir, "documents")
+      val pairs = graft.multimodal.Multimodal.pHashPairs(
+        graft.multimodal.Multimodal.withPayload(docs, "doc_id", "text"), maxHam = 3)
+        .select("id_a", "id_b")
+      graft.dedup.Dedup.clustersFromPairs(docs, "doc_id", pairs)
+    }),
     // ---- §2.5 events / streaming shadows --------------------------------
     "q_event_window" -> ((s, dir) =>
       graft.streaming.Sessionize.hourlyWindow(Tpch.events(s, dir))),
@@ -2472,6 +2481,31 @@ object SparkEntry {
          SELECT a.doc_id AS id_a, c.doc_id AS id_b, bit_count(xor(a.s, c.s))::INT AS ham
          FROM sig a JOIN sig c ON a.doc_id < c.doc_id
          WHERE bit_count(xor(a.s, c.s)) <= 3""",
+    // the phash pair set + the q_dedup_clusters recursive-closure idiom:
+    // docs with no pixels (null text) still get their singleton row from
+    // the documents LEFT JOIN — matching clustersFromPairs' vertex set
+    "q_dedup_phash_keep" ->
+      """WITH RECURSIVE px AS (SELECT doc_id, (i - 1) % 64 AS j, ord(substr(text, i, 1))::BIGINT AS v
+                     FROM documents, unnest(generate_series(1, length(text))) u(i)),
+            st AS (SELECT doc_id, j, sum(v)::BIGINT AS s, count(*)::BIGINT AS n
+                   FROM px GROUP BY 1, 2),
+            tt AS (SELECT doc_id, sum(s)::BIGINT AS st, sum(n)::BIGINT AS nt
+                   FROM st GROUP BY 1),
+            b AS (SELECT st.doc_id, st.j, (st.s * tt.nt > tt.st * st.n)::BIGINT AS bit
+                  FROM st JOIN tt USING (doc_id)),
+            sig AS (SELECT doc_id, sum(CASE WHEN j = 63 THEN (-9223372036854775807 - 1) * bit
+                                            ELSE bit * (1::BIGINT << j) END)::BIGINT AS s
+                    FROM b GROUP BY 1),
+            pairs AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+                      FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+                      WHERE bit_count(xor(a.s, c.s)) <= 3),
+            e AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (SELECT a, b FROM e
+                            UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+            lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+         SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster,
+                (d.doc_id = coalesce(l.cluster, d.doc_id))::INT AS keep
+         FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id""",
     "q_ann_lsh" -> annLshOracleSql,
     "q_ann_ivf" -> annIvfOracleSql,
     "q_semdedup" -> semdedupOracleSql,

@@ -152,6 +152,45 @@ class PlanSpec extends AnyFunSuite {
       "ivf-pq search must never build an all-pairs join:\n" + plan.take(3000))
   }
 
+  test("ivfPqResTopK stays keyed: anchors ride as literals, ADC joins on (id_q, cell)") {
+    import graft.sim.Ann
+    val vecs = Tpch.table(spark, dir, "embeddings")
+    val q = Ann.ivfPqResTopK(vecs, "vec_id", "embedding", kTop = 3,
+      querySide = _.where(col("id") < 100), nlist = 16, nprobe = 4)
+    q.collect()
+    val plan = executedPlan(q)
+    // the residual variant adds only literal-anchor projections and the
+    // (id_q, cell)-keyed ADC join on top of the raw plan — still never an
+    // all-pairs shape (the broadcast against the 16-row leader table is
+    // the one allowed exception, the ivfPqTopK rule)
+    assert(!plan.contains("CartesianProduct"),
+      "residual ivf-pq search must never build an all-pairs join:\n" + plan.take(3000))
+  }
+
+  test("grepMany and pHashPairs join keyed: no cartesian, no BNLJ") {
+    import graft.functions.TextOps
+    val docs = Tpch.table(spark, dir, "documents")
+    val spark2 = spark; import spark2.implicits._
+    val pats = Seq("merge batch", "hash join", "qqqqzz").toDF("pattern")
+    val gm = TextOps.grepMany(TextOps.trigramIndex(docs, "doc_id", "text"),
+      docs, "doc_id", "text", pats)
+    gm.collect()
+    val gmPlan = executedPlan(gm)
+    // posting join keyed on gram, candidates on (pattern, doc), verify on
+    // doc_id — the contains predicate FILTERS a keyed join, it never
+    // becomes the join condition of a nested loop
+    assert(!gmPlan.contains("CartesianProduct") &&
+      !gmPlan.contains("BroadcastNestedLoopJoin"),
+      "grepMany must stay keyed:\n" + gmPlan.take(3000))
+    val ph = graft.multimodal.Multimodal.pHashPairs(
+      graft.multimodal.Multimodal.withPayload(docs, "doc_id", "text"), maxHam = 3)
+    ph.collect()
+    val phPlan = executedPlan(ph)
+    assert(!phPlan.contains("CartesianProduct") &&
+      !phPlan.contains("BroadcastNestedLoopJoin"),
+      "pHashPairs candidates must come from the band equi-join:\n" + phPlan.take(3000))
+  }
+
   test("pqEncode is a zero-Exchange zero-Join scan pass (literal codebooks)") {
     import graft.sim.Ann
     val vecs = Tpch.table(spark, dir, "embeddings")
