@@ -2438,10 +2438,14 @@ object Algos {
     // scheduling floor for small graphs (measured at sf0.1: q_harmonic
     // 1.8 s warm -> the scan cost; distances are unique facts, so the
     // replay is bit-identical by construction, parity-spec'd)
+    // a NULL source identifies no vertex: dropped in BOTH paths (the
+    // distributed frontier would carry a (null, null, 0) row that joins
+    // nothing; the local replay would NPE unboxing it — parity-spec'd)
+    val srcCol = col(sources.columns.head)
     if (atMost(eRaw, localMaxEdges) && atMost(sources, 512L)) {
       val es = eRaw.select(col("src").cast("long"), col("dst").cast("long"))
         .as[(Long, Long)].collect()
-      val srcs = sources.select(col(sources.columns.head).cast("long"))
+      val srcs = sources.where(srcCol.isNotNull).select(srcCol.cast("long"))
         .distinct().as[Long].collect()
       val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
@@ -2463,7 +2467,8 @@ object Algos {
       return spark.createDataset(out.toSeq).toDF("s", "v", "d")
     }
     val e = eRaw.localCheckpoint(eager = false)
-    var frontier = sources.select(col(sources.columns.head).as("s")).dropDuplicates("s")
+    var frontier = sources.where(srcCol.isNotNull)
+      .select(srcCol.as("s")).dropDuplicates("s")
       .withColumn("v", col("s")).withColumn("d", lit(0L))
       .localCheckpoint(eager = false)
     var acc = frontier

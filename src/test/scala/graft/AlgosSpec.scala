@@ -1000,7 +1000,9 @@ class AlgosSpec extends AnyFunSuite {
       val a = (i * 7919L) % 53; val b = (i * 104729L) % 53
       (a, if (a == b) (b + 1) % 53 else b)
     }.toDF("src", "dst")
-    val srcs = (0L until 53L by 3L).toDF("id")
+    // a NULL source identifies no vertex: dropped identically on both paths
+    val srcs = ((0L until 53L by 3L).map(java.lang.Long.valueOf) :+
+      null.asInstanceOf[java.lang.Long]).toDF("id")
     for (directed <- Seq(false, true)) {
       val loc = Algos.harmonicCentrality(es, srcs, directed = directed)
         .as[(Long, Long, Long)].collect().toSet
