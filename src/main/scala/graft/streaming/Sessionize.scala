@@ -327,6 +327,53 @@ object Sessionize {
       .groupBy((col("key") +: (1 to i).map(j => col(s"t$j"))): _*)
       .agg(min(col("__ts")).as(s"t${i + 1}"))
 
+  case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
+  case class FunnelProgress(progress: Int, stepTs: Array[Long])
+  case class FunnelCompletion(user_id: Long, step_ts: Array[Long])
+
+  /** Streaming funnel progression: the stateful form of [[funnel]] — per
+    * key, greedy-earliest matching of the step sequence maintained as
+    * (progress, matched timestamps), one completion row emitted the moment
+    * the last step matches (Append mode; a completed key's state pins at
+    * `progress = steps.length` so re-deliveries never re-emit). State is
+    * two small fields per ACTIVE key — the funnel analytic over an
+    * unbounded stream without materializing per-key histories.
+    *
+    * Semantics contract: greedy-earliest is a SEQUENTIAL scan, so the
+    * stream reproduces the oracled batch [[funnel]] exactly when each
+    * key's events arrive in event-time order across micro-batches (events
+    * within one micro-batch are sorted here; the bridge spec replays the
+    * real table chronologically and asserts row equality). Out-of-order
+    * arrivals degrade gracefully — a late earlier-step event is simply not
+    * matched (the documented StreamQuota arrival-order deviation), because
+    * greedily re-matching would need the per-key history this operator
+    * exists to avoid. */
+  def streamingFunnel(events: Dataset[TypedEvent], steps: Seq[String])(
+      implicit spark: SparkSession): Dataset[FunnelCompletion] = {
+    import spark.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelCompletion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[FunnelProgress]) =>
+          // epoch MICROS: the batch funnel compares Timestamp columns at
+          // full micro precision, so the strict-inequality step matching
+          // must too (getTime alone would truncate to millis)
+          def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+          var st = state.getOption.getOrElse(FunnelProgress(0, Array.empty))
+          val out = scala.collection.mutable.ArrayBuffer[FunnelCompletion]()
+          evs.toSeq.sortBy(e => us(e.ts)).foreach { e =>
+            if (st.progress < steps.length && e.event_type == steps(st.progress) &&
+                (st.progress == 0 || us(e.ts) > st.stepTs(st.progress - 1))) {
+              st = FunnelProgress(st.progress + 1, st.stepTs :+ us(e.ts))
+              if (st.progress == steps.length) out += FunnelCompletion(uid, st.stepTs)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** The drop-off funnel PRODUCT over [[funnel]]'s greedy-earliest
     * matching: one row per step with the count of keys completing the
     * step-prefix, plus the count completing it WITHIN `spanSec` of the
