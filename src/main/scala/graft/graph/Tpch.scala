@@ -43,10 +43,41 @@ object Tpch {
   private val graphCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), PropertyGraph]()
 
+  /** Spread an under-split PAYLOAD scan across the cores before persisting
+    * (guide §2.5 "input skew: one huge unsplittable file — repartition
+    * immediately after the read"): the testdata ships as single-row-group
+    * parquet files, so every scan is ONE task, and for the compute-dense
+    * payload corpora (documents.text tokenize/shingle, embeddings.vec
+    * quantize/dot) that one task serializes seconds of per-row work onto one
+    * core regardless of cluster size. The partition count derives from the
+    * actual input size (≈32 KB of compressed parquet per partition, capped
+    * at defaultParallelism), so a production-scale input whose scan already
+    * splits to ≥ cores is left untouched — the small-file artifact fix, not
+    * a local[32] tune. Relational/event tables are deliberately NOT spread:
+    * their operators are shuffle-dominated joins/aggs whose cost per byte is
+    * tiny, and a measured A/B (OPTIMIZATION_r10.md) showed spreading them
+    * only buys per-task scheduling overhead on dozens of sub-second
+    * queries. */
+  // per-table split quantum (compressed bytes per partition): text ops
+  // (tokenize/shingle) cost far more per byte than vector dots, and the
+  // many-micro-stage index builds over embeddings pay per-task overhead on
+  // every stage — so documents split finer than embeddings (A/B-measured,
+  // OPTIMIZATION_r10.md)
+  private val payloadTables = Map("documents" -> 32768L, "embeddings" -> 131072L)
+  private def spread(spark: SparkSession, df: DataFrame, quantum: Long): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    val scanParts = df.rdd.getNumPartitions
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = ((bytes / quantum) max BigInt(1) min BigInt(p)).toInt
+    if (scanParts >= want) df else df.repartition(want)
+  }
+
   private def cached(spark: SparkSession, key: (String, String))(build: => DataFrame): DataFrame =
     if (!shareScans) build
-    else tableCache.getOrElseUpdate((spark, key._1, key._2),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else tableCache.getOrElseUpdate((spark, key._1, key._2), {
+      val df = payloadTables.get(key._2).fold(build)(q => spread(spark, build, q))
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     cached(spark, (dir, name)) { spark.read.parquet(s"$dir/$name.parquet") }
