@@ -690,6 +690,13 @@ object Algos {
       .localCheckpoint(false)
     val deg = sym.groupBy(col("src").as("k")).agg(count(lit(1)).as("d"))
       .localCheckpoint(false) // two consumers: the moment agg and the S-join
+    // the checkpoint blanks deg's stats, so the S-join below planned as a
+    // SortMergeJoin that exchanged the |E| sym list twice. deg is one row
+    // per VERTEX — usually broadcastable — so take the measured-guard
+    // broadcast (≤2M rows ≈ 32 MB built) and keep the stats-blind SMJ only
+    // for degree tables past the guard (removed 2 of the 3 |E| Exchanges;
+    // plans/r10/q_assortativity_*.txt)
+    val degJ = if (atMost(deg, 2000000L)) broadcast(deg) else deg
     val dec = "decimal(38,0)"
     def d(c: Column): Column = c.cast(dec)
     val zero = lit(0).cast(dec)
@@ -700,9 +707,9 @@ object Algos {
       coalesce(sum(d(col("d")) * d(col("d")) * d(col("d"))), zero).as("__s2"))
     // Σxy = Σ_v d_v·S(v), S(v) = Σ of neighbor degrees — the one |E| join
     val sxy = sym
-      .join(deg.select(col("k").as("dst"), col("d").as("dy")), "dst")
+      .join(degJ.select(col("k").as("dst"), col("d").as("dy")), "dst")
       .groupBy(col("src").as("k")).agg(sum(d(col("dy"))).as("__sv"))
-      .join(deg, "k")
+      .join(degJ, "k")
       .agg(coalesce(sum(d(col("d")) * col("__sv")), zero).as("__sxy"))
     moments.crossJoin(sxy)
       .select((col("__n") / 2).cast("long").as("n_edges"),
@@ -777,9 +784,44 @@ object Algos {
     * window keyed by dst, one label join-back — all shuffles keyed by vertex
     * id, per-round cost linear in |E|. Labels are checkpointed each round so
     * the plan doesn't nest `iters` deep. */
-  def labelPropagationSync(vertices: DataFrame, edges: DataFrame, iters: Int)(
+  def labelPropagationSync(vertices: DataFrame, edges: DataFrame, iters: Int,
+      localMaxEdges: Long = 2000000L)(
       implicit spark: SparkSession): DataFrame = {
     val idc = vertices.columns.head
+    // guarded LOCAL replay of the exact synchronous rounds (the hits/ppr
+    // convention): each round is a pure integer argmax — count in-neighbor
+    // labels, max count then smallest label — so the replay is
+    // bit-identical to the distributed rounds; parity-spec'd with the
+    // guard forced off. Duplicate vertex ids fall back (bag labels).
+    if (atMost(edges, localMaxEdges) && atMost(vertices, localMaxEdges)) {
+      import spark.implicits._
+      val ids = vertices.select(col(idc).cast("long")).as[Long].collect()
+      if (ids.length == ids.distinct.length) {
+        val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+          .as[(Long, Long)].collect()
+        var lbl = scala.collection.mutable.HashMap[Long, Long](ids.map(i => i -> i): _*)
+        for (_ <- 1 to iters) {
+          val cnt = scala.collection.mutable.HashMap[(Long, Long), Long]()
+          es.foreach { case (s, d) =>
+            lbl.get(s).foreach { l =>
+              if (lbl.contains(d)) cnt((d, l)) = cnt.getOrElse((d, l), 0L) + 1L
+            }
+          }
+          val next = scala.collection.mutable.HashMap[Long, Long]()
+          cnt.foreach { case ((d, l), n) =>
+            next.get(d) match {
+              case None => next(d) = l
+              case Some(b) =>
+                val bn = cnt((d, b))
+                if (n > bn || (n == bn && l < b)) next(d) = l
+            }
+          }
+          ids.foreach(i => if (!next.contains(i)) next(i) = lbl(i))
+          lbl = next
+        }
+        return ids.toSeq.map(i => (i, lbl(i))).toDF("id", "community")
+      }
+    }
     // EAGER per-round checkpoints (the Descend rule): round k feeds round
     // k+1, so a lazy checkpoint would leave the final action to recompute a
     // plan nested `iters` deep.
@@ -880,10 +922,47 @@ object Algos {
     * one dst-keyed sum, one full-outer merge with the restart vector;
     * checkpointed per round like the hits/LPA/walk loops. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
-      alphaBp: Long = 8500L, scale: Long = 1000000000000L): DataFrame = {
+      alphaBp: Long = 8500L, scale: Long = 1000000000000L,
+      localMaxEdges: Long = 2000000L): DataFrame = {
     require(iters >= 1 && alphaBp >= 0 && alphaBp <= 10000 && scale > 0)
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .localCheckpoint(eager = false)
+    // guarded LOCAL replay of the exact fixed-point rounds (the hits/
+    // taggedBfs convention): every quantity is a Long recurrence — floor
+    // division, order-free integer sums (addExact mirrors ANSI
+    // error-on-overflow) — so the replay is bit-identical, parity-spec'd.
+    // Duplicate seed rows fall back to the distributed path: the full_outer
+    // merge there has per-row bag semantics a keyed map can't mirror.
+    if (atMost(e, localMaxEdges) && atMost(seeds, localMaxEdges)) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val idc0 = seeds.columns.head
+      val seedArr = seeds.select(col(idc0).cast("long")).as[Long].collect()
+      if (seedArr.length == seedArr.distinct.length) {
+        val es = e.as[(Long, Long)].collect()
+        val deg = scala.collection.mutable.HashMap[Long, Long]()
+        es.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0L) + 1L }
+        val r0 = scale * (10000L - alphaBp) / 10000L
+        val seedSet = seedArr.toSet
+        var rank = scala.collection.mutable.HashMap[Long, Long](
+          seedArr.map(_ -> scale): _*)
+        for (_ <- 1 to iters) {
+          val in = scala.collection.mutable.HashMap[Long, Long]()
+          es.foreach { case (s, d) =>
+            rank.get(s).foreach { r =>
+              val m = r * alphaBp / (10000L * deg(s))
+              in(d) = Math.addExact(in.getOrElse(d, 0L), m)
+            }
+          }
+          val next = scala.collection.mutable.HashMap[Long, Long]()
+          seedSet.foreach(id => next(id) = Math.addExact(r0, in.getOrElse(id, 0L)))
+          in.keysIterator.foreach(id =>
+            if (!seedSet.contains(id)) next(id) = in(id))
+          rank = next
+        }
+        return rank.toSeq.toDF("id", "rank")
+      }
+    }
     val deg = e.groupBy("src").agg(count(lit(1)).as("__d"))
     val idc = seeds.columns.head
     val restart = seeds.select(col(idc).cast("long").as("id"))
@@ -917,10 +996,44 @@ object Algos {
     * Scale: per step, one join of the walker frontier against the edge
     * table (keyed by current vertex) + one walker-keyed argmin window —
     * frontier-size work per round, checkpointed per step. */
-  def deterministicWalks(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
+  def deterministicWalks(edges: DataFrame, starts: DataFrame, steps: Int,
+      localMaxEdges: Long = 2000000L): DataFrame = {
     require(steps >= 0)
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .localCheckpoint(eager = false)
+    // guarded LOCAL replay (the hits/ppr convention): each hop is a pure
+    // argmin over (md5 hex string, dst) — JVM MessageDigest and Spark's
+    // md5() agree bit-for-bit on the same UTF-8 bytes, and 32-char hex
+    // compares identically as a Java String and a UTF8String — so the
+    // replay is bit-identical; parity-spec'd with the guard forced off.
+    // Duplicate walker rows fall back (bag-of-walkers semantics).
+    if (atMost(e, localMaxEdges) && atMost(starts, localMaxEdges)) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val ws = starts.select(col(starts.columns.head).cast("long")).as[Long].collect()
+      if (ws.length == ws.distinct.length) {
+        val adj = e.as[(Long, Long)].collect().groupBy(_._1)
+          .map { case (s, ds) => s -> ds.map(_._2).distinct }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def h(w: Long, s: Int, d: Long): String = {
+          val b = md.digest(s"$w:$s:$d".getBytes("UTF-8"))
+          b.map("%02x".format(_)).mkString
+        }
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+        var curW = ws.map(w => (w, w)).toSeq
+        curW.foreach { case (w, v) => out += ((w, v, 0)) }
+        for (s <- 1 to steps) {
+          curW = curW.flatMap { case (w, v) =>
+            adj.get(v).map { nbrs =>
+              val best = nbrs.minBy(d => (h(w, s, d), d))
+              (w, best)
+            }
+          }
+          curW.foreach { case (w, v) => out += ((w, v, s)) }
+        }
+        return out.toSeq.toDF("walker", "v", "step")
+      }
+    }
     var cur = starts.select(col(starts.columns.head).cast("long").as("walker"))
       .withColumn("v", col("walker")).withColumn("step", lit(0))
       .localCheckpoint(true)

@@ -531,6 +531,15 @@ class AlgosSpec extends AnyFunSuite {
     val b = Algos.labelPropagationSync(vs.repartition(3), es.repartition(5), iters = 4)
       .as[(Long, Long)].collect().toSet
     assert(a === b)
+    // localMaxEdges = 0 forces the distributed rounds: the guarded local
+    // replay must be bit-identical, including duplicate-edge weighting
+    val dup = es.unionByName(Seq((2L, 1L), (2L, 1L)).toDF("src", "dst"))
+    for (iters <- Seq(1, 2, 4)) {
+      val local = Algos.labelPropagationSync(vs, dup, iters).as[(Long, Long)].collect().toMap
+      val dist = Algos.labelPropagationSync(vs, dup, iters, localMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(local === dist, s"iters=$iters")
+    }
   }
 
   test("hits: un-normalized rounds match hand computation (auth from old hubs, hub from new auths)") {
@@ -560,6 +569,25 @@ class AlgosSpec extends AnyFunSuite {
     val re = Algos.deterministicWalks(es.repartition(7), starts, steps = 5)
       .select("walker", "step", "v").as[(Long, Int, Long)].collect().toSet
     assert(re === walks)
+    // localMaxEdges = 0 forces the distributed hops: the guarded local
+    // replay must be bit-identical on a multi-walker, duplicate-edge graph
+    val multi = Seq((1L, 2L), (1L, 3L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val starts3 = Seq(1L, 2L, 4L).toDF("id")
+    for (steps <- Seq(0, 1, 4)) {
+      val local = Algos.deterministicWalks(multi, starts3, steps)
+        .select("walker", "step", "v").as[(Long, Int, Long)].collect().toSet
+      val dist = Algos.deterministicWalks(multi, starts3, steps, localMaxEdges = 0L)
+        .select("walker", "step", "v").as[(Long, Int, Long)].collect().toSet
+      assert(local === dist, s"steps=$steps")
+    }
+    // duplicate walker rows take the distributed path, whose walker-keyed
+    // argmin window COLLAPSES the duplicates after step 0 (2 step-0 rows,
+    // then 1 row/step) — the guard must preserve that shape, not "fix" it
+    val dupStarts = Seq(1L, 1L).toDF("id")
+    val gotDup = Algos.deterministicWalks(es, dupStarts, 2).collect()
+    val gotDupDist = Algos.deterministicWalks(es, dupStarts, 2, localMaxEdges = 0L).collect()
+    assert(gotDup.length === gotDupDist.length && gotDup.length === 4)
   }
 
   test("kCore: multi-round path peel into the surviving cycle; edge normalization") {
@@ -615,6 +643,24 @@ class AlgosSpec extends AnyFunSuite {
     val gotP = Algos.personalizedPageRank(es.toDF("src", "dst").repartition(7), seeds, 3)
       .as[(Long, Long)].collect().toMap
     assert(gotP === ref(es, Set(1L), 3))
+    // localMaxEdges = 0 forces the distributed rounds: the guarded local
+    // replay must be bit-identical to them on every (iters, seed set)
+    for (iters <- Seq(1, 3, 5); seedIds <- Seq(Seq(1L), Seq(1L, 3L), Seq(4L, 9L))) {
+      val sdf = seedIds.toDF("id")
+      val local = Algos.personalizedPageRank(es.toDF("src", "dst"), sdf, iters)
+        .as[(Long, Long)].collect().toMap
+      val dist = Algos.personalizedPageRank(es.toDF("src", "dst"), sdf, iters,
+        localMaxEdges = 0L).as[(Long, Long)].collect().toMap
+      assert(local === dist, s"iters=$iters seeds=$seedIds")
+    }
+    // duplicate seed rows take the distributed path (bag semantics): the
+    // replay guard must not change what a duplicated restart vector yields
+    val dupSeeds = Seq(1L, 1L).toDF("id")
+    val gotDup = Algos.personalizedPageRank(es.toDF("src", "dst"), dupSeeds, 2)
+      .as[(Long, Long)].collect().toMap
+    val gotDupDist = Algos.personalizedPageRank(es.toDF("src", "dst"), dupSeeds, 2,
+      localMaxEdges = 0L).as[(Long, Long)].collect().toMap
+    assert(gotDup === gotDupDist)
   }
 
   test("maximalIndependentSet: independent, maximal, deterministic") {
