@@ -97,20 +97,22 @@ object Algos {
     // its upstream once, not once per consumer (the kTruss probe rule)
     val e0 = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
     val vs0 = vertices.select(col(headV).as("id")).localCheckpoint(eager = false)
-    if (integralCols(e0, "src", "dst") && integralCols(vs0, "id") &&
-        atMost(e0, localMaxEdges) && atMost(vs0, localMaxEdges)) {
-      val eRows = e0.select(col("src").cast("long"), col("dst").cast("long")).collect()
-      val vRows = vs0.select(col("id").cast("long")).collect()
-      if (!eRows.exists(r => r.isNullAt(0) || r.isNullAt(1)) && !vRows.exists(_.isNullAt(0))) {
+    if (integralCols(e0, "src", "dst") && integralCols(vs0, "id")) {
+      // probe + collect fused into one action per frame (collectAtMost);
+      // null ids make the Opts empty and fall through — GraphX's typed
+      // conversion raises the same loud failure it always has for them
+      val eOpt = collectPairsAtMost(
+        e0.select(col("src").cast("long"), col("dst").cast("long")), localMaxEdges)
+      val vOpt = if (eOpt.isEmpty) None
+        else collectLongsAtMost(vs0.select(col("id").cast("long")), localMaxEdges)
+      if (eOpt.isDefined && vOpt.isDefined) {
         val uf = new MinUnionFind
-        eRows.foreach(r => uf.union(r.getLong(0), r.getLong(1)))
+        eOpt.get.foreach { case (s, d) => uf.union(s, d) }
         val universe = scala.collection.mutable.LinkedHashSet[Long]()
-        vRows.foreach(universe += _.getLong(0))
-        eRows.foreach { r => universe += r.getLong(0); universe += r.getLong(1) }
+        vOpt.get.foreach(universe += _)
+        eOpt.get.foreach { case (s, d) => universe += s; universe += d }
         return universe.iterator.map(v => (v, uf.find(v))).toSeq.toDF("id", "component")
       }
-      // null ids: fall through — GraphX's typed conversion raises the same
-      // loud failure it always has for them, local must not differ
     }
     buildGraph(vs0, e0).connectedComponents()
       .vertices.toDF("id", "component")
@@ -793,12 +795,16 @@ object Algos {
     // labels, max count then smallest label — so the replay is
     // bit-identical to the distributed rounds; parity-spec'd with the
     // guard forced off. Duplicate vertex ids fall back (bag labels).
-    if (atMost(edges, localMaxEdges) && atMost(vertices, localMaxEdges)) {
+    // Probe + collect fused into one action per frame (collectAtMost).
+    val esOpt = collectPairsAtMost(
+      edges.select(col("src").cast("long"), col("dst").cast("long")), localMaxEdges)
+    val idsOpt = if (esOpt.isEmpty) None
+      else collectLongsAtMost(vertices.select(col(idc).cast("long")), localMaxEdges)
+    if (esOpt.isDefined && idsOpt.isDefined) {
       import spark.implicits._
-      val ids = vertices.select(col(idc).cast("long")).as[Long].collect()
+      val ids = idsOpt.get
       if (ids.length == ids.distinct.length) {
-        val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
-          .as[(Long, Long)].collect()
+        val es = esOpt.get
         var lbl = scala.collection.mutable.HashMap[Long, Long](ids.map(i => i -> i): _*)
         for (_ <- 1 to iters) {
           val cnt = scala.collection.mutable.HashMap[(Long, Long), Long]()
@@ -870,11 +876,15 @@ object Algos {
     // count iff both endpoints are in `vertices`, mirroring the keyed-join
     // + left-join semantics; addExact mirrors ANSI error-on-overflow).
     // Callers pass distinct vertex ids (both forms assume it).
-    if (atMost(e, localMaxEdges) && atMost(vertices, localMaxEdges)) {
-      val vIds = vertices.select(col(idc).cast("long")).as[Long].collect()
+    // Probe + collect fused into one action per frame (collectAtMost).
+    val esOpt = collectPairsAtMost(e, localMaxEdges)
+    val vOpt = if (esOpt.isEmpty) None
+      else collectLongsAtMost(vertices.select(col(idc).cast("long")), localMaxEdges)
+    if (esOpt.isDefined && vOpt.isDefined) {
+      val vIds = vOpt.get
       val idx = scala.collection.mutable.HashMap[Long, Int]()
       vIds.zipWithIndex.foreach { case (v, i) => idx.getOrElseUpdate(v, i) }
-      val pairs = e.as[(Long, Long)].collect().flatMap { case (s, d) =>
+      val pairs = esOpt.get.flatMap { case (s, d) =>
         for (si <- idx.get(s); di <- idx.get(d)) yield (si, di)
       }
       val n = vIds.length
@@ -933,13 +943,17 @@ object Algos {
     // error-on-overflow) — so the replay is bit-identical, parity-spec'd.
     // Duplicate seed rows fall back to the distributed path: the full_outer
     // merge there has per-row bag semantics a keyed map can't mirror.
-    if (atMost(e, localMaxEdges) && atMost(seeds, localMaxEdges)) {
+    // Probe + collect fused into one action per frame (collectAtMost).
+    val idc0 = seeds.columns.head
+    val esOpt = collectPairsAtMost(e, localMaxEdges)
+    val seedsOpt = if (esOpt.isEmpty) None
+      else collectLongsAtMost(seeds.select(col(idc0).cast("long")), localMaxEdges)
+    if (esOpt.isDefined && seedsOpt.isDefined) {
       val spark = edges.sparkSession
       import spark.implicits._
-      val idc0 = seeds.columns.head
-      val seedArr = seeds.select(col(idc0).cast("long")).as[Long].collect()
+      val seedArr = seedsOpt.get
       if (seedArr.length == seedArr.distinct.length) {
-        val es = e.as[(Long, Long)].collect()
+        val es = esOpt.get
         val deg = scala.collection.mutable.HashMap[Long, Long]()
         es.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0L) + 1L }
         val r0 = scale * (10000L - alphaBp) / 10000L
@@ -1007,12 +1021,17 @@ object Algos {
     // compares identically as a Java String and a UTF8String — so the
     // replay is bit-identical; parity-spec'd with the guard forced off.
     // Duplicate walker rows fall back (bag-of-walkers semantics).
-    if (atMost(e, localMaxEdges) && atMost(starts, localMaxEdges)) {
+    // Probe + collect fused into one action per frame (collectAtMost).
+    val esOpt = collectPairsAtMost(e, localMaxEdges)
+    val wsOpt = if (esOpt.isEmpty) None
+      else collectLongsAtMost(
+        starts.select(col(starts.columns.head).cast("long")), localMaxEdges)
+    if (esOpt.isDefined && wsOpt.isDefined) {
       val spark = edges.sparkSession
       import spark.implicits._
-      val ws = starts.select(col(starts.columns.head).cast("long")).as[Long].collect()
+      val ws = wsOpt.get
       if (ws.length == ws.distinct.length) {
-        val adj = e.as[(Long, Long)].collect().groupBy(_._1)
+        val adj = esOpt.get.groupBy(_._1)
           .map { case (s, ds) => s -> ds.map(_._2).distinct }
         val md = java.security.MessageDigest.getInstance("MD5")
         def h(w: Long, s: Int, d: Long): String = {
@@ -1080,9 +1099,11 @@ object Algos {
     // the UNIQUE maximal subgraph of min degree >= k, so any correct peel
     // order yields the identical answer — one linear queue pass replaces
     // per-round scheduling latency below the guard; raw-pair guard skips
-    // the symmetrize+distinct shuffle (dedup happens in indexedAdj)
-    if (atMost(sym, localMaxEdges / 2)) {
-      val (ids, adj) = indexedAdj(sym.as[(Long, Long)].collect())
+    // the symmetrize+distinct shuffle (dedup happens in indexedAdj);
+    // probe and collect fused into one action (collectPairsAtMost)
+    val symPairs = collectPairsAtMost(sym, localMaxEdges / 2)
+    if (symPairs.isDefined) {
+      val (ids, adj) = indexedAdj(symPairs.get)
       val n = ids.length
       val deg = adj.map(_.length)
       val removed = new Array[Boolean](n)
@@ -1149,8 +1170,9 @@ object Algos {
     import spark.implicits._
     val sym0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
-    if (atMost(sym0, localMaxEdges / 2)) {
-      val (ids, adj) = indexedAdj(sym0.as[(Long, Long)].collect())
+    val symPairs = collectPairsAtMost(sym0, localMaxEdges / 2)
+    if (symPairs.isDefined) { // probe + collect fused into one action
+      val (ids, adj) = indexedAdj(symPairs.get)
       val n = ids.length
       val deg = adj.map(_.length)
       val core = new Array[Int](n)
@@ -1248,8 +1270,10 @@ object Algos {
     // joins whose sf0.1 cost is pure round-scheduling latency; the
     // distributed loop runs above the guard (parity-spec'd both regimes).
     // Raw-pair guard: counting BEFORE distinct skips that shuffle here.
-    if (atMost(raw, localMaxEdges)) {
-      val (ids, adj) = indexedAdj(raw.as[(Long, Long)].collect())
+    // Probe + collect fused into one action (collectPairsAtMost).
+    val rawPairs = collectPairsAtMost(raw, localMaxEdges)
+    if (rawPairs.isDefined) {
+      val (ids, adj) = indexedAdj(rawPairs.get)
       val n = ids.length
       adj.foreach(java.util.Arrays.sort)
       def ekey(i: Int, j: Int): Long =
@@ -1385,8 +1409,10 @@ object Algos {
     // loop (parity-spec'd) — above the guard the distributed path runs.
     // The guard counts RAW pairs (>= the distinct symmetrized edge count /
     // 2), so qualifying inputs skip the symmetrize+distinct shuffle too.
-    if (atMost(sym0, localMaxEdges / 2)) {
-      val (ids, adj) = indexedAdj(sym0.as[(Long, Long)].collect())
+    // Probe + collect fused into one action (collectPairsAtMost).
+    val symPairs = collectPairsAtMost(sym0, localMaxEdges / 2)
+    if (symPairs.isDefined) {
+      val (ids, adj) = indexedAdj(symPairs.get)
       val n = ids.length
       val alive = Array.fill(n)(true)
       var nAlive = n
@@ -1585,6 +1611,39 @@ object Algos {
     df.limit(probe).count() <= n
   }
 
+  /** One-action guard + collect, fusing [[atMost]]'s probe with the local
+    * replay's collect: runs the LIMITED plan once and returns the rows iff
+    * the frame holds at most n of them. Every guarded replay used to pay
+    * two sequential driver actions over the same (checkpointed) frame —
+    * a limit+count probe, then a full collect — each with Spark's
+    * incremental-limit multi-stage execution; measured 0.2-0.4 s of pure
+    * probe latency per qualifying query at sf0.1. Above the guard the
+    * wasted transfer is bounded by the guard constant itself (n+1 rows),
+    * the same driver budget the subsequent collect would have spent. */
+  private def collectAtMost(df: DataFrame, n: Long)
+      : Option[Array[org.apache.spark.sql.Row]] = {
+    if (n < 0) return None
+    val probe = math.min(n, Int.MaxValue - 1L).toInt + 1
+    val rows = df.limit(probe).collect()
+    if (rows.length <= n) Some(rows) else None
+  }
+
+  /** [[collectAtMost]] for the common (src, dst) long-pair frames; any
+    * null endpoint rejects the local replay (the distributed path defines
+    * the null semantics, so a null-carrying input falls back to it). */
+  private def collectPairsAtMost(df: DataFrame, n: Long): Option[Array[(Long, Long)]] =
+    collectAtMost(df, n).flatMap { rows =>
+      if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+      else Some(rows.map(r => (r.getLong(0), r.getLong(1))))
+    }
+
+  /** [[collectAtMost]] for single long-column frames (vertex/seed lists);
+    * same null-falls-back-to-distributed rule as [[collectPairsAtMost]]. */
+  private def collectLongsAtMost(df: DataFrame, n: Long): Option[Array[Long]] =
+    collectAtMost(df, n).flatMap { rows =>
+      if (rows.exists(_.isNullAt(0))) None else Some(rows.map(_.getLong(0)))
+    }
+
   /** Greedy Kruskal accept sweep shared by [[boruvkaForest]]'s two guarded
     * finishes: tuples (w, src, dst, compA, compB) arrive in (w, src, dst)
     * order; a path-halving min-root union-find over the component labels
@@ -1612,9 +1671,12 @@ object Algos {
     // parallel-collapse groupBy SHUFFLE never runs either — collect the
     // raw weighted pairs, take min-w per pair driver-side, and Kruskal
     // the whole unique forest in one pass
-    if (atMost(canonRaw, localMaxEdges)) {
+    val rawRows = collectAtMost(canonRaw, localMaxEdges) // probe+collect fused
+      .filter(!_.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)))
+    if (rawRows.isDefined) {
       val best = scala.collection.mutable.HashMap[(Long, Long), Long]()
-      canonRaw.as[(Long, Long, Long)].collect().foreach { case (s, d, w) =>
+      rawRows.get.foreach { r =>
+        val (s, d, w) = (r.getLong(0), r.getLong(1), r.getLong(2))
         val k = (s, d)
         if (best.get(k).forall(w < _)) best(k) = w
       }
@@ -1748,9 +1810,11 @@ object Algos {
     // are strict local maxima, so same-round winners are never adjacent and
     // sequential color picks within a round see exactly the pre-round
     // colored set) — bit-identical to the distributed loop, parity-spec'd;
-    // raw-pair guard skips the symmetrize+distinct shuffle (the MIS note)
-    if (atMost(sym0, localMaxEdges / 2)) {
-      val (ids, adj) = indexedAdj(sym0.as[(Long, Long)].collect())
+    // raw-pair guard skips the symmetrize+distinct shuffle (the MIS note);
+    // probe + collect fused into one action (collectPairsAtMost)
+    val symPairs = collectPairsAtMost(sym0, localMaxEdges / 2)
+    if (symPairs.isDefined) {
+      val (ids, adj) = indexedAdj(symPairs.get)
       val n = ids.length
       adj.iterator.map(_.length).maxOption.foreach(d =>
         require(d < maxColors,
@@ -2555,11 +2619,18 @@ object Algos {
     // distributed frontier would carry a (null, null, 0) row that joins
     // nothing; the local replay would NPE unboxing it — parity-spec'd)
     val srcCol = col(sources.columns.head)
-    if (atMost(eRaw, localMaxEdges) && atMost(sources, 512L)) {
-      val es = eRaw.select(col("src").cast("long"), col("dst").cast("long"))
-        .as[(Long, Long)].collect()
-      val srcs = sources.where(srcCol.isNotNull).select(srcCol.cast("long"))
-        .distinct().as[Long].collect()
+    // probe + collect fused into one action per frame (collectAtMost); the
+    // source guard now counts DISTINCT non-null sources — the quantity the
+    // replay's work actually scales with (the raw row count only bounded it
+    // from above), and both regimes stay bit-identical either way
+    val esOpt = collectPairsAtMost(
+      eRaw.select(col("src").cast("long"), col("dst").cast("long")), localMaxEdges)
+    val srcsOpt = if (esOpt.isEmpty) None
+      else collectLongsAtMost(
+        sources.where(srcCol.isNotNull).select(srcCol.cast("long")).distinct(), 512L)
+    if (esOpt.isDefined && srcsOpt.isDefined) {
+      val es = esOpt.get
+      val srcs = srcsOpt.get
       val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
       srcs.foreach { s =>
@@ -2977,9 +3048,11 @@ object Algos {
     // guarded LOCAL replay of the identical hash-priority rounds —
     // bit-identical to the distributed loop (parity-spec'd), replacing
     // per-round scheduling latency below the guard; raw-pair guard skips
-    // the distinct shuffle (dedup happens driver-side instead)
-    if (atMost(canon0, localMaxEdges)) {
-      var pool = canon0.as[(Long, Long)].collect().distinct
+    // the distinct shuffle (dedup happens driver-side instead); probe and
+    // collect are ONE action (collectPairsAtMost)
+    val pool0 = collectPairsAtMost(canon0, localMaxEdges)
+    if (pool0.isDefined) {
+      var pool = pool0.get.distinct
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
       var r = 0
       while (pool.nonEmpty) {
@@ -3082,12 +3155,17 @@ object Algos {
     // (a shallow wide DAG can imply far more pairs than it has edges), so
     // the replay also bails back to the distributed loop — resuming from
     // the same cached edge frame — if implied pairs outgrow 16× the guard.
-    val localResult: Option[DataFrame] =
-      if (integralCols(edges, "src", "dst") && atMost(e, localMaxEdges)) {
-        // no null-endpoint branch here, unlike the CC/relax replays: this
+    val pairsOpt =
+      if (integralCols(edges, "src", "dst"))
+        // probe + collect fused into one action (collectAtMost); no
+        // null-endpoint branch needed, unlike the CC/relax replays: this
         // operator's prep filter (src =!= dst, null-safe SQL inequality)
         // already drops null-endpoint rows on BOTH regimes
-        val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+        collectPairsAtMost(e, localMaxEdges)
+      else None
+    val localResult: Option[DataFrame] =
+      if (pairsOpt.isDefined) {
+        val pairs = pairsOpt.get
         locally {
           val adj = scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
           pairs.foreach { case (s0, d0) =>
