@@ -18,6 +18,11 @@ object NativeOps {
   def sortedIntersectCount(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.SortedIntersectCount.column(a, b)
 
+  /** One-pass 64-bit average-hash over a text's code-point pixels (vs the
+    * per-character posexplode + two keyed aggregations). */
+  def aHash64(text: Column): Column =
+    org.apache.spark.sql.graft.AHash64.column(text)
+
   /** All numPerm MinHash minima in one codegen'd pass over a 31-bit hash
     * array (vs numPerm interpreted array_min(transform(…)) expressions). */
   def minhashSigs(hashes: Column, numPerm: Int): Column =

@@ -127,36 +127,25 @@ object Multimodal {
     * and therefore the pair set — replays bit-identically in SQL.
     *
     * Emits (id, phash). Payloads shorter than 64 pixels leave their
-    * missing stripes at bit 0; empty payloads hash to 0. Long bound:
-    * s_j·N stays inside 2⁶³ through ~16 M pixels per payload.
+    * missing stripes at bit 0; empty/null payloads emit NO row (the
+    * aggregation form had no pixel rows to group). Long bound: s_j·N
+    * stays inside 2⁶³ through ~16 M pixels per payload.
     *
-    * Scale: one posexplode (pixel instances — the token-instance volume
-    * every text op already pays) into a doc-keyed 64-row stripe agg, a
-    * doc-keyed total, and a doc-keyed pack — all keyed shuffles, never a
-    * pair join. */
+    * Scale: ONE zero-shuffle projection — the whole aHash chain runs as a
+    * single codegen'd pass per document ([[graft.functions.NativeOps
+    * .aHash64]]). The previous declarative form (split('') → posexplode →
+    * ascii → doc-keyed stripe agg → doc-keyed total → pack) materialized
+    * one row per CHARACTER — 18 s of task time at sf0.1 for the same
+    * signatures; the expression is parity-spec'd bit-identical against
+    * that chain on multibyte/surrogate/empty adversaries. */
   def pHash(media: DataFrame, idCol: String = "doc_id",
       payloadCol: String = "payload"): DataFrame = {
     val text = decode(col(payloadCol), "UTF-8")
-    // split('') is the O(n) per-char decomposition — the substr(i, 1)
-    // formulation re-seeks from the string head per position (O(n²) per
-    // payload; measured 2× on the whole query at sf0.1). Guard: an EMPTY
-    // payload splits to [""], one spurious zero pixel that a SQL unnest
-    // replay never sees — it must contribute no rows (spec'd)
-    val chars = when(length(text) >= 1, split(text, ""))
-      .otherwise(array().cast("array<string>"))
-    val px = media
-      .select(col(idCol).as("id"), posexplode(chars).as(Seq("pos", "c")))
-      .select(col("id"), (col("pos") % 64).as("j"), ascii(col("c")).cast("long").as("v"))
-    val stripes = px.groupBy("id", "j")
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-    val tot = stripes.groupBy("id")
-      .agg(sum(col("s")).as("st"), sum(col("n")).as("nt"))
-    stripes.join(tot, "id")
-      .withColumn("bit", (col("s") * col("nt") > col("st") * col("n")).cast("long"))
-      .groupBy("id")
-      .agg(sum(when(col("j") === 63, col("bit") * lit(Long.MinValue))
-        .otherwise(col("bit") * expr("shiftleft(1L, j)")))
-        .as("phash"))
+    // length >= 1 keeps the aggregation form's row set: an empty or null
+    // payload had no pixel rows, so it must emit no signature row here
+    media.where(length(text) >= 1)
+      .select(col(idCol).as("id"),
+        graft.functions.NativeOps.aHash64(text).as("phash"))
   }
 
   /** Perceptual-hash near-duplicate pairs: [[pHash]] signatures paired at

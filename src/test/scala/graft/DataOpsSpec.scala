@@ -2750,6 +2750,43 @@ class DataOpsSpec extends AnyFunSuite {
       "a one-char variant must stay within the hamming budget")
   }
 
+  test("aHash64 expression is bit-identical to the declarative split/explode chain") {
+    import graft.multimodal.Multimodal
+    // adversaries: empty (absent), 1-char, <64, exactly 64, >64 chars,
+    // multibyte (é € and a surrogate-pair 𝄞), replacement char, repeats,
+    // and a real corpus sample — the chain semantics being mirrored are
+    // split('') advancing by CODE POINT and ascii() = code point
+    val tricky = Seq("", "a", "é", "€", "𝄞", "x𝄞y",
+      "��", "ab" * 31, "ab" * 32, "ab" * 33, "z" * 200,
+      ("the quick brown fox " * 7).trim)
+      .zipWithIndex.map { case (t, i) => (800000L + i, t) }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .union(tricky.toDF("doc_id", "text"))
+    val media = Multimodal.withPayload(docs, "doc_id", "text")
+    // the pre-expression declarative chain, verbatim
+    val text = decode(col("payload"), "UTF-8")
+    val chars = when(length(text) >= 1, split(text, ""))
+      .otherwise(array().cast("array<string>"))
+    val px = media
+      .select(col("doc_id").as("id"), posexplode(chars).as(Seq("pos", "c")))
+      .select(col("id"), (col("pos") % 64).as("j"), ascii(col("c")).cast("long").as("v"))
+    val stripes = px.groupBy("id", "j")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    val tot = stripes.groupBy("id")
+      .agg(sum(col("s")).as("st"), sum(col("n")).as("nt"))
+    val chain = stripes.join(tot, "id")
+      .withColumn("bit", (col("s") * col("nt") > col("st") * col("n")).cast("long"))
+      .groupBy("id")
+      .agg(sum(when(col("j") === 63, col("bit") * lit(Long.MinValue))
+        .otherwise(col("bit") * expr("shiftleft(1L, j)")))
+        .as("phash"))
+      .as[(Long, Long)].collect().toMap
+    val got = Multimodal.pHash(media).as[(Long, Long)].collect().toMap
+    assert(got === chain, "expression pHash must equal the declarative chain row-for-row")
+    assert(!got.contains(800000L), "empty text emits no signature row in either form")
+  }
+
   test("sq8 matches an independent driver replay of the envelope/code/error chain") {
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // replay from the ENGINE-quantized milli values (the lloydReference
