@@ -607,7 +607,11 @@ object Algos {
   }
 
   /** PageRank (capability class inherited from the reference's Pacer
-    * lineage): GraphX static PageRank, fixed iterations. */
+    * lineage): GraphX static PageRank, fixed iterations. (r10 MEASURED
+    * rejection: coalescing a tiny graph to one partition before the
+    * supersteps read 3.3 s vs 1.3 s warm at sf0.1 — the guard probes plus
+    * single-task serialization of GraphX's per-superstep materializations
+    * cost more than the 32 near-empty tasks they removed.) */
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int = 20)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -745,6 +749,11 @@ object Algos {
     val sym = raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
       .dropDuplicates("src", "dst")
       .localCheckpoint(false)
+    // deg is deliberately NOT checkpointed or broadcast (r10 MEASURED
+    // rejection): its three references live in ONE plan, where Spark's
+    // ReusedExchange already computes the agg once — a probe + guarded
+    // broadcast re-read 2.2 s vs 1.5 s warm (jobs 7 -> 10), unlike the
+    // degreeAssortativity S-join whose consumers span separate actions
     val deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
     val ksDf = ks.distinct.sorted.toDF("k")
     val nk = deg.crossJoin(broadcast(ksDf)).where(col("d") > col("k"))

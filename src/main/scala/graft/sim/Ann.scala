@@ -618,17 +618,6 @@ object Ann {
       k: Int, iters: Int): Array[Array[Array[Long]]] =
     pqTrainOn(kmeansInput(vecs, idCol, embCol), m, k, iters)
 
-  private def pqDim(qd: DataFrame, m: Int): Int = {
-    // headOption: an empty corpus gets the same descriptive error the
-    // row-count require below emits, not a raw NoSuchElementException
-    val dim = qd.select(size(col("q"))).limit(1).collect().headOption
-      .getOrElse(throw new IllegalArgumentException(
-        "pq asked for codewords but the input has only 0 rows"))
-      .getInt(0)
-    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    dim / m
-  }
-
   /** All m subspaces train TOGETHER: one bounded init head (the k lowest-id
     * vectors, sliced driver-side — identical to per-subspace inits because
     * slicing preserves id order) and ONE scan per round computing every
@@ -637,16 +626,21 @@ object Ann {
     * map-side combine collapses to m·k·(dim/m) = k·dim rows). Math is
     * bit-identical to m independent [[trainOn]] loops (the q_pq oracle and
     * the per-subspace Lloyd replay spec prove it); the fusion only cuts
-    * driver actions from m·iters to iters. */
+    * driver actions from m·iters to iters. The subspace dimension comes
+    * from the SAME init collect (one driver action, not a separate
+    * limit(1) probe); an empty corpus still gets the descriptive error. */
   private[graft] def pqTrainOn(qd: DataFrame, m: Int, k: Int,
       iters: Int): Array[Array[Array[Long]]] = {
     require(m >= 1, "pq needs m >= 1 subspaces")
     require(k >= 1 && iters >= 1, "pq needs k >= 1 and iters >= 1")
-    val d = pqDim(qd, m)
     val initRows = qd.orderBy(col("id")).limit(k).select(col("q"))
       .collect().map(_.getSeq[Long](0).toArray)
+    require(initRows.nonEmpty, "pq asked for codewords but the input has only 0 rows")
     require(initRows.length == k,
       s"pq asked for $k codewords but the input has only ${initRows.length} rows")
+    val dim = initRows.head.length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val d = dim / m
     require(initRows.forall(_.length == m * d),
       "pq input vectors must share one dimensionality")
     var books = Array.tabulate(m)(s => initRows.map(_.slice(s * d, s * d + d)))
@@ -820,7 +814,12 @@ object Ann {
     val first = leaders.select(col("lq")).collect()
     require(first.nonEmpty, "residual IVF-PQ needs at least one leader")
     val dim = first.head.getSeq[Long](0).length
+    // lazily checkpointed: the cell assignment feeds the anchor sums (an
+    // action), the residual frame (two trainer actions), and the final
+    // candidate join — without it each consumer re-runs the leader
+    // crossJoin + argmin window over the whole corpus
     val indexed = rankedCells(qd, leaders, "id_n", 0).where(col("lrn") === 1).drop("lrn")
+      .localCheckpoint(false)
     val assigned = qd.where(size(col("q")) === dim)
       .join(indexed.withColumnRenamed("id_n", "id"), "id")
     val sums = assigned.select(col("cell"), posexplode(col("q")).as(Seq("i", "x")))
@@ -875,8 +874,12 @@ object Ann {
       m: Int = 4, kPq: Int = 4, iters: Int = 2): DataFrame = {
     val qd = kmeansInput(vecs, idCol, embCol)
     val (leaders, indexed, residual) = ivfRecenter(qd, nlist)
-    // corpus residuals (assigned cell), codebooks + codes over THEM
+    // corpus residuals (assigned cell), codebooks + codes over THEM —
+    // lazily checkpointed: the PQ trainer's init collect materializes it
+    // once, the Lloyd round and the encode pass then reuse it instead of
+    // re-running the assignment join + anchor zip_with per action
     val rq = residual(qd.join(indexed.withColumnRenamed("id_n", "id"), "id"))
+      .localCheckpoint(false)
     val books = pqTrainOn(rq.select(col("id"), col("q")), m, kPq, iters)
     val codes = pqEncodeOn(rq, books)
       .select(col("id").as("id_n"), col("sub").cast("int").as("sub"), col("code"))
