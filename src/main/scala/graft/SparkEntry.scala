@@ -702,13 +702,18 @@ object SparkEntry {
         .select(col("c_custkey"))
       val bits = graft.functions.Sketch.bloomBuild(asiaCust, col("c_custkey"), m = 4096, k = 4)
       val orders = Tpch.table(s, dir, "orders")
-      val kept = graft.functions.Sketch.bloomFilter(orders, col("o_custkey"), bits, m = 4096, k = 4)
-      // ONE scan of the kept stream yields both counts: a left join against
-      // the (unique-key) member list marks true members inline
+      // ONE scan yields all three counts (was two scans + a crossJoin —
+      // Catalyst shares no subtrees across the branches, so the probe's
+      // 4-md5-per-row work ran twice): the membership MARK rides each row
+      // through one conditional aggregate; the (unique-key) member list
+      // left-joins inline to mark true members
       val mark = asiaCust.select(col("c_custkey").as("o_custkey")).withColumn("__m", lit(1))
-      orders.agg(count(lit(1)).as("n_probed"))
-        .crossJoin(kept.join(mark, Seq("o_custkey"), "left")
-          .agg(count(lit(1)).as("n_kept"), count(col("__m")).as("n_true")))
+      graft.functions.Sketch
+        .bloomMark(orders.join(mark, Seq("o_custkey"), "left"),
+          col("o_custkey"), bits, m = 4096, k = 4, markCol = "__bf")
+        .agg(count(lit(1)).as("n_probed"),
+          count(when(col("__bf"), lit(1))).as("n_kept"),
+          count(when(col("__bf"), col("__m"))).as("n_true"))
         .withColumn("n_false_pos", col("n_kept") - col("n_true"))
     }),
     "q_quantile_sketch" -> ((s, dir) => {

@@ -131,6 +131,17 @@ object Sketch {
     * so the literal stays codegen-friendly; the collect is sketch-sized by
     * contract (≤ m/64 longs), the same class as broadcasting CMS cells. */
   def bloomFilter(probe: DataFrame, key: Column, bits: DataFrame, m: Int, k: Int): DataFrame = {
+    val marked = bloomMark(probe, key, bits, m, k, "__bfm")
+    marked.where(col("__bfm")).drop("__bfm")
+  }
+
+  /** [[bloomFilter]]'s predicate as a kept BOOLEAN column instead of a
+    * filter — the membership mark and the untouched row together, so one
+    * scan can compute pre- and post-filter aggregates (count(*) vs
+    * count_if(mark)) that the filter form needs two scans for. Identical
+    * packed-word literal predicate; null keys mark false. */
+  def bloomMark(probe: DataFrame, key: Column, bits: DataFrame, m: Int, k: Int,
+      markCol: String): DataFrame = {
     require(k >= 1 && k <= 16 && m >= 2 && m <= 65536,
       s"m=$m: the packed literal map wants m <= 65536 (1024 words)")
     // A NULL key hashes to a NULL bit (the md5 chain propagates it): it
@@ -142,7 +153,7 @@ object Sketch {
       .where(col("bit").isNotNull).collect()
       .map(_.getLong(0)).groupBy(_ / 64)
       .map { case (w, bs) => w -> bs.foldLeft(0L)((a, b) => a | (1L << (b % 64).toInt)) }
-    if (words.isEmpty) probe.where(lit(false))
+    if (words.isEmpty) probe.withColumn(markCol, lit(false))
     else {
       val wordMap = map(words.toSeq.sortBy(_._1)
         .flatMap { case (w, v) => Seq(lit(w), lit(v)) }: _*)
@@ -154,7 +165,10 @@ object Sketch {
         coalesce(element_at(wordMap, expr(s"__bit$j div 64L")), lit(0L))
           .bitwiseAND(expr(s"shiftleft(1L, cast(__bit$j % 64 AS int))")) =!= 0
       }.reduce(_ && _)
-      withBits.where(cond).drop("__bk" +: bitCols: _*)
+      // coalesce(false): a null key nulls the cells — the MARK form must
+      // yield a definite false (the filter form's where() drops nulls)
+      withBits.withColumn(markCol, coalesce(cond, lit(false)))
+        .drop("__bk" +: bitCols: _*)
     }
   }
 
