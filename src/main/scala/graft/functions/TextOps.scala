@@ -16,7 +16,11 @@ object TextOps {
   /** Whitespace tokens (single-space split, empties dropped — identical
     * semantics in DuckDB's string_split + list_filter). */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => length(t) > 0)
+    // one codegen'd pass (org.apache.spark.sql.graft.Tokens) — the
+    // declarative filter(split(…)) is an interpreted higher-order function
+    // on the hottest path every text operator shares; bit-identical
+    // (parity-spec'd on space-run/unicode/empty adversaries)
+    org.apache.spark.sql.graft.Tokens.column(text)
 
   /** Regex word-ish tokens (BPE-ish: letter runs / digit runs). */
   def wordTokenCount(text: Column): Column =

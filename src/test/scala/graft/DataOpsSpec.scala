@@ -2750,6 +2750,27 @@ class DataOpsSpec extends AnyFunSuite {
       "a one-char variant must stay within the hamming budget")
   }
 
+  test("tokens expression is bit-identical to filter(split(text,' '), len>0)") {
+    // adversaries: empty, all-spaces, leading/trailing/consecutive spaces,
+    // tabs and newlines INSIDE tokens (only 0x20 splits), multibyte and
+    // surrogate-pair tokens, and a real corpus sample
+    val tricky = Seq("", " ", "   ", "a", " a", "a ", "  a  b  ",
+      "a\tb", "a\nb", "é €", "x𝄞y z", "one two  three   four ")
+      .zipWithIndex.map { case (t, i) => (810000L + i, t) }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .union(tricky.toDF("doc_id", "text"))
+    val chain = docs.select(col("doc_id"),
+      filter(split(col("text"), " "), t => length(t) > 0).as("ts"))
+      .as[(Long, Seq[String])].collect().toMap
+    val got = docs.select(col("doc_id"),
+      graft.functions.TextOps.tokens(col("text")).as("ts"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got === chain, "expression tokens must equal the declarative chain element-for-element")
+    assert(got(810001L) === Seq.empty, "all-spaces text tokenizes to an empty array")
+    assert(got(810007L) === Seq("a\tb"), "tabs do not split")
+  }
+
   test("aHash64 expression is bit-identical to the declarative split/explode chain") {
     import graft.multimodal.Multimodal
     // adversaries: empty (absent), 1-char, <64, exactly 64, >64 chars,
