@@ -1678,11 +1678,18 @@ object Algos {
     * probe latency per qualifying query at sf0.1. Above the guard the
     * wasted transfer is bounded by the guard constant itself (n+1 rows),
     * the same driver budget the subsequent collect would have spent. */
+  /** INTERNAL rows, not external ones: Dataset.collect() wraps every row
+    * in a boxed GenericRow (~100 B and 5 objects per row — ~200 MB of
+    * simultaneously-live garbage at the 2 M guard), which a fresh JVM
+    * absorbs but the bench JVM (heap already holding every cached table)
+    * answers with full-GC churn. executeCollect returns the compact
+    * UnsafeRows as-is; isNullAt/getLong read them directly. */
   private def collectAtMost(df: DataFrame, n: Long)
-      : Option[Array[org.apache.spark.sql.Row]] = {
+      : Option[Array[org.apache.spark.sql.catalyst.InternalRow]] = {
     if (n < 0) return None
     val probe = math.min(n, Int.MaxValue - 1L).toInt + 1
-    val rows = oneWaveLimit(df)(df.limit(probe).collect())
+    val rows = oneWaveLimit(df)(
+      df.limit(probe).queryExecution.executedPlan.executeCollect())
     if (rows.length <= n) Some(rows) else None
   }
 
@@ -3107,8 +3114,20 @@ object Algos {
     // bit-identical to the distributed loop (parity-spec'd), replacing
     // per-round scheduling latency below the guard; raw-pair guard skips
     // the distinct shuffle (dedup happens driver-side instead); probe and
-    // collect are ONE action (collectPairsAtMost)
+    // collect are ONE action (collectPairsAtMost).
+    //
+    // Priorities stay PACKED LONGS, never strings: the priority string
+    // hex(md5) ++ pad20(lo) ++ pad20(hi) orders exactly like the tuple
+    // (unsigned 128-bit digest, lo, hi) for non-negative ids (hex compare
+    // = unsigned byte compare of the digest; zero-padded decimals of equal
+    // width compare numerically), and the string form allocated ~160 B ×
+    // |pool| per round (~300 MB at the 2 M guard) — measured harmless in a
+    // fresh JVM but 2.3 → 10 s inside the bench JVM, whose heap already
+    // holds every cached table (full-GC churn). Negative ids — where the
+    // pad20 form orders non-numerically — fall back to the distributed
+    // loop, which defines the semantics.
     val pool0 = collectPairsAtMost(canon0, localMaxEdges)
+      .filter(_.forall { case (l, h) => l >= 0L && h >= 0L })
     if (pool0.isDefined) {
       var pool = pool0.get.distinct
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
@@ -3117,28 +3136,45 @@ object Algos {
         r += 1
         if (r > maxRounds)
           throw new IllegalStateException(s"matching did not drain within $maxRounds rounds")
-        val pr = new Array[String](pool.length)
-        val round = r
-        java.util.stream.IntStream.range(0, pool.length).parallel().forEach { i =>
-          val (lo, hi) = pool(i)
-          pr(i) = md5hex(s"$round:$lo:$hi") + pad20(lo) + pad20(hi)
-        }
-        val minAt = scala.collection.mutable.HashMap[Long, String]()
+        val n = pool.length
+        val lo = new Array[Long](n); val hi = new Array[Long](n)
         var i = 0
-        while (i < pool.length) {
-          val (lo, hi) = pool(i); val s = pr(i)
-          if (minAt.get(lo).forall(s < _)) minAt(lo) = s
-          if (minAt.get(hi).forall(s < _)) minAt(hi) = s
+        while (i < n) { lo(i) = pool(i)._1; hi(i) = pool(i)._2; i += 1 }
+        val d1 = new Array[Long](n); val d2 = new Array[Long](n)
+        val round = r
+        java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+          val b = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$round:${lo(i)}:${hi(i)}".getBytes("UTF-8"))
+          var x1 = 0L; var x2 = 0L; var k = 0
+          while (k < 8) { x1 = (x1 << 8) | (b(k) & 0xffL); k += 1 }
+          while (k < 16) { x2 = (x2 << 8) | (b(k) & 0xffL); k += 1 }
+          d1(i) = x1; d2(i) = x2
+        }
+        // strict total order: digest (unsigned), then lo, then hi — per-edge
+        // unique because the pool is distinct, so argmin indices are exact
+        def less(i: Int, j: Int): Boolean = {
+          val c1 = java.lang.Long.compareUnsigned(d1(i), d1(j))
+          if (c1 != 0) return c1 < 0
+          val c2 = java.lang.Long.compareUnsigned(d2(i), d2(j))
+          if (c2 != 0) return c2 < 0
+          if (lo(i) != lo(j)) lo(i) < lo(j) else hi(i) < hi(j)
+        }
+        val minAt = scala.collection.mutable.HashMap[Long, Int]()
+        i = 0
+        while (i < n) {
+          if (minAt.get(lo(i)).forall(j => less(i, j))) minAt(lo(i)) = i
+          if (minAt.get(hi(i)).forall(j => less(i, j))) minAt(hi(i)) = i
           i += 1
         }
         val mv = scala.collection.mutable.HashSet[Long]()
         i = 0
-        while (i < pool.length) {
-          val (lo, hi) = pool(i); val s = pr(i)
-          if (s == minAt(lo) && s == minAt(hi)) { out += ((lo, hi)); mv += lo; mv += hi }
+        while (i < n) {
+          if (minAt(lo(i)) == i && minAt(hi(i)) == i) {
+            out += ((lo(i), hi(i))); mv += lo(i); mv += hi(i)
+          }
           i += 1
         }
-        pool = pool.filter { case (lo, hi) => !mv.contains(lo) && !mv.contains(hi) }
+        pool = pool.filter { case (l, h) => !mv.contains(l) && !mv.contains(h) }
       }
       return out.toSeq.toDF("lo", "hi")
     }
