@@ -103,6 +103,24 @@ object Scale {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Measured broadcast guard shared by broadcast-or-SMJ decisions outside
+    * Algos (the degreeAssortativity degJ idiom): true iff `df` holds at
+    * most `n` rows — one limited count whose first incremental-limit wave
+    * is widened to the session's core count (the Algos.atMost rationale:
+    * the default 1-partition first wave turns the probe into up to 4
+    * sequential jobs). Callers pick `n` so n·rowWidth stays a sane
+    * broadcast build (~32 MB for long pairs at 2 M). */
+  def fitsBroadcast(df: DataFrame, n: Long): Boolean = {
+    if (n < 0) return false
+    val probe = math.min(n, Int.MaxValue - 1L).toInt + 1
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.limit.initialNumPartitions"
+    val prev = conf.getOption(key)
+    conf.set(key, df.sparkSession.sparkContext.defaultParallelism.toString)
+    try df.limit(probe).count() <= n
+    finally prev.fold(conf.unset(key))(conf.set(key, _))
+  }
+
   /** True when the physical plan of `df` contains no shuffle exchange —
     * the co-location check for bucketed joins. */
   def isShuffleFree(df: DataFrame): Boolean =
