@@ -62,6 +62,15 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get("bench_out.json")
       java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      // ALSO write a run-identified copy that no later invocation clobbers
+      // (PERF_r10's per-query table was empty because the 8-core run
+      // overwrote the 32-core bench_out.json): core count + wall-clock
+      // timestamp in the name, full per-query line inside. Additions only —
+      // stdout contract and bench_out.json unchanged.
+      val ts = new java.text.SimpleDateFormat("yyyyMMdd'T'HHmmss")
+        .format(new java.util.Date())
+      val pr = java.nio.file.Paths.get(s"bench_out_c${cpus}_$ts.json")
+      java.nio.file.Files.write(pr, (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // file write is belt-and-braces only
     spark.stop()
   }

@@ -62,7 +62,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap[(SparkSession, String), Seq[(Int, String, String, Long)]]()
   private def bpeMergesMemo(s: SparkSession, dir: String): DataFrame = {
     val rows = bpeMergesCache.getOrElseUpdate((s, dir),
-      graft.functions.TextOps.bpeMerges(Tpch.table(s, dir, "documents"), "text", nMerges = bpeN)
+      graft.functions.TextOps.bpeMerges(Tpch.tableSpread(s, dir, "documents"), "text", nMerges = bpeN)
         .collect().toSeq
         .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))))
     import s.implicits._
@@ -822,7 +822,7 @@ object SparkEntry {
       // with their weighted pair counts — the deterministic "train the
       // subword tokenizer" step; the oracle replays every round's argmax
       // and rewrite verbatim
-      graft.functions.TextOps.bpeMerges(Tpch.table(s, dir, "documents"), "text", nMerges = bpeN)),
+      graft.functions.TextOps.bpeMerges(Tpch.tableSpread(s, dir, "documents"), "text", nMerges = bpeN)),
     "q_bpe_encode" -> ((s, dir) =>
       // BPE ENCODING with the corpus's own learned merges: per-document
       // word and subword counts. The merge table is learned once per
@@ -830,7 +830,7 @@ object SparkEntry {
       // demonstrates (the vocab rewrite + corpus join), not re-training;
       // q_bpe itself still measures the learning loop fresh.
       graft.functions.TextOps.bpeEncode(
-        Tpch.table(s, dir, "documents"), "doc_id", "text", bpeMergesMemo(s, dir))),
+        Tpch.tableSpread(s, dir, "documents"), "doc_id", "text", bpeMergesMemo(s, dir))),
     "q_fertility" -> ((s, dir) => {
       // TOKENIZER FERTILITY per language (subwords per word, ×100 floor):
       // the standard "is the tokenizer fair to each language" diagnostic —
@@ -857,7 +857,7 @@ object SparkEntry {
       // minimum k-gram hash with packed position — any two docs sharing
       // >= w+k-1 tokens share a fingerprint
       graft.functions.TextOps.winnowFingerprints(
-        Tpch.table(s, dir, "documents"), "doc_id", "text")),
+        Tpch.tableSpread(s, dir, "documents"), "doc_id", "text")),
     "q_lm_score" -> ((s, dir) =>
       // bigram-LM centibits-per-token scoring (the CCNet/KenLM perplexity
       // filter): mean conditional surprisal under the corpus's own bigram
@@ -1069,24 +1069,24 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => // IVF-flat scale path; the deterministic lowest-id
       // leader quantizer makes cell assignment + probing SQL-expressible, so the
       // whole index->probe->rescore pipeline runs under a DuckDB oracle
-      graft.sim.Ann.ivfTopK(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
+      graft.sim.Ann.ivfTopK(Tpch.tableSpread(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
         querySide = _.where(col("id") < 100), nlist = 16, nprobe = 4)),
     "q_kmeans" -> ((s, dir) => // deterministic integer Lloyd's: lowest-id init,
       // literal-centroid zero-shuffle assignment, div-exact centroid updates —
       // the full iteration chain replays in SQL (kmeansOracleCtes)
-      graft.sim.Ann.kmeans(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
+      graft.sim.Ann.kmeans(Tpch.tableSpread(s, dir, "embeddings"), "vec_id", "embedding",
           k = kmeansK, iters = kmeansIters)
         .select(col("id").as("vec_id"), col("cluster"), col("dist"))),
     "q_cluster_sample" -> ((s, dir) => // cluster-balanced diversity sample:
       // kmeans cells hard-capped in deterministic hash order (the domainCap
       // rule keyed by cluster) — dense clusters flatten instead of dominating
-      graft.sim.Ann.clusterSample(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
+      graft.sim.Ann.clusterSample(Tpch.tableSpread(s, dir, "embeddings"), "vec_id", "embedding",
           k = kmeansK, iters = kmeansIters, cap = clusterCap)
         .select(col("id").as("vec_id"), col("cluster"), col("dist"), col("rk"))),
     "q_knn_label" -> ((s, dir) => // label transfer by retrieval: majority
       // vote over the q_ann_ivf top-3 neighbors' labels, ties to the
       // smallest label — k-NN weak labeling from a labeled seed set
-      graft.sim.Ann.knnLabel(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
+      graft.sim.Ann.knnLabel(Tpch.tableSpread(s, dir, "embeddings"), "vec_id", "embedding",
         "label", k = 3, querySide = _.where(col("id") < 100), nlist = 16, nprobe = 4)),
     "q_ivfpq" -> ((s, dir) => // IVF-ADC: coarse cells route queries, PQ
       // codes + per-query literal lookup tables score candidates — the
@@ -1097,21 +1097,21 @@ object SparkEntry {
     "q_ivfpq_res" -> ((s, dir) => // residual IVF-ADC: PQ codebooks over
       // cell-mean-recentered vectors (the FAISS IndexIVFPQ default); the
       // ADC table is keyed (query, probed cell) — same routing, tighter codes
-      graft.sim.Ann.ivfPqResTopK(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
+      graft.sim.Ann.ivfPqResTopK(Tpch.tableSpread(s, dir, "embeddings"), "vec_id", "embedding",
         kTop = 3, querySide = _.where(col("id") < 100), nlist = 16, nprobe = 4,
         m = pqM, kPq = pqK, iters = pqIters)),
     "q_pq" -> ((s, dir) => // product quantization: m independent integer
       // Lloyd codebooks over contiguous subvector slices, then a
       // literal-codebook zero-shuffle encode emitting each subspace's
       // nearest codeword + exact squared residual (the ADC error term)
-      graft.sim.Ann.pq(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
+      graft.sim.Ann.pq(Tpch.tableSpread(s, dir, "embeddings"), "vec_id", "embedding",
           m = pqM, k = pqK, iters = pqIters)
         .select(col("id").as("vec_id"), col("sub"), col("code"), col("dist"))),
     "q_sq8" -> ((s, dir) => // int8 scalar quantization: per-dim [min,max]
       // envelope trained in one dim-row scan, then a literal-codec
       // zero-shuffle encode with the exact integer reconstruction error —
       // the embedding-index compression pass (4x smaller than milli-longs)
-      graft.sim.Ann.sq8(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding")
+      graft.sim.Ann.sq8(Tpch.tableSpread(s, dir, "embeddings"), "vec_id", "embedding")
         .select(col("id").as("vec_id"), posexplode(col("codes")).as(Seq("p", "code")),
           col("err"))
         .select(col("vec_id"), (col("p") + 1).cast("long").as("i"), col("code"), col("err"))),
@@ -1191,7 +1191,7 @@ object SparkEntry {
           TextOps.repetitionBp(col("__ts"), 1).as("rep1_bp"))
     }),
     "q_tfidf" -> ((s, dir) =>
-      graft.functions.TextOps.tfidfTopTerms(Tpch.table(s, dir, "documents"),
+      graft.functions.TextOps.tfidfTopTerms(Tpch.tableSpread(s, dir, "documents"),
         "doc_id", "text", k = 3)),
     "q_fingerprint" -> ((s, dir) => {
       import graft.functions.TextOps
@@ -1201,7 +1201,7 @@ object SparkEntry {
     "q_source_sim" -> ((s, dir) => // dataset-overlap matrix: exact pairwise
       // Jaccard between per-source shingle SETS — gram-keyed join whose
       // fanout is bounded by the (small) group count squared, never docs²
-      graft.dedup.Dedup.groupJaccard(Tpch.table(s, dir, "documents"),
+      graft.dedup.Dedup.groupJaccard(Tpch.tableSpread(s, dir, "documents"),
         "source", "text", k = 3)),
     "q_grep" -> ((s, dir) => {
       // literal-substring search through the trigram inverted index: the
@@ -1209,7 +1209,7 @@ object SparkEntry {
       // holds all its trigrams), exact contains verifies candidates only.
       // The one-shot contains scan (grepScan) is spec'd identical.
       import graft.functions.TextOps
-      val docs = Tpch.table(s, dir, "documents")
+      val docs = Tpch.tableSpread(s, dir, "documents")
       TextOps.grepIndexed(TextOps.trigramIndex(docs, "doc_id", "text"),
         docs, "doc_id", "text", "merge batch")
     }),
@@ -1219,7 +1219,7 @@ object SparkEntry {
       // patterns, a no-hit pattern, and a short pattern that lawfully drops
       import s.implicits._
       import graft.functions.TextOps
-      val docs = Tpch.table(s, dir, "documents")
+      val docs = Tpch.tableSpread(s, dir, "documents")
       val pats = Seq("merge batch", "hash join", "slow window", "qqqqzz", "ab")
         .toDF("pattern")
       TextOps.grepMany(TextOps.trigramIndex(docs, "doc_id", "text"),
@@ -1355,7 +1355,7 @@ object SparkEntry {
       // the sparse-retrieval sibling of the dense ANN family: TF-vector
       // cosine pairs via an inverted-index term join (docs sharing no term
       // never meet), df-capped hub guard, exact squared-integer threshold
-      graft.sim.Ann.sparseCosinePairs(Tpch.table(s, dir, "documents"),
+      graft.sim.Ann.sparseCosinePairs(Tpch.tableSpread(s, dir, "documents"),
         "doc_id", "text", maxDf = 50, minCos2Ppm = 500000)),
     "q_dedup_verify" -> ((s, dir) => {
       // the VERIFY stage after candidate generation: exact edit-distance
@@ -1378,7 +1378,7 @@ object SparkEntry {
         "doc_id", "text", k = 3, minShared = 5L)
     }),
     "q_dedup_clusters" -> ((s, dir) =>
-      graft.dedup.Dedup.clusters(Tpch.table(s, dir, "documents"), "doc_id", "text",
+      graft.dedup.Dedup.clusters(Tpch.tableSpread(s, dir, "documents"), "doc_id", "text",
         k = 3, minBp = 5000)),
     "q_dedup_minhash" -> ((s, dir) =>
       // MinHash-LSH candidates + exact-Jaccard rescore, under the SAME
@@ -1387,21 +1387,21 @@ object SparkEntry {
       // sf0.01/0.1 (symmetric difference 0; deterministic signatures make
       // that a fixed fact of the data — the planted near-dups sit well
       // above the τ=0.5 band-collision knee).
-      graft.dedup.Dedup.minhashLsh(Tpch.table(s, dir, "documents"), "doc_id", "text",
+      graft.dedup.Dedup.minhashLsh(Tpch.tableSpread(s, dir, "documents"), "doc_id", "text",
         k = 3, numPerm = 64, bands = 16, minBp = 5000)
         .select(col("id_a"), col("id_b"), col("i").cast("long").as("i"),
           col("union_n").cast("long").as("union_n"))),
     "q_dedup_simhash" -> ((s, dir) => // hamming<=3 via pigeonhole bands; md5-portable
       // token hash so the full signature->band->popcount pipeline is oracled
-      graft.dedup.Dedup.simhashPairs(Tpch.table(s, dir, "documents"), "doc_id", "text",
+      graft.dedup.Dedup.simhashPairs(Tpch.tableSpread(s, dir, "documents"), "doc_id", "text",
         maxHam = 3, portable = true)),
     // ---- §2.4 similarity search ----------------------------------------
     "q_ann_pairs" -> ((s, dir) =>
-      graft.sim.Ann.cosinePairs(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding", tauPm = 450)),
+      graft.sim.Ann.cosinePairs(Tpch.tableSpread(s, dir, "embeddings"), "vec_id", "embedding", tauPm = 450)),
     "q_semdedup" -> ((s, dir) => { // SemDeDup: IVF cells -> within-cell cosine
       // pairs -> transitive closure -> min-id representative per group
       implicit val sp: SparkSession = s
-      graft.sim.Ann.semanticDedup(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
+      graft.sim.Ann.semanticDedup(Tpch.tableSpread(s, dir, "embeddings"), "vec_id", "embedding",
         tauPm = 450, nlist = 16)
     }),
     "q_mixture_sample" -> ((s, dir) => // data mixing: per-language keep rates,
@@ -1443,18 +1443,19 @@ object SparkEntry {
       // 50-word gate, and any fixed count that works at one SF dies at
       // 10x. Relative df targets true boilerplate at every scale
       // (179/500 gated at sf0.01, 1904/5000 at sf0.1).
-      val docs = Tpch.table(s, dir, "documents")
+      val docs = Tpch.tableSpread(s, dir, "documents")
       // relative threshold folded into the plan (broadcast corpus-count
       // scalar) — no separate count() action / second corpus-text scan
       val stripped = graft.dedup.Dedup.stripDupSpansRelative(docs, "doc_id", "text",
           k = 3, minDfBp = 160L)
         .select(col("doc_id"), col("text_stripped").as("text"))
-        // consumed TWICE (the gate derives from it, survivors re-join it):
-        // materialize once or the whole span-strip subplan runs twice
-        .localCheckpoint(false)
-      val gated = graft.functions.TextOps.gopherQuality(stripped, "doc_id", "text")
-        .where(col("keep") === 1L).select("doc_id")
-      val survivors = stripped.join(gated, Seq("doc_id"), "left_semi")
+      // gate carries the stripped text THROUGH (gopherQuality carryText),
+      // so the stripped frame has ONE consumer chain — r10 checkpointed it
+      // and re-joined the survivors by id, paying the materialization plus
+      // a semi join (r11 verdict item: fold to one pass)
+      val survivors = graft.functions.TextOps
+        .gopherQuality(stripped, "doc_id", "text", carryText = true)
+        .where(col("keep") === 1L).select("doc_id", "text")
       graft.functions.TextOps.surprisalScore(survivors, "doc_id", "text")
     }),
     "q_corpus_diff" -> ((s, dir) => {
@@ -1507,12 +1508,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
     }),
     "q_ann_topk" -> ((s, dir) =>
-      graft.sim.Ann.bruteTopK(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
+      graft.sim.Ann.bruteTopK(Tpch.tableSpread(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
         querySide = _.where(col("id") < 100))),
     "q_ann_lsh" -> ((s, dir) => // bucketed scale path, exact rescore; the oracle
       // replays the deterministic hyperplane signatures (weights inlined as a
       // VALUES table) and the band-share predicate in closed form
-      graft.sim.Ann.lshPairs(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
+      graft.sim.Ann.lshPairs(Tpch.tableSpread(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, tauPm = 450)),
     "q_ann_pairs_lsh" -> ((s, dir) =>
       // The BUCKETED cosine-threshold path under the full brute-force oracle:
@@ -1532,20 +1533,20 @@ object SparkEntry {
       // (non-struct) band key. The floor is the band join itself — a sound
       // norm prune does not exist for scale-invariant cosine, and wider
       // bands break the recall-completeness the oracle depends on.
-      graft.sim.Ann.lshPairs(Tpch.table(s, dir, "embeddings"), "vec_id", "embedding",
+      graft.sim.Ann.lshPairs(Tpch.tableSpread(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, tauPm = 450, numBits = 32, bands = 16)
         .select("id_a", "id_b", "dot")),
     // ---- §2.4 multimodal ------------------------------------------------
     "q_multimodal" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       graft.multimodal.Multimodal.extractMeta(
-        graft.multimodal.Multimodal.withPayload(Tpch.table(s, dir, "documents"), "doc_id", "text")).toDF()
+        graft.multimodal.Multimodal.withPayload(Tpch.tableSpread(s, dir, "documents"), "doc_id", "text")).toDF()
     }),
     "q_dedup_phash" -> ((s, dir) => // multimodal near-dup: 64-bit aHash over
       // the decoded payload (stripe mean vs global mean, integer-exact),
       // paired at hamming<=3 through the shared pigeonhole banding
       graft.multimodal.Multimodal.pHashPairs(
-        graft.multimodal.Multimodal.withPayload(Tpch.table(s, dir, "documents"),
+        graft.multimodal.Multimodal.withPayload(Tpch.tableSpread(s, dir, "documents"),
           "doc_id", "text"), maxHam = 3)),
     "q_dedup_phash_keep" -> ((s, dir) => { // the multimodal dedup DECISION:
       // phash pairs -> connected components -> min-id keeper (the

@@ -17,8 +17,12 @@ object TimeQ {
       val fn = SparkEntry.queries(q)
       (1 to reps).foreach { i =>
         val t0 = System.nanoTime()
-        val n = fn(spark, dir).count()
-        println(f"[timeq] $q rep$i ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+        val df = fn(spark, dir)
+        val t1 = System.nanoTime()
+        val n = df.count()
+        val t2 = System.nanoTime()
+        println(f"[timeq] $q rep$i ${(t2 - t0) / 1e9}%.3f s rows=$n " +
+          f"(build ${(t1 - t0) / 1e9}%.3f, count ${(t2 - t1) / 1e9}%.3f)")
         System.gc()
       }
     }

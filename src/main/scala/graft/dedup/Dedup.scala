@@ -523,13 +523,24 @@ object Dedup {
     * stays with [[minhashLsh]] — this is its dataset-level sibling. */
   def groupJaccard(docs: DataFrame, groupCol: String, textCol: String,
       k: Int = 3): DataFrame = {
+    // ONE materialized shingle-set frame: the per-group distinct-gram set
+    // feeds three plan references (both self-join sides + the sizes agg);
+    // without the checkpoint Catalyst re-derives the explode + distinct
+    // subtree per reference (the r11 q_source_sim plan audit found the
+    // Generate + two HashAggregates running THREE times).
     val sh = docs.select(col(groupCol).as("grp"),
         explode(graft.functions.NativeOps.wordShingles(col(textCol), k)).as("gram"))
       .dropDuplicates("grp", "gram")
+      .localCheckpoint(false)
     val sizes = sh.groupBy("grp").agg(count(lit(1)).as("n"))
-    sh.as("a").join(sh.as("b"),
-        col("a.gram") === col("b.gram") && col("a.grp") < col("b.grp"))
-      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+    // the checkpoint blinds stats, so the gram-keyed probe side must be
+    // broadcast EXPLICITLY under a measured guard (the degreeAssortativity
+    // idiom; ~500k gram-string rows ≈ a 32 MB build). Past the guard the
+    // shuffle join stands — group-shingle sets are corpus-sized in general.
+    val b = sh.select(col("grp").as("__gb"), col("gram").as("__gramb"))
+    val bSide = if (graft.plans.Scale.fitsBroadcast(sh, 500000L)) broadcast(b) else b
+    sh.join(bSide, col("gram") === col("__gramb") && col("grp") < col("__gb"))
+      .groupBy(col("grp").as("grp_a"), col("__gb").as("grp_b"))
       .agg(count(lit(1)).as("n_common"))
       .join(broadcast(sizes.select(col("grp").as("grp_a"), col("n").as("__na"))), "grp_a")
       .join(broadcast(sizes.select(col("grp").as("grp_b"), col("n").as("__nb"))), "grp_b")

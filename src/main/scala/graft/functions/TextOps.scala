@@ -167,23 +167,30 @@ object TextOps {
     * higher-order pass (those are CodegenFallback; §11). */
   val gopherStops: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with")
   def gopherQuality(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-      minWords: Long = 50L, maxWords: Long = 100000L): org.apache.spark.sql.DataFrame = {
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      carryText: Boolean = false): org.apache.spark.sql.DataFrame = {
+    // carryText appends the input text column AFTER the stats so a caller
+    // gating a derived corpus (q_pipeline_curate) keeps its single
+    // declarative chain — without it the gate's consumer must join the
+    // (recomputed or checkpointed) input back by id to recover the text
+    val carried = if (carryText) Seq(col(textCol)) else Nil
     // token array materialized under its own alias first (the repetitionBp
     // rule): three references below would otherwise re-tokenize per row
     docs.select(col(idCol).as("doc_id"), col(textCol).as("__txt"),
         tokens(col(textCol)).as("__ts"))
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id"),
         size(col("__ts")).cast("long").as("n_words"),
         length(regexp_replace(col("__txt"), " ", "")).cast("long").as("__chars"),
         (regexp_count(col("__txt"), lit("#|\\.\\.\\.")) * 10000L).as("__sym10k"),
         size(filter(col("__ts"), t => t.rlike("[a-zA-Z]"))).cast("long").as("__alpha"),
         size(filter(col("__ts"), t => t.isin(gopherStops.map(lit(_)): _*))).cast("long").as("stop_hits"))
+        ++ (if (carryText) Seq(col("__txt").as(textCol)) else Nil): _*)
       .where(col("n_words") > 0)
-      .select(col("doc_id"), col("n_words"),
+      .select(Seq(col("doc_id"), col("n_words"),
         expr("(__chars * 100) div n_words").as("mwl_x100"),
         expr("__sym10k div n_words").as("sym_bp"),
         expr("(__alpha * 10000) div n_words").as("alpha_bp"),
-        col("stop_hits"))
+        col("stop_hits")) ++ carried: _*)
       .withColumn("keep",
         (col("n_words") >= minWords && col("n_words") <= maxWords &&
           col("mwl_x100") >= 300L && col("mwl_x100") <= 1000L &&

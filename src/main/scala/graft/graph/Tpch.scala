@@ -43,25 +43,32 @@ object Tpch {
   private val graphCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), PropertyGraph]()
 
-  /** Spread an under-split PAYLOAD scan across the cores before persisting
-    * (guide §2.5 "input skew: one huge unsplittable file — repartition
-    * immediately after the read"): the testdata ships as single-row-group
-    * parquet files, so every scan is ONE task, and for the compute-dense
-    * payload corpora (documents.text tokenize/shingle, embeddings.vec
-    * quantize/dot) that one task serializes seconds of per-row work onto one
-    * core regardless of cluster size. The partition count derives from the
-    * actual input size (≈32 KB of compressed parquet per partition, capped
-    * at defaultParallelism), so a production-scale input whose scan already
-    * splits to ≥ cores is left untouched — the small-file artifact fix, not
-    * a local[32] tune. Relational/event tables are deliberately NOT spread:
-    * their operators are shuffle-dominated joins/aggs whose cost per byte is
-    * tiny, and a measured A/B (OPTIMIZATION_r10.md) showed spreading them
-    * only buys per-task scheduling overhead on dozens of sub-second
-    * queries. */
+  /** Spread an under-split PAYLOAD scan across the cores (guide §2.5
+    * "input skew: one huge unsplittable file — repartition immediately
+    * after the read"): the testdata ships as single-row-group parquet
+    * files, so every scan is ONE task, and for the compute-dense payload
+    * consumers (tokenize/shingle/grep over documents.text, quantize/dot
+    * over embeddings.vec) that one task serializes seconds of per-row work
+    * onto one core regardless of cluster size. The partition count derives
+    * from the actual input size (compressed bytes per partition, capped at
+    * defaultParallelism), so a production-scale input whose scan already
+    * splits to ≥ cores is left untouched — the small-file artifact fix,
+    * not a local[32] tune.
+    *
+    * r11 re-tune (the r10 driver verdict's top item): r10 spread the
+    * SHARED cache itself, so every consumer — including dozens of
+    * cheap-per-byte queries (q_corpus_diff, q_span_strip, q_pref_pairs…)
+    * — paid 18-32 near-empty tasks per stage at sf0.1; 8 of the round's 10
+    * material regressions were exactly those consumers, and their 8-core
+    * times BEAT their 32-core times (pure per-task scheduling overhead).
+    * Now the shared cache keeps the scan's natural layout and only the
+    * measured compute-dense operators opt into [[tableSpread]] — cheap
+    * consumers get their pre-spread plans back verbatim, heavy ones keep
+    * full parallelism. Relational/event tables stay unspread (the r10 A/B:
+    * spreading them only buys per-task overhead). */
   // per-table split quantum (compressed bytes per partition): text ops
-  // (tokenize/shingle) cost far more per byte than vector dots, and the
-  // many-micro-stage index builds over embeddings pay per-task overhead on
-  // every stage — so documents split finer than embeddings (A/B-measured,
+  // (tokenize/shingle) cost far more per byte than vector dots, so
+  // documents split finer than embeddings (A/B-measured,
   // OPTIMIZATION_r10.md)
   private val payloadTables = Map("documents" -> 32768L, "embeddings" -> 131072L)
   private def spread(spark: SparkSession, df: DataFrame, quantum: Long): DataFrame = {
@@ -74,13 +81,30 @@ object Tpch {
 
   private def cached(spark: SparkSession, key: (String, String))(build: => DataFrame): DataFrame =
     if (!shareScans) build
-    else tableCache.getOrElseUpdate((spark, key._1, key._2), {
-      val df = payloadTables.get(key._2).fold(build)(q => spread(spark, build, q))
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    else tableCache.getOrElseUpdate((spark, key._1, key._2),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     cached(spark, (dir, name)) { spark.read.parquet(s"$dir/$name.parquet") }
+
+  /** The compute-dense consumers' view of a payload corpus: same rows,
+    * spread across cores when (and only when) the scan is under-split.
+    * Under [[shareScans]] the spread copy is persisted once under its own
+    * key; when the spread is a no-op (a well-split production input) the
+    * plain cache entry is shared — one resident copy, not two. Non-payload
+    * tables pass through to [[table]] unchanged. */
+  def tableSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    payloadTables.get(name) match {
+      case None => table(spark, dir, name)
+      case Some(q) =>
+        if (!shareScans) spread(spark, spark.read.parquet(s"$dir/$name.parquet"), q)
+        else tableCache.getOrElseUpdate((spark, dir, name + "#spread"), {
+          val raw = spark.read.parquet(s"$dir/$name.parquet")
+          val df = spread(spark, raw, q)
+          if (df eq raw) table(spark, dir, name) // no-op spread: share the plain copy
+          else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        })
+    }
 
   /** events.parquet has shipped with two physical `ts` shapes across
     * testdata generations: nanosecond timestamps (which Spark's vectorized

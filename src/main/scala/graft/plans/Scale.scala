@@ -113,12 +113,25 @@ object Scale {
   def fitsBroadcast(df: DataFrame, n: Long): Boolean = {
     if (n < 0) return false
     val probe = math.min(n, Int.MaxValue - 1L).toInt + 1
-    val conf = df.sparkSession.conf
-    val key = "spark.sql.limit.initialNumPartitions"
-    val prev = conf.getOption(key)
-    conf.set(key, df.sparkSession.sparkContext.defaultParallelism.toString)
-    try df.limit(probe).count() <= n
-    finally prev.fold(conf.unset(key))(conf.set(key, _))
+    oneWaveLimit(df)(df.limit(probe).count() <= n)
+  }
+
+  /** Runs `body` with Spark's incremental-limit first wave widened from 1
+    * partition to the session's core count (see Algos.atMost for the
+    * measured rationale) — the ONE shared implementation of the
+    * set/restore, synchronized on the owning session so two concurrent
+    * guard probes cannot interleave their save/restore and leave the conf
+    * permanently set (or apply the widened wave to an unrelated concurrent
+    * limit). The lock is held only for the probe's single bounded action. */
+  private[graft] def oneWaveLimit[A](df: DataFrame)(body: => A): A = {
+    val spark = df.sparkSession
+    spark.synchronized {
+      val conf = spark.conf
+      val key = "spark.sql.limit.initialNumPartitions"
+      val prev = conf.getOption(key)
+      conf.set(key, spark.sparkContext.defaultParallelism.toString)
+      try body finally prev.fold(conf.unset(key))(conf.set(key, _))
+    }
   }
 
   /** True when the physical plan of `df` contains no shuffle exchange —

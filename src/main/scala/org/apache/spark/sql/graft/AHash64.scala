@@ -21,8 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * by CODE POINT (surrogate pairs stay whole) and `ascii()` of a
   * single-code-point string returns that code point (measured on Spark
   * 4.1), so pixel v = codePointAt; stripe j = position mod 64; bit j set
-  * iff s_j·N > S·n_j (the integer cross-multiplied mean test, Long wrap
-  * semantics identical to the non-ANSI column multiply); bit 63 adds
+  * iff s_j·N > S·n_j (the integer cross-multiplied mean test;
+  * multiplyExact raises on overflow exactly like the replaced column
+  * multiply under Spark 4's default ANSI mode — reachable only past ~16M
+  * code points per document, where the chain errored too); bit 63 adds
   * Long.MinValue (the SimHash packing convention). Stripes with no pixels
   * contribute no bit, exactly like their absent rows in the aggregation
   * form. Callers filter empty/null texts FIRST — the chain's
@@ -68,7 +70,7 @@ object AHash64 {
     var h = 0L
     j = 0
     while (j < 64) {
-      if (n(j) > 0L && s(j) * nt > st * n(j))
+      if (n(j) > 0L && Math.multiplyExact(s(j), nt) > Math.multiplyExact(st, n(j)))
         h += (if (j == 63) Long.MinValue else 1L << j)
       j += 1
     }

@@ -307,6 +307,21 @@ class AlgosSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("SCC: a cycle through an edge-only pass-through vertex is preserved") {
+    // vertex 3 appears ONLY in edges: the cycle 1->3->2->1 runs through it.
+    // The local fast path must not silently split {1,2} by filtering 3's
+    // edges away — it gates on endpoint containment and falls back to the
+    // distributed path, which (like GraphX's auto-added endpoints) keeps
+    // the cycle intact.
+    val vs = Seq(1L, 2L).toDF("id")
+    val es = Seq((1L, 3L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
+    val fast = Algos.stronglyConnectedComponents(vs, es).as[(Long, Long)].collect().toMap
+    val dist = Algos.stronglyConnectedComponents(vs, es, residualMax = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === dist)
+    assert(fast(1L) === fast(2L)) // one SCC, not two singletons
+  }
+
   test("closenessCentrality: undirected path 1-2-3 farness/reach/ecc closed form") {
     val es = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val c = Algos.closenessCentrality(es, Seq(1L, 2L, 3L).toDF("id"))
@@ -459,6 +474,41 @@ class AlgosSpec extends AnyFunSuite {
     val full3 = Algos.connectedComponents(
       vs1.unionAll(Seq(10L, 11L, 99L).toDF("id")), b1.unionAll(b2))
     assert(cc3.as[(Long, Long)].collect().toMap === full3.as[(Long, Long)].collect().toMap)
+  }
+
+  test("incrementalCC: non-assignment prevs fall back to the full-recompute semantics") {
+    // the delta fast path requires prev to BE an assignment; each violation
+    // class must land on the old path, whose output (full CC over
+    // membership links + batch) defines the semantics
+    val batch = Seq((7L, 8L)).toDF("src", "dst")
+    def full(prev: Seq[(Long, Long)]) = {
+      val links = prev.filter(p => p._1 != p._2).toDF("src", "dst")
+      val vs = (prev.map(_._1) ++ Seq(7L, 8L)).distinct.toDF("id")
+      Algos.connectedComponents(vs, links.unionAll(batch))
+        .as[(Long, Long)].collect().toMap
+    }
+    // label without a self-row: (5 -> 3) but no (3 -> 3)
+    val p1 = Seq((5L, 3L))
+    assert(Algos.incrementalCC(p1.toDF("id", "component"), batch)
+      .as[(Long, Long)].collect().toMap === full(p1))
+    // label above its id (not a min-labeling): (2 -> 5), (5 -> 5)
+    val p2 = Seq((2L, 5L), (5L, 5L))
+    assert(Algos.incrementalCC(p2.toDF("id", "component"), batch)
+      .as[(Long, Long)].collect().toMap === full(p2))
+    // duplicate id rows merge components through their link edges
+    val p3 = Seq((5L, 1L), (5L, 2L), (1L, 1L), (2L, 2L))
+    assert(Algos.incrementalCC(p3.toDF("id", "component"), batch)
+      .as[(Long, Long)].collect().toMap === full(p3))
+    // a CANONICAL prev takes the delta path and still matches
+    val p4 = Seq((1L, 1L), (2L, 1L), (3L, 3L), (8L, 8L))
+    val b4 = Seq((2L, 3L), (8L, 1L)).toDF("src", "dst")
+    val got = Algos.incrementalCC(p4.toDF("id", "component"), b4)
+      .as[(Long, Long)].collect().toMap
+    val want = Algos.connectedComponents(
+      Seq(1L, 2L, 3L, 8L).toDF("id"),
+      p4.filter(p => p._1 != p._2).toDF("src", "dst").unionAll(b4))
+      .as[(Long, Long)].collect().toMap
+    assert(got === want && got(8L) === 1L && got(3L) === 1L)
   }
 
   test("articulation/BCC: distributed per-component fallback matches the driver path") {
