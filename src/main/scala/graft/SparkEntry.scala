@@ -445,8 +445,8 @@ object SparkEntry {
       // graph (the linkpred base): strongly negative, as hub parts attach
       // to low-degree customers; integer basis points for engine-exact
       // comparison
-      val cp = Tpch.table(s, dir, "lineitem")
-        .join(Tpch.table(s, dir, "orders"),
+      val cp = Tpch.tableSpread(s, dir, "lineitem")
+        .join(Tpch.tableSpread(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
         .select(Vid.vid("customer", col("o_custkey")).as("src"),
           Vid.vid("part", col("l_partkey")).as("dst"))
@@ -459,8 +459,8 @@ object SparkEntry {
       // rich-club coefficients of the same co-purchase graph at a geometric
       // threshold ladder: hub-to-hub density in integer basis points — one
       // pass against the broadcast threshold list, never per-k jobs
-      val cp = Tpch.table(s, dir, "lineitem")
-        .join(Tpch.table(s, dir, "orders"),
+      val cp = Tpch.tableSpread(s, dir, "lineitem")
+        .join(Tpch.tableSpread(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
         .select(Vid.vid("customer", col("o_custkey")).as("src"),
           Vid.vid("part", col("l_partkey")).as("dst"))
@@ -633,8 +633,8 @@ object SparkEntry {
       // pairs sharing >= 3 distinct parts (collaborative-filtering shape),
       // with the integer resource-allocation index; parts bought by > 40
       // customers are excluded as wedge centers (hub rule + scale guard)
-      val li = Tpch.table(s, dir, "lineitem")
-      val o = Tpch.table(s, dir, "orders")
+      val li = Tpch.tableSpread(s, dir, "lineitem")
+      val o = Tpch.tableSpread(s, dir, "orders")
       val cp = li.join(o, li("l_orderkey") === o("o_orderkey"))
         .select(Vid.vid("customer", col("o_custkey")).as("src"),
           Vid.vid("part", col("l_partkey")).as("dst"))
@@ -732,8 +732,8 @@ object SparkEntry {
       // oracle unrolls peeling rounds (idempotent at the fixpoint). At
       // sf0.1 the base graph is sparse enough to have NO 5-truss — the
       // empty result is the honest answer there.
-      val li = Tpch.table(s, dir, "lineitem")
-      val o = Tpch.table(s, dir, "orders")
+      val li = Tpch.tableSpread(s, dir, "lineitem")
+      val o = Tpch.tableSpread(s, dir, "orders")
       val cp = li.join(o, li("l_orderkey") === o("o_orderkey"))
         .select(Vid.vid("customer", col("o_custkey")).as("src"),
           Vid.vid("part", col("l_partkey")).as("dst"))
@@ -759,7 +759,10 @@ object SparkEntry {
       // partition, never on label values).
       // raw rows, no pre-aggregation: boruvkaForest's own parallel-edge
       // collapse takes min(w) per pair (min over raw == min over min), so
-      // the query-side groupBy shuffle is redundant on BOTH paths
+      // the query-side groupBy shuffle is redundant on BOTH paths.
+      // PLAIN table, not tableSpread: the guarded local Kruskal is
+      // driver-bound, and the spread copy only added scan decode (A/B
+      // r11: 1.4 -> 1.8 s)
       val li = Tpch.table(s, dir, "lineitem")
       val e = li.select(
         Vid.vid("supplier", col("l_suppkey")).as("src"),
@@ -782,8 +785,8 @@ object SparkEntry {
       // bipartite butterfly census on the customer–part purchase graph —
       // the bipartite cousin of q_triangles, with the same hub cap as
       // q_linkpred (a part bought by everyone witnesses no 4-cycle signal)
-      val li = Tpch.table(s, dir, "lineitem")
-      val o = Tpch.table(s, dir, "orders")
+      val li = Tpch.tableSpread(s, dir, "lineitem")
+      val o = Tpch.tableSpread(s, dir, "orders")
       val cp = li.join(o, li("l_orderkey") === o("o_orderkey"))
         .select(Vid.vid("customer", col("o_custkey")).as("src"),
           Vid.vid("part", col("l_partkey")).as("dst"))

@@ -484,22 +484,39 @@ object Algos {
     var dist = sources.select(col(sources.columns.head).as("id")).dropDuplicates("id")
       .withColumn("cost", lit(0L)).localCheckpoint(eager = false)
     var frontier = dist
+    // Guarded frontier broadcast (guide §3.1; the Descend idiom): the
+    // checkpointed frontier blinds stats, so every round's expansion would
+    // SMJ — exchanging the FULL edge frame per round even for a one-row
+    // frontier. The round-(i-1) probe action already counts the improved
+    // set, so broadcast eligibility is FREE; the first round probes the
+    // (bounded, deduped) source set once. Past the guard the shuffle join
+    // stands — a flooded frontier on a real cluster must not be built into
+    // one hash relation.
+    val bcastRows = 1000000L
+    var frontierSmall = graft.plans.Scale.fitsBroadcast(dist, bcastRows)
     var done = false
     var i = 0
     while (!done && i < maxIter) {
       // lazy checkpoint + count = ONE action per round (the transitive-
       // reduction rule): count completes the checkpoint the merge then reads
+      val fB = if (frontierSmall) broadcast(frontier) else frontier
       val improved = e
-        .join(frontier.withColumnRenamed("id", "__from"), "__from")
+        .join(fB.withColumnRenamed("id", "__from"), "__from")
         .select(col("__to").as("id"), (col("cost") + col("__w")).as("cost"))
         .groupBy("id").agg(min(col("cost")).as("cost"))
         .join(dist.withColumnRenamed("cost", "__old"), Seq("id"), "left")
         .where(col("__old").isNull || col("cost") < col("__old"))
         .select("id", "cost")
         .localCheckpoint(eager = false)
-      if (improved.count() == 0L) done = true
+      val n = improved.count()
+      if (n == 0L) done = true
       else {
-        dist = dist.join(improved.select("id"), Seq("id"), "left_anti")
+        frontierSmall = n <= bcastRows
+        // the anti-join build side is the improved set itself — same free
+        // count, same guard: dist (|reached|-sized) stays unshuffled
+        val impB = if (frontierSmall) broadcast(improved.select("id"))
+                   else improved.select("id")
+        dist = dist.join(impB, Seq("id"), "left_anti")
           .unionByName(improved).localCheckpoint(eager = false)
         frontier = improved
       }
@@ -550,12 +567,19 @@ object Algos {
     var dist = sources.select(col(sources.columns.head).as("id")).dropDuplicates("id")
       .withColumn("cost", lit(0L)).localCheckpoint(eager = false)
     var frontier = dist
+    // guarded frontier broadcast — same rationale and guard as
+    // [[bfsRelaxImpl]]; here the frontier count rides the drain-probe agg
+    // (one extra count column on a row the probe already scans) so the
+    // guard costs zero additional jobs after the first round
+    val bcastRows = 1000000L
+    var frontierSmall = graft.plans.Scale.fitsBroadcast(dist, bcastRows)
     var bestAccepted = Long.MaxValue
     var done = false
     var i = 0
     while (!done && i < maxIter) {
+      val fB = if (frontierSmall) broadcast(frontier) else frontier
       val improved = e
-        .join(frontier.withColumnRenamed("id", "__from"), "__from")
+        .join(fB.withColumnRenamed("id", "__from"), "__from")
         .select(col("__to").as("id"), (col("cost") + col("__w")).as("cost"))
         .groupBy("id").agg(min(col("cost")).as("cost")) // map-side partial min
         .join(dist.withColumnRenamed("cost", "__old"), Seq("id"), "left")
@@ -566,10 +590,13 @@ object Algos {
       // scans every partition (completing the lazy checkpoint the merge
       // joins then read), and a null frontier minimum means no row improved
       val row = improved.agg(min(col("cost")),
-        min(when(accept.get, col("cost")))).head()
+        min(when(accept.get, col("cost"))), count(lit(1))).head()
       if (row.isNullAt(0)) done = true
       else {
-        dist = dist.join(improved.select("id"), Seq("id"), "left_anti")
+        frontierSmall = row.getLong(2) <= bcastRows
+        val impB = if (frontierSmall) broadcast(improved.select("id"))
+                   else improved.select("id")
+        dist = dist.join(impB, Seq("id"), "left_anti")
           .unionByName(improved).localCheckpoint(eager = false)
         frontier = improved
         if (!row.isNullAt(1)) bestAccepted = math.min(bestAccepted, row.getLong(1))
@@ -667,6 +694,14 @@ object Algos {
         col("component").cast("long").as("component")).localCheckpoint(eager = false)
       val be = batchEdges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")).localCheckpoint(eager = false)
+      // ONE bounded probe sizes the assignment AND materializes its
+      // checkpoint (four readers below); a measured-small pm broadcasts
+      // into the projection/universe joins, so the batch is never
+      // shuffled against |V| (guide §3.1 — the bfsRelaxImpl idiom). Past
+      // the guard the shuffle joins stand.
+      val pmN = graft.plans.Scale.oneWaveLimit(pm)(
+        pm.limit(math.min(deltaMaxEdges + 1, Int.MaxValue.toLong).toInt).count())
+      val pmB = if (pmN <= deltaMaxEdges) broadcast(pm) else pm
       // Exactness gate, ONE shuffle: both roles of every prev row grouped
       // by the vertex they mention — duplicate ids (__nid > 1), a label
       // with no self-row (__isc without __self), and null ids all surface
@@ -691,8 +726,8 @@ object Algos {
       // (unseen endpoints are their own singletons — the coalesce), deduped
       // map-side: bounded by the batch, never |V|
       val compEdges = be
-        .join(pm.select(col("id").as("src"), col("component").as("__cs")), Seq("src"), "left")
-        .join(pm.select(col("id").as("dst"), col("component").as("__cd")), Seq("dst"), "left")
+        .join(pmB.select(col("id").as("src"), col("component").as("__cs")), Seq("src"), "left")
+        .join(pmB.select(col("id").as("dst"), col("component").as("__cd")), Seq("dst"), "left")
         .select(coalesce(col("__cs"), col("src")).as("__cs"),
           coalesce(col("__cd"), col("dst")).as("__cd"))
         .where(col("__cs") =!= col("__cd"))
@@ -717,7 +752,7 @@ object Algos {
           val newVerts = be.select(col("src").as("id"))
             .unionAll(be.select(col("dst").as("id")))
             .dropDuplicates("id")
-            .join(pm.select("id"), Seq("id"), "left_anti")
+            .join(pmB.select("id"), Seq("id"), "left_anti")
             .select(col("id"), col("id").as("component"))
           val m = pm.unionAll(newVerts)
           if (remap.isEmpty) return m
@@ -819,8 +854,13 @@ object Algos {
     * integer intermediates stay ≤ ~10²⁶ for any plausible edge count, far
     * inside DECIMAL(38,0)/HUGEINT range — no overflow cliff. */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
+    // raw feeds BOTH symmetrize branches: without a materialization the
+    // caller's edge derivation (q_assortativity: a lineitem⋈orders join +
+    // distinct over ~1M pairs) is evaluated once per branch — checkpoint
+    // once, read twice (the cooccurrencePairs rule)
     val raw = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
+      .localCheckpoint(false)
     val sym = raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
       .dropDuplicates("src", "dst")
       .localCheckpoint(false)
@@ -874,8 +914,12 @@ object Algos {
     require(ks.nonEmpty)
     val spark = edges.sparkSession
     import spark.implicits._
+    // raw checkpointed for the same both-branches reason as
+    // degreeAssortativity: the caller's edge derivation must not run once
+    // per symmetrize branch
     val raw = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
+      .localCheckpoint(false)
     val sym = raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
       .dropDuplicates("src", "dst")
       .localCheckpoint(false)
@@ -2699,23 +2743,43 @@ object Algos {
              else e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
                .dropDuplicates("src", "dst"))
       .localCheckpoint(eager = false)
-    // forward phase: per-level (s, v, sigma); keep each level for the sweep
+    // forward phase: per-level (s, v, sigma); keep each level for the sweep.
+    // Guarded broadcasts throughout (guide §3.1; the bfsRelaxImpl idiom):
+    // every per-level join would otherwise SMJ against the stats-blind
+    // checkpoints, exchanging the FULL edge frame per level; level sizes
+    // come free from the drain-probe counts, so measured-small frontiers /
+    // visited sets / delta levels broadcast and e stays unshuffled. Join
+    // STRATEGY only — the recurrence, its join keys, and the aggregation
+    // are byte-for-byte the ones above; past the guard every join falls
+    // back to the shuffle plan.
+    val bcastRows = 1000000L
+    def sat(a: Long, b: Long): Long =
+      if (a == Long.MaxValue || b > Long.MaxValue - a) Long.MaxValue else a + b
     var frontier = sources.select(col(sources.columns.head).as("s"))
       .dropDuplicates("s").withColumn("v", col("s")).withColumn("sigma", lit(1L))
       .localCheckpoint(eager = false)
     var visited = frontier.select("s", "v").localCheckpoint(eager = false)
-    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    val n0 = graft.plans.Scale.oneWaveLimit(frontier)(
+      frontier.limit((bcastRows + 1).toInt).count())
+    var frontierRows = if (n0 <= bcastRows) n0 else Long.MaxValue
+    var visitedRows = frontierRows
+    val levels = scala.collection.mutable.ArrayBuffer[(DataFrame, Long)]((frontier, frontierRows))
     var done = false
     var d = 0
     while (!done && d < maxIter) {
-      val next = frontier.join(e, frontier("v") === e("src"))
+      val fB = if (frontierRows <= bcastRows) broadcast(frontier) else frontier
+      val vB = if (visitedRows <= bcastRows) broadcast(visited) else visited
+      val next = fB.join(e, fB("v") === e("src"))
         .groupBy(col("s"), col("dst").as("v2")).agg(sum(col("sigma")).as("sigma"))
         .select(col("s"), col("v2").as("v"), col("sigma"))
-        .join(visited, Seq("s", "v"), "left_anti")
+        .join(vB, Seq("s", "v"), "left_anti")
         .localCheckpoint(eager = false) // count below completes it — one job
-      if (next.count() == 0L) done = true
+      val n = next.count()
+      if (n == 0L) done = true
       else {
-        levels += next
+        frontierRows = if (n <= bcastRows) n else Long.MaxValue
+        levels += ((next, frontierRows))
+        visitedRows = sat(visitedRows, frontierRows)
         visited = visited.unionByName(next.select("s", "v")).localCheckpoint(eager = false)
         frontier = next
       }
@@ -2724,21 +2788,27 @@ object Algos {
     // backward sweep, deepest level first: δ at the deepest level is 0.
     // `delta` carries (s, v, sigma, delta) — the σ of level l+1 is needed as
     // the divisor when level l pulls its dependency contributions.
-    var delta = levels.last.withColumn("delta", lit(0.0)).localCheckpoint(eager = false)
+    var delta = levels.last._1.withColumn("delta", lit(0.0)).localCheckpoint(eager = false)
+    var deltaRows = levels.last._2
     var acc = delta.select("s", "v", "delta")
     var l = levels.length - 2
     while (l >= 0) {
-      val cur = levels(l)
-      val contrib = cur.join(e, cur("v") === e("src"))
+      val (cur, curRows) = levels(l)
+      val curB = if (curRows <= bcastRows) broadcast(cur) else cur
+      val deltaSel = delta.select(col("s"), col("v").as("w"),
+        col("sigma").as("sw"), col("delta").as("dw"))
+      val dB = if (deltaRows <= bcastRows) broadcast(deltaSel) else deltaSel
+      val contrib = curB.join(e, curB("v") === e("src"))
         .select(col("s"), col("v"), col("sigma"), col("dst").as("w"))
-        .join(delta.select(col("s"), col("v").as("w"), col("sigma").as("sw"), col("delta").as("dw")),
-          Seq("s", "w"))
+        .join(dB, Seq("s", "w"))
         .groupBy("s", "v")
         .agg(sum(col("sigma").cast("double") / col("sw") * (lit(1.0) + col("dw"))).as("delta"))
-      val lvlDelta = cur.join(contrib, Seq("s", "v"), "left")
+      val cB = if (curRows <= bcastRows) broadcast(contrib) else contrib
+      val lvlDelta = cur.join(cB, Seq("s", "v"), "left")
         .select(col("s"), col("v"), col("sigma"), coalesce(col("delta"), lit(0.0)).as("delta"))
         .localCheckpoint(eager = true)
       delta = lvlDelta
+      deltaRows = curRows
       acc = acc.unionByName(lvlDelta.select("s", "v", "delta"))
       l -= 1
     }

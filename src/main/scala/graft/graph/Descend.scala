@@ -60,11 +60,29 @@ object Descend {
     if (!acyclic) frontier = frontier.withColumn("path", array(col("id")))
     var acc = emit(frontier)
 
+    // Guarded frontier broadcast (guide §3.1; the pathEdges idiom): each
+    // level's expansion join would otherwise SMJ — the checkpointed frontier
+    // blinds stats, so Catalyst exchanges the FULL edge projection every
+    // level even when the frontier is a handful of rows, and AQE's runtime
+    // SMJ→BHJ rewrite still pays the |E| map-side shuffle write before it
+    // can see the sizes. Broadcasting a measured-small frontier keeps e
+    // unshuffled (one map-side probe of the cached scan per level). The
+    // level-d frontier count comes FREE from the emptiness probe the eager
+    // checkpoint already pays (a one-wave bounded limit instead of
+    // isEmpty's limit(1)); past the guard — a real cluster's frontier —
+    // the shuffle join stands, so this is latency-safe at scale.
+    val bcastRows = 1000000L // ~2 longs/row ≈ 16 MB data, the delta-CC collect
+    // budget; a tighter 250k guard A/B-measured WORSE on every descend query
+    // (q_deepest 2.4→3.5 s warm: even a 750k-row single-threaded build beats
+    // re-exchanging the full edge projection, OPTIMIZATION_r11.md)
+    var frontierSmall = checkpointEvery > 0 &&
+      graft.plans.Scale.fitsBroadcast(frontier, bcastRows)
     var d = 1
     while (d <= maxDepth) {
       val cont = continueP(frontier)
-      var next = cont
-        .join(e, cont("id") === e("__from"))
+      val contB = if (frontierSmall) broadcast(cont) else cont
+      var next = contB
+        .join(e, contB("id") === e("__from"))
       next =
         if (acyclic)
           next.select(col("__to").as("id"), (col("depth") + 1).as("depth"))
@@ -76,12 +94,24 @@ object Descend {
       frontier =
         if (checkpointEvery > 0 && d % checkpointEvery == 0) next.localCheckpoint(eager = true)
         else next
-      // eager mode has the frontier materialized, so emptiness is a cheap
-      // metadata check — without it every exhausted level still runs a
-      // checkpoint job joining an empty frontier against the edge table
-      if (checkpointEvery > 0 && d % checkpointEvery == 0 && frontier.isEmpty)
-        d = maxDepth + 1
-      else {
+      // eager mode has the frontier materialized, so the emptiness/size
+      // probe is a cheap bounded scan of resident blocks — without it every
+      // exhausted level still runs a checkpoint job joining an empty
+      // frontier against the edge table
+      if (checkpointEvery > 0 && d % checkpointEvery == 0) {
+        val n = graft.plans.Scale.oneWaveLimit(frontier)(
+          frontier.limit((bcastRows + 1).toInt).count())
+        frontierSmall = n <= bcastRows
+        if (n == 0L) d = maxDepth + 1
+        else {
+          acc = acc.unionByName(emit(frontier))
+          d += 1
+        }
+      } else {
+        // un-checkpointed level: no cheap probe, and the frontier may have
+        // fanned out past the guard — drop the broadcast eligibility until
+        // the next measured level
+        frontierSmall = false
         acc = acc.unionByName(emit(frontier))
         d += 1
       }
@@ -101,27 +131,43 @@ object Descend {
     run(g, start, labels, forward, maxDepth, checkpointEvery = 1, acyclic = acyclic)
       .select("id", "depth")
 
+  /** The anti-join side of [[deepest]]/[[deepestPaths]], broadcast under a
+    * measured guard (guide §3.1): Catalyst pushes the LeftAnti below the
+    * per-level result union, so with a shuffle join the tails distinct
+    * subtree is RE-DERIVED once per level branch with two Exchanges each
+    * (the r11 q_deepest plan audit found it running five times). A
+    * broadcast build is planned per branch too, but ReusedExchange dedups
+    * identical broadcast subtrees at execution (the richclub adjudication)
+    * — one distinct pass, five map-side probes, zero Exchanges. Past the
+    * guard — tails is every non-leaf vertex, |V|-sized in general — the
+    * shuffle join stands. */
+  private def guardedTails(g: PropertyGraph, labels: Seq[String],
+      forward: Boolean): DataFrame = {
+    val e0 = if (labels.isEmpty) g.edges else g.edges.where(col("label").isin(labels: _*))
+    // lazy checkpoint, NOT a guarded broadcast: the fitsBroadcast probe is
+    // itself a distinct-scan job paid before the main action (A/B: bench
+    // q_deepest 2.59 -> 2.95 with the probe+broadcast), while the
+    // checkpoint materializes the distinct ONCE for all five pushed-down
+    // branches and ReusedExchange dedups their identical shuffle sides
+    e0.select(col(if (forward) "src" else "dst").as("id")).distinct()
+      .localCheckpoint(false)
+  }
+
   /** fermor `deepest`: only elements with no further children (path-instances
     * whose id has no outgoing hop). Anti-join against the edge tails. */
   def deepest(g: PropertyGraph, start: DataFrame, labels: Seq[String], forward: Boolean,
-      maxDepth: Int, acyclic: Boolean = false): DataFrame = {
-    val e0 = if (labels.isEmpty) g.edges else g.edges.where(col("label").isin(labels: _*))
-    val tails = e0.select(col(if (forward) "src" else "dst").as("id")).distinct()
+      maxDepth: Int, acyclic: Boolean = false): DataFrame =
     run(g, start, labels, forward, maxDepth, checkpointEvery = 1, acyclic = acyclic)
-      .join(tails, Seq("id"), "left_anti")
+      .join(guardedTails(g, labels, forward), Seq("id"), "left_anti")
       .select("id", "depth")
-  }
 
   /** fermor `deepest-paths`: like [[deepest]] but keeping the full path to
     * each terminal element (path-carrying mode, so no acyclic shortcut). */
   def deepestPaths(g: PropertyGraph, start: DataFrame, labels: Seq[String], forward: Boolean,
-      maxDepth: Int): DataFrame = {
-    val e0 = if (labels.isEmpty) g.edges else g.edges.where(col("label").isin(labels: _*))
-    val tails = e0.select(col(if (forward) "src" else "dst").as("id")).distinct()
+      maxDepth: Int): DataFrame =
     run(g, start, labels, forward, maxDepth, checkpointEvery = 1)
-      .join(tails, Seq("id"), "left_anti")
+      .join(guardedTails(g, labels, forward), Seq("id"), "left_anti")
       .select("id", "depth", "path")
-  }
 
   /** fermor `all-with-cycles` (core.clj:1112): like [[all]] but revisits are
     * allowed — the depth bound alone limits the walk, so every path instance

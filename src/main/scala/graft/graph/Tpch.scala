@@ -69,8 +69,14 @@ object Tpch {
   // per-table split quantum (compressed bytes per partition): text ops
   // (tokenize/shingle) cost far more per byte than vector dots, so
   // documents split finer than embeddings (A/B-measured,
-  // OPTIMIZATION_r10.md)
-  private val payloadTables = Map("documents" -> 32768L, "embeddings" -> 131072L)
+  // OPTIMIZATION_r10.md). lineitem/orders carry coarse MB-grade quanta —
+  // cheap-per-byte relational rows, so only the measured-heavy pair-graph
+  // consumers (mst/assortativity/richclub/butterflies/linkpred) opt in via
+  // [[tableSpread]]; the shared plain cache (and every sub-second
+  // relational query) keeps the natural scan layout (the r10/r11 A/B).
+  private val payloadTables = Map(
+    "documents" -> 32768L, "embeddings" -> 131072L,
+    "lineitem" -> 1048576L, "orders" -> 1048576L)
   private def spread(spark: SparkSession, df: DataFrame, quantum: Long): DataFrame = {
     val p = spark.sparkContext.defaultParallelism
     val scanParts = df.rdd.getNumPartitions
@@ -146,7 +152,14 @@ object Tpch {
     else graphCache.getOrElseUpdate((spark, dir), {
       val g = build(spark, dir)
       // the edge table is touched by nearly every traversal and is itself a
-      // 6-way union over the base tables — persist the materialized union
+      // 6-way union over the base tables — persist the materialized union.
+      // NOT respread: repartitioning the union to defaultParallelism was
+      // A/B-measured a clear loss (r11: q_deepest task time 9.2 → 66.5 s,
+      // q_rollup wall 1.0 → 1.8 s — 32 mixed-label partitions defeat the
+      // per-batch stat skipping label filters rely on, and every per-level
+      // probe pays 32 task overheads), so traversals keep the one-partition-
+      // per-base-table layout whose big branches the guarded frontier
+      // broadcasts already avoid shuffling.
       g.copy(edges = g.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 

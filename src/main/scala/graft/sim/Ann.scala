@@ -213,23 +213,40 @@ object Ann {
     * (IVF-flat, the standard ANN index layout). */
   /** The deterministic "sampled leaders" coarse quantizer shared by
     * [[ivfTopK]] and [[semanticDedup]]: the `nlist` lowest-id vectors. */
-  private def leadersOf(qd: DataFrame, nlist: Int): DataFrame =
+  /** The IVF coarse quantizer, collected driver-side: the `nlist` lowest-id
+    * vectors as (lid, lq, ln) — nlist·dim bounded driver state BY
+    * DEFINITION (the kmeansBest budget argument: a quantizer nobody can
+    * hold is a quantizer nothing can assign against). Holding it as
+    * literals turns every cell ranking into a pure per-row projection (see
+    * [[rankedCells]]) instead of a broadcast crossJoin + window
+    * exchange+sort per evaluation. lid keeps the id column's runtime type
+    * (lit() round-trips it), so emitted `cell` schemas are unchanged. */
+  private def leadersOf(qd: DataFrame, nlist: Int): Array[(Any, Array[Long], Long)] =
     qd.orderBy(col("id").asc).limit(nlist)
-      .select(col("id").as("lid"), col("q").as("lq"), col("nq").as("ln"))
-      .localCheckpoint(false)
+      .select(col("id"), col("q"), col("nq")).collect()
+      .map(r => (r.get(0), r.getSeq[Long](1).toArray, r.getLong(2)))
 
-  /** Integer-cosine leader ranking (deterministic tie-break on lid): every
-    * row of `side` scored against every (broadcast) leader; `lrn` = 1 is the
-    * cell assignment, `lrn` <= nprobe the probe set. */
-  private def rankedCells(side: DataFrame, leaders: DataFrame, idAs: String,
-      dim: Int): DataFrame = {
-    val scored = side.crossJoin(broadcast(leaders))
-      .withColumn("ldot", dotQ(col("q"), col("lq"), dim))
-      .withColumn("lsq", floor(sqrt(col("nq").cast("double") * col("ln").cast("double"))).cast("long"))
-      .withColumn("lscore", (col("ldot") * 1000000L).divide(greatest(col("lsq"), lit(1L))).cast("long"))
-    val w = Window.partitionBy("id").orderBy(col("lscore").desc, col("lid").asc)
-    scored.withColumn("lrn", row_number().over(w))
-      .select(col("id").as(idAs), col("lid").as("cell"), col("lrn"))
+  /** Integer-cosine leader ranking (deterministic tie-break on lid), as a
+    * PURE PROJECTION: each row scores the nlist LITERAL leaders and sorts
+    * the (score, lid) struct array in place — no crossJoin row blow-up, no
+    * per-id window exchange+sort (the previous form paid both per
+    * evaluation, and the IVF paths evaluate this under several driver
+    * actions — q_ivfpq_res serialized ~26 micro-jobs on it). array_sort's
+    * ascending lexicographic struct order on (−lscore, lid) IS the
+    * window's (lscore desc, lid asc); a null-embedding row nulls every
+    * score together, so both forms fall to the lid tie-break identically.
+    * `lrn` = 1 is the cell assignment, `lrn` <= nprobe the probe set. */
+  private def rankedCells(side: DataFrame, leaders: Array[(Any, Array[Long], Long)],
+      idAs: String, dim: Int): DataFrame = {
+    val cells = leaders.map { case (lid, lq, ln) =>
+      val ldot = dotQ(col("q"), array(lq.map(lit(_)): _*), dim)
+      val lsq = floor(sqrt(col("nq").cast("double") * lit(ln).cast("double"))).cast("long")
+      val lscore = (ldot * 1000000L).divide(greatest(lsq, lit(1L))).cast("long")
+      struct((-lscore).as("ns"), lit(lid).as("lid"))
+    }
+    side.select(col("id").as(idAs),
+        posexplode(array_sort(array(cells: _*))).as(Seq("__p", "__s")))
+      .select(col(idAs), col("__s")("lid").as("cell"), (col("__p") + 1).as("lrn"))
   }
 
   def ivfTopK(vecs: DataFrame, idCol: String, embCol: String, k: Int,
@@ -809,11 +826,12 @@ object Ann {
     * assigned members has no anchor — its residual row drops, lawfully:
     * an empty cell has no candidates to score either. */
   private def ivfRecenter(qd: DataFrame, nlist: Int)
-      : (DataFrame, DataFrame, DataFrame => DataFrame) = {
+      : (Array[(Any, Array[Long], Long)], DataFrame, DataFrame => DataFrame) = {
+    // the collected leader table already holds the dimensionality — the
+    // previous separate select(lq).collect() probe action is gone
     val leaders = leadersOf(qd, nlist)
-    val first = leaders.select(col("lq")).collect()
-    require(first.nonEmpty, "residual IVF-PQ needs at least one leader")
-    val dim = first.head.getSeq[Long](0).length
+    require(leaders.nonEmpty, "residual IVF-PQ needs at least one leader")
+    val dim = leaders.head._2.length
     // lazily checkpointed: the cell assignment feeds the anchor sums (an
     // action), the residual frame (two trainer actions), and the final
     // candidate join — without it each consumer re-runs the leader

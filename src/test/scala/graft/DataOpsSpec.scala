@@ -1504,6 +1504,21 @@ class DataOpsSpec extends AnyFunSuite {
     assert(none.length === 6 && none.forall(r => r._2 === r._1 && r._3 === 1))
   }
 
+  test("semanticDedup cell ranking: exact score ties break to the LOWEST leader id") {
+    // leaders (nlist=2) are ids 1 and 2; their vectors are IDENTICAL, so
+    // every row's cosine to both cells ties exactly and the assignment must
+    // fall to the lid tie-break — cell 1 for everyone. Pins the r11
+    // projection-form rankedCells (array_sort on (−score, lid) structs)
+    // against the window form's (score desc, lid asc) ordering.
+    val v = Array.tabulate(64)(i => if (i < 32) 1.0f else 0.0f)
+    val vecs = Seq((1L, v), (2L, v.clone()), (3L, v.map(_ * 2f)), (4L, v.map(_ * 3f)))
+      .toDF("vec_id", "embedding")
+    val cells = graft.sim.Ann.semanticDedup(vecs, "vec_id", "embedding",
+        tauPm = 1000, nlist = 2)
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    assert(cells === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("streaming quality gate matches the ORACLED batch gopher keep set") {
     // gopherQuality is pure column algebra over one scan (q_gopher is
     // DuckDB-oracled), so the SAME call applies unchanged to a readStream
