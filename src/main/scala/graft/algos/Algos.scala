@@ -2242,6 +2242,13 @@ object Algos {
     * reached after following `labels` hops. */
   def rollup(g: PropertyGraph, start: DataFrame, valueCol: String, labels: Seq[String]): DataFrame = {
     var cur = start // columns: id, <valueCol>; parallel edges collapse per hop
+    // NOT aggregated per hop (r11 MEASURED rejection): sum is associative
+    // along DAG paths, so a per-hop groupBy(dst).sum is semantically the
+    // final agg pushed down — but at bench scale the four added agg
+    // exchanges cost more than the row shrink saves (q_rollup 1.15 → 1.91 s
+    // warm, taskTime 2.8 → 4.5 s); the flat join chain stands. At true
+    // 100 TB the trade reverses only if hop fan-in is huge — revisit with
+    // measurements there.
     labels.foreach { l =>
       val e = g.edges.where(col("label") === l).select("src", "dst").dropDuplicates("src", "dst")
       cur = cur.join(e, cur("id") === e("src"))

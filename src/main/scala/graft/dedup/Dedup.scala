@@ -408,8 +408,12 @@ object Dedup {
       k: Int, minDf: Long, minDfBp: Long = 0L): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && minDf >= 1)
+    // checkpointed: tokenize+posexplode ran THREE times without it — once
+    // under grams and once per stripFromStarts consumer (the kept-token
+    // anti-join and the n_toks agg); one materialization serves all (r11)
     val toks = docs.select(col(idCol).as("doc_id"),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__t0")))
+      .localCheckpoint(false)
     val wLead = Window.partitionBy("doc_id").orderBy("pos")
     val grams = (1 until k).foldLeft(toks)((d, j) =>
         d.withColumn(s"__t$j", lead(col("__t0"), j).over(wLead)))

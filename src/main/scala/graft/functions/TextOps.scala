@@ -137,11 +137,18 @@ object TextOps {
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE aggregation of the exploded tokens; everything downstream derives
+    // from tf (r11): doc length = Σ tf per doc, document frequency = row
+    // count per term (tf is (doc, term)-distinct by construction — the old
+    // count_distinct over the RAW token rows was a second two-phase
+    // aggregation of ~300 tokens/doc). The checkpoint moves from the
+    // exploded token frame (|tokens| rows of strings) to tf (|doc×term|
+    // rows), so three readers scan the far smaller frame.
     val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
-      .localCheckpoint(false)
     val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val dfq = toks.groupBy("t").agg(count_distinct(col("doc_id")).as("df"))
+      .localCheckpoint(false)
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("n"))
+    val dfq = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val nDocs = dl.count() // documents with >= 1 token
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("t").asc)
     tf.join(dl, "doc_id").join(dfq, "t")
@@ -215,10 +222,15 @@ object TextOps {
     val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
       .localCheckpoint(false)
     val counts = toks.groupBy("t").agg(count(lit(1)).as("n_t"))
-    // coalesce: sum over an EMPTY corpus is SQL null
-    val total = counts.agg(coalesce(sum(col("n_t")), lit(0L)))
-      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()(0)
-    toks.join(counts, "t")
+    // coalesce: sum over an EMPTY corpus is SQL null. The same (mandatory)
+    // corpus-total action also counts the VOCABULARY for free, so a
+    // measured-small counts side broadcasts into the surprisal join-back
+    // and the token frame is never exchanged by term (guide §3.1; past the
+    // guard the shuffle join stands)
+    val row = counts.agg(coalesce(sum(col("n_t")), lit(0L)), count(lit(1))).head()
+    val total = row.getLong(0)
+    val countsB = if (row.getLong(1) <= 2000000L) broadcast(counts) else counts
+    toks.join(countsB, "t")
       .withColumn("surp", (length(bin(expr(s"${total}L div n_t"))) - 1).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), sum(col("surp")).as("bits"))
@@ -276,8 +288,12 @@ object TextOps {
       .as[(String, Long)].collect()
       .map { case (t, dft) => (t, (63 - java.lang.Long.numberOfLeadingZeros(nDocs / dft)).toLong) }
       .toSeq.toDF("t", "idf")
+    // the mandatory corpus-stats action already counted |docs|, so a
+    // measured-small dl broadcasts for free (guide §3.1); past the guard
+    // the shuffle join stands
+    val dlB = if (nDocs <= 2000000L) broadcast(dl) else dl
     qt.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      .join(dl, "doc_id").join(broadcast(idf), "t")
+      .join(dlB, "doc_id").join(broadcast(idf), "t")
       .withColumn("contrib", expr(
         s"idf * (tf * ${10000L + k1Bp} * 10000) div " +
           s"(tf * 10000 + ($k1Bp * ((${10000L - bBp}) + ($bBp * dl) div $avgdl)) div 10000)"))
