@@ -18,8 +18,12 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 8
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // core count honored like Bench (r11): the scale sweep doubles as the
+    // low-vs-high-core evidence at a compute-bound volume, where sf0.1
+    // alone is scheduling-dominated and says nothing about parallelism
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tpch.shareScans = true
@@ -145,7 +149,10 @@ object ScaleProbe {
     // winnow, train_order — run only in an unfiltered sweep); a typo'd
     // filter fails loudly
     val only = if (args.length > 1) Some(args(1)) else None
-    val selected = only.map(f => probes.filter(_._1.contains(f))).getOrElse(probes)
+    // comma-separated substrings: one run can select a hand-picked set
+    def matches(name: String): Boolean =
+      only.forall(_.split(",").exists(name.contains))
+    val selected = probes.filter(p => matches(p._1))
     if (selected.nonEmpty) {
       val results = selected.map { case (name, p) =>
         val (t1, n1) = minTime(p(g1))
@@ -388,10 +395,10 @@ object ScaleProbe {
       "phash_pairs" -> (d => graft.multimodal.Multimodal.pHashPairs(
         graft.multimodal.Multimodal.withPayload(d, "doc_id", "text"),
         maxHam = 3).count()))
-    val selectedPipe = only.map(f => pipeProbes.filter(_._1.contains(f))).getOrElse(pipeProbes)
-    val selectedEmb = only.map(f => embProbes.filter(_._1.contains(f))).getOrElse(embProbes)
-    val selectedEv = only.map(f => evProbes.filter(_._1.contains(f))).getOrElse(evProbes)
-    val selectedPair = only.map(f => pairProbes.filter(_._1.contains(f))).getOrElse(pairProbes)
+    val selectedPipe = pipeProbes.filter(p => matches(p._1))
+    val selectedEmb = embProbes.filter(p => matches(p._1))
+    val selectedEv = evProbes.filter(p => matches(p._1))
+    val selectedPair = pairProbes.filter(p => matches(p._1))
     require(only.isEmpty || selected.nonEmpty || selectedPipe.nonEmpty ||
       selectedEmb.nonEmpty || selectedEv.nonEmpty || selectedPair.nonEmpty,
       s"probe filter '${only.getOrElse("")}' matches nothing in any probe list")
