@@ -2229,7 +2229,14 @@ object Algos {
   def pushDown(g: PropertyGraph, start: DataFrame, valueCol: String, labels: Seq[String]): DataFrame = {
     var cur = start // columns: id, <valueCol>
     labels.foreach { l =>
-      val e = g.edges.where(col("label") === l).select("src", "dst").dropDuplicates("src", "dst")
+      // loader-counted small label slices broadcast (|deduped| <= |slice|,
+      // so the registered exact count bounds the build); 250k guard here,
+      // tighter than the hop default: a ~600k single-threaded dedup build
+      // measured WORSE than the SMJ it replaces on the |start|-sized first
+      // hop (q_rollup 1.15 -> 1.4 s warm), while the small later hops keep
+      // the map-side probe
+      val e0 = g.edges.where(col("label") === l).select("src", "dst").dropDuplicates("src", "dst")
+      val e = if (g.labelRows(Seq(l)).exists(_ <= 250000L)) broadcast(e0) else e0
       cur = cur.join(e, cur("id") === e("dst"))
         .select(col("src").as("id"), col(valueCol))
     }
@@ -2250,7 +2257,11 @@ object Algos {
     // 100 TB the trade reverses only if hop fan-in is huge — revisit with
     // measurements there.
     labels.foreach { l =>
-      val e = g.edges.where(col("label") === l).select("src", "dst").dropDuplicates("src", "dst")
+      // same loader-counted broadcast as pushDown (same measured 250k
+      // guard): the |start|-sized stream is never exchanged when the hop
+      // slice is small, and the one over-guard hop keeps its SMJ
+      val e0 = g.edges.where(col("label") === l).select("src", "dst").dropDuplicates("src", "dst")
+      val e = if (g.labelRows(Seq(l)).exists(_ <= 250000L)) broadcast(e0) else e0
       cur = cur.join(e, cur("id") === e("src"))
         .select(col("dst").as("id"), col(valueCol))
     }

@@ -37,7 +37,13 @@ object Descend {
       checkpointEvery: Int = 0,
       acyclic: Boolean = false): DataFrame = {
 
-    val e0 = if (labels.isEmpty) g.edges else g.edges.where(col("label").isin(labels: _*))
+    // when the loader registered exact label counts and the traversed slice
+    // is measured-small, hint IT for broadcast: one build (ReusedExchange
+    // shares identical hinted subtrees across the level joins) beats
+    // re-broadcasting a growing frontier per level; the per-level frontier
+    // guard below then stands down
+    val eKnownSmall = g.labelRows(labels).exists(_ <= 1000000L)
+    val e0 = g.labeledEdges(labels)
     val (from, to) = if (forward) ("src", "dst") else ("dst", "src")
     // deliberately NOT checkpointed: each level re-derives this projection
     // from the (shareScans-cached) base tables, which measures CHEAPER than
@@ -75,7 +81,7 @@ object Descend {
     // budget; a tighter 250k guard A/B-measured WORSE on every descend query
     // (q_deepest 2.4→3.5 s warm: even a 750k-row single-threaded build beats
     // re-exchanging the full edge projection, OPTIMIZATION_r11.md)
-    var frontierSmall = checkpointEvery > 0 &&
+    var frontierSmall = !eKnownSmall && checkpointEvery > 0 &&
       graft.plans.Scale.fitsBroadcast(frontier, bcastRows)
     var d = 1
     while (d <= maxDepth) {
@@ -101,7 +107,7 @@ object Descend {
       if (checkpointEvery > 0 && d % checkpointEvery == 0) {
         val n = graft.plans.Scale.oneWaveLimit(frontier)(
           frontier.limit((bcastRows + 1).toInt).count())
-        frontierSmall = n <= bcastRows
+        frontierSmall = !eKnownSmall && n <= bcastRows
         if (n == 0L) d = maxDepth + 1
         else {
           acc = acc.unionByName(emit(frontier))
@@ -144,13 +150,17 @@ object Descend {
   private def guardedTails(g: PropertyGraph, labels: Seq[String],
       forward: Boolean): DataFrame = {
     val e0 = if (labels.isEmpty) g.edges else g.edges.where(col("label").isin(labels: _*))
-    // lazy checkpoint, NOT a guarded broadcast: the fitsBroadcast probe is
-    // itself a distinct-scan job paid before the main action (A/B: bench
-    // q_deepest 2.59 -> 2.95 with the probe+broadcast), while the
-    // checkpoint materializes the distinct ONCE for all five pushed-down
-    // branches and ReusedExchange dedups their identical shuffle sides
-    e0.select(col(if (forward) "src" else "dst").as("id")).distinct()
-      .localCheckpoint(false)
+    val tails = e0.select(col(if (forward) "src" else "dst").as("id")).distinct()
+    // |tails| <= the slice's registered edge count, so a loader-counted
+    // small slice broadcasts with NO probe — the per-branch anti-joins
+    // become map-side probes of one reused build. Without counts: lazy
+    // checkpoint, NOT a fitsBroadcast probe — the probe is itself a
+    // distinct-scan job paid before the main action (A/B: bench q_deepest
+    // 2.59 -> 2.95 with probe+broadcast), while the checkpoint
+    // materializes the distinct ONCE for all pushed-down branches and
+    // ReusedExchange dedups their identical shuffle sides
+    if (g.labelRows(labels).exists(_ <= 1000000L)) broadcast(tails)
+    else tails.localCheckpoint(false)
   }
 
   /** fermor `deepest`: only elements with no further children (path-instances

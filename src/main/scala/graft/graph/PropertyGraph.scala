@@ -45,6 +45,24 @@ final case class PropertyGraph(
   def edge(src: Long, dst: Long, label: String): DataFrame =
     edges.where(col("src") === src && col("dst") === dst && col("label") === label)
 
+  /** Exact row count of the `labels`-filtered edge slice (all edges when
+    * empty), when the loader registered counts for THIS edges instance —
+    * see [[PropertyGraph.registerLabelRows]]. None on mutated/unregistered
+    * graphs. */
+  def labelRows(labels: Seq[String]): Option[Long] =
+    PropertyGraph.labelRowsOf(edges, labels)
+
+  /** The label-filtered edge view every hop joins, broadcast-hinted when
+    * the registered exact count fits `broadcastRows` (guide §3.1): the hop
+    * join becomes a map-side probe of the frontier — no |E|-slice exchange,
+    * no frontier exchange — and identical hinted subtrees share ONE
+    * broadcast build via ReusedExchange across a multi-hop chain. Unknown
+    * or over-guard sizes keep the shuffle plan untouched. */
+  def labeledEdges(labels: Seq[String], broadcastRows: Long = 1000000L): DataFrame = {
+    val base = if (labels.isEmpty) edges else edges.where(col("label").isin(labels: _*))
+    if (labelRows(labels).exists(_ <= broadcastRows)) broadcast(base) else base
+  }
+
   /** fermor core.clj `add-vertices`: union new rows into a kind table. */
   def addVertices(kindName: String, rows: DataFrame): PropertyGraph =
     copy(kinds = kinds.updated(
@@ -434,7 +452,10 @@ final case class PropertyGraph(
       s"motif kind annotation :$kk names no kind table (have: ${kinds.keys.mkString(", ")})"))
     def term(sv: String, lbl: Option[String], dv: String, undirected: Boolean,
         mn: Int, mx: Int): DataFrame = {
-      val e = lbl.map(l => edges.where(col("label") === l)).getOrElse(edges)
+      // loader-counted small label slices broadcast: the cascade's keyed
+      // joins become map-side probes and identical hinted slices share one
+      // build (ReusedExchange); unknown/large slices keep the shuffle join
+      val e = labeledEdges(lbl.toSeq)
       def chain(len: Int): DataFrame = {
         // len-hop chain with internal join columns — Cypher's `*min..max`
         // expands to a union of fixed-length keyed-join chains (bag
@@ -550,6 +571,30 @@ final case class PropertyGraph(
 }
 
 object PropertyGraph {
+
+  /** Exact per-label edge counts, registered by the loader for the EXACT
+    * persisted edges DataFrame instance (identity-keyed, weakly held).
+    * Every traversal hop joins a label-filtered slice of `edges` whose size
+    * Catalyst cannot estimate (the label filter's selectivity over the
+    * cached union is unknown), so the planner falls to SortMergeJoin and
+    * re-exchanges the frontier AND the slice per hop. With the loader's
+    * one-time `groupBy(label).count()` (amortized over every graph query on
+    * the shared session), a measured-small slice broadcasts with ZERO
+    * per-query probes — and because the key is the DataFrame reference, any
+    * edge mutation (addEdges/removeVertices/transpose/...) produces a new
+    * DataFrame that simply has no entry: stale counts are unrepresentable,
+    * mutated graphs just lose the hint. */
+  private val edgeLabelRows = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, (Long, Map[String, Long])]())
+  def registerLabelRows(edges: DataFrame, total: Long,
+      perLabel: Map[String, Long]): Unit =
+    edgeLabelRows.put(edges, (total, perLabel))
+  private[graft] def labelRowsOf(edges: DataFrame,
+      labels: Seq[String]): Option[Long] =
+    Option(edgeLabelRows.get(edges)).map { case (total, per) =>
+      if (labels.isEmpty) total
+      else labels.iterator.map(per.getOrElse(_, 0L)).sum
+    }
 
   /** fermor graph.clj `graph-from-triples`: build a graph from a bag of
     * `(src, label, dst)` triples (plus optional edge-property columns).

@@ -160,7 +160,17 @@ object Tpch {
       // probe pays 32 task overheads), so traversals keep the one-partition-
       // per-base-table layout whose big branches the guarded frontier
       // broadcasts already avoid shuffling.
-      g.copy(edges = g.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val persisted = g.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // one label-count pass at load (also pre-warms the persisted union):
+      // exact per-label sizes let every traversal hop broadcast a
+      // measured-small label slice with zero per-query probes — see
+      // PropertyGraph.registerLabelRows for the staleness argument
+      val counts = persisted.groupBy("label").count().collect()
+      PropertyGraph.registerLabelRows(persisted,
+        counts.iterator.map(_.getLong(1)).sum,
+        counts.iterator.filterNot(_.isNullAt(0))
+          .map(r => r.getString(0) -> r.getLong(1)).toMap)
+      g.copy(edges = persisted)
     })
 
   private def build(spark: SparkSession, dir: String): PropertyGraph = {

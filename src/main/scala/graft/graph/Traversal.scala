@@ -35,7 +35,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame) {
     Traversal(g, df.withColumn("path", array(col("id"))))
 
   private def edgesFor(labels: Seq[String]): DataFrame =
-    if (labels.isEmpty) g.edges else g.edges.where(col("label").isin(labels: _*))
+    g.labeledEdges(labels) // exact-count broadcast hint when the slice is small
 
   private def hop(labels: Seq[String], forward: Boolean): Traversal = {
     val (from, to) = if (forward) ("src", "dst") else ("dst", "src")

@@ -32,6 +32,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("c_acctbal"), "pruned column still read:\n" + readSchema)
   }
 
+  test("labeledEdges: registered exact counts broadcast small slices; mutations lose the hint") {
+    import spark.implicits._
+    import graft.graph.{PropertyGraph, Traversal}
+    val es = Seq((1L, 2L, "a"), (2L, 3L, "b")).toDF("src", "dst", "label")
+    val g0 = PropertyGraph(Map("v" -> Seq(1L, 2L, 3L).toDF("id")), es)
+    // unregistered: no hint, no crash
+    assert(g0.labelRows(Seq("a")).isEmpty)
+    PropertyGraph.registerLabelRows(es, 2L, Map("a" -> 1L, "b" -> 1L))
+    assert(g0.labelRows(Seq("a")).contains(1L))
+    assert(g0.labelRows(Nil).contains(2L))
+    assert(g0.labelRows(Seq("missing")).contains(0L)) // absent label = 0 rows, exact
+    val hop = Traversal(g0, Seq(1L).toDF("id")).out("a").df
+    assert(executedPlan(hop).contains("BroadcastHashJoin"),
+      "counted-small label slice should broadcast:\n" + executedPlan(hop).take(2000))
+    // an edge MUTATION builds a new DataFrame — the identity-keyed registry
+    // must miss, so a stale count can never hint an oversized broadcast
+    val g1 = g0.addEdges(Seq((3L, 1L, "a")).toDF("src", "dst", "label"))
+    assert(g1.labelRows(Seq("a")).isEmpty)
+  }
+
   test("multi-hop traversal broadcasts the dimension side") {
     val q = SparkEntry.queries("q_out_path2")(spark, dir)
     assert(executedPlan(q).contains("BroadcastHashJoin"),
