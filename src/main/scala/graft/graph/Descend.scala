@@ -98,12 +98,13 @@ object Descend {
           n.withColumn("path", concat(col("path"), array(col("id"))))
         }
       frontier =
-        if (checkpointEvery > 0 && d % checkpointEvery == 0) next.localCheckpoint(eager = true)
+        if (checkpointEvery > 0 && d % checkpointEvery == 0) next.localCheckpoint(eager = false)
         else next
-      // eager mode has the frontier materialized, so the emptiness/size
-      // probe is a cheap bounded scan of resident blocks — without it every
-      // exhausted level still runs a checkpoint job joining an empty
-      // frontier against the edge table
+      // LAZY checkpoint + one bounded counting probe = ONE job per level
+      // (the transitive-reduction rule): accessing a cached partition
+      // unrolls the whole block, so the one-wave limit count both
+      // materializes the level AND returns its emptiness/size — the old
+      // eager-checkpoint-then-isEmpty shape paid two jobs per level
       if (checkpointEvery > 0 && d % checkpointEvery == 0) {
         val n = graft.plans.Scale.oneWaveLimit(frontier)(
           frontier.limit((bcastRows + 1).toInt).count())
@@ -237,13 +238,18 @@ object Descend {
       // same per-level materialization as all/deepest: the frontier feeds
       // both the next expansion and (via stepped) the closed-cycle branch,
       // so without it level k is re-derived O(k) times and lineage grows
-      // quadratically with depth
+      // quadratically with depth. Lazy checkpoint + one-wave bounded count
+      // = ONE job per level (the run() fusion): the count materializes the
+      // blocks AND answers the drain check
       frontier = stepped
         .where(!array_contains(col("path"), col("id")))
         .withColumn("path", concat(col("path"), array(col("id"))))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       d += 1
-      if (d <= maxDepth && frontier.isEmpty) d = maxDepth + 1 // exhausted early
+      if (d <= maxDepth) {
+        val n = graft.plans.Scale.oneWaveLimit(frontier)(frontier.limit(1).count())
+        if (n == 0L) d = maxDepth + 1 // exhausted early
+      }
     }
     acc
   }
